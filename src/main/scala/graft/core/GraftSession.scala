@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode defaults tuned for the test harness (local[32], 32 shuffle
+  * partitions, AQE on, UTC). On a real cluster the same builder settings
+  * apply except master/shuffle-partitions, which come from spark-submit.
+  */
+object GraftSession {
+  def local(
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
