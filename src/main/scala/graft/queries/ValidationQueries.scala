@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.validate.ColumnValidator.AggSpec
+import graft.validate.{ColumnValidator, CustomQueryValidator, RowValidator, SchemaValidator}
+
+/** DVT validator demo corpus (SURVEY §2.5 A7-A9 + custom-query): each
+  * validator exercised against a derived "target" of a testdata table so
+  * every status branch (pass / fail / mismatch / *_only) appears in the
+  * output, with a DuckDB oracle mirroring the exact expression order.
+  */
+object ValidationQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_column_validation" -> ((s, dir) => {
+      val src = T(s, dir, "lineitem")
+      val tgt = src.filter(col("l_shipdate") <= lit("1997-06-30").cast("timestamp"))
+      ColumnValidator.validate(src, tgt,
+        Seq(AggSpec("count", "l_quantity"), AggSpec("sum", "l_quantity"),
+          AggSpec("avg", "l_quantity")),
+        groupBy = Seq("l_linestatus"))
+        .orderBy(col("l_linestatus"), col("validation_name"))
+    }),
+    "v8_row_validation" -> ((s, dir) => {
+      val base = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_custkey").cast("string").as("ck"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      val tgt = base.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 97 === 0, "9-FAKE").otherwise(col("o_orderpriority")))
+      RowValidator.validate(base, tgt, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority", "ck", "od"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "v9_schema_validation" -> ((s, dir) => {
+      val src = T(s, dir, "lineitem")
+      val tgt = src.drop("l_tax")
+        .withColumn("l_linenumber", col("l_linenumber").cast("bigint"))
+        .withColumn("extra_col", lit(1))
+      SchemaValidator.validate(s, src, tgt)
+        .orderBy(col("column_name"))
+    }),
+    "v10_custom_query" -> ((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      CustomQueryValidator.validate(s,
+        """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          |FROM lineitem_v WHERE l_discount > 0.05""".stripMargin,
+        """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          |FROM lineitem_v WHERE l_discount > 0.05 AND l_quantity < 45""".stripMargin,
+        pctThreshold = 1.0)
+        .orderBy(col("validation_name"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "v7_column_validation" ->
+      """WITH s AS (
+        | SELECT l_linestatus, CAST(COUNT(l_quantity) AS DOUBLE) AS c,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS av
+        | FROM lineitem GROUP BY l_linestatus),
+        |t AS (
+        | SELECT l_linestatus, CAST(COUNT(l_quantity) AS DOUBLE) AS c,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS av
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30' GROUP BY l_linestatus),
+        |u AS (
+        | SELECT COALESCE(s.l_linestatus, t.l_linestatus) AS l_linestatus, v.validation_name,
+        |  CASE v.validation_name WHEN 'count__l_quantity' THEN s.c WHEN 'sum__l_quantity' THEN s.sm ELSE s.av END AS source_agg_value,
+        |  CASE v.validation_name WHEN 'count__l_quantity' THEN t.c WHEN 'sum__l_quantity' THEN t.sm ELSE t.av END AS target_agg_value
+        | FROM s FULL JOIN t ON s.l_linestatus = t.l_linestatus
+        | CROSS JOIN (VALUES ('count__l_quantity'),('sum__l_quantity'),('avg__l_quantity')) v(validation_name))
+        |SELECT l_linestatus, validation_name, source_agg_value, target_agg_value,
+        | target_agg_value - source_agg_value AS difference,
+        | CASE WHEN source_agg_value=0 AND target_agg_value=0 THEN 0
+        |      WHEN source_agg_value=0 THEN NULL
+        |      ELSE (target_agg_value - source_agg_value)/source_agg_value*100 END AS pct_difference,
+        | CAST(0.0 AS DOUBLE) AS pct_threshold,
+        | CASE WHEN source_agg_value IS NULL OR target_agg_value IS NULL THEN 'fail'
+        |      WHEN (CASE WHEN source_agg_value=0 AND target_agg_value=0 THEN 0
+        |            WHEN source_agg_value=0 THEN NULL
+        |            ELSE (target_agg_value - source_agg_value)/source_agg_value*100 END) IS NULL THEN 'fail'
+        |      WHEN abs(CASE WHEN source_agg_value=0 AND target_agg_value=0 THEN 0
+        |            WHEN source_agg_value=0 THEN NULL
+        |            ELSE (target_agg_value - source_agg_value)/source_agg_value*100 END) <= 0.0 THEN 'pass'
+        |      ELSE 'fail' END AS validation_status
+        |FROM u ORDER BY l_linestatus, validation_name""".stripMargin,
+    "v8_row_validation" ->
+      """WITH src AS (
+        | SELECT o_orderkey, sha256(concat_ws('||', o_orderstatus, o_orderpriority,
+        |   CAST(o_custkey AS VARCHAR), strftime(o_orderdate, '%Y-%m-%d'))) AS source_hash
+        | FROM orders),
+        |tgt AS (
+        | SELECT o_orderkey, sha256(concat_ws('||', o_orderstatus,
+        |   CASE WHEN o_orderkey % 97 = 0 THEN '9-FAKE' ELSE o_orderpriority END,
+        |   CAST(o_custkey AS VARCHAR), strftime(o_orderdate, '%Y-%m-%d'))) AS target_hash
+        | FROM orders)
+        |SELECT o_orderkey, source_hash, target_hash,
+        | CASE WHEN source_hash IS NULL THEN 'target_only'
+        |      WHEN target_hash IS NULL THEN 'source_only'
+        |      WHEN source_hash = target_hash THEN 'match'
+        |      ELSE 'mismatch' END AS validation_status
+        |FROM src FULL JOIN tgt USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
+    "v9_schema_validation" ->
+      """WITH s AS (
+        | SELECT lower(column_name) AS column_name,
+        |  CASE column_type WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'bigint'
+        |   WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+        |   WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT' THEN 'float'
+        |   ELSE lower(column_type) END AS source_type
+        | FROM (DESCRIBE lineitem)),
+        |t AS (
+        | SELECT lower(column_name) AS column_name,
+        |  CASE column_type WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'bigint'
+        |   WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+        |   WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'FLOAT' THEN 'float'
+        |   ELSE lower(column_type) END AS target_type
+        | FROM (DESCRIBE (SELECT l_orderkey, l_partkey, l_suppkey,
+        |   CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice,
+        |   l_discount, l_returnflag, l_linestatus, l_shipdate, 1 AS extra_col
+        |   FROM lineitem)))
+        |SELECT COALESCE(s.column_name, t.column_name) AS column_name,
+        | source_type, target_type,
+        | CASE WHEN target_type IS NULL THEN 'source_only'
+        |      WHEN source_type IS NULL THEN 'target_only'
+        |      WHEN source_type = target_type THEN 'pass'
+        |      ELSE 'type_mismatch' END AS validation_status
+        |FROM s FULL JOIN t ON s.column_name = t.column_name
+        |ORDER BY column_name""".stripMargin,
+    "v10_custom_query" ->
+      """WITH s AS (
+        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        | FROM lineitem WHERE l_discount > 0.05),
+        |t AS (
+        | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        | FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 45),
+        |su AS (SELECT 'n' AS validation_name, n AS source_value FROM s
+        |  UNION ALL SELECT 'total_qty', total_qty FROM s),
+        |tu AS (SELECT 'n' AS validation_name, n AS target_value FROM t
+        |  UNION ALL SELECT 'total_qty', total_qty FROM t)
+        |SELECT validation_name, source_value, target_value,
+        | target_value - source_value AS difference,
+        | CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |      WHEN source_value=0 THEN NULL
+        |      ELSE (target_value - source_value)/source_value*100 END AS pct_difference,
+        | CAST(1.0 AS DOUBLE) AS pct_threshold,
+        | CASE WHEN source_value IS NULL OR target_value IS NULL THEN 'fail'
+        |      WHEN (CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |            WHEN source_value=0 THEN NULL
+        |            ELSE (target_value - source_value)/source_value*100 END) IS NULL THEN 'fail'
+        |      WHEN abs(CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |            WHEN source_value=0 THEN NULL
+        |            ELSE (target_value - source_value)/source_value*100 END) <= 1.0 THEN 'pass'
+        |      ELSE 'fail' END AS validation_status
+        |FROM su FULL JOIN tu USING (validation_name) ORDER BY validation_name""".stripMargin
+  )
+}

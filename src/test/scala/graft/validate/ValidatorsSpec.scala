@@ -1,0 +1,109 @@
+package graft.validate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.validate.ColumnValidator.AggSpec
+
+/** Semantics of the DVT-style validators (SURVEY §2.5 A7-A9). */
+class ValidatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "validate-test")
+
+  def df(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "v")
+  }
+
+  test("ColumnValidator: identical sides pass, differing sides fail") {
+    val src = df(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0)))
+    val out = ColumnValidator.validate(src, src,
+      Seq(AggSpec("count", "v"), AggSpec("sum", "v")), groupBy = Seq("grp"))
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[String]("validation_status") == "pass"))
+
+    val tgt = df(Seq((1L, "a", 10.0), (3L, "b", 5.0))) // 'a' sum/count differ
+    val out2 = ColumnValidator.validate(src, tgt,
+      Seq(AggSpec("sum", "v")), groupBy = Seq("grp")).collect()
+    val byGrp = out2.map(r => r.getAs[String]("grp") -> r.getAs[String]("validation_status")).toMap
+    assert(byGrp("a") == "fail" && byGrp("b") == "pass")
+  }
+
+  test("ColumnValidator: missing group on one side fails") {
+    val src = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val tgt = df(Seq((1L, "a", 1.0)))
+    val out = ColumnValidator.validate(src, tgt, Seq(AggSpec("sum", "v")),
+      groupBy = Seq("grp")).collect()
+    val b = out.find(_.getAs[String]("grp") == "b").get
+    assert(b.getAs[String]("validation_status") == "fail")
+    assert(b.getAs[Any]("target_agg_value") == null)
+  }
+
+  test("ColumnValidator: zero-source convention (0=0 pass, 0->x fail)") {
+    val src = df(Seq((1L, "a", 0.0)))
+    val tgtSame = df(Seq((1L, "a", 0.0)))
+    val tgtDiff = df(Seq((1L, "a", 3.0)))
+    val pass = ColumnValidator.validate(src, tgtSame, Seq(AggSpec("sum", "v")),
+      groupBy = Seq("grp")).head()
+    val fail = ColumnValidator.validate(src, tgtDiff, Seq(AggSpec("sum", "v")),
+      groupBy = Seq("grp")).head()
+    assert(pass.getAs[String]("validation_status") == "pass")
+    assert(fail.getAs[String]("validation_status") == "fail")
+    assert(fail.getAs[Any]("pct_difference") == null)
+  }
+
+  test("ColumnValidator: pct threshold tolerates small drift") {
+    val src = df(Seq((1L, "a", 100.0)))
+    val tgt = df(Seq((1L, "a", 100.5)))
+    val strict = ColumnValidator.validate(src, tgt, Seq(AggSpec("sum", "v")),
+      groupBy = Seq("grp"), pctThreshold = 0.0).head()
+    val loose = ColumnValidator.validate(src, tgt, Seq(AggSpec("sum", "v")),
+      groupBy = Seq("grp"), pctThreshold = 1.0).head()
+    assert(strict.getAs[String]("validation_status") == "fail")
+    assert(loose.getAs[String]("validation_status") == "pass")
+  }
+
+  test("RowValidator: match/mismatch/source_only/target_only") {
+    val src = df(Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)))
+    val tgt = df(Seq((1L, "x", 1.0), (2L, "CHANGED", 2.0), (4L, "w", 4.0)))
+    val out = RowValidator.validate(src, tgt, Seq("id"), Seq("grp"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("validation_status")).toMap
+    assert(out == Map(1L -> "match", 2L -> "mismatch", 3L -> "source_only", 4L -> "target_only"))
+  }
+
+  test("RowValidator: sampling restricts to n source keys") {
+    val src = df((1L to 100L).map(i => (i, s"g$i", i.toDouble)))
+    val out = RowValidator.validateSample(src, src, Seq("id"), Seq("grp"), 10)
+    assert(out.count() == 10)
+    assert(out.filter(col("validation_status") === "match").count() == 10)
+  }
+
+  test("SchemaValidator: pass/type_mismatch/only + exclusions + allow-list") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 1.0)).toDF("id", "name", "v")
+    val tgt = Seq((1, "a", true)).toDF("id", "name", "flag")
+    val out = SchemaValidator.validate(spark, src, tgt)
+      .collect().map(r => r.getAs[String]("column_name") -> r.getAs[String]("validation_status")).toMap
+    assert(out == Map("id" -> "type_mismatch", "name" -> "pass",
+      "v" -> "source_only", "flag" -> "target_only"))
+
+    val allowed = SchemaValidator.validate(spark, src, tgt,
+      exclusionColumns = Set("v", "flag"),
+      allowList = Map("bigint" -> Set("int")))
+      .collect().map(_.getAs[String]("validation_status"))
+    assert(allowed.forall(_ == "pass"))
+  }
+
+  test("CustomQueryValidator: scalar compare with threshold") {
+    import spark.implicits._
+    Seq((1, 10.0), (2, 20.0)).toDF("k", "v").createOrReplaceTempView("cq_t")
+    val out = CustomQueryValidator.validate(spark,
+      "SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(v) AS DOUBLE) AS sv FROM cq_t",
+      "SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(v) AS DOUBLE) AS sv FROM cq_t WHERE k = 1",
+      pctThreshold = 60.0)
+      .collect().map(r => r.getAs[String]("validation_name") -> r.getAs[String]("validation_status")).toMap
+    // n: 1 vs 2 = -50% (within 60) pass; sv: 10 vs 30 = -66.7% fail
+    assert(out == Map("n" -> "pass", "sv" -> "fail"))
+  }
+}
