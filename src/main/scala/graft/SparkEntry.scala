@@ -22,11 +22,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.ValidationQueries.queries
+      graft.queries.ValidationQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
-      graft.queries.ValidationQueries.oracle
+      graft.queries.ValidationQueries.oracle ++
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.SimilarityQueries.oracle
 }

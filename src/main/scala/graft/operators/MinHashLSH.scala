@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (LLM-pipeline op).
+  *
+  * Pipeline: shingle → K minhashes → b bands of r rows → band-bucket
+  * join → exact-Jaccard verification of candidates.
+  *
+  * Scale design: signatures are pure per-row expressions (shingle set and
+  * K array_min(transform(...)) in one projection — NO shuffle, NO
+  * explode); the only shuffles are (a) the band-bucket self-join, whose
+  * input is b rows × docs of (band, key, id) — tiny relative to the
+  * corpus — and (b) two joins to fetch shingle sets for the candidate
+  * pairs, which are broadcast-able when candidates are rare (the normal
+  * case). Nothing ever materializes the O(n²) pair space.
+  *
+  * The default hasher is the portable md5-based [[TextOps.hexHash60]] so
+  * results are oracle-checkable cross-engine; production can pass
+  * [[TextOps.fastHash64]] for ~5× cheaper signatures.
+  */
+object MinHashLSH {
+
+  /** (id, grams, sig) per document; sig is array<long> of length k. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      shingleN: Int = 3,
+      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+    val grams = TextOps.shingles(col(textCol), shingleN)
+    docs
+      .select(col(idCol).as("id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", array(
+        (0 until k).map(i => array_min(transform(col("grams"), s => hashFn(i, s)))): _*))
+  }
+
+  /** (band, bkey, id) — one row per band per doc; bkey is the md5 of the
+    * band's r signature values (1-based element_at, matching SQL). */
+  def bandKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .withColumn("bkey", md5(concat_ws(",",
+        (1 to rows).map(j => element_at(col("sig"), col("band") * rows + j)): _*)))
+      .select(col("band"), col("bkey"), col("id"))
+
+  /** Distinct candidate pairs (id_a < id_b) sharing any band bucket. */
+  def candidatePairs(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end: verified near-duplicate pairs with exact Jaccard ≥
+    * threshold. Returns (id_a, id_b, jaccard). */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sigs = signatures(docs, idCol, textCol, k, shingleN, hashFn).cache()
+    val cands = candidatePairs(bandKeys(sigs, bands, k / bands))
+    val ga = sigs.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = sigs.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

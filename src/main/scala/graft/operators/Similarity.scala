@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: cosine kernel, near-duplicate pairs, top-k
+  * nearest-neighbor search, and a hyperplane-LSH scale path
+  * (LLM-pipeline ops).
+  *
+  * Numeric determinism: dot products and norms fold left-to-right over
+  * the vector (aggregate over zip_with), so the resulting doubles are
+  * bit-identical across engines that use the same order — which is what
+  * lets cosine results hash-match a DuckDB `list_reduce` oracle.
+  *
+  * Scale design: [[bruteForcePairs]]/[[bruteForceTopK]] are O(n²·d) and
+  * exact — right for ≤10⁵ vectors or as the verifier behind an ANN
+  * candidate stage. [[hyperplaneBuckets]] gives the 100-TB path: p
+  * deterministic pseudo-random hyperplanes → p-bit bucket key → bucket
+  * join, candidates verified with exact cosine. Bucketing is a single
+  * per-row projection; the join shuffles on the bucket key only.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two float-array columns as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)) in fixed op order. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold. Exact, O(n²·d):
+    * norms are precomputed per row so the cross join multiplies-adds d
+    * ops per pair. Use the LSH path beyond ~10⁵ vectors. */
+  def bruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(norm2(col("v"))))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Exact top-k neighbors for each query vector (query rows × corpus
+    * rows cross join → per-query window rank). Ties break on corpus id
+    * so results are total-ordered. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(norm2(col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(norm2(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim
+    * i): md5-derived value in [-0.5, 0.5). Portable across engines. */
+  private def planeComponent(p: Int, i: Column): Column =
+    TextOps.hexHash60(concat(lit(s"plane$p:"), i.cast("string")))
+      .cast("double") / lit(math.pow(2.0, 60)) - 0.5
+
+  /** p-bit LSH bucket key: bit j = sign of <v, plane_j>. Vectors in the
+    * same bucket are likely neighbors (random-hyperplane LSH). */
+  def hyperplaneBucket(vecCol: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { pl =>
+      val proj = aggregate(
+        zip_with(vecCol.cast("array<double>"),
+          transform(sequence(lit(0), lit(dim - 1)), i => planeComponent(pl, i)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << pl)).otherwise(0L)
+    }.reduce[Column](_ + _)
+
+  /** ANN via hyperplane LSH: candidates share a bucket key; exact cosine
+    * + per-query rank on the candidate set. Recall < 1 by construction;
+    * probe multiple buckets (rotations) for higher recall. */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bkt = (d: DataFrame, id: String, v: String) =>
+      d.select(col(idCol).as(id), col(vecCol).as(v),
+        hyperplaneBucket(col(vecCol), planes, dim).as("bucket"))
+    val c = bkt(corpus, "corpus_id", "cv").withColumn("cn", sqrt(norm2(col("cv"))))
+    val q = bkt(queries, "query_id", "qv").withColumn("qn", sqrt(norm2(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    q.join(c, "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos_sim"), col("rank"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-shredding expressions for the dedup/text-analysis family.
+  *
+  * Everything here is a pure Catalyst expression (no UDF, no shuffle):
+  * tokenization, word n-grams, and a portable 60-bit hash. Per-row cost
+  * scales linearly and runs inside whole-stage codegen, so these ops are
+  * embarrassingly parallel at any data size.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def words(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Word n-grams as space-joined strings; empty array if < n words.
+    * 0-based `sequence` + array indexing keeps it one expression. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-grams (shingle set). */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordNGrams(text, n))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative
+    * long. md5 is identical across engines (and in DuckDB:
+    * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`), which makes
+    * every hash-derived operator oracle-checkable. Production callers
+    * that don't need cross-engine parity can swap in [[fastHash64]]. */
+  def hexHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: h_i(s) = hexHash60(i || ':' || s). */
+  def hexHash60(seed: Int, c: Column): Column =
+    hexHash60(concat(lit(s"$seed:"), c))
+
+  /** Fast non-portable alternative (xxhash64, codegen'd, no md5 cost). */
+  def fastHash64(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
+
+  /** Jaccard similarity of two (distinct-element) arrays, computed as
+    * |A∩B| / (|A|+|B|-|A∩B|) in a fixed expression order. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}

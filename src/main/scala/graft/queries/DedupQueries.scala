@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{ExactDedup, MinHashLSH, SimHash, Similarity, TextOps}
+
+/** Deduplication operator corpus (LLM-pipeline ops): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * The raw `documents` table has no duplicates, so each query runs over
+  * an augmented corpus built identically on both engines: exact copies
+  * of every doc_id % 50 == 0 (new id + 100000) and near-copies (three
+  * words appended, id + 200000) of every doc_id % 25 == 0. All hashing
+  * uses the portable md5-derived 60-bit hash ([[TextOps.hexHash60]]) so
+  * even the LSH pipelines are bit-checkable against DuckDB.
+  */
+object DedupQueries {
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graft extra pad")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+      | UNION ALL SELECT doc_id + 200000, text || ' graft extra pad' FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  /** DuckDB mirrors of TextOps: words / distinct 3-gram shingles. */
+  private val wordsSql =
+    """w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus)"""
+  private val gramsSql =
+    """g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      | FROM w WHERE len(w) >= 3)""".stripMargin
+
+  /** DuckDB mirror of TextOps.hexHash60. */
+  private def hex60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // ---- d2 minhash constants (must match the Spark call) --------------
+  private val K = 32
+  private val Bands = 8
+  private val R = K / Bands
+  private val MinhashThreshold = 0.8
+
+  private def ngramCandidatesSpark(docs: DataFrame, n: Int): DataFrame = {
+    val g = docs
+      .select(col("doc_id").as("id"), TextOps.shingles(col("text"), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+    val inter = ex.select(col("id").as("id_a"), col("gram"))
+      .join(ex.select(col("id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = g.select(col("id"), size(col("grams")).as("sz"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, dir) => {
+      ExactDedup.groups(corpusDocs(s, dir), "doc_id", Seq("text"))
+        .select(col("keep_id"), col("dup_cnt"))
+        .orderBy(col("keep_id"))
+    }),
+    "d2_minhash_lsh" -> ((s, dir) => {
+      MinHashLSH.nearDuplicates(corpusDocs(s, dir), "doc_id", "text",
+        MinhashThreshold, k = K, bands = Bands)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d3_simhash_values" -> ((s, dir) => {
+      SimHash.simhashes(corpusDocs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    "d3_simhash_pairs" -> ((s, dir) => {
+      SimHash.nearPairs(SimHash.simhashes(corpusDocs(s, dir), "doc_id", "text"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      ngramCandidatesSpark(corpusDocs(s, dir), 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d5_cosine_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.bruteForcePairs(corpus, "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  // ---- generated DuckDB oracles --------------------------------------
+
+  private val d2Oracle: String = {
+    val sigList = (0 until K)
+      .map(i => s"list_min(list_transform(grams, s -> ${hex60(s"'$i:' || s")}))")
+      .mkString("[\n   ", ",\n   ", "]")
+    val bandKey = (1 to R).map(j => s"sig[b.band * $R + $j]").mkString(", ")
+    s"""WITH $corpusSql,
+       |$wordsSql,
+       |$gramsSql,
+       |sig AS (SELECT doc_id, grams, $sigList AS sig FROM g),
+       |bands AS (
+       | SELECT doc_id, b.band, md5(concat_ws(',', $bandKey)) AS bkey
+       | FROM sig, (SELECT unnest(range(0, $Bands)) AS band) b),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id),
+       |j AS (
+       | SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |   / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+       | FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $MinhashThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val simhashCte: String = {
+    val sums = (0 until SimHash.Bits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n  ")
+    val bits = (0 until SimHash.Bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""$wordsSql,
+       |$gramsSql,
+       |ge AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |h AS (SELECT doc_id, ${hex60("gram")} AS h FROM ge),
+       |ssum AS (SELECT doc_id,
+       |  $sums
+       | FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM ssum)""".stripMargin
+  }
+
+  private val d3ValuesOracle: String =
+    s"""WITH $corpusSql,
+       |$simhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  private val d3PairsOracle: String =
+    s"""WITH $corpusSql,
+       |$simhashCte,
+       |chunks AS (
+       | SELECT doc_id, simhash, c.c, (simhash >> (c.c * ${SimHash.ChunkBits})) & ${(1 << SimHash.ChunkBits) - 1} AS ck
+       | FROM sh, (SELECT unnest(range(0, ${SimHash.Chunks})) AS c) c),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.simhash AS sh_a, b.simhash AS sh_b
+       | FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+       |  AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val d4Oracle: String =
+    s"""WITH $corpusSql,
+       |$wordsSql,
+       |$gramsSql,
+       |ge AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |pc AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+       | FROM ge a JOIN ge b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id),
+       |sz AS (SELECT doc_id, len(grams) AS sz FROM g),
+       |j AS (
+       | SELECT pc.id_a, pc.id_b,
+       |  CAST(pc.inter AS DOUBLE) / (sa.sz + sb.sz - pc.inter) AS jaccard
+       | FROM pc JOIN sz sa ON sa.doc_id = pc.id_a JOIN sz sb ON sb.doc_id = pc.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private val d5Oracle: String =
+    s"""WITH corpus AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("corpus", "corpus")}) AS nrm FROM corpus)
+       |SELECT * FROM (
+       | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${dotSql("a", "b")} / (a.nrm * b.nrm) AS cos_sim
+       | FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.99 ORDER BY id_a, id_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $corpusSql
+         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d2_minhash_lsh" -> d2Oracle,
+    "d3_simhash_values" -> d3ValuesOracle,
+    "d3_simhash_pairs" -> d3PairsOracle,
+    "d4_ngram_jaccard" -> d4Oracle,
+    "d5_cosine_neardup" -> d5Oracle
+  )
+}
