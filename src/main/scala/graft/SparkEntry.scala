@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.ValidationQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.ValidationQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.SimilarityQueries.oracle
+      graft.queries.SimilarityQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

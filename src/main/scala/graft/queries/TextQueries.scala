@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis.langProfiles
+
+/** Text-analysis corpus (LLM-pipeline ops) over the documents table:
+  * language ID, quality scoring, token counting, fingerprinting. Every
+  * expression is mirrored in DuckDB SQL below, including the CASE-chain
+  * argmax and the md5-derived char-gram sketch.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val scored = langProfiles.foldLeft(d.select(col("doc_id"), col("text"))) {
+        case (acc, (l, p)) =>
+          acc.withColumn(s"score_$l", TextAnalysis.profileScore(col("text"), p))
+      }
+      scored
+        .withColumn("detected_lang", TextAnalysis.detectLanguage(col("text")))
+        .select(col("doc_id") +: col("detected_lang") +:
+          langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+        .orderBy(col("doc_id"))
+    }),
+    "t2_quality_score" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_words"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "t3_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("tok_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("tok_bpe"),
+        TextAnalysis.tokenEstimate(col("text")).as("tok_est"))
+        .orderBy(col("doc_id"))
+    }),
+    "t4_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        concat_ws(",", TextAnalysis.charGramSketch(col("text"))).as("sketch"))
+        .orderBy(col("doc_id"))
+    }))
+
+  // ---- DuckDB mirrors -------------------------------------------------
+
+  private val wordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private def scoreSql(profile: Seq[String]): String = {
+    val arr = profile.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter($wordsExpr, x -> list_contains($arr, x))) AS INTEGER)"
+  }
+
+  private val detectSql: String = {
+    val cases = langProfiles.map { case (l, _) =>
+      val others = langProfiles.filter(_._1 != l)
+        .map { case (o, _) => s"score_$l >= score_$o" }.mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString("\n  ")
+    s"CASE\n  $cases\n  ELSE 'und' END"
+  }
+
+  private val stopRatioSql = {
+    val en = langProfiles.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter($wordsExpr, x -> list_contains($en, x))) AS DOUBLE) / len($wordsExpr)"
+  }
+
+  private val punctCntSql =
+    """length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"""
+
+  private val avgWordLenSql =
+    s"CAST(list_reduce(list_transform($wordsExpr, x -> CAST(length(x) AS BIGINT)), (a, x) -> a + x) AS DOUBLE) / len($wordsExpr)"
+
+  private val hex60 = (e: String) =>
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private val gramHashesSql =
+    s"list_transform(range(1, greatest(1, length(text) - 7) + 1), i -> ${hex60("substr(text, i, 8)")})"
+
+  val oracle: Map[String, String] = Map(
+    "t1_lang_id" -> {
+      val scoreCols = langProfiles
+        .map { case (l, p) => s"${scoreSql(p)} AS score_$l" }.mkString(",\n  ")
+      s"""WITH s AS (SELECT doc_id, text,
+         |  $scoreCols
+         | FROM documents)
+         |SELECT doc_id, $detectSql AS detected_lang,
+         | ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")}
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "t2_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS INTEGER) AS len_chars,
+         | CAST(len($wordsExpr) AS INTEGER) AS n_words,
+         | $avgWordLenSql AS avg_word_len,
+         | $stopRatioSql AS stopword_ratio,
+         | CAST($punctCntSql AS INTEGER) AS punct_cnt,
+         | ($stopRatioSql) * 0.3
+         |  + (1.0 - CAST($punctCntSql AS DOUBLE) / length(text)) * 0.3
+         |  + least(1.0, CAST(len($wordsExpr) AS DOUBLE) / 100.0) * 0.4 AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len($wordsExpr) AS INTEGER) AS tok_ws,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+(''[a-z]+)?|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS tok_bpe,
+         | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_min($gramHashesSql) AS fingerprint,
+         | array_to_string(list_sort(list_distinct($gramHashesSql))[1:4], ',') AS sketch
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
