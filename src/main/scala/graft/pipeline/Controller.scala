@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Audit, AuditSink}
+import graft.load.TableLoader
+import graft.schema.DdlRunner
+import graft.translate.{NameMapping, StatementSplitter, TranslationEngine}
+import graft.validate.ColumnValidator
+
+/** The run controller: config → route → stage graph → audit + report
+  * (SURVEY §3; reference `controller_dag.py:87-241` + the per-phase
+  * DAGs). The reference's six process boundaries (Cloud Run → Airflow →
+  * Dataproc → translation service → BQ jobs → DVT pods) collapse into
+  * one driver program whose stages exchange DataFrames; bounded
+  * parallelism inside stages replaces mapped-task concurrency.
+  */
+object Controller {
+
+  final case class ValidationSpec(
+      kind: String, // column | row | schema
+      sourceTable: String,
+      targetTable: String,
+      groupBy: Seq[String] = Nil,
+      aggSpecs: Seq[ColumnValidator.AggSpec] = Nil,
+      primaryKeys: Seq[String] = Nil,
+      compareCols: Seq[String] = Nil,
+      pctThreshold: Double = 0.0)
+
+  final case class GraftConfig(
+      kind: String, // ddl | sql | dml | data
+      source: String, // teradata | hive | redshift | oracle
+      uniqueId: String,
+      mode: StatementSplitter.Mode = StatementSplitter.Sql,
+      ddlFiles: Seq[(String, String)] = Nil,
+      sqlFiles: Seq[(String, String)] = Nil,
+      nameMapping: NameMapping = NameMapping.empty,
+      loads: Seq[TableLoader.LoadSpec] = Nil,
+      validations: Seq[ValidationSpec] = Nil,
+      batchDistribution: Int = 10)
+
+  final case class RunResult(
+      uniqueId: String,
+      phase: String,
+      status: String, // Success | Partial | Failed
+      details: Map[String, String])
+
+  private def now() = new Timestamp(System.currentTimeMillis())
+
+  /** Route by config type (P11 pattern match; `controller_dag.py:182-241`). */
+  def run(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] =
+    cfg.kind match {
+      case "ddl"         => runDdl(spark, cfg, audit)
+      case "sql" | "dml" => runSqlValidation(spark, cfg, audit)
+      case "data"        => runData(spark, cfg, audit)
+      case other =>
+        throw new IllegalArgumentException(s"unknown config type: $other")
+    }
+
+  /** DDL path: translate → create databases → run DDL (retry machine) →
+    * audit + report (§3.1). */
+  def runDdl(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
+    // 1. translate
+    val tr = TranslationEngine.translateDdl(cfg.ddlFiles, cfg.mode, cfg.nameMapping)
+    audit.appendRows("dmt_translation_results", tr.errors.map(e =>
+      Audit.TranslationResult(cfg.uniqueId, e.fileName, e.statementIndex,
+        e.category, e.message, now())))
+    val translationReport = RunResult(cfg.uniqueId, "translation",
+      Audit.classify(cfg.ddlFiles.size, tr.translated.size),
+      Map("total" -> cfg.ddlFiles.size.toString,
+        "failed" -> tr.failedFiles.size.toString))
+    if (tr.translated.isEmpty && cfg.ddlFiles.nonEmpty)
+      return Seq(translationReport) // reference aborts when ALL files fail (P4)
+
+    // 2. databases referenced by translated statements
+    val dbs = tr.translated.flatMap(_.statements)
+      .flatMap(s => "(?i)CREATE TABLE (?:IF NOT EXISTS )?([\\w$]+)\\.".r
+        .findFirstMatchIn(s).map(_.group(1)))
+    DdlRunner.ensureDatabases(spark, dbs)
+
+    // 3. execute with the retry fixpoint machine
+    val scripts = tr.translated.flatMap(f =>
+      f.statements.zipWithIndex.map { case (s, i) => (s"${f.fileName}#$i", s) })
+    val results = DdlRunner.run(spark, scripts, cfg.batchDistribution)
+    audit.appendRows("dmt_schema_results", results.map(r =>
+      Audit.SchemaResult(cfg.uniqueId, r.name,
+        r.state.toString.toUpperCase, r.attempts, r.error.getOrElse(""), now())))
+    val ok = results.count(_.state == DdlRunner.Done)
+    val schemaReport = RunResult(cfg.uniqueId, "schema",
+      Audit.classify(results.size, ok), Map("scripts" -> results.size.toString))
+
+    // 4. validations gated on created tables (table_filter semantics)
+    val created = results.filter(_.state == DdlRunner.Done).map(_.name)
+    val vreports = runValidations(spark,
+      cfg.copy(validations = cfg.validations
+        .filter(v => spark.catalog.tableExists(v.targetTable))), audit)
+    report(audit, cfg.uniqueId, "ddl",
+      Seq(translationReport, schemaReport) ++ vreports)
+  }
+
+  /** SQL/DML path: translate → Spark parser dry-run per statement
+    * (`dml_validation_dag.py:74-241` without a live warehouse). */
+  def runSqlValidation(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
+    val outcomes = cfg.sqlFiles.flatMap { case (name, content) =>
+      StatementSplitter.split(content, cfg.mode).zipWithIndex.map { case (stmt, i) =>
+        val translated = TranslationEngine.translateSql(stmt)
+        (name, i, TranslationEngine.dryRun(spark, translated))
+      }
+    }
+    audit.appendRows("dmt_dml_validation_results", outcomes.map { case (f, i, err) =>
+      Audit.TranslationResult(cfg.uniqueId, f, i,
+        if (err.isEmpty) "dry_run_pass" else "dry_run_fail",
+        err.getOrElse(""), now())
+    })
+    val ok = outcomes.count(_._3.isEmpty)
+    report(audit, cfg.uniqueId, cfg.kind, Seq(RunResult(cfg.uniqueId,
+      "dry_run", Audit.classify(outcomes.size, ok),
+      Map("statements" -> outcomes.size.toString, "passed" -> ok.toString))))
+  }
+
+  /** Data path: bounded-parallel loads → audit → validations (§3.2/3.3). */
+  def runData(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
+    val outcomes = TableLoader.loadAll(spark, cfg.loads, cfg.batchDistribution)
+    audit.appendRows("dmt_load_results", outcomes.map(o =>
+      Audit.LoadResult(cfg.uniqueId, o.table, o.status, o.rowsLoaded, o.message, now())))
+    val ok = outcomes.count(_.status == "PASS")
+    val loadReport = RunResult(cfg.uniqueId, "load",
+      Audit.classify(outcomes.size, ok), Map("tables" -> outcomes.size.toString))
+    val vreports = runValidations(spark, cfg, audit)
+    report(audit, cfg.uniqueId, "data", loadReport +: vreports)
+  }
+
+  /** DVT stage: run each validation, audit per-row results, aggregate
+    * pass/fail counts (A1 semantics). */
+  def runValidations(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
+    if (cfg.validations.isEmpty) return Nil
+    val outcomes = cfg.validations.map { v =>
+      val src = spark.table(v.sourceTable)
+      val tgt = spark.table(v.targetTable)
+      val result = v.kind match {
+        case "column" =>
+          ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
+        case "row" =>
+          graft.validate.RowValidator.validate(src, tgt, v.primaryKeys, v.compareCols)
+            .withColumn("validation_status",
+              when(col("validation_status") === "match", "pass").otherwise("fail"))
+        case "schema" =>
+          graft.validate.SchemaValidator.validate(spark, src, tgt)
+            .withColumn("validation_status",
+              when(col("validation_status") === "pass", "pass").otherwise("fail"))
+        case other => throw new IllegalArgumentException(s"unknown validation: $other")
+      }
+      val counts = result.groupBy()
+        .agg(count(lit(1)).as("total"),
+          count(when(col("validation_status") === "pass" ||
+            col("validation_status") === "match", 1)).as("passed"))
+        .head()
+      (v, counts.getAs[Long]("total"), counts.getAs[Long]("passed"))
+    }
+    audit.appendRows("dmt_dvt_aggregated_results", outcomes.map { case (v, total, passed) =>
+      Audit.ReportRow(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
+        total, passed, total - passed, Audit.classify(total, passed), now())
+    })
+    outcomes.map { case (v, total, passed) =>
+      RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
+        Audit.classify(total, passed),
+        Map("total" -> total.toString, "passed" -> passed.toString))
+    }
+  }
+
+  /** Final run report rows (ReportingOperator semantics). */
+  private def report(audit: AuditSink, uniqueId: String, kind: String,
+      phases: Seq[RunResult]): Seq[RunResult] = {
+    audit.appendRows("dmt_report_table", phases.map(p =>
+      Audit.ReportRow(uniqueId, s"$kind/${p.phase}",
+        p.details.get("total").map(_.toLong).getOrElse(0L),
+        0L, 0L, p.status, now())))
+    phases
+  }
+}

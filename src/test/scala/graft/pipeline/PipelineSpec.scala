@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.AuditSink
+import graft.load.{IncrementalLoader, TableLoader}
+import graft.schema.DdlRunner
+import graft.translate.StatementSplitter
+import graft.validate.ColumnValidator.AggSpec
+
+/** End-to-end pipeline semantics: DDL run with retry machine, bulk
+  * loads, incremental loads with audit dedup, controller routing,
+  * config-drop streaming. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "pipeline-test")
+  lazy val audit = new AuditSink(spark, "dmt_logs_test")
+
+  def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("DdlRunner: already-exists is DONE, missing db retries then fails, bad SQL fails") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddlrun")
+    spark.sql("CREATE TABLE IF NOT EXISTS ddlrun.t1 (x INT) USING parquet")
+    val results = DdlRunner.run(spark, Seq(
+      "dup" -> "CREATE TABLE ddlrun.t1 (x INT) USING parquet", // exists -> DONE
+      "new" -> "CREATE TABLE IF NOT EXISTS ddlrun.t2 (y INT) USING parquet",
+      "nodb" -> "CREATE TABLE missing_db_xyz.t3 (z INT) USING parquet", // retries -> FAILED
+      "bad" -> "CREATE TABLE ddlrun.t4 (w BOGUSTYPE)"), parallelism = 2)
+    val byName = results.map(r => r.name -> r.state).toMap
+    assert(byName("dup") == DdlRunner.Done)
+    assert(byName("new") == DdlRunner.Done)
+    assert(byName("nodb") == DdlRunner.Failed)
+    assert(byName("bad") == DdlRunner.Failed)
+    assert(results.find(_.name == "nodb").get.attempts >= 2) // actually retried
+    assert(spark.catalog.tableExists("ddlrun.t2"))
+  }
+
+  test("TableLoader: parquet overwrite load with sort-within-partitions + size cap") {
+    val src = "/root/testdata/sf0.001/nation.parquet"
+    spark.sql("CREATE DATABASE IF NOT EXISTS lod")
+    val ok = TableLoader.load(spark, TableLoader.LoadSpec(
+      "lod.nation", src, clusterBy = Seq("n_name")))
+    assert(ok.status == "PASS" && ok.rowsLoaded == 25)
+    val capped = TableLoader.load(spark, TableLoader.LoadSpec(
+      "lod.nation_capped", src, sizeCapBytes = 10))
+    assert(capped.status == "SKIPPED")
+    assert(!spark.catalog.tableExists("lod.nation_capped"))
+    val missing = TableLoader.load(spark, TableLoader.LoadSpec(
+      "lod.nope", "/no/such/path"))
+    assert(missing.status == "FAIL")
+  }
+
+  test("TableLoader: csv with explicit schema ddl and delimiter") {
+    val dir = tmp("csvsrc")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "k|v\n1|a\n2|b\n")
+    val out = TableLoader.load(spark, TableLoader.LoadSpec(
+      "lod.csv_t", s"$dir/data.csv", format = "csv",
+      schemaDdl = Some("k INT, v STRING"), csvDelimiter = "|"))
+    assert(out.status == "PASS" && out.rowsLoaded == 2)
+    assert(spark.table("lod.csv_t").schema.map(_.name) == Seq("k", "v"))
+  }
+
+  test("IncrementalLoader: appends only new files, dedups on rerun") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS lod")
+    val srcDir = tmp("incsrc")
+    val inc = new IncrementalLoader(spark, audit)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$srcDir/f1")
+    inc.runOnce(s"$srcDir/f1", schema, "lod.inc_t", tmp("ck1"))
+    assert(spark.table("lod.inc_t").count() == 2)
+
+    // second batch: new file arrives at the top level, fresh checkpoint
+    // (simulates checkpoint loss) — f1's rows must be anti-joined away
+    val staging = tmp("incstage")
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    val part = Files.list(java.nio.file.Paths.get(staging)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    Files.copy(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(s"$srcDir/f1/arrived.parquet"))
+    inc.runOnce(s"$srcDir/f1", schema, "lod.inc_t", tmp("ck2"))
+    val rows = spark.table("lod.inc_t").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")), s"got $rows")
+  }
+
+  test("Controller ddl route: translate -> create -> validate -> report") {
+    val ddl =
+      """CREATE SET TABLE wh.items ,FALLBACK ,
+        |     CHECKSUM = DEFAULT
+        |     (
+        |      ID INTEGER NOT NULL,
+        |      NAME VARCHAR(40) CHARACTER SET LATIN NOT CASESPECIFIC,
+        |      PRICE DECIMAL(15,2))
+        |PRIMARY INDEX ( ID );""".stripMargin
+    val cfg = Controller.GraftConfig(
+      kind = "ddl", source = "teradata", uniqueId = "run1",
+      ddlFiles = Seq(("items.sql", ddl)))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.map(_.phase).contains("translation"))
+    assert(results.forall(_.status == "Success"), results.toString)
+    assert(spark.catalog.tableExists("wh.items"))
+    val types = spark.table("wh.items").schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("ID") == "int" && types("PRICE") == "decimal(15,2)")
+    assert(audit.read("dmt_report_table").filter(col("unique_id") === "run1").count() >= 2)
+  }
+
+  test("Controller data route: load + column validation vs source parquet") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS whd")
+    // source-of-truth table registered from raw parquet
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("whd.region_src")
+    val cfg = Controller.GraftConfig(
+      kind = "data", source = "hive", uniqueId = "run2",
+      loads = Seq(TableLoader.LoadSpec("whd.region_tgt",
+        "/root/testdata/sf0.001/region.parquet")),
+      validations = Seq(Controller.ValidationSpec(
+        kind = "column", sourceTable = "whd.region_src",
+        targetTable = "whd.region_tgt",
+        aggSpecs = Seq(AggSpec("count", "r_regionkey"), AggSpec("sum", "r_regionkey")))))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.forall(_.status == "Success"), results.toString)
+  }
+
+  test("Controller sql route: dry-run classifies good and bad statements") {
+    val cfg = Controller.GraftConfig(
+      kind = "sql", source = "teradata", uniqueId = "run3",
+      sqlFiles = Seq(
+        ("ok.sql", "SEL * FROM some.table;"),
+        ("bad.sql", "SELECT FROM WHERE;;; GROUP;")))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.head.status == "Partial")
+  }
+
+  test("ConfigStream: drains valid drops once, rejects bad folders/extensions") {
+    val drop = tmp("drops")
+    Files.createDirectories(java.nio.file.Paths.get(s"$drop/ddl"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$drop/bogus"))
+    Files.writeString(java.nio.file.Paths.get(s"$drop/ddl/a.json"), """{"type":"ddl"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/ddl/b.txt"), "not json")
+    Files.writeString(java.nio.file.Paths.get(s"$drop/bogus/c.json"), """{"type":"x"}""")
+    var seen = List.empty[String]
+    ConfigStream.runOnce(spark, drop, tmp("ckc"), (p, c) => seen ::= c)
+    assert(seen == List("""{"type":"ddl"}"""))
+    assert(ConfigStream.validDrop("bucket/config/data/x.json"))
+    assert(!ConfigStream.validDrop("bucket/config/other/x.json"))
+    assert(!ConfigStream.validDrop("bucket/config/ddl/x.yaml"))
+  }
+}
