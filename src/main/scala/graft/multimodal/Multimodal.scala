@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column handling for training-data pipelines: opaque
+  * `binary` payloads + typed metadata, decoded/feature-extracted in
+  * batch via typed `mapPartitions` (the Scala analog of the
+  * mapInPandas batch shape: per-partition iterators let a real decoder
+  * initialize its codec/model once per task, not once per row).
+  *
+  * STUB NOTE: this container has no image/audio codecs, so
+  * [[ImageCodec.decodeStub]] is a deterministic fake (md5-derived
+  * dimensions and features). The Spark-side plumbing — schemas, encoder
+  * signatures, batch shape, partition sizing — is real and tested; a
+  * production build swaps the stub body for a JNI/javacv decoder with
+  * the same signature.
+  *
+  * Scale notes: payloads are the dominant bytes, so (a)
+  * [[Multimodal.repartitionBySize]] targets a fixed number of payload
+  * bytes per task to keep decode tasks uniform regardless of row-count
+  * skew; (b) metadata-only transforms must prune the `data` column
+  * before shuffles (parquet column pruning keeps payload IO out of
+  * scans that don't touch it).
+  */
+object Multimodal {
+
+  final case class ImageAsset(
+      asset_id: Long, uri: String, mime: String, data: Array[Byte])
+
+  final case class DecodedImage(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  final case class ImageFeatures(
+      asset_id: Long, width: Int, height: Int, n_bytes: Long,
+      embedding: Array[Float])
+
+  final case class VideoAsset(
+      asset_id: Long, uri: String, n_frames: Int, fps: Double)
+
+  final case class Frame(asset_id: Long, frame_idx: Int, ts_sec: Double)
+
+  /** Extract image features in partition batches. One codec per
+    * partition (the expensive init a real decoder needs), then a
+    * per-row decode + featurize. */
+  def extractImageFeatures(
+      ds: Dataset[ImageAsset], embeddingDim: Int = 8): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new ImageCodec // per-partition init, amortized
+      it.map { a =>
+        val img = codec.decodeStub(a.data)
+        ImageFeatures(a.asset_id, img.width, img.height, a.data.length.toLong,
+          codec.featurizeStub(a.data, embeddingDim))
+      }
+    }
+  }
+
+  /** Sample every `everyN`-th frame of each video (generator shape —
+    * flatMap, the idiomatic Spark form of a table-valued function). */
+  def sampleFrames(ds: Dataset[VideoAsset], everyN: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { v =>
+      (0 until v.n_frames by everyN).map(i => Frame(v.asset_id, i, i / v.fps))
+    }
+  }
+
+  /** Repartition so each task handles ~`targetBytesPerTask` of payload
+    * (decode cost tracks bytes, not rows — uniform tasks at any scale). */
+  def repartitionBySize(
+      df: DataFrame, bytesCol: String, targetBytesPerTask: Long): DataFrame = {
+    val total = df.agg(sum(col(bytesCol))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerTask).toInt)
+    df.repartition(parts)
+  }
+
+  /** Assemble an ImageAsset dataset from any table with an id and a
+    * binary (or castable) payload column. */
+  def assetsFrom(
+      spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String,
+      mime: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      concat(lit("mem://"), col(idCol).cast("string")).as("uri"),
+      lit(mime).as("mime"),
+      col(payloadCol).cast("binary").as("data"))
+      .as[ImageAsset]
+  }
+}
+
+/** Stub codec: deterministic md5-derived "decode". A real build replaces
+  * the two stub bodies (same signatures) with an actual codec. */
+final class ImageCodec {
+
+  private val md = MessageDigest.getInstance("MD5")
+
+  /** 60-bit integer from the md5 of `bytes` (matches the engine's
+    * portable hexHash60 when `bytes` is UTF-8 text). */
+  private def hash60(bytes: Array[Byte]): Long = {
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** STUB — deterministic fake of image decoding. */
+  def decodeStub(data: Array[Byte]): Multimodal.DecodedImage = {
+    val h = hash60(data)
+    val width = 16 + (h % 64).toInt
+    val height = 16 + ((h >> 6) % 64).toInt
+    // real decoder: pixels = decoded RGB; stub: empty (metadata only)
+    Multimodal.DecodedImage(width, height, 3, Array.emptyByteArray)
+  }
+
+  /** STUB — deterministic fake of an image-embedding model. */
+  def featurizeStub(data: Array[Byte], dim: Int): Array[Float] = {
+    val hex = md.digest(data).map("%02x".format(_)).mkString.take(15)
+    Array.tabulate(dim) { i =>
+      val hi = java.lang.Long.parseLong(
+        md.digest(s"$i:$hex".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      (hi % 1000) / 1000.0f
+    }
+  }
+}

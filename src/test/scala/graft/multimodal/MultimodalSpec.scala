@@ -1,0 +1,44 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "mm-test")
+
+  def assets(n: Int) = {
+    import spark.implicits._
+    Multimodal.assetsFrom(spark,
+      (0 until n).map(i => (i.toLong, s"payload-$i-${"x" * i}")).toDF("id", "body"),
+      "id", "body", "image/fake")
+  }
+
+  test("extractImageFeatures: deterministic stub decode, stable dims + embedding") {
+    val f = Multimodal.extractImageFeatures(assets(5), embeddingDim = 4).collect()
+    assert(f.length == 5)
+    assert(f.forall(x => x.width >= 16 && x.width < 80))
+    assert(f.forall(x => x.height >= 16 && x.height < 80))
+    assert(f.forall(_.embedding.length == 4))
+    assert(f.forall(_.embedding.forall(v => v >= 0f && v < 1f)))
+    // determinism: same payload -> same features
+    val again = Multimodal.extractImageFeatures(assets(5), embeddingDim = 4).collect()
+    assert(f.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("sampleFrames: every Nth frame with timestamps") {
+    import spark.implicits._
+    val vids = Seq(Multimodal.VideoAsset(1L, "mem://1", 10, 25.0)).toDS()
+    val frames = Multimodal.sampleFrames(vids, 4).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 4, 8))
+    assert(frames.last.ts_sec == 8 / 25.0)
+  }
+
+  test("repartitionBySize: task count tracks payload bytes, not rows") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, 1000L)).toDF("id", "n_bytes")
+    val parts = Multimodal.repartitionBySize(df, "n_bytes", targetBytesPerTask = 10000L)
+      .rdd.getNumPartitions
+    assert(parts == 10) // 100k bytes / 10k per task
+  }
+}
