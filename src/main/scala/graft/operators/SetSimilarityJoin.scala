@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Exact set-similarity self-join via prefix filtering (the classic
+  * AllPairs/PPJoin bound — Bayardo et al., WWW'07; Xiao et al.,
+  * WWW'08), over word-n-gram shingle sets.
+  *
+  * A naive shared-shingle join explodes on high-frequency shingles
+  * (df² candidate pairs per shingle). Prefix filtering keeps the result
+  * EXACT while indexing only each document's `|d| − ⌈t·|d|⌉ + 1`
+  * globally-rarest shingles (rarity = ascending document frequency):
+  * any pair with Jaccard ≥ t must share at least one prefix shingle,
+  * so joining prefixes finds every qualifying pair, and the skewed
+  * high-df shingles drop out of the index entirely. A length filter
+  * (`t·max(|a|,|b|) ≤ min(|a|,|b|)`) prunes further before
+  * verification; candidates are then verified with an exact
+  * `array_intersect` Jaccard.
+  *
+  * Scale shape: one df-count shuffle over (doc, shingle), one window
+  * sort per doc, a join whose input is only rare prefix entries, and a
+  * verify join on the surviving candidates.
+  */
+object SetSimilarityJoin {
+
+  /** All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
+    * Returns (id_a, id_b, jaccard) — exactly the brute-force result. */
+  def jaccardSelfJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sz", size(col("grams")))
+      .cache()
+    val ex = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
+    val dfreq = ex.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefix = ex.join(dfreq, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("gram"))
+    val a = prefix.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
+        least(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ga = g.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

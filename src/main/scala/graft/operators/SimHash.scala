@@ -30,7 +30,6 @@ object SimHash {
       textCol: String,
       shingleN: Int = 3): DataFrame = {
     val grams = TextOps.shingles(col(textCol), shingleN)
-    val h = TextOps.hexHash60(col("gram"))
     val sums = (0 until Bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$b")
@@ -38,9 +37,12 @@ object SimHash {
     val simhash = (0 until Bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce[Column](_ + _)
-    docs
-      .select(col(idCol).as("id"), explode(grams).as("gram"))
-      .withColumn("h", h)
+    val ex = docs.select(col(idCol).as("id"), explode(grams).as("gram"))
+    // hash the distinct-gram vocabulary once, join back (same values as
+    // hashing every occurrence, ~repetition-factor less md5 work)
+    val vocab = ex.select(col("gram")).distinct()
+      .withColumn("h", TextOps.hexHash60(col("gram")))
+    ex.join(vocab, "gram")
       .groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("id"), simhash.as("simhash"))
@@ -48,8 +50,9 @@ object SimHash {
 
   /** Pairs within Hamming distance `maxDist` (≤ 3 for exactness with 4
     * chunks). Returns (id_a, id_b, hamming). */
-  def nearPairs(sims: DataFrame, maxDist: Int = 3): DataFrame = {
+  def nearPairs(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
+    val sims = sims0.cache() // read three times (chunks + both join sides)
     val chunks = sims.select(
       col("id"), col("simhash"),
       explode(sequence(lit(0), lit(Chunks - 1))).as("c"))

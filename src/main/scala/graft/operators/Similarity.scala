@@ -38,7 +38,9 @@ object Similarity {
     * ops per pair. Use the LSH path beyond ~10⁵ vectors. */
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // cast to double once per row, not once per pair (O(n) vs O(n²) casts)
+    val withNorm = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(norm2(col("v"))))
     val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
@@ -56,9 +58,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", sqrt(norm2(col("cv"))))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(norm2(col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id"))
@@ -96,7 +100,7 @@ object Similarity {
       k: Int, planes: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bkt = (d: DataFrame, id: String, v: String) =>
-      d.select(col(idCol).as(id), col(vecCol).as(v),
+      d.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v),
         hyperplaneBucket(col(vecCol), planes, dim).as("bucket"))
     val c = bkt(corpus, "corpus_id", "cv").withColumn("cn", sqrt(norm2(col("cv"))))
     val q = bkt(queries, "query_id", "qv").withColumn("qn", sqrt(norm2(col("qv"))))

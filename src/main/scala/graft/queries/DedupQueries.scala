@@ -18,6 +18,8 @@ import graft.operators.{ExactDedup, MinHashLSH, SimHash, Similarity, TextOps}
   */
 object DedupQueries {
 
+  private[graft] def corpusDocsPublic(s: SparkSession, dir: String): DataFrame = corpusDocs(s, dir)
+
   private def corpusDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(
@@ -53,24 +55,6 @@ object DedupQueries {
   private val R = K / Bands
   private val MinhashThreshold = 0.8
 
-  private def ngramCandidatesSpark(docs: DataFrame, n: Int): DataFrame = {
-    val g = docs
-      .select(col("doc_id").as("id"), TextOps.shingles(col("text"), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
-    val inter = ex.select(col("id").as("id_a"), col("gram"))
-      .join(ex.select(col("id").as("id_b"), col("gram")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = g.select(col("id"), size(col("grams")).as("sz"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, dir) => {
       ExactDedup.groups(corpusDocs(s, dir), "doc_id", Seq("text"))
@@ -92,9 +76,8 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d4_ngram_jaccard" -> ((s, dir) => {
-      ngramCandidatesSpark(corpusDocs(s, dir), 3)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      graft.operators.SetSimilarityJoin
+        .jaccardSelfJoin(corpusDocs(s, dir), "doc_id", "text", 3, 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d5_cosine_neardup" -> ((s, dir) => {
