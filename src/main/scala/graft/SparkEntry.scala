@@ -26,7 +26,9 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.TpchQueries.queries ++
+      graft.queries.ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +38,7 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimilarityQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.MultimodalQueries.oracle
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.TpchQueries.oracle ++
+      graft.queries.ExtraQueries.oracle
 }

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact._
+import graft.core.Tables
+import graft.operators.LogStats
+
+/** Coverage extensions: the DTS log fold (J7/S11), ranking and
+  * lag/lead windows (§2.6), conditional scalar surface (§2.8), and the
+  * sliding-window streaming shape (§2.9, batch semantics).
+  */
+object ExtraQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Deterministic synthetic transfer-log lines from orders — same
+    * construction mirrored in the oracle, then parsed back by regex. */
+  private def logLines(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      concat(lit("job table t"), (col("o_orderkey") % 20).cast("string"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit(" rows "), col("o_orderkey").cast("string")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit(" bytes "), (col("o_orderkey") * 100).cast("string")))
+          .otherwise(concat(lit(" status "),
+            when(col("o_orderkey") % 7 === 0, "FAILED").otherwise("SUCCEEDED"))))
+        .as("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_log_fold" -> ((s, dir) => {
+      LogStats.tableStats(LogStats.parse(logLines(s, dir)))
+        .orderBy(col("table_name"))
+    }),
+    "w1_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+    "w3_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w).cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_next"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "f4_conditionals" -> ((s, dir) => {
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        nullif(col("p_size"), lit(10)).as("size_or_null"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"),
+        least(col("p_size"), (col("p_partkey") % 30).cast("int")).as("lo"),
+        greatest(col("p_size"), (col("p_partkey") % 30).cast("int")).as("hi"),
+        when(col("p_retailprice") < 1000, "cheap")
+          .when(col("p_retailprice") < 1500, "mid")
+          .otherwise("premium").as("price_band"))
+        .orderBy(col("p_partkey"))
+    }),
+    "st2_sliding_window" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }))
+
+  private val lineSql =
+    """'job table t' || CAST(o_orderkey % 20 AS VARCHAR) ||
+      | CASE CAST(o_orderkey % 3 AS INTEGER)
+      |  WHEN 0 THEN ' rows ' || CAST(o_orderkey AS VARCHAR)
+      |  WHEN 1 THEN ' bytes ' || CAST(o_orderkey * 100 AS VARCHAR)
+      |  ELSE ' status ' || (CASE WHEN o_orderkey % 7 = 0 THEN 'FAILED' ELSE 'SUCCEEDED' END)
+      | END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j7_log_fold" ->
+      s"""WITH logs AS (SELECT $lineSql AS value FROM orders),
+         |parsed AS (
+         | SELECT regexp_extract(value, 'table\\s+(\\w+)', 1) AS table_name,
+         |  CAST(nullif(regexp_extract(value, 'table\\s+(\\w+)\\s+rows\\s+(\\d+)', 2), '') AS BIGINT) AS rows,
+         |  CAST(nullif(regexp_extract(value, 'table\\s+(\\w+)\\s+bytes\\s+(\\d+)', 2), '') AS BIGINT) AS bytes,
+         |  nullif(regexp_extract(value, 'table\\s+(\\w+)\\s+status\\s+(\\w+)', 2), '') AS status
+         | FROM logs WHERE regexp_extract(value, 'table\\s+(\\w+)', 1) != '')
+         |SELECT table_name, max(rows) AS rows, max(bytes) AS bytes,
+         | COUNT(CASE WHEN status = 'FAILED' THEN 1 END) AS n_failed,
+         | COUNT(CASE WHEN status = 'SUCCEEDED' THEN 1 END) AS n_ok,
+         | CASE WHEN COUNT(CASE WHEN status = 'FAILED' THEN 1 END) > 0 THEN 'FAILED'
+         |      WHEN COUNT(CASE WHEN status = 'SUCCEEDED' THEN 1 END) > 0 THEN 'SUCCEEDED'
+         |      ELSE 'SKIPPED' END AS final_status
+         |FROM parsed GROUP BY table_name ORDER BY table_name""".stripMargin,
+    "w1_rank_window" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | CAST(row_number() OVER w AS INTEGER) AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "w3_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(date_diff('day',
+        |   CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS INTEGER) AS days_to_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "f4_conditionals" ->
+      """SELECT p_partkey,
+        | nullif(p_size, 10) AS size_or_null,
+        | coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+        | CAST(least(p_size, p_partkey % 30) AS INTEGER) AS lo,
+        | CAST(greatest(p_size, p_partkey % 30) AS INTEGER) AS hi,
+        | CASE WHEN p_retailprice < 1000 THEN 'cheap'
+        |      WHEN p_retailprice < 1500 THEN 'mid'
+        |      ELSE 'premium' END AS price_band
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "st2_sliding_window" ->
+      """WITH e AS (
+        | SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS wstart,
+        |  event_type, value
+        | FROM events, (SELECT unnest([0, 1800]) AS off) o)
+        |SELECT wstart, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.OrderedStringAgg
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "sources-test")
+
+  test("ValidationParams: 2-header skip, filter, key, flags, semi-join") {
+    val dir = Files.createTempDirectory("vp").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/params.csv"),
+      """header1,a,b,c,d
+        |header2,a,b,c,d
+        |ddl,column,src.t1,tgt.t1,count=*,sum=x
+        |ddl,row,src.t2,tgt.t2,hash=*
+        |sql,column,src.t3,tgt.t3,count=*
+        |""".stripMargin)
+    val entries = ValidationParams.read(spark, s"$dir/params.csv")
+    assert(entries.size == 3)
+    val ddlCol = ValidationParams.forRun(entries, "ddl", "column")
+    assert(ddlCol.keySet == Set("src.t1"))
+    assert(ddlCol("src.t1").flags == Map("count" -> "*", "sum" -> "x"))
+    val valid = ValidationParams.validComparisons(
+      ValidationParams.forRun(entries, "ddl", "row"), Set("tgt.t2", "tgt.t9"))
+    assert(valid == Seq(("src.t2", "tgt.t2")))
+  }
+
+  test("CatalogOps: extract DDLs, write per-table files, json archive") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS catops")
+    spark.sql("CREATE TABLE IF NOT EXISTS catops.t1 (x INT, y STRING) USING parquet")
+    val ddls = CatalogOps.extractDdls(spark, "catops")
+    assert(ddls.map(_._1) == Seq("catops.t1"))
+    assert(ddls.head._2.contains("CREATE TABLE"))
+    val out = Files.createTempDirectory("ddlout").toString
+    val files = CatalogOps.writeDdlFiles(ddls, out)
+    assert(files.size == 1 && files.head.endsWith("catops_t1.sql"))
+    assert(Files.readString(java.nio.file.Paths.get(files.head)).contains("CREATE TABLE"))
+
+    val arch = Files.createTempDirectory("arch").toString + "/logs.json"
+    CatalogOps.writeJsonArchive(Seq((1, "a"), (2, "b")).toDF("k", "v"), arch)
+    val lines = Files.readString(java.nio.file.Paths.get(arch)).split('\n')
+    assert(lines.length == 2 && lines.exists(_.contains("\"k\":1")))
+  }
+
+  test("OrderedStringAgg: ordered concat with map-side-combinable buffers") {
+    import spark.implicits._
+    val ds = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDS().repartition(3)
+    val out = ds.select(OrderedStringAgg(",")).head()
+    assert(out == "a,b,c")
+    // grouped form
+    val grouped = Seq((1L, 10L, "x"), (1L, 5L, "y"), (2L, 1L, "z"))
+      .toDS().groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(OrderedStringAgg(","))
+      .collect().toMap
+    assert(grouped == Map(1L -> "y,x", 2L -> "z"))
+  }
+}
