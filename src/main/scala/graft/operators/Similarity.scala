@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two float-array columns as double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right dot product of two float-array columns as double.
+    * Backed by the native codegen'd [[graft.plans.VectorDot]]
+    * expression — same value and fold order as the builtin
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` chain, without the
+    * per-row product-array allocation and lambda dispatch. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorDot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point (SURVEY §7.3): registers the engine's
+  * native expressions into the SQL function registry so `spark.sql`
+  * users get them too. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or programmatically via `withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vector_dot(a, b) takes two arguments")
+        VectorDot(args.head, args(1))
+      }))
+  }
+}
