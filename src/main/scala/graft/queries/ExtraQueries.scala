@@ -69,6 +69,14 @@ object ExtraQueries {
           .otherwise("premium").as("price_band"))
         .orderBy(col("p_partkey"))
     }),
+    "a7_profile" -> ((s, dir) => {
+      graft.operators.Profiler.profile(
+        T(s, dir, "lineitem"),
+        Seq(graft.operators.Profiler.Spec("l_quantity"),
+          graft.operators.Profiler.Spec("l_extendedprice")),
+        exact = true)
+        .orderBy(col("column_name"), col("metric"))
+    }),
     "st2_sliding_window" -> ((s, dir) => {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -131,6 +139,21 @@ object ExtraQueries {
         |      WHEN p_retailprice < 1500 THEN 'mid'
         |      ELSE 'premium' END AS price_band
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "a7_profile" -> {
+      def side(c: String) =
+        s"""SELECT '$c' AS column_name, m.metric, m.value FROM (
+           | SELECT CAST(COUNT($c) AS DOUBLE) AS cnt,
+           |  CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS nulls,
+           |  CAST(COUNT(DISTINCT $c) AS DOUBLE) AS dstnct,
+           |  CAST(MIN($c) AS DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean,
+           |  quantile_cont($c, 0.5) AS p50, quantile_cont($c, 0.9) AS p90
+           | FROM lineitem) s,
+           | LATERAL (SELECT unnest(['count','distinct','max','mean','min','nulls','p50','p90']) AS metric,
+           |   unnest([s.cnt, s.dstnct, s.mx, s.mean, s.mn, s.nulls, s.p50, s.p90]) AS value) m""".stripMargin
+      s"""SELECT * FROM (${side("l_quantity")} UNION ALL ${side("l_extendedprice")})
+         |ORDER BY column_name, metric""".stripMargin
+    },
     "st2_sliding_window" ->
       """WITH e AS (
         | SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS wstart,
