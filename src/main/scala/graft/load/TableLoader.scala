@@ -41,6 +41,10 @@ object TableLoader {
       mode: SaveMode = SaveMode.Overwrite,
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
+      /** (numBuckets, columns): hash-bucketed write. Joins/aggregations
+        * on the bucket columns between tables bucketed the same way
+        * need NO shuffle — the co-located-join answer at scale. */
+      bucketBy: Option[(Int, Seq[String])] = None,
       schemaDdl: Option[String] = None,
       csvDelimiter: String = ",",
       csvHeader: Boolean = true,
@@ -89,9 +93,16 @@ object TableLoader {
       val writer = df.write.mode(spec.mode)
       val withPartitioning =
         if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
+      val withBuckets = spec.bucketBy match {
+        case Some((n, cols)) =>
+          val b = withPartitioning.bucketBy(n, cols.head, cols.tail: _*)
+          if (spec.clusterBy.nonEmpty) b.sortBy(spec.clusterBy.head, spec.clusterBy.tail: _*)
+          else b
+        case None => withPartitioning
+      }
       if (spec.mode == SaveMode.Append && spark.catalog.tableExists(spec.table))
         df.write.mode(SaveMode.Append).insertInto(spec.table)
-      else withPartitioning.saveAsTable(spec.table)
+      else withBuckets.saveAsTable(spec.table)
       val rows = spark.table(spec.table).count()
       LoadOutcome(spec.table, "PASS", rows, "")
     } catch {

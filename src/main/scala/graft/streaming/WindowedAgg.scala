@@ -1,0 +1,31 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Watermarked windowed aggregation (SURVEY §2.9 — the idiomatic
+  * replacement for the reference's daily-window + audit-dedup late-data
+  * policy: a watermark bounds state and drops data later than the
+  * allowed lateness, and append mode emits each window exactly once
+  * when it finalizes).
+  */
+object WindowedAgg {
+
+  final case class Event(ts: Timestamp, event_type: String, value: Double)
+
+  /** Tumbling-window count+sum with watermark; append-mode-ready
+    * (emits only finalized windows). */
+  def tumbling(
+      events: Dataset[Event],
+      window: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+}

@@ -31,6 +31,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked tumbling window finalizes in append mode and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val input = MemoryStream[WindowedAgg.Event]
+    val q = WindowedAgg.tumbling(input.toDS(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(WindowedAgg.Event(ts(5), "a", 1.0),
+        WindowedAgg.Event(ts(30), "a", 2.0))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark at 10:00)
+      assert(spark.table("win_out").count() == 0)
+      // event at 12:00 pushes watermark to 11:30 -> 10:00 window closes
+      input.addData(WindowedAgg.Event(
+        java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), "a", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect()
+      assert(rows.toSet == Set(("a", 2L, 3.0)))
+      // a late event inside the closed 10:00 window is dropped
+      input.addData(WindowedAgg.Event(ts(45), "a", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("win_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("firstSeenOnly emits each key once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
