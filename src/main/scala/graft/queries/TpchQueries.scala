@@ -55,6 +55,72 @@ object TpchQueries {
           col("l_discount").cast("decimal(8,4)"))).cast("double").as("revenue"))
         .orderBy(col("n_name"))
     }),
+    // Q4-shaped: order priority checking (EXISTS -> left_semi)
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      // testdata lacks l_commitdate/l_receiptdate; the EXISTS predicate
+      // becomes "has a line shipped after the order quarter started"
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp"))
+      ord.join(li.select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Q6-shaped: forecasting revenue change (pure scan + filter + agg)
+    "q6_forecast_revenue" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"))
+    }),
+    // Q12-shaped: shipping modes and order priority (conditional agg over join)
+    "q12_shipmode" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      li.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")) // testdata lacks l_shipmode
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1)).as("high_line_count"),
+          count(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // Q14-shaped: promotion effect (conditional ratio)
+    "q14_promo_effect" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      li.join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type").startsWith("PROMO"),
+          dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+            col("l_discount").cast("decimal(8,4)"))).otherwise(lit(0).cast("decimal(24,8)")))
+          .cast("double") * 100.0 /
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+            col("l_discount").cast("decimal(8,4)"))).cast("double"))
+          .as("promo_revenue_pct"))
+    }),
+    // Q18-shaped: large-volume customers (HAVING over grouped fact)
+    "q18_large_orders" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sumd(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
     // Q10-shaped: returned-item customer ranking
     "q10_returned_items" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -76,6 +142,49 @@ object TpchQueries {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        |  AND o_orderdate < TIMESTAMP '1995-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate >= TIMESTAMP '1995-07-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_returnflag,
+        | COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        | COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+        |   ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) * 100.0
+        | / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+        | AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
          | $rev AS revenue

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.AuditSink
+
+/** SURVEY §7.2 minimum end-to-end slice, event-driven: drop a ddl
+  * config → translate Teradata DDL → create tables → audit/report; a
+  * second drop is not reprocessed (checkpoint), and the created table
+  * serves translated SQL. */
+class GraftAppSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "app-test")
+
+  test("config drop drives translate -> ddl -> report; checkpoint dedups") {
+    val root = Files.createTempDirectory("e2e").toString
+    val scripts = s"$root/input"
+    val drops = s"$root/drops"
+    Files.createDirectories(Paths.get(scripts))
+    Files.createDirectories(Paths.get(s"$drops/ddl"))
+    Files.writeString(Paths.get(s"$scripts/sales.sql"),
+      """CREATE SET TABLE shop2.sales ,FALLBACK ,
+        |     CHECKSUM = DEFAULT
+        |     (
+        |      SALE_ID INTEGER NOT NULL,
+        |      AMOUNT DECIMAL(15,2),
+        |      NOTE VARCHAR(44) CHARACTER SET LATIN NOT CASESPECIFIC)
+        |PRIMARY INDEX ( SALE_ID );""".stripMargin)
+    Files.writeString(Paths.get(s"$drops/ddl/run-e2e.json"),
+      s"""{"type": "ddl", "source": "teradata", "unique_id": "run-e2e",
+         | "migrationTask": {"translationConfigDetails": {
+         |   "gcsSourcePath": "$scripts",
+         |   "nameMappingList": {"name_map": [
+         |     {"source": {"type": "SCHEMA", "schema": "shop2"},
+         |      "target": {"schema": "shop2_tgt"}}]}}}}""".stripMargin)
+
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val results = app.runOnce(drops)
+    assert(results.size == 1)
+    assert(results.head._2.forall(_.status == "Success"), results.toString)
+    assert(spark.catalog.tableExists("shop2_tgt.sales"))
+    val types = spark.table("shop2_tgt.sales").schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("AMOUNT") == "decimal(15,2)")
+    assert(audit.read("dmt_report_table")
+      .filter(col("unique_id") === "run-e2e").count() >= 2)
+
+    // second drain: checkpoint remembers the processed drop
+    assert(app.runOnce(drops).isEmpty)
+
+    // the translated table serves dialect-translated SQL
+    val n = spark.sql(graft.translate.TranslationEngine
+      .translateSql("SEL * FROM shop2_tgt.sales")).count()
+    assert(n == 0) // created empty, queryable
+  }
+}
