@@ -21,22 +21,34 @@ object Profiler {
 
   final case class Spec(column: String, quantiles: Seq[Double] = Seq(0.5, 0.9))
 
-  /** Wide one-row profile: metrics named `<col>__<metric>`. */
+  /** Wide one-row profile: metrics named `<col>__<metric>`.
+    *
+    * Exact mode computes each column's distinct count in its own
+    * two-stage aggregation and cross-joins the single-row results:
+    * multiple `countDistinct`s in ONE agg make Catalyst Expand every
+    * input row once per distinct column (N× the scan through the hash
+    * aggregate), which dominates profile cost on wide specs. */
   def profileRow(df: DataFrame, specs: Seq[Spec], exact: Boolean = false): DataFrame = {
     val aggs: Seq[Column] = specs.flatMap { s =>
       val c = col(s.column)
       Seq(
         count(c).as(s"${s.column}__count"),
-        count(when(c.isNull, 1)).as(s"${s.column}__nulls"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c))
-          .as(s"${s.column}__distinct"),
-        min(c).cast("double").as(s"${s.column}__min"),
-        max(c).cast("double").as(s"${s.column}__max"),
-        avgd(c).as(s"${s.column}__mean")) ++
+        count(when(c.isNull, 1)).as(s"${s.column}__nulls")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(c).as(s"${s.column}__distinct"))) ++
+        Seq(
+          min(c).cast("double").as(s"${s.column}__min"),
+          max(c).cast("double").as(s"${s.column}__max"),
+          avgd(c).as(s"${s.column}__mean")) ++
         s.quantiles.map(q =>
           percentile(c, lit(q)).as(s"${s.column}__p${(q * 100).toInt}"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    if (!exact) base
+    else specs.foldLeft(base) { (acc, s) =>
+      acc.crossJoin(df.agg(
+        countDistinct(col(s.column)).as(s"${s.column}__distinct")))
+    }
   }
 
   /** Long-format profile: (column_name, metric, value) — the shape the

@@ -70,10 +70,13 @@ object ExtraQueries {
         .orderBy(col("p_partkey"))
     }),
     "a7_profile" -> ((s, dir) => {
+      // exact quantiles only on the low-cardinality column: exact
+      // percentile over a near-unique double column materializes a
+      // per-partition value map (use percentile_approx for that at scale)
       graft.operators.Profiler.profile(
         T(s, dir, "lineitem"),
         Seq(graft.operators.Profiler.Spec("l_quantity"),
-          graft.operators.Profiler.Spec("l_extendedprice")),
+          graft.operators.Profiler.Spec("l_extendedprice", quantiles = Nil)),
         exact = true)
         .orderBy(col("column_name"), col("metric"))
     }),
@@ -140,18 +143,22 @@ object ExtraQueries {
         |      ELSE 'premium' END AS price_band
         |FROM part ORDER BY p_partkey""".stripMargin,
     "a7_profile" -> {
-      def side(c: String) =
+      def side(c: String, quantiles: Boolean) = {
+        val qCols = if (quantiles)
+          ", quantile_cont(" + c + ", 0.5) AS p50, quantile_cont(" + c + ", 0.9) AS p90" else ""
+        val qM = if (quantiles) ",'p50','p90'" else ""
+        val qV = if (quantiles) ", s.p50, s.p90" else ""
         s"""SELECT '$c' AS column_name, m.metric, m.value FROM (
            | SELECT CAST(COUNT($c) AS DOUBLE) AS cnt,
            |  CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS nulls,
            |  CAST(COUNT(DISTINCT $c) AS DOUBLE) AS dstnct,
            |  CAST(MIN($c) AS DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx,
-           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean,
-           |  quantile_cont($c, 0.5) AS p50, quantile_cont($c, 0.9) AS p90
+           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean$qCols
            | FROM lineitem) s,
-           | LATERAL (SELECT unnest(['count','distinct','max','mean','min','nulls','p50','p90']) AS metric,
-           |   unnest([s.cnt, s.dstnct, s.mx, s.mean, s.mn, s.nulls, s.p50, s.p90]) AS value) m""".stripMargin
-      s"""SELECT * FROM (${side("l_quantity")} UNION ALL ${side("l_extendedprice")})
+           | LATERAL (SELECT unnest(['count','distinct','max','mean','min','nulls'$qM]) AS metric,
+           |   unnest([s.cnt, s.dstnct, s.mx, s.mean, s.mn, s.nulls$qV]) AS value) m""".stripMargin
+      }
+      s"""SELECT * FROM (${side("l_quantity", true)} UNION ALL ${side("l_extendedprice", false)})
          |ORDER BY column_name, metric""".stripMargin
     },
     "st2_sliding_window" ->
