@@ -30,6 +30,27 @@ object MinHashLSH {
     * heavily, so this cuts hash work by the repetition factor (~8× on
     * the testdata) and scales with vocabulary, not corpus size. Values
     * are identical to the naive per-row form. */
+  /** (id, grams) shingle table — the expensive text-shredding pass;
+    * callers that consume it repeatedly should cache it. */
+  def shingleTable(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
+      .filter(size(col("grams")) > 0)
+
+  /** (id, sig) from a shingle table. */
+  def signaturesFrom(
+      g: DataFrame, k: Int = 32,
+      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+    val vocab = ex.select(col("gram")).distinct()
+      .select(col("gram") +: (0 until k).map(i => hashFn(i, col("gram")).as(s"h$i")): _*)
+    ex.join(vocab, "gram")
+      .groupBy(col("id"))
+      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   def signatures(
       docs: DataFrame,
       idCol: String,
@@ -37,17 +58,8 @@ object MinHashLSH {
       k: Int = 32,
       shingleN: Int = 3,
       hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
-    val g = docs
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
-    val vocab = ex.select(col("gram")).distinct()
-      .select(col("gram") +: (0 until k).map(i => hashFn(i, col("gram")).as(s"h$i")): _*)
-    val sigs = ex.join(vocab, "gram")
-      .groupBy(col("id"))
-      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-    g.join(sigs, "id")
+    val g = shingleTable(docs, idCol, textCol, shingleN)
+    g.join(signaturesFrom(g, k, hashFn), "id")
   }
 
   /** (band, bkey, id) — one row per band per doc; bkey is the md5 of the
@@ -81,10 +93,17 @@ object MinHashLSH {
       shingleN: Int = 3,
       hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sigs = signatures(docs, idCol, textCol, k, shingleN, hashFn).cache()
-    val cands = candidatePairs(bandKeys(sigs, bands, k / bands))
-    val ga = sigs.select(col("id").as("id_a"), col("grams").as("grams_a"))
-    val gb = sigs.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    // cache the two small, multiply-traversed tables (shingles feed the
+    // signature pass AND both verify sides; band keys feed both self-
+    // join sides — exchange reuse does not kick in across the aliased
+    // branches, so without these caches each branch recomputes the
+    // whole upstream text-shredding pipeline)
+    val g = shingleTable(docs, idCol, textCol, shingleN).cache()
+    val sigs = signaturesFrom(g, k, hashFn)
+    val banded = bandKeys(sigs, bands, k / bands).cache()
+    val cands = candidatePairs(banded)
+    val ga = g.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("id").as("id_b"), col("grams").as("grams_b"))
     cands.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)

@@ -41,10 +41,13 @@ object SetSimilarityJoin {
     val ex = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
     val dfreq = ex.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // cached: both self-join branches traverse it, and exchange reuse
+    // does not apply across the aliased branches
     val prefix = ex.join(dfreq, "gram")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("sz"), col("gram"))
+      .cache()
     val a = prefix.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
     val cand = a.join(b, Seq("gram"))
