@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.DdlRunner
+import graft.translate.{DdlTranslator, NameMapping, StatementSplitter, TranslationEngine}
+
+/** Fidelity against the reference's OWN fixture corpus (read-only at
+  * /root/reference): every Teradata end-to-end DDL file must translate
+  * and execute; the type-stress matrix must land on the intended Spark
+  * types; the SQL corpus must translate and pass analysis against the
+  * created tables. This is the "a user of the reference could switch"
+  * claim, executed.
+  */
+class ReferenceCorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "refcorpus-test")
+
+  private val ddlDir = "/root/reference/src/tests/end_to_end/input/ddl/teradata"
+  private val sqlDir = "/root/reference/src/tests/end_to_end/input/sql/teradata"
+
+  private def readAll(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Nil
+    else Files.list(p).iterator().asScala.toSeq
+      .filter(f => f.toString.endsWith(".sql") && Files.isRegularFile(f))
+      .sortBy(_.toString)
+      .map(f => f.getFileName.toString -> Files.readString(f))
+  }
+
+  test("every e2e Teradata DDL fixture translates and executes") {
+    val files = readAll(ddlDir)
+    assume(files.nonEmpty, "reference fixtures not present")
+    val nm = NameMapping(Seq(NameMapping.Entry("tpch", targetDb = Some("tpch_ref"))))
+    val result = TranslationEngine.translateDdl(files, StatementSplitter.Sql, nm)
+    assert(result.errors.isEmpty, result.errors.mkString("\n"))
+    assert(result.translated.size == files.size)
+    DdlRunner.ensureDatabases(spark, Seq("tpch_ref"))
+    val scripts = result.translated.flatMap(f =>
+      f.statements.zipWithIndex.map { case (s, i) => (s"${f.fileName}#$i", s) })
+    val outcomes = DdlRunner.run(spark, scripts, parallelism = 4)
+    assert(outcomes.forall(_.state == DdlRunner.Done),
+      outcomes.filter(_.state != DdlRunner.Done).mkString("\n"))
+    // the full TPC-H-ish table set exists
+    Seq("region", "nation", "part", "supplier", "partsupp", "orders",
+      "lineitem", "billdate", "ppl_data_types").foreach { t =>
+      assert(spark.catalog.tableExists(s"tpch_ref.$t"), t)
+    }
+  }
+
+  test("the ppl_data_types stress matrix lands on the intended Spark types") {
+    assume(Files.exists(Paths.get(s"$ddlDir/ppl_data_types.sql")))
+    val types = spark.table("tpch_ref.ppl_data_types").schema
+      .map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+    assert(types("record_id") == "decimal(20,0)")
+    assert(types("bigint_field") == "bigint")
+    assert(types("byteint_field") == "tinyint")
+    assert(types("char_field") == "string")
+    assert(types("date_field") == "date")
+    assert(types("decimal_field_1") == "decimal(13,13)")
+    assert(types("decimal_field_5") == "decimal(38,12)")
+    assert(types("float_field") == "double")
+    assert(types("integer_field") == "int")
+    assert(types("json_field") == "string")
+    assert(types("number_field_1") == "decimal(38,18)")
+    assert(types("number_field_2") == "decimal(38,4)")
+    assert(types("smallint_field") == "smallint")
+    assert(types("timestamp_field_1") == "timestamp_ntz")
+    assert(types("timestamp_field_3") == "timestamp") // WITH TIME ZONE
+    assert(types("varbyte_field") == "binary")
+    assert(types("varchar_field") == "string")
+  }
+
+  test("the e2e SQL corpus translates and passes analysis on created tables") {
+    val files = readAll(sqlDir)
+    assume(files.nonEmpty)
+    // fixtures reference tpch.*; run them against the translated tables
+    files.foreach { case (name, content) =>
+      val stmts = {
+        val s = StatementSplitter.split(content, StatementSplitter.Sql)
+        if (s.nonEmpty) s else Seq(content.trim) // no trailing ';' fixture
+      }
+      stmts.foreach { stmt =>
+        val translated = TranslationEngine.translateSql(stmt)
+          .replaceAll("(?i)\\btpch\\.", "tpch_ref.")
+        // full analysis (not just parse): columns/tables must resolve
+        spark.sql(translated).queryExecution.analyzed
+      }
+    }
+  }
+
+  test("sample Teradata DML translates, splits, and dry-runs") {
+    val samples = readAll("/root/reference/samples/dml/teradata")
+    assume(samples.nonEmpty)
+    val outcomes = samples.flatMap { case (name, content) =>
+      StatementSplitter.split(content, StatementSplitter.Sql).map { stmt =>
+        name -> TranslationEngine.dryRun(spark, TranslationEngine.translateSql(stmt))
+      }
+    }
+    assert(outcomes.nonEmpty)
+    val failures = outcomes.filter(_._2.nonEmpty)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

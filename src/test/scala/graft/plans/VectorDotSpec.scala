@@ -49,6 +49,34 @@ class VectorDotSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("VectorDotRewrite rewrites the builtin idiom and preserves results") {
+    val builtin = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d")
+    val q = df.select(builtin)
+    // rule rewrites the analyzed plan
+    val rewritten = VectorDotRewrite(q.queryExecution.analyzed)
+    assert(rewritten.expressions.exists(_.exists(_.isInstanceOf[VectorDot])),
+      rewritten.toString)
+    // end-to-end through the optimizer on a live session
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VectorDotRewrite
+    try {
+      // parquet-backed (a LocalRelation projection is constant-folded
+      // away before user-provided rules run)
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val out = e.select(col("vec_id"), aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("norm2"))
+      assert(out.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[VectorDot])))
+      val native = e.select(col("vec_id"), VectorDot(col("embedding"), col("embedding")).as("norm2"))
+      assert(out.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq ==
+        native.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("survives whole-stage codegen on a real pipeline") {
     val out = df.select(sum(VectorDot(col("a"), col("b"))).as("s")).head()
     assert(out.getDouble(0) == 35.0)
