@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants for the perf-critical query shapes: these
+  * lock in the scale properties (§4 / README notes) so a regression in
+  * pushdown, pruning, or join strategy fails CI rather than silently
+  * costing a full scan or shuffle at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "plan-audit")
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  test("q1: filter pushed to parquet scan, schema pruned") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // 6 of 11 lineitem columns read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q5: small dimensions broadcast, fact not shuffled for them") {
+    val p = planOf("q5_local_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("BroadcastHashJoin").length >= 4, "3 dims should broadcast")
+  }
+
+  test("q6: aggregation-only plan — no join, no wide shuffle") {
+    val p = planOf("q6_forecast_revenue")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("v8 row validation: shuffle carries hashes, not payload columns") {
+    val p = planOf("v8_row_validation")
+    // the exchanges must not carry the wide string columns — only key + hash
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("o_orderpriority")), exchanges.mkString("\n"))
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // simple mode marks codegen'd operators with a *(stageId) prefix;
+    // AQE only finalizes (and shows codegen stages) after execution
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect() // count() spawns its own execution; collect finalizes THIS one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+
+  test("dedup exact: single hash-aggregate pipeline, no join before grouping") {
+    val df = graft.operators.ExactDedup.groups(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", Seq("text"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+}
