@@ -33,6 +33,8 @@ object TranslationEngine {
     * statement are excluded from `translated` (reference: failed files
     * are not loaded; `batch_sql_translation.py:204-226` aborts only if
     * ALL files failed — left to the caller via [[Result]]). */
+  private val ViewRe = """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b.*""".r
+
   def translateDdl(
       files: Seq[(String, String)],
       mode: StatementSplitter.Mode = StatementSplitter.Sql,
@@ -40,7 +42,11 @@ object TranslationEngine {
     val perFile = files.map { case (name, content) =>
       val stmts = StatementSplitter.split(content, mode)
       val results = stmts.zipWithIndex.map { case (stmt, i) =>
-        DdlTranslator.translate(stmt, nameMapping) match {
+        // views pass through: the observed corpus (`input/ddl/oracle`
+        // emp_details_view) is ANSI SELECT over comma joins, which
+        // Spark's parser accepts; table DDL goes through the transpiler
+        if (ViewRe.matches(stmt)) Right(stmt)
+        else DdlTranslator.translate(stmt, nameMapping) match {
           case Right(t) => Right(t.render())
           case Left(e)  => Left(ErrorRecord(name, i, "parse_error", e.message))
         }

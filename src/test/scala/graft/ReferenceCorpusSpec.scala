@@ -93,6 +93,35 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("every e2e Oracle DDL fixture translates; tables execute") {
+    val files = readAll("/root/reference/src/tests/end_to_end/input/ddl/oracle")
+    assume(files.nonEmpty)
+    // files end without a trailing ';' on the last statement — append
+    val result = TranslationEngine.translateDdl(
+      files.map { case (n, c) => n -> (c.trim.stripSuffix(";") + ";") })
+    assert(result.errors.isEmpty, result.errors.mkString("\n"))
+    DdlRunner.ensureDatabases(spark, Seq("edw_odb"))
+    // execute the table statements (the view references an employees
+    // table the fixture set itself never defines — the reference
+    // couldn't create it either)
+    val tableStmts = result.translated.flatMap(_.statements)
+      .filterNot(_.toUpperCase.contains(" VIEW "))
+      .zipWithIndex.map { case (s, i) => (s"ora$i", s) }
+    val outcomes = DdlRunner.run(spark, tableStmts, parallelism = 4)
+    assert(outcomes.forall(_.state == DdlRunner.Done),
+      outcomes.filter(_.state != DdlRunner.Done).mkString("\n"))
+    Seq("regions", "countries", "locations", "departments", "jobs", "job_history")
+      .foreach(t => assert(spark.catalog.tableExists(s"edw_odb.$t"), t))
+    // inline CONSTRAINT ... NOT NULL survives into the rendered DDL
+    // (parquet v1 tables don't retain nullability on read, so assert
+    // at the translation level)
+    val regionsDdl = result.translated
+      .find(_.fileName.contains("Oracle_ddl_1")).get.statements.head
+    assert(regionsDdl.contains("region_id DECIMAL(38,18) NOT NULL"), regionsDdl)
+    assert(spark.table("edw_odb.regions").schema("region_id")
+      .dataType.simpleString == "decimal(38,18)")
+  }
+
   test("sample Teradata DML translates, splits, and dry-runs") {
     val samples = readAll("/root/reference/samples/dml/teradata")
     assume(samples.nonEmpty)
