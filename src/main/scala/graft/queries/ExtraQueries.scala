@@ -80,6 +80,28 @@ object ExtraQueries {
         exact = true)
         .orderBy(col("column_name"), col("metric"))
     }),
+    "st3_sessionize" -> ((s, dir) => {
+      // 30-min-gap sessionization via lag + running sum of boundaries —
+      // the batch formulation (streaming uses session_window); exactly
+      // mirrorable cross-engine, unlike session_window internals
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(byUser)) > 1800, 1)
+        .otherwise(0)
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("is_new", newSession)
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_timestamp(max(col("ts"))).minus(unix_timestamp(min(col("ts"))))
+            .as("duration_sec"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     "st2_sliding_window" -> ((s, dir) => {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -161,6 +183,23 @@ object ExtraQueries {
       s"""SELECT * FROM (${side("l_quantity", true)} UNION ALL ${side("l_extendedprice", false)})
          |ORDER BY column_name, metric""".stripMargin
     },
+    "st3_sessionize" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS is_new
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        | SELECT user_id, ts,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM marked)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | COUNT(*) AS n_events,
+        | CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "st2_sliding_window" ->
       """WITH e AS (
         | SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS wstart,
