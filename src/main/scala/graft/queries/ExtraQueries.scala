@@ -80,6 +80,36 @@ object ExtraQueries {
         exact = true)
         .orderBy(col("column_name"), col("metric"))
     }),
+    "j8_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (user, ts): keep max event_id
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_event_id"))
+        .select(col("user_id"), col("ts").as("p_ts"), col("purchase_event_id"))
+      graft.operators.AsOfJoin.asOf(
+          clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          Seq("purchase_event_id", "p_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("p_ts"))).as("gap_sec"))
+        .orderBy(col("event_id"))
+    }),
+    "j9_range_join" -> ((s, dir) => {
+      // every (click, purchase) pair by the same user within 30 minutes
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      graft.operators.RangeJoin.banded(
+          clicks, purchases, Seq("user_id"), "ts", "p_ts", 1800L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("p_ts"))).as("gap_sec"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
     "st3_sessionize" -> ((s, dir) => {
       // 30-min-gap sessionization via lag + running sum of boundaries —
       // the batch formulation (streaming uses session_window); exactly
@@ -183,6 +213,23 @@ object ExtraQueries {
       s"""SELECT * FROM (${side("l_quantity", true)} UNION ALL ${side("l_extendedprice", false)})
          |ORDER BY column_name, metric""".stripMargin
     },
+    "j8_asof_join" ->
+      """WITH p AS (
+        | SELECT user_id, ts AS p_ts, max(event_id) AS purchase_event_id
+        | FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, p.purchase_event_id,
+        | CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT) AS gap_sec
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY event_id""".stripMargin,
+    "j9_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        | CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT) AS gap_sec
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT)) <= 1800
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "st3_sessionize" ->
       """WITH marked AS (
         | SELECT user_id, event_id, ts,
