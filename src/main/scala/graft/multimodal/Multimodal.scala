@@ -58,6 +58,26 @@ object Multimodal {
     }
   }
 
+  /** Resize images in partition batches (stubbed scaler: real builds
+    * swap the codec body; the metadata math and batch shape are the
+    * production path). Output dims are the stub-decoded dims scaled to
+    * fit (maxW, maxH) preserving aspect ratio. */
+  def resizeImages(
+      ds: Dataset[ImageAsset], maxW: Int, maxH: Int): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new ImageCodec
+      it.map { a =>
+        val img = codec.decodeStub(a.data)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / img.width, maxH.toDouble / img.height))
+        val (w, h) = (math.max(1, (img.width * scale).toInt),
+          math.max(1, (img.height * scale).toInt))
+        ImageFeatures(a.asset_id, w, h, a.data.length.toLong, Array.empty[Float])
+      }
+    }
+  }
+
   /** Sample every `everyN`-th frame of each video (generator shape —
     * flatMap, the idiomatic Spark form of a table-valued function). */
   def sampleFrames(ds: Dataset[VideoAsset], everyN: Int): Dataset[Frame] = {

@@ -26,6 +26,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
   }
 
+  test("resizeImages: aspect-preserving fit within bounds, never upscales") {
+    val out = Multimodal.resizeImages(assets(6), maxW = 20, maxH = 20).collect()
+    assert(out.forall(f => f.width <= 20 && f.height <= 20))
+    assert(out.forall(f => f.width >= 1 && f.height >= 1))
+    // a bound larger than any stub image leaves dims untouched
+    val untouched = Multimodal.resizeImages(assets(6), 4096, 4096).collect()
+    val orig = Multimodal.extractImageFeatures(assets(6)).collect()
+    assert(untouched.map(f => (f.width, f.height)).toSeq ==
+      orig.map(f => (f.width, f.height)).toSeq)
+  }
+
   test("sampleFrames: every Nth frame with timestamps") {
     import spark.implicits._
     val vids = Seq(Multimodal.VideoAsset(1L, "mem://1", 10, 25.0)).toDS()
