@@ -205,7 +205,7 @@ object ExtraQueries {
            |  CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS nulls,
            |  CAST(COUNT(DISTINCT $c) AS DOUBLE) AS dstnct,
            |  CAST(MIN($c) AS DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx,
-           |  CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c) AS mean$qCols
+           |  CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT($c) AS mean$qCols
            | FROM lineitem) s,
            | LATERAL (SELECT unnest(['count','distinct','max','mean','min','nulls'$qM]) AS metric,
            |   unnest([s.cnt, s.dstnct, s.mx, s.mean, s.mn, s.nulls$qV]) AS value) m""".stripMargin
@@ -253,7 +253,7 @@ object ExtraQueries {
         |  event_type, value
         | FROM events, (SELECT unnest([0, 1800]) AS off) o)
         |SELECT wstart, event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM e GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin
   )
 }

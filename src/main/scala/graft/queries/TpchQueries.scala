@@ -139,7 +139,7 @@ object TpchQueries {
     }))
 
   private val rev =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
     "q4_order_priority" ->
@@ -152,7 +152,7 @@ object TpchQueries {
         |      AND l_shipdate >= TIMESTAMP '1995-07-01')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -166,10 +166,10 @@ object TpchQueries {
         |  AND l_shipdate < TIMESTAMP '1996-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_promo_effect" ->
-      """SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      """SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
         |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
-        |   ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) * 100.0
-        | / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+        |   ELSE CAST(0 AS DECIMAL(24,8)) END) AS VARCHAR) AS DOUBLE) * 100.0
+        | / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
         | AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
@@ -177,9 +177,9 @@ object TpchQueries {
     "q18_large_orders" ->
       """WITH big AS (
         | SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
         | FROM lineitem GROUP BY l_orderkey
-        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150.0)
+        | HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 150.0)
         |SELECT c_custkey, c_name, o_orderkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey

@@ -50,10 +50,10 @@ object ValidationQueries {
       T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
       CustomQueryValidator.validate(s,
         """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
           |FROM lineitem_v WHERE l_discount > 0.05""".stripMargin,
         """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
           |FROM lineitem_v WHERE l_discount > 0.05 AND l_quantity < 45""".stripMargin,
         pctThreshold = 1.0)
         .orderBy(col("validation_name"))
@@ -63,13 +63,13 @@ object ValidationQueries {
     "v7_column_validation" ->
       """WITH s AS (
         | SELECT l_linestatus, CAST(COUNT(l_quantity) AS DOUBLE) AS c,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS av
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sm,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(l_quantity) AS av
         | FROM lineitem GROUP BY l_linestatus),
         |t AS (
         | SELECT l_linestatus, CAST(COUNT(l_quantity) AS DOUBLE) AS c,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS av
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sm,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(l_quantity) AS av
         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30' GROUP BY l_linestatus),
         |u AS (
         | SELECT COALESCE(s.l_linestatus, t.l_linestatus) AS l_linestatus, v.validation_name,
@@ -137,11 +137,11 @@ object ValidationQueries {
     "v10_custom_query" ->
       """WITH s AS (
         | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
         | FROM lineitem WHERE l_discount > 0.05),
         |t AS (
         | SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
         | FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 45),
         |su AS (SELECT 'n' AS validation_name, n AS source_value FROM s
         |  UNION ALL SELECT 'total_qty', total_qty FROM s),
