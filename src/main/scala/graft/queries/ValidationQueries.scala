@@ -50,10 +50,10 @@ object ValidationQueries {
       T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
       CustomQueryValidator.validate(s,
         """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
           |FROM lineitem_v WHERE l_discount > 0.05""".stripMargin,
         """SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
           |FROM lineitem_v WHERE l_discount > 0.05 AND l_quantity < 45""".stripMargin,
         pctThreshold = 1.0)
         .orderBy(col("validation_name"))
