@@ -80,6 +80,27 @@ object ExtraQueries {
         exact = true)
         .orderBy(col("column_name"), col("metric"))
     }),
+    "a5_rollup" -> ((s, dir) => {
+      // subtotal hierarchy: (flag, status) -> (flag) -> grand total
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+    "a9_pivot" -> ((s, dir) => {
+      // order counts pivoted by priority (explicit value list keeps the
+      // output schema static — required for a distributed pivot anyway)
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "j8_asof_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -213,6 +234,21 @@ object ExtraQueries {
       s"""SELECT * FROM (${side("l_quantity", true)} UNION ALL ${side("l_extendedprice", false)})
          |ORDER BY column_name, metric""".stripMargin
     },
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "a9_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        | COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        | COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        | COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "j8_asof_join" ->
       """WITH p AS (
         | SELECT user_id, ts AS p_ts, max(event_id) AS purchase_event_id
