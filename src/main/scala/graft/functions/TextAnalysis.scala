@@ -84,6 +84,15 @@ object TextAnalysis {
     stop * 0.3 + (lit(1.0) - punct) * 0.3 + len * 0.4
   }
 
+  /** PII-style scrubbing: replace email-like and long-digit-run tokens
+    * with placeholders (portable regex classes; real pipelines extend
+    * the pattern set the same way). */
+  def redact(text: Column): Column = {
+    val emails = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(emails, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Winnowing-style bottom-k sketch over character k-grams: hash every
     * k-char window with the portable 60-bit hash, keep the k smallest.
     * Two documents share sketch entries iff they share k-char runs —

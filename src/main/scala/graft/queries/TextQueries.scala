@@ -46,6 +46,27 @@ object TextQueries {
         TextAnalysis.tokenEstimate(col("text")).as("tok_est"))
         .orderBy(col("doc_id"))
     }),
+    "t5_redact" -> ((s, dir) => {
+      // synthesize PII-looking text deterministically, then scrub it
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.redact(concat(
+          lit("contact user"), col("doc_id"), lit("@example.com id "),
+          (col("doc_id") * 1000000 + 1234567).cast("string"), lit(" : "),
+          substring(col("text"), 1, 40))).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+    "t6_vocab" -> ((s, dir) => {
+      // corpus vocabulary: top document-frequency words (dedup per doc),
+      // deterministic tie-break on the word itself
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(graft.operators.TextOps.words(col("text")))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word"))
+        .limit(20)
+    }),
     "t4_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
         col("doc_id"),
@@ -117,6 +138,18 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+(''[a-z]+)?|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS tok_bpe,
          | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok_est
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(
+        |   'contact user' || CAST(doc_id AS VARCHAR) || '@example.com id ' ||
+        |     CAST(doc_id * 1000000 + 1234567 AS VARCHAR) || ' : ' || substring(text, 1, 40),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_vocab" ->
+      s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         | SELECT doc_id, unnest(list_distinct($wordsExpr)) AS word FROM documents)
+         |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | list_min($gramHashesSql) AS fingerprint,
