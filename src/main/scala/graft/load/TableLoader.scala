@@ -45,6 +45,11 @@ object TableLoader {
         * on the bucket columns between tables bucketed the same way
         * need NO shuffle — the co-located-join answer at scale. */
       bucketBy: Option[(Int, Seq[String])] = None,
+      /** Global range clustering before write: rows land in files by
+        * key range, so range predicates prune whole files via min/max
+        * stats (the closest Spark twin of BQ clustering's global
+        * ordering; combine with clusterBy for within-file order). */
+      rangePartitionBy: Seq[String] = Nil,
       schemaDdl: Option[String] = None,
       csvDelimiter: String = ",",
       csvHeader: Boolean = true,
@@ -87,9 +92,12 @@ object TableLoader {
         return LoadOutcome(spec.table, "SKIPPED", 0L,
           s"source size $size exceeds cap ${spec.sizeCapBytes}")
       val df0 = read(spark, spec)
-      val df = if (spec.clusterBy.nonEmpty)
-        df0.sortWithinPartitions(spec.clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      val ranged = if (spec.rangePartitionBy.nonEmpty)
+        df0.repartitionByRange(spec.rangePartitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df0
+      val df = if (spec.clusterBy.nonEmpty)
+        ranged.sortWithinPartitions(spec.clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else ranged
       val writer = df.write.mode(spec.mode)
       val withPartitioning =
         if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer

@@ -30,6 +30,14 @@ object Controller {
       compareCols: Seq[String] = Nil,
       pctThreshold: Double = 0.0)
 
+  /** File-arrival incremental load stage (§3.3 hive_inc path). */
+  final case class IncrementalSpec(
+      sourceDir: String,
+      schemaDdl: String,
+      targetTable: String,
+      checkpointDir: String,
+      format: String = "parquet")
+
   final case class GraftConfig(
       kind: String, // ddl | sql | dml | data
       source: String, // teradata | hive | redshift | oracle
@@ -39,6 +47,7 @@ object Controller {
       sqlFiles: Seq[(String, String)] = Nil,
       nameMapping: NameMapping = NameMapping.empty,
       loads: Seq[TableLoader.LoadSpec] = Nil,
+      incrementals: Seq[IncrementalSpec] = Nil,
       validations: Seq[ValidationSpec] = Nil,
       batchDistribution: Int = 10)
 
@@ -121,7 +130,8 @@ object Controller {
       Map("statements" -> outcomes.size.toString, "passed" -> ok.toString))))
   }
 
-  /** Data path: bounded-parallel loads → audit → validations (§3.2/3.3). */
+  /** Data path: bounded-parallel loads → incremental drains → audit →
+    * validations (§3.2/3.3). */
   def runData(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
     val outcomes = TableLoader.loadAll(spark, cfg.loads, cfg.batchDistribution)
     audit.appendRows("dmt_load_results", outcomes.map(o =>
@@ -129,8 +139,28 @@ object Controller {
     val ok = outcomes.count(_.status == "PASS")
     val loadReport = RunResult(cfg.uniqueId, "load",
       Audit.classify(outcomes.size, ok), Map("tables" -> outcomes.size.toString))
+    val incReports = if (cfg.incrementals.isEmpty) Nil else {
+      val inc = new graft.load.IncrementalLoader(spark, audit)
+      val results = cfg.incrementals.map { i =>
+        try {
+          inc.runOnce(i.sourceDir,
+            org.apache.spark.sql.types.StructType.fromDDL(i.schemaDdl),
+            i.targetTable, i.checkpointDir, i.format)
+          (i.targetTable, true, "")
+        } catch { case e: Throwable =>
+          (i.targetTable, false, Option(e.getMessage).getOrElse("")) }
+      }
+      audit.appendRows("dmt_load_results", results.map { case (t, pass, msg) =>
+        Audit.LoadResult(cfg.uniqueId, t, if (pass) "PASS" else "FAIL",
+          if (pass && spark.catalog.tableExists(t)) spark.table(t).count() else 0L,
+          msg, now())
+      })
+      Seq(RunResult(cfg.uniqueId, "incremental",
+        Audit.classify(results.size, results.count(_._2)),
+        Map("streams" -> results.size.toString)))
+    }
     val vreports = runValidations(spark, cfg, audit)
-    report(audit, cfg.uniqueId, "data", loadReport +: vreports)
+    report(audit, cfg.uniqueId, "data", (loadReport +: incReports) ++ vreports)
   }
 
   /** DVT stage: run each validation, audit per-row results, aggregate

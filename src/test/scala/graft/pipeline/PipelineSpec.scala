@@ -129,6 +129,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.forall(_.status == "Success"), results.toString)
   }
 
+  test("Controller data route: incremental stage drains arrivals with audit dedup") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS lodinc")
+    val srcDir = tmp("incdrop")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$srcDir/files")
+    val cfg = Controller.GraftConfig(
+      kind = "data", source = "hive", uniqueId = "run-inc",
+      incrementals = Seq(Controller.IncrementalSpec(
+        s"$srcDir/files", "id BIGINT, v STRING", "lodinc.t", tmp("ckinc"))))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.exists(r => r.phase == "incremental" && r.status == "Success"),
+      results.toString)
+    assert(spark.table("lodinc.t").count() == 2)
+    // rerun with a fresh checkpoint: audit dedup keeps it idempotent
+    val again = cfg.copy(incrementals = Seq(Controller.IncrementalSpec(
+      s"$srcDir/files", "id BIGINT, v STRING", "lodinc.t", tmp("ckinc2"))))
+    Controller.run(spark, again, audit)
+    assert(spark.table("lodinc.t").count() == 2)
+  }
+
+  test("TableLoader: range-partitioned write clusters files by key range") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS lodrange")
+    // tiny test input: stop AQE collapsing the range shuffle to 1 file
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val out = try TableLoader.load(spark, TableLoader.LoadSpec(
+      "lodrange.orders_r", "/root/testdata/sf0.001/orders.parquet",
+      rangePartitionBy = Seq("o_orderkey")))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(out.status == "PASS")
+    // each file's key range must be disjoint from the others
+    import spark.implicits._
+    val ranges = spark.table("lodrange.orders_r")
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("Controller sql route: dry-run classifies good and bad statements") {
     val cfg = Controller.GraftConfig(
       kind = "sql", source = "teradata", uniqueId = "run3",
