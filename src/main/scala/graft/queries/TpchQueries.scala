@@ -121,6 +121,59 @@ object TpchQueries {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(20)
     }),
+    // Q7-shaped: volume between nation pairs by year
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val n1 = T(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = T(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+          col("l_discount").cast("decimal(8,4)"))).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // Q15-shaped: top supplier by quarterly revenue (rank over agg)
+    "q15_top_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+          col("l_discount").cast("decimal(8,4)"))).cast("double").as("total_revenue"))
+      val w = Window.orderBy(col("total_revenue").desc, col("l_suppkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy(col("rnk"))
+    }),
+    // Q19-shaped: disjunctive bracket predicates over a part join
+    "q19_brackets" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      li.join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+          col("l_discount").cast("decimal(8,4)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
     // Q10-shaped: returned-item customer ranking
     "q10_returned_items" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -141,7 +194,43 @@ object TpchQueries {
   private val rev =
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
 
+  private val revV =
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
+
   val oracle: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS INTEGER) AS l_year, $revV AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND n1.n_name < n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         | SELECT l_suppkey, $revV AS total_revenue
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |   AND l_shipdate < TIMESTAMP '1995-04-01'
+         | GROUP BY l_suppkey),
+         |ranked AS (
+         | SELECT l_suppkey, total_revenue,
+         |  CAST(row_number() OVER (ORDER BY total_revenue DESC, l_suppkey) AS INTEGER) AS rnk
+         | FROM rev)
+         |SELECT s_suppkey, s_name, total_revenue, rnk
+         |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+    "q19_brackets" ->
+      s"""SELECT $revV AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
