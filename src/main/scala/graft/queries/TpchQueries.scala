@@ -174,6 +174,17 @@ object TpchQueries {
           col("l_discount").cast("decimal(8,4)"))).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    // Q17-shaped: small-quantity-order revenue (per-part average gate)
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity")))
+          .as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(sumd(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
     // Q10-shaped: returned-item customer ranking
     "q10_returned_items" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -225,6 +236,15 @@ object TpchQueries {
          |SELECT s_suppkey, s_name, total_revenue, rnk
          |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH av AS (
+        | SELECT l_partkey AS ap_key,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN av ON l_partkey = ap_key
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
     "q19_brackets" ->
       s"""SELECT $revV AS revenue, COUNT(*) AS n_lines
          |FROM lineitem JOIN part ON l_partkey = p_partkey
