@@ -185,6 +185,20 @@ object TpchQueries {
         .agg(sumd(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n_lines"))
     }),
+    // Q22-shaped: global sales opportunity — above-average-balance
+    // customers with no orders, by nation (scalar subquery + anti-join)
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(col("c_acctbal")))
+          .as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sumd(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
     // Q10-shaped: returned-item customer ranking
     "q10_returned_items" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -236,6 +250,16 @@ object TpchQueries {
          |SELECT s_suppkey, s_name, total_revenue, rnk
          |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH ab AS (
+        | SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        | FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q17_small_quantity" ->
       """WITH av AS (
         | SELECT l_partkey AS ap_key,
