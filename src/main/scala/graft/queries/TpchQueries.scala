@@ -199,6 +199,80 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"), sumd(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }),
+    // Q8-shaped: national market share — volume share of one supplier
+    // nation inside a customer region, by order year (7-way join where
+    // every dimension broadcasts and only lineitem⋈orders shuffles)
+    "q8_market_share" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val part = T(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val custRegion = T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+        col("l_discount").cast("decimal(8,4)"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(24,8)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    // Q13-shaped: customer order-count distribution (left outer join with
+    // an ON-clause filter, double aggregation)
+    "q13_custdist" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      T(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // Q21-shaped: suppliers who kept orders waiting. Testdata lacks
+    // l_commitdate/l_receiptdate, so "late" := shipped > 60 days after
+    // the order date. The EXISTS / NOT-EXISTS pair of the original is
+    // computed scalably as one per-order aggregate (distinct suppliers,
+    // distinct late suppliers) joined back — one shuffle on l_orderkey
+    // instead of two correlated self-joins.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val ordF = T(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = T(s, dir, "lineitem")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"))
+      li.filter(late)
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+          col("l_orderkey") === col("po_key"))
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     // Q10-shaped: returned-item customer ranking
     "q10_returned_items" -> ((s, dir) => {
       val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -223,6 +297,49 @@ object TpchQueries {
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+        |   ELSE CAST(0 AS DECIMAL(24,8)) END) AS VARCHAR) AS DOUBLE)
+        | / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+        | AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        | SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM l l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q7_nation_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          | CAST(year(l_shipdate) AS INTEGER) AS l_year, $revV AS revenue
