@@ -93,6 +93,73 @@ object Similarity {
       when(proj > 0, lit(1L << pl)).otherwise(0L)
     }.reduce[Column](_ + _)
 
+  /** IVF list assignment: every corpus vector goes to its nearest
+    * coarse centroid (highest cosine, ties to the lowest centroid id).
+    *
+    * The coarse quantizer is data-derived and deterministic: the
+    * centroids are the corpus vectors whose id satisfies
+    * `id % centroidMod == centroidRem` (≈ n/centroidMod lists — pick
+    * centroidMod ≈ √n so list size ≈ centroid count). A production
+    * pipeline would drop in k-means centroids computed offline; the
+    * assignment/probe machinery below is unchanged by that swap.
+    *
+    * Scale design: the centroid table is tiny (√n rows) and broadcast,
+    * so assignment is a map-only n×C projection — no shuffle until the
+    * per-id argmax, which reduces n×C rows back to n with map-side
+    * partial aggregation (max_by of a (cos, -centroid) struct). */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, centroidRem: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(norm2(col("v"))))
+    val cents = c.filter(col("id") % centroidMod === centroidRem)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
+    c.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        dot(col("v"), col("cent_v")) / (col("n") * col("cent_n")))
+      .groupBy(col("id"), col("v"), col("n"))
+      .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"))).as("best"))
+      .select(col("id"), col("v"), col("n"), (-col("best.neg_cent")).as("list_id"))
+  }
+
+  /** ANN via an IVF (inverted-file) index: queries probe their `nProbe`
+    * nearest centroid lists and run exact cosine + rank only against the
+    * vectors assigned to those lists — a corpus-fraction of ~nProbe/C per
+    * query instead of the full corpus. Recall < 1 by construction (a true
+    * neighbor may live in an unprobed list). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroidMod: Int, centroidRem: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem)
+      .select(col("id").as("corpus_id"), col("v").as("cv"),
+        col("n").as("cn"), col("list_id"))
+    val cents = corpus.select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("cent_v"))
+      .filter(col("cent_id") % centroidMod === centroidRem)
+      .withColumn("cent_n", sqrt(norm2(col("cent_v"))))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(norm2(col("qv"))))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        dot(col("qv"), col("cent_v")) / (col("qn") * col("cent_n")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("list_id"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    probes.join(assigned, "list_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos_sim"), col("rank"))
+  }
+
   /** ANN via hyperplane LSH: candidates share a bucket key; exact cosine
     * + per-query rank on the candidate set. Recall < 1 by construction;
     * probe multiple buckets (rotations) for higher recall. */

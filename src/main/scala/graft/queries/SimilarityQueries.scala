@@ -17,6 +17,11 @@ object SimilarityQueries {
   private val K = 5
   private val Planes = 8
   private val NQueries = 10
+  // IVF coarse quantizer: centroids = vectors with id % 23 == 7
+  // (~22 lists at sf0.01, ~87 at sf0.1 ≈ √n); probe the 4 nearest lists
+  private val CentroidMod = 23
+  private val CentroidRem = 7
+  private val NProbe = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_knn_bruteforce" -> ((s, dir) => {
@@ -29,6 +34,12 @@ object SimilarityQueries {
       val e = Tables(s, dir, "embeddings")
       Similarity.annTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, Planes, Dim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "n3_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, CentroidMod, CentroidRem, NProbe)
         .orderBy(col("query_id"), col("rank"))
     }))
 
@@ -44,7 +55,42 @@ object SimilarityQueries {
       s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** Fold-ordered dot product over two arbitrary list expressions
+    * (DuckDB mirror of Similarity.dot on renamed CTE columns). */
+  private def dotCols(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private val n3Oracle: String = {
+    val qc = s"${dotCols("q.embedding", "c.cemb")} / (q.nrm * c.cnrm)"
+    val nc = s"${dotCols("n.embedding", "c.cemb")} / (n.nrm * c.cnrm)"
+    val pa = s"${dotCols("p.qv", "a.cv")} / (p.qn * a.cn)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       | FROM n WHERE vec_id % $CentroidMod = $CentroidRem),
+       |asgn AS (
+       | SELECT vec_id AS corpus_id, embedding AS cv, nrm AS cn, cent_id AS list_id FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY $nc DESC, c.cent_id) AS rn
+       |  FROM n, cents c) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cent_id AS list_id FROM (
+       |  SELECT q.vec_id, q.embedding, q.nrm, c.cent_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $qc DESC, c.cent_id) AS rn
+       |  FROM (SELECT * FROM n WHERE vec_id < $NQueries) q, cents c) WHERE rn <= $NProbe)
+       |SELECT query_id, corpus_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       | SELECT p.query_id, a.corpus_id, $pa AS cos_sim,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY $pa DESC, a.corpus_id) AS rank
+       | FROM probes p JOIN asgn a
+       |  ON p.list_id = a.list_id AND p.query_id <> a.corpus_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "n3_ann_ivf" -> n3Oracle,
     "n1_knn_bruteforce" ->
       s"""WITH n AS (SELECT vec_id, embedding,
          |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e)
