@@ -153,6 +153,30 @@ object ExtraQueries {
             .as("duration_sec"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
+    "w4_window_frames" -> ((s, dir) => {
+      // distribution + frame functions: ntile/percent_rank/cume_dist,
+      // first_value over a growing frame, 3-row moving average (exact
+      // decimal sum over the frame so the doubles are portable)
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val frame = w.rowsBetween(-2, 0)
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_key"),
+        (sum(dec(col("o_totalprice"))).over(frame).cast("double") /
+          count(lit(1)).over(frame)).as("moving_avg3"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "a8_stats_moments" -> ((s, dir) => {
+      graft.operators.Stats.moments(T(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    }),
     "st2_sliding_window" -> ((s, dir) => {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -171,6 +195,25 @@ object ExtraQueries {
       | END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "w4_window_frames" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | first_value(o_orderkey) OVER g AS first_key,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER f AS VARCHAR) AS DOUBLE)
+        |   / COUNT(*) OVER f AS moving_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        | g AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | f AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a8_stats_moments" ->
+      (graft.operators.Stats.momentsOracleSql("lineitem",
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice") +
+        "\nORDER BY l_returnflag"),
     "j7_log_fold" ->
       s"""WITH logs AS (SELECT $lineSql AS value FROM orders),
          |parsed AS (

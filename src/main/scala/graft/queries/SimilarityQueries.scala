@@ -41,6 +41,23 @@ object SimilarityQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, CentroidMod, CentroidRem, NProbe)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "e1_embed_quantize" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          graft.operators.Embeddings.l2Norm(col("embedding")).as("nrm"),
+          graft.operators.Embeddings.quantize(col("embedding")).as("q"))
+        .select(col("vec_id"), col("nrm"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
+    "n4_kmeans_step" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Embeddings.quantizedKMeansStep(
+          e, "vec_id", "embedding", CentroidMod, CentroidRem)
+        .orderBy(col("list_id"), col("pos"))
     }))
 
   private def dot(a: String, b: String) =
@@ -89,8 +106,44 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  private val quantizeExpr = (v: String, nrm: String) =>
+    s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) / $nrm * 127.0 + 0.5) AS INTEGER))"
+
+  private val e1Oracle: String =
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e),
+       |q AS (SELECT vec_id, nrm,
+       |  ${quantizeExpr("embedding", "nrm")} AS q FROM n)
+       |SELECT vec_id, nrm,
+       | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+       | list_aggregate(q, 'min') AS q_min,
+       | list_aggregate(q, 'max') AS q_max
+       |FROM q ORDER BY vec_id""".stripMargin
+
+  private val n4Oracle: String = {
+    val nc = s"${dotCols("n.embedding", "c.cemb")} / (n.nrm * c.cnrm)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       | FROM n WHERE vec_id % $CentroidMod = $CentroidRem),
+       |asgn AS (
+       | SELECT vec_id, embedding AS cv, nrm AS cn, cent_id AS list_id FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY $nc DESC, c.cent_id) AS rn
+       |  FROM n, cents c) WHERE rn = 1),
+       |q AS (SELECT list_id, ${quantizeExpr("cv", "cn")} AS q FROM asgn),
+       |ex AS (SELECT list_id, p.pos, q[p.pos + 1] AS qv
+       | FROM q, (SELECT unnest(range(0, $Dim)) AS pos) p)
+       |SELECT list_id, CAST(pos AS INTEGER) AS pos,
+       | CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS centroid_val
+       |FROM ex GROUP BY list_id, pos ORDER BY list_id, pos""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "n3_ann_ivf" -> n3Oracle,
+    "e1_embed_quantize" -> e1Oracle,
+    "n4_kmeans_step" -> n4Oracle,
     "n1_knn_bruteforce" ->
       s"""WITH n AS (SELECT vec_id, embedding,
          |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e)
