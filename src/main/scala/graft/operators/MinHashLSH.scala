@@ -32,20 +32,33 @@ object MinHashLSH {
     * are identical to the naive per-row form. */
   /** (id, grams) shingle table — the expensive text-shredding pass;
     * callers that consume it repeatedly should cache it. */
+  /** (id, grams) shingle table — see [[TextOps.shingleTable]]. */
   def shingleTable(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
-    docs
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
-      .filter(size(col("grams")) > 0)
+    TextOps.shingleTable(docs, idCol, textCol, shingleN)
 
-  /** (id, sig) from a shingle table. */
+  /** (id, sig) from a shingle table.
+    *
+    * Join shape matters here. The hashed vocabulary is (a) explicitly
+    * repartitioned to the session shuffle parallelism BEFORE the k hash
+    * expressions — the distinct gram list is tiny in bytes, so AQE
+    * would otherwise coalesce its shuffle to one partition and the k-
+    * md5s-per-gram projection would run on one core — and (b) joined
+    * back with a shuffle-hash hint: left to its own devices AQE
+    * broadcast-joins by building the EXPLODED CORPUS side (it looks
+    * small by bytes), a driver-side serial build that dwarfs the real
+    * work (measured 5×). The SHJ keeps both sides shuffled on gram,
+    * which is also the only shape that survives a vocabulary too large
+    * to broadcast — the 100 TB case. */
   def signaturesFrom(
       g: DataFrame, k: Int = 32,
       hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+    val p = g.sparkSession.sessionState.conf.numShufflePartitions
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))
     val vocab = ex.select(col("gram")).distinct()
+      .repartition(p, col("gram"))
       .select(col("gram") +: (0 until k).map(i => hashFn(i, col("gram")).as(s"h$i")): _*)
-    ex.join(vocab, "gram")
+    ex.join(vocab.hint("shuffle_hash"), "gram")
       .groupBy(col("id"))
       .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))

@@ -33,9 +33,7 @@ object SetSimilarityJoin {
       textCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    val g = docs
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("grams"))
-      .filter(size(col("grams")) > 0)
+    val g = TextOps.shingleTable(docs, idCol, textCol, shingleN)
       .withColumn("sz", size(col("grams")))
       .cache()
     val ex = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))

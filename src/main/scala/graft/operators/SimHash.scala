@@ -29,7 +29,6 @@ object SimHash {
       idCol: String,
       textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val grams = TextOps.shingles(col(textCol), shingleN)
     val sums = (0 until Bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$b")
@@ -37,12 +36,19 @@ object SimHash {
     val simhash = (0 until Bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce[Column](_ + _)
-    val ex = docs.select(col(idCol).as("id"), explode(grams).as("gram"))
+    val ex = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("grams")).as("gram"))
     // hash the distinct-gram vocabulary once, join back (same values as
-    // hashing every occurrence, ~repetition-factor less md5 work)
+    // hashing every occurrence, ~repetition-factor less md5 work).
+    // Same join shape as MinHashLSH.signaturesFrom: explicit
+    // repartition pins the hash projection's parallelism against AQE
+    // small-shuffle coalescing, and the shuffle-hash hint stops AQE
+    // from broadcast-building the exploded-corpus side.
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
     val vocab = ex.select(col("gram")).distinct()
+      .repartition(p, col("gram"))
       .withColumn("h", TextOps.hexHash60(col("gram")))
-    ex.join(vocab, "gram")
+    ex.join(vocab.hint("shuffle_hash"), "gram")
       .groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("id"), simhash.as("simhash"))

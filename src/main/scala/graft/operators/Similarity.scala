@@ -28,6 +28,14 @@ object Similarity {
     * per-row product-array allocation and lambda dispatch. */
   def dot(a: Column, b: Column): Column = graft.plans.VectorDot(a, b)
 
+  /** Rebalance rows to the session shuffle parallelism before an
+    * O(n·d)-or-worse per-row stage: an embedding table often arrives as
+    * few parquet files, and the downstream cross-join/bucket compute
+    * would otherwise run on that few cores. The shuffle moves each row
+    * once — noise next to the per-row vector math it parallelizes. */
+  private def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   def norm2(a: Column): Column = dot(a, a)
 
   /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)) in fixed op order. */
@@ -40,8 +48,8 @@ object Similarity {
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     // cast to double once per row, not once per pair (O(n) vs O(n²) casts)
-    val withNorm = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val withNorm = rebalance(df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
       .withColumn("n", sqrt(norm2(col("v"))))
     val a = withNorm.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
@@ -59,8 +67,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    val c = rebalance(corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", sqrt(norm2(col("cv"))))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
@@ -76,20 +84,26 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim
-    * i): md5-derived value in [-0.5, 0.5). Portable across engines. */
-  private def planeComponent(p: Int, i: Column): Column =
-    TextOps.hexHash60(concat(lit(s"plane$p:"), i.cast("string")))
-      .cast("double") / lit(math.pow(2.0, 60)) - 0.5
+    * i): md5-derived value in [-0.5, 0.5). Same value as the SQL form
+    * `hexHash60('plane<p>:<i>') / 2^60 - 0.5`, but computed ONCE at plan
+    * build time: the planes are constants, so deriving them per row
+    * (corpus × planes × dim md5 calls) would dominate the whole bucket
+    * stage. */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$p:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2.0, 60) - 0.5
+  }
 
   /** p-bit LSH bucket key: bit j = sign of <v, plane_j>. Vectors in the
-    * same bucket are likely neighbors (random-hyperplane LSH). */
+    * same bucket are likely neighbors (random-hyperplane LSH). The plane
+    * vectors are literal arrays; each projection is one codegen'd
+    * [[dot]] with the same left-to-right fold as the SQL mirror. */
   def hyperplaneBucket(vecCol: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { pl =>
-      val proj = aggregate(
-        zip_with(vecCol.cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)), i => planeComponent(pl, i)),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = lit(Array.tabulate(dim)(i => planeComponent(pl, i)))
+      val proj = dot(vecCol.cast("array<double>"), plane)
       when(proj > 0, lit(1L << pl)).otherwise(0L)
     }.reduce[Column](_ + _)
 
@@ -110,8 +124,8 @@ object Similarity {
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val c = rebalance(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
       .withColumn("n", sqrt(norm2(col("v"))))
     val cents = c.filter(col("id") % centroidMod === centroidRem)
       .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
@@ -168,8 +182,8 @@ object Similarity {
       k: Int, planes: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bkt = (d: DataFrame, id: String, v: String) =>
-      d.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v),
-        hyperplaneBucket(col(vecCol), planes, dim).as("bucket"))
+      rebalance(d.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v)))
+        .withColumn("bucket", hyperplaneBucket(col(v), planes, dim))
     val c = bkt(corpus, "corpus_id", "cv").withColumn("cn", sqrt(norm2(col("cv"))))
     val q = bkt(queries, "query_id", "qv").withColumn("qn", sqrt(norm2(col("qv"))))
     val w = Window.partitionBy(col("query_id"))

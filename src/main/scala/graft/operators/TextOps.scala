@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared text-shredding expressions for the dedup/text-analysis family.
@@ -36,6 +36,22 @@ object TextOps {
   /** Distinct word n-grams (shingle set). */
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(wordNGrams(text, n))
+
+  /** (id, grams) shingle table, rebalanced to the session shuffle
+    * parallelism BEFORE the CPU-heavy tokenize/shingle projection: a
+    * document corpus often arrives as few large (or few small) files,
+    * and a scan-partitioned plan would shred text on only that many
+    * cores. The shuffle moves raw (id, text) rows — cheap relative to
+    * the per-row regex/n-gram work it parallelizes. */
+  def shingleTable(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(p)
+      .select(col("id"), shingles(col(textCol), shingleN).as("grams"))
+      .filter(size(col("grams")) > 0)
+  }
 
   /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative
     * long. md5 is identical across engines (and in DuckDB:
