@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{ExactDedup, MinHashLSH, SimHash, Similarity, TextOps}
+import graft.operators.{ConnectedComponents, ExactDedup, MinHashLSH, SimHash, Similarity, TextOps}
 
 /** Deduplication operator corpus (LLM-pipeline ops): exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding cosine.
@@ -80,6 +80,14 @@ object DedupQueries {
         .jaccardSelfJoin(corpusDocs(s, dir), "doc_id", "text", 3, 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val pairs = MinHashLSH.nearDuplicates(corpusDocs(s, dir), "doc_id", "text",
+        MinhashThreshold, k = K, bands = Bands)
+      ConnectedComponents.components(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     "d5_cosine_neardup" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val corpus = e.unionByName(
@@ -91,12 +99,14 @@ object DedupQueries {
 
   // ---- generated DuckDB oracles --------------------------------------
 
-  private val d2Oracle: String = {
+  /** CTE chain shared by d2 (pairs) and d6 (clusters): corpus → shingles
+    * → minhash signatures → band buckets → candidates → verified pairs. */
+  private val d2Ctes: String = {
     val sigList = (0 until K)
       .map(i => s"list_min(list_transform(grams, s -> ${hex60(s"'$i:' || s")}))")
       .mkString("[\n   ", ",\n   ", "]")
     val bandKey = (1 to R).map(j => s"sig[b.band * $R + $j]").mkString(", ")
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |$wordsSql,
        |$gramsSql,
        |sig AS (SELECT doc_id, grams, $sigList AS sig FROM g),
@@ -111,10 +121,29 @@ object DedupQueries {
        | SELECT c.id_a, c.id_b,
        |  CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
        |   / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
-       | FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b)
+       | FROM cand c JOIN g ga ON ga.doc_id = c.id_a JOIN g gb ON gb.doc_id = c.id_b)""".stripMargin
+  }
+
+  private val d2Oracle: String =
+    s"""WITH $d2Ctes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $MinhashThreshold
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Clusters via recursive closure over the verified near-dup pairs:
+    * cluster_id = smallest doc_id reachable in the undirected pair
+    * graph (mirrors ConnectedComponents' hash-to-min fixpoint). */
+  private val d6Oracle: String =
+    s"""WITH RECURSIVE $d2Ctes,
+       |edges AS (SELECT id_a, id_b FROM j WHERE jaccard >= $MinhashThreshold),
+       |sym AS (
+       | SELECT id_a AS a, id_b AS b FROM edges
+       | UNION SELECT id_b AS a, id_a AS b FROM edges),
+       |reach(id, r) AS (
+       | SELECT DISTINCT a, a FROM sym
+       | UNION
+       | SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   private val simhashCte: String = {
     val sums = (0 until SimHash.Bits)
@@ -191,6 +220,7 @@ object DedupQueries {
          |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "d2_minhash_lsh" -> d2Oracle,
+    "d6_dedup_clusters" -> d6Oracle,
     "d3_simhash_values" -> d3ValuesOracle,
     "d3_simhash_pairs" -> d3PairsOracle,
     "d4_ngram_jaccard" -> d4Oracle,

@@ -177,6 +177,23 @@ object ExtraQueries {
           Seq("l_returnflag"), "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
     }),
+    "u1_merge_upsert" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val ord = T(s, dir, "orders").select(cols.map(col): _*)
+      val target = ord.filter(col("o_orderkey") % 4 =!= 0)
+      val source = ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+      graft.operators.Upsert.upsert(target, source, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "h1_hll_distinct" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      graft.functions.HyperLogLog
+        .approxCountDistinct(li, Seq("l_returnflag"), "l_partkey")
+        .join(li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct")), "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
     "st2_sliding_window" -> ((s, dir) => {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -214,6 +231,28 @@ object ExtraQueries {
       (graft.operators.Stats.momentsOracleSql("lineitem",
         Seq("l_returnflag"), "l_quantity", "l_extendedprice") +
         "\nORDER BY l_returnflag"),
+    "u1_merge_upsert" ->
+      """WITH t AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 4 <> 0),
+        |s AS (
+        | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT
+        | coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "h1_hll_distinct" ->
+      s"""WITH hll AS (
+         |${graft.functions.HyperLogLog.oracleSql("lineitem", Seq("l_returnflag"), "l_partkey")}
+         |),
+         |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT hll.l_returnflag, hll.approx_distinct, ex.exact_distinct
+         |FROM hll JOIN ex USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "j7_log_fold" ->
       s"""WITH logs AS (SELECT $lineSql AS value FROM orders),
          |parsed AS (

@@ -288,6 +288,47 @@ object TpchQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+    // Q9-shaped: product-type profit by nation and year. The testdata
+    // has no partsupp, so supply cost is modeled as 10% of retail price
+    // — the operator shape (fact × part × supplier × nation, signed
+    // profit expression, two-level group) is what Q9 exercises.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val part = T(s, dir, "part").filter(col("p_name").contains("3"))
+      val suppNation = T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+      val amount = dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
+          col("l_discount").cast("decimal(8,4)")) -
+        dec(col("p_retailprice")) * dec(col("l_quantity"), 9, 2) *
+          lit(0.1).cast("decimal(2,1)")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // Q20-shaped: suppliers who shipped more than half of a part's total
+    // shipped quantity (nested aggregate share predicate; the partsupp
+    // availqty comparison of real Q20 becomes a volume-share gate).
+    "q20_excess_share" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"), 9, 2)).as("sq"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_quantity"), 9, 2)).as("tq"))
+      val heavy = perSupp.join(perPart, "l_partkey")
+        .filter(col("sq") > col("tq") * lit(0.5).cast("decimal(2,1)"))
+        .select(col("l_suppkey")).distinct()
+      T(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
     }))
 
   private val rev =
@@ -297,6 +338,33 @@ object TpchQueries {
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(CAST(SUM(
+        |   CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+        |   - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(0.1 AS DECIMAL(2,1))
+        |  ) AS VARCHAR) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%3%'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q20_excess_share" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |pt AS (
+        | SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS tq
+        | FROM lineitem GROUP BY l_partkey),
+        |heavy AS (
+        | SELECT DISTINCT l_suppkey FROM ps JOIN pt USING (l_partkey)
+        | WHERE sq > tq * CAST(0.5 AS DECIMAL(2,1)))
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |ORDER BY s_suppkey""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Upsert: source wins on match (including nulls), inserts appear,
+  * unmatched target rows persist. */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "upsert-test")
+
+  test("update, insert, keep") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "qty")
+    val source = Seq((2L, "B2", 200), (4L, "d", 40)).toDF("k", "name", "qty")
+    val out = Upsert.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, "a", 10), (2L, "B2", 200), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("source null overwrites target value on match") {
+    import spark.implicits._
+    val target = Seq((1L, Some("a"))).toDF("k", "name")
+    val source = Seq((1L, None: Option[String])).toDF("k", "name")
+    val out = Upsert.upsert(target, source, Seq("k")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+}
