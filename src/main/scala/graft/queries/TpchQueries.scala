@@ -289,6 +289,53 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    // Q2-shaped: cheapest supplier per part (correlated-min subquery +
+    // dims). Supply cost is modeled as the min observed unit price per
+    // (part, supplier) since the testdata has no partsupp.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val cost = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val best = cost.groupBy(col("l_partkey"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      val suppNation = T(s, dir, "supplier")
+        .join(broadcast(T(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      cost.join(best, "l_partkey")
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(broadcast(T(s, dir, "part").filter(col("p_size") < 15)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"), col("unit_cost"))
+        .orderBy(col("p_partkey"), col("s_name"))
+    }),
+    // Q11-shaped: important stock — parts whose value share exceeds a
+    // global-scalar threshold (aggregate reused inside HAVING).
+    "q11_important_stock" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("value"))
+      val total = perPart.agg(sum(col("value")).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("total") * lit(0.001).cast("decimal(4,3)"))
+        .select(col("l_partkey"), col("value").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+    // Q16-shaped: supplier count by part attributes, excluding suppliers
+    // matched by a NOT-IN subquery (anti join + distinct count).
+    "q16_supplier_count" -> ((s, dir) => {
+      val bad = T(s, dir, "supplier")
+        .filter(col("s_name").contains("7")).select(col("s_suppkey"))
+      val li = T(s, dir, "lineitem")
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      li.join(broadcast(T(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand_1" && col("p_size") <= 25)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
     // Q9-shaped: product-type profit by nation and year. The testdata
     // has no partsupp, so supply cost is modeled as 10% of retail price
     // — the operator shape (fact × part × supplier × nation, signed
@@ -338,6 +385,35 @@ object TpchQueries {
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        | SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+        | FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+        |SELECT p_partkey, s_name, n_name, unit_cost
+        |FROM cost JOIN best USING (l_partkey)
+        | JOIN part ON l_partkey = p_partkey AND p_size < 15
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit_cost = min_cost
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q11_important_stock" ->
+      """WITH per_part AS (
+        | SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value
+        | FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT SUM(value) AS total FROM per_part)
+        |SELECT l_partkey,
+        | CAST(CAST(value AS VARCHAR) AS DOUBLE) AS part_value
+        |FROM per_part, tot
+        |WHERE value > total * CAST(0.001 AS DECIMAL(4,3))
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand_1' AND p_size <= 25
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "q9_profit_by_nation" ->
       """SELECT n_name AS nation,
         | CAST(year(o_orderdate) AS INTEGER) AS o_year,
