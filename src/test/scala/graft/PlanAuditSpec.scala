@@ -55,6 +55,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("q9: all three dimensions broadcast against the fact table") {
+    val p = planOf("q9_profit_by_nation")
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("h1: two map-side-combinable aggregations, no expand, no join") {
+    val p = planOf("h1_hll_distinct")
+    // the HLL side itself must be partial->final HashAggregates; the
+    // countDistinct comparison join is the only join in the query
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("Expand") || p.split("Expand").length <= 2, p)
+  }
+
+  test("u1: single full-outer shuffle join, both sides key-partitioned") {
+    val p = planOf("u1_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash signatures: vocab join is shuffle-hash, not a broadcast of the corpus") {
+    val g = graft.operators.TextOps.shingleTable(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text")
+    val p = graft.operators.MinHashLSH.signaturesFrom(g, 8)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dedup exact: single hash-aggregate pipeline, no join before grouping") {
     val df = graft.operators.ExactDedup.groups(
       graft.core.Tables(spark, dir, "documents"), "doc_id", Seq("text"))
