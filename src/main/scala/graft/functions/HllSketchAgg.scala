@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+
+/** [[HyperLogLog]] as a true mergeable AGGREGATE FUNCTION: one
+  * aggregation pass with a 256-byte sketch buffer per group, partial
+  * sketches max-merged map-side — the shape that matters at scale,
+  * where the query-form's two-level groupBy would shuffle a (group ×
+  * bucket) row per occupied bucket instead of one small buffer per
+  * group per partition.
+  *
+  * Hash and estimator are shared with [[HyperLogLog]] (same md5-derived
+  * 60-bit hash, same fold constants), so `hll(col)` and the SQL
+  * pipeline agree bit-for-bit — proven in HllSketchAggSpec.
+  */
+final class HllSketchAgg extends Aggregator[String, Array[Byte], Double] {
+  import HyperLogLog.{M, WBits}
+
+  override def zero: Array[Byte] = new Array[Byte](M)
+
+  override def reduce(buf: Array[Byte], value: String): Array[Byte] = {
+    if (value != null) {
+      val h = HllSketchAgg.hash60(value)
+      val bucket = (h >>> WBits).toInt
+      val w = h & ((1L << WBits) - 1)
+      val rho =
+        if (w == 0L) WBits + 1
+        else java.lang.Long.numberOfLeadingZeros(w) - (64 - WBits) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Byte]): Double = {
+    var v = 0
+    var numPresent = 0L
+    var i = 0
+    while (i < M) {
+      val r = buf(i)
+      if (r > 0) { v += 1; numPresent += 1L << (WBits + 1 - r) }
+      i += 1
+    }
+    HyperLogLog.estimate(v, numPresent)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object HllSketchAgg {
+
+  /** Same 60-bit value as [[graft.operators.TextOps.hexHash60]]
+    * (first 15 hex chars of md5 = top 60 bits of the digest). */
+  private[functions] def hash60(s: String): Long = {
+    val d = threadMd5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(bytes).getLong >>> 4
+  }
+
+  private val threadMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Untyped column form: `df.agg(HllSketchAgg.hll(col("x")))`. */
+  def hll(c: Column): Column = udaf(new HllSketchAgg()).apply(c.cast("string"))
+
+  /** SQL registration: `SELECT hll_distinct(x) FROM t GROUP BY g`. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("hll_distinct", udaf(new HllSketchAgg()))
+}

@@ -43,6 +43,25 @@ object HyperLogLog {
     * parses to the identical IEEE double everywhere. */
   private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
+  /** α_m·m²·2^53 — the raw-estimate numerator, folded once here and
+    * shared by the SQL text and [[HllSketchAgg]]. */
+  private[functions] val AlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / M) * M * M * math.pow(2.0, WBits + 1)
+
+  /** m·ln(m/Z) linear-counting table keyed by occupied count v
+    * (LcTable(0) unused — an empty group never aggregates). */
+  private[functions] val LcTable: Array[Double] =
+    Array.tabulate(M)(v => if (v == 0) 0.0 else M * math.log(M.toDouble / (M - v)))
+
+  /** The estimator over (occupied buckets v, Σ 2^(53−M_j) over occupied
+    * buckets) — SAME operation order as the generated SQL, so the
+    * sketch aggregate and the query-shaped pipeline agree bitwise. */
+  private[functions] def estimate(v: Int, numPresent: Long): Double = {
+    val raw = AlphaNum /
+      (numPresent + (M - v).toLong * (1L << (WBits + 1))).toDouble
+    if (v < M && raw <= 2.5 * M) LcTable(v) else raw
+  }
+
   /** Shared estimator SQL over columns (v, num_present) — one text,
     * parsed by both Spark's `expr` and DuckDB, so every runtime
     * arithmetic step runs in the same order on both engines. All
@@ -55,10 +74,9 @@ object HyperLogLog {
     * ln() itself is libm-dependent, but Z has only m−1 possible values,
     * so the table is emitted as literals. */
   private val EstimateSql: String = {
-    val alphaNum = 0.7213 / (1.0 + 1.079 / M) * M * M * math.pow(2.0, WBits + 1)
-    val raw = s"${dlit(alphaNum)} / CAST(num_present + ($M - v) * ${1L << (WBits + 1)} AS DOUBLE)"
+    val raw = s"${dlit(AlphaNum)} / CAST(num_present + ($M - v) * ${1L << (WBits + 1)} AS DOUBLE)"
     val lc = (1 until M)
-      .map(v => s"WHEN $v THEN ${dlit(M * math.log(M.toDouble / (M - v)))}")
+      .map(v => s"WHEN $v THEN ${dlit(LcTable(v))}")
       .mkString(s"CASE v ", " ", " END")
     s"CASE WHEN v < $M AND $raw <= ${dlit(2.5 * M)} THEN $lc ELSE $raw END"
   }
