@@ -96,6 +96,27 @@ object Multimodal {
     df.repartition(parts)
   }
 
+  /** Ingest a directory tree of raw binary assets (images/audio/video
+    * files) via Spark's `binaryFile` source: one row per file with
+    * (path, length, content), listing and reading parallelized across
+    * files, and the extension filter pushed into the file LISTING via
+    * pathGlobFilter — files that don't match are never opened. Pair
+    * with [[repartitionBySize]] before a decode stage so each task
+    * holds a bounded byte budget regardless of file-size skew. */
+  def readBinaryDir(
+      spark: SparkSession, dir: String, glob: String, mime: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        col("path").as("uri"),
+        lit(mime).as("mime"),
+        col("content").as("data"))
+      .as[ImageAsset]
+  }
+
   /** Assemble an ImageAsset dataset from any table with an id and a
     * binary (or castable) payload column. */
   def assetsFrom(

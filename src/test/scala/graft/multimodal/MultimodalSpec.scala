@@ -14,6 +14,31 @@ class MultimodalSpec extends AnyFunSuite {
       "id", "body", "image/fake")
   }
 
+  test("readBinaryDir: one row per matching file, content intact, filter in listing") {
+    val dir = java.nio.file.Files.createTempDirectory("binassets")
+    try {
+      for (i <- 0 until 5) {
+        java.nio.file.Files.write(dir.resolve(s"img_$i.fake"),
+          Array.tabulate[Byte](10 + i)(j => (i * 31 + j).toByte))
+      }
+      java.nio.file.Files.write(dir.resolve("notes.txt"), "skip me".getBytes)
+      val ds = Multimodal.readBinaryDir(spark, dir.toString, "*.fake", "image/fake")
+      val rows = ds.collect()
+      assert(rows.length == 5) // .txt filtered at listing time
+      assert(rows.map(_.uri).distinct.length == 5)
+      assert(rows.map(_.asset_id).distinct.length == 5)
+      val byLen = rows.map(r => r.data.length).sorted
+      assert(byLen.toSeq == Seq(10, 11, 12, 13, 14))
+      // pipeline composes: binary dir -> feature extraction
+      val feats = Multimodal.extractImageFeatures(ds, embeddingDim = 8).collect()
+      assert(feats.length == 5 && feats.forall(_.embedding.length == 8))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("extractImageFeatures: deterministic stub decode, stable dims + embedding") {
     val f = Multimodal.extractImageFeatures(assets(5), embeddingDim = 4).collect()
     assert(f.length == 5)
