@@ -177,6 +177,14 @@ object ExtraQueries {
           Seq("l_returnflag"), "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
     }),
+    "sm1_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling
+        .stratified(T(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey")),
+          Seq("o_orderstatus"), "o_orderkey", 15)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("sample_rank").cast("int").as("sample_rank"))
+        .orderBy(col("o_orderstatus"), col("sample_rank"))
+    }),
     "u1_merge_upsert" -> ((s, dir) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val ord = T(s, dir, "orders").select(cols.map(col): _*)
@@ -231,6 +239,18 @@ object ExtraQueries {
       (graft.operators.Stats.momentsOracleSql("lineitem",
         Seq("l_returnflag"), "l_quantity", "l_extendedprice") +
         "\nORDER BY l_returnflag"),
+    "sm1_stratified_sample" ->
+      """WITH h AS (
+        | SELECT o_orderstatus, o_orderkey,
+        |  CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS sh
+        | FROM orders),
+        |r AS (
+        | SELECT o_orderstatus, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY sh, o_orderkey) AS INTEGER) AS sample_rank
+        | FROM h)
+        |SELECT o_orderstatus, o_orderkey, sample_rank
+        |FROM r WHERE sample_rank <= 15
+        |ORDER BY o_orderstatus, sample_rank""".stripMargin,
     "u1_merge_upsert" ->
       """WITH t AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
