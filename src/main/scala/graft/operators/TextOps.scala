@@ -56,10 +56,12 @@ object TextOps {
   /** Portable 60-bit hash: first 15 hex chars of md5 as a non-negative
     * long. md5 is identical across engines (and in DuckDB:
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`), which makes
-    * every hash-derived operator oracle-checkable. Production callers
-    * that don't need cross-engine parity can swap in [[fastHash64]]. */
-  def hexHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * every hash-derived operator oracle-checkable. Backed by the native
+    * [[graft.plans.HexHash60]] expression (thread-local digest, no hex
+    * round-trip — same value, ~3× less per-call overhead). Production
+    * callers that don't need cross-engine parity can swap in
+    * [[fastHash64]]. */
+  def hexHash60(c: Column): Column = graft.plans.HexHash60(c)
 
   /** Seeded variant: h_i(s) = hexHash60(i || ':' || s). */
   def hexHash60(seed: Int, c: Column): Column =

@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "vector_dot(a, b) takes two arguments")
         VectorDot(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_hash60"),
+      new ExpressionInfo(classOf[HexHash60].getName, "hex_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hex_hash60(s) takes one argument")
+        HexHash60(args.head)
+      }))
   }
 }

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native portable 60-bit hash — first 60 bits of md5(utf8(s)) as a
+  * non-negative long; bit-identical to the builtin chain
+  * `conv(substring(md5(c), 1, 15), 16, 10)` and to DuckDB's
+  * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+  *
+  * The builtin chain materializes a 32-char hex string, substrings it,
+  * and re-parses it base-16 — three UTF8String allocations plus a
+  * digit-loop per call, on top of a fresh MessageDigest lookup inside
+  * the md5 expression. This expression reuses a thread-local digest and
+  * reads the top 60 bits straight from the digest bytes. The minhash /
+  * simhash / fingerprint family calls this millions of times per query,
+  * where the allocation overhead is the dominant term.
+  */
+case class HexHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hex_hash60 requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HexHash60.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HexHash60.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HexHash60 =
+    copy(child = newChild)
+}
+
+object HexHash60 {
+
+  private val threadMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Top 60 bits of md5 of the UTF-8 bytes (= first 15 hex chars). */
+  def hash60(s: UTF8String): Long = {
+    val md = threadMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // big-endian first 8 bytes >>> 4 == first 15 hex nibbles
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  /** Column API over any input (cast to string first). */
+  def apply(c: Column): Column =
+    ExprBridge.column(HexHash60(ExprBridge.expression(c.cast("string"))))
+}
