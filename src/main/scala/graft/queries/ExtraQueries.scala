@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Exact._
 import graft.core.Tables
-import graft.operators.LogStats
+import graft.operators.{LogStats, TextOps}
 
 /** Coverage extensions: the DTS log fold (J7/S11), ranking and
   * lag/lead windows (§2.6), conditional scalar surface (§2.8), and the
@@ -87,6 +87,59 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"),
           grouping_id().cast("int").as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+    "a10_grouping_sets" -> ((s, dir) => {
+      // full cube: every subtotal combination + grouping_id
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+    "um1_unpivot" -> ((s, dir) => {
+      // wide -> long melt of the lineitem measures (inverse of a9_pivot)
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+    "f5_higher_order" -> ((s, dir) => {
+      // lambda surface: transform / filter / aggregate / sort over the
+      // token array, reduced to scalars
+      val w = TextOps.words(col("text"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        size(filter(w, t => length(t) > 4)).as("long_tokens"),
+        aggregate(transform(w, t => length(t)), lit(0L), (a, x) => a + x)
+          .as("char_sum"),
+        element_at(array_sort(w), 1).as("first_token"),
+        size(array_distinct(transform(w, t => substring(t, 1, 1))))
+          .as("distinct_initials"))
+        .orderBy(col("doc_id"))
+    }),
+    "r1_resample" -> ((s, dir) => {
+      // dense hourly series per event_type: generate the full hour range
+      // once, cross with the type list, left-join the sparse aggregates
+      // (zero-filled) — the gap-filling shape of time-series resampling
+      val ev = T(s, dir, "events")
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(types)
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
     }),
     "a9_pivot" -> ((s, dir) => {
       // order counts pivoted by priority (explicit value list keeps the
@@ -343,6 +396,48 @@ object ExtraQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "a10_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "um1_unpivot" ->
+      """WITH src AS (
+        | SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        | FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "f5_higher_order" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS long_tokens,
+        | CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS char_sum,
+        | list_sort(w)[1] AS first_token,
+        | CAST(len(list_distinct(list_transform(w, t -> substr(t, 1, 1)))) AS INTEGER) AS distinct_initials
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "r1_resample" ->
+      """WITH b AS (
+        | SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        | FROM events),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (
+        | SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT strftime(hours.h, '%Y-%m-%d %H:%M') AS hour,
+        | types.event_type AS event_type,
+        | COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_value, 0.0) AS sum_value
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+        |ORDER BY hour, types.event_type""".stripMargin,
     "a9_pivot" ->
       """SELECT o_orderstatus,
         | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
