@@ -1,0 +1,34 @@
+package graft.load
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC apply-changes: latest-per-key wins within a batch, upserts
+  * across batches, table state converges. */
+class ChangeApplierSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "cdc-test")
+
+  final case class Change(k: Long, name: String, seq: Long)
+
+  test("stream of changes folds into latest-state table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "cdc_target"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val input = MemoryStream[Change]
+    val applier = new ChangeApplier(spark)
+    val q = applier.start(input.toDF(), tbl, Seq("k"), "seq", ckpt)
+    try {
+      input.addData(Change(1, "a1", 1), Change(2, "b1", 1))
+      q.processAllAvailable()
+      // same key twice in one batch: seq=4 must win; plus an update + insert
+      input.addData(Change(1, "a2", 3), Change(1, "a3", 4), Change(3, "c1", 2))
+      q.processAllAvailable()
+      val state = spark.table(tbl).select("k", "name")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
+    } finally q.stop()
+  }
+}
