@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Seeded randomized checks of the round-2 operators against pure-Scala
+  * reference implementations (property-test intent, batched so each
+  * case is one Spark job). */
+class RandomizedOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "randops-test")
+
+  // ---- connected components vs union-find ---------------------------
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("components == union-find min-label on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(40, edges)
+      val got = ConnectedComponents.components(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
+  // ---- upsert vs map semantics --------------------------------------
+
+  test("upsert == map override on random keyed data") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val target = Seq.tabulate(30)(i => (i.toLong, s"t$i")).filter(_ => rnd.nextBoolean())
+      val source = Seq.tabulate(35)(i => (i.toLong, s"s$i")).filter(_ => rnd.nextBoolean())
+      val expected = (target.toMap ++ source.toMap)
+      val got = Upsert.upsert(target.toDF("k", "v"), source.toDF("k", "v"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  // ---- morton code vs bit-twiddled reference ------------------------
+
+  test("zValue == interleaved-bit reference on random coordinates") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new Random(99)
+    val coords = Seq.fill(300)((rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val rows = coords.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(Seq(col("x"), col("y")), 10).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 10))
+    }
+    // z-codes of distinct (x, y) are distinct (bijectivity on the grid)
+    assert(rows.map(_.getLong(2)).distinct.length == coords.distinct.length)
+  }
+
+  // ---- hash sampling uniformity -------------------------------------
+
+  test("bottom-k hash sample rate matches expectation per stratum") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (if (i % 2 == 0) "even" else "odd", i.toLong))
+      .toDF("g", "id")
+    val sample = Sampling.bottomK(df, "id", 600).groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash order is independent of parity: expect ~300 ± 5 sigma each
+    assert(math.abs(sample("even") - 300) < 60, sample)
+    assert(math.abs(sample("odd") - 300) < 60, sample)
+  }
+}
