@@ -259,9 +259,15 @@ object TpchQueries {
       val li = T(s, dir, "lineitem")
         .join(ordF, col("l_orderkey") === col("o_orderkey"))
       val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-      val perOrder = li.groupBy(col("l_orderkey").as("po_key"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"))
+      // two-phase instead of two countDistincts: one Expand-free pre-agg
+      // per (order, supplier), then plain count/sum — same values
+      // (countDistinct(supp) = count of per-supp rows; countDistinct of
+      // late supps = sum of per-supp any-late flags)
+      val perOrder = li
+        .groupBy(col("l_orderkey").as("po_key"), col("l_suppkey"))
+        .agg(max(when(late, 1).otherwise(0)).as("is_late"))
+        .groupBy(col("po_key"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late_supp"))
       li.filter(late)
         .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
           col("l_orderkey") === col("po_key"))
@@ -360,22 +366,31 @@ object TpchQueries {
         .agg(sum(amount).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
-    // Q20-shaped: suppliers who shipped more than half of a part's total
-    // shipped quantity (nested aggregate share predicate; the partsupp
-    // availqty comparison of real Q20 becomes a volume-share gate).
+    // Q20-shaped: excess-stock ranking — per supplier, on how many parts
+    // does their shipped quantity exceed 2.5× the part's average
+    // per-supplier quantity (nested aggregate share predicate; the
+    // partsupp availqty comparison of real Q20 becomes a volume-share
+    // ranking that is non-vacuous at every scale factor).
     "q20_excess_share" -> ((s, dir) => {
       val li = T(s, dir, "lineitem")
       val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(dec(col("l_quantity"), 9, 2)).as("sq"))
-      val perPart = li.groupBy(col("l_partkey"))
-        .agg(sum(dec(col("l_quantity"), 9, 2)).as("tq"))
+      // "sq > 2.5 · avg" multiplied through as "sq · n > 2.5 · total":
+      // avg() returns DOUBLE in some engines — the cross-multiplied form
+      // stays in exact decimals on both sides of the oracle
+      val perPart = perSupp.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).cast("decimal(6,0)").as("n_supp"),
+          sum(col("sq")).cast("decimal(18,2)").as("tot"))
       val heavy = perSupp.join(perPart, "l_partkey")
-        .filter(col("sq") > col("tq") * lit(0.5).cast("decimal(2,1)"))
-        .select(col("l_suppkey")).distinct()
+        .filter(col("sq") * col("n_supp") >
+          lit(2.5).cast("decimal(2,1)") * col("tot"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_heavy_parts"))
       T(s, dir, "supplier")
-        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_suppkey"), col("s_name"))
-        .orderBy(col("s_suppkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_heavy_parts"))
+        .orderBy(col("n_heavy_parts").desc, col("s_suppkey"))
+        .limit(20)
     }))
 
   private val rev =
@@ -433,14 +448,18 @@ object TpchQueries {
         | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sq
         | FROM lineitem GROUP BY l_partkey, l_suppkey),
         |pt AS (
-        | SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS tq
-        | FROM lineitem GROUP BY l_partkey),
+        | SELECT l_partkey, CAST(COUNT(*) AS DECIMAL(6,0)) AS n_supp,
+        |  CAST(SUM(sq) AS DECIMAL(18,2)) AS tot
+        | FROM ps GROUP BY l_partkey),
         |heavy AS (
-        | SELECT DISTINCT l_suppkey FROM ps JOIN pt USING (l_partkey)
-        | WHERE sq > tq * CAST(0.5 AS DECIMAL(2,1)))
-        |SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
-        |ORDER BY s_suppkey""".stripMargin,
+        | SELECT l_suppkey, COUNT(*) AS n_heavy_parts
+        | FROM ps JOIN pt USING (l_partkey)
+        | WHERE sq * n_supp > CAST(2.5 AS DECIMAL(2,1)) * tot
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_heavy_parts
+        |FROM supplier JOIN heavy ON s_suppkey = l_suppkey
+        |ORDER BY n_heavy_parts DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         | CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
