@@ -25,17 +25,25 @@ object DdlTranslator {
       table: String,
       columns: Seq[ColumnDef],
       distributionColumns: Seq[String] = Nil,
-      sortColumns: Seq[String] = Nil) {
+      sortColumns: Seq[String] = Nil,
+      partitionColumns: Seq[String] = Nil) {
 
     def qualifiedName: String = database.map(d => s"$d.$table").getOrElse(table)
 
-    /** Render as Spark SQL DDL. */
+    /** Render as Spark SQL DDL. Teradata RANGE_N/CASE_N partitioning
+      * maps to Spark value partitioning on the partition expression's
+      * column — the closest catalog-level equivalent; the bucketing
+      * semantics of EACH-ranges belong to the write path (TableLoader's
+      * range-clustered writes). */
     def render(ifNotExists: Boolean = true, format: String = "parquet"): String = {
       val ine = if (ifNotExists) "IF NOT EXISTS " else ""
       val cols = columns
         .map(c => s"  ${c.name} ${c.sparkType}${if (c.notNull) " NOT NULL" else ""}")
         .mkString(",\n")
-      s"CREATE TABLE $ine$qualifiedName (\n$cols\n) USING $format"
+      val part = partitionColumns.filter(pc => columns.exists(_.name.equalsIgnoreCase(pc)))
+      val partClause =
+        if (part.isEmpty) "" else s"\nPARTITIONED BY (${part.mkString(", ")})"
+      s"CREATE TABLE $ine$qualifiedName (\n$cols\n) USING $format$partClause"
     }
   }
 
@@ -46,6 +54,12 @@ object DdlTranslator {
 
   private val PrimaryIndexRe =
     """(?is)(?:UNIQUE\s+)?PRIMARY\s+INDEX\s*(?:\w+\s*)?\(([^)]*)\)""".r
+  /** Teradata partition expressions: the first identifier inside
+    * RANGE_N(col BETWEEN ... EACH ...) / CASE_N(col < x, ...) is the
+    * partitioning column (EXTRACT-style wrappers like
+    * RANGE_N(EXTRACT(YEAR FROM col) ...) resolve to col). */
+  private val PartitionNRe =
+    """(?is)PARTITION\s+BY\s+(?:RANGE_N|CASE_N)\s*\(\s*(?:EXTRACT\s*\(\s*\w+\s+FROM\s+)?"?([\w$]+)"?""".r
   private val SortKeyRe = """(?is)(?:COMPOUND\s+|INTERLEAVED\s+)?SORTKEY\s*\(([^)]*)\)""".r
   private val DistKeyRe = """(?is)DISTKEY\s*\(([^)]*)\)""".r
 
@@ -90,7 +104,9 @@ object DdlTranslator {
         if (cols.isEmpty) Left(TranslationError(ddl, "no columns"))
         else Right(TableDef(db, tbl, cols,
           distributionColumns = extractCols(PrimaryIndexRe, tail) ++ extractCols(DistKeyRe, tail),
-          sortColumns = extractCols(SortKeyRe, tail)))
+          sortColumns = extractCols(SortKeyRe, tail),
+          partitionColumns =
+            PartitionNRe.findFirstMatchIn(tail).map(_.group(1)).toSeq))
     }
   }
 

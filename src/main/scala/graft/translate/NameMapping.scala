@@ -44,7 +44,8 @@ final case class NameMapping(entries: Seq[NameMapping.Entry]) {
       table = newTable,
       columns = cols,
       distributionColumns = t.distributionColumns.map(renameCol),
-      sortColumns = t.sortColumns.map(renameCol))
+      sortColumns = t.sortColumns.map(renameCol),
+      partitionColumns = t.partitionColumns.map(renameCol))
   }
 }
 

@@ -120,6 +120,52 @@ class TranslateSpec extends AnyFunSuite {
     assert(!ddl.toUpperCase.contains("FALLBACK"))
   }
 
+  test("Teradata PARTITION BY RANGE_N / CASE_N maps to partition metadata") {
+    val rangeDdl =
+      """CREATE SET TABLE shop.daily_sales, FALLBACK (
+        |  SALE_ID INTEGER NOT NULL,
+        |  SALE_DATE DATE FORMAT 'YYYY-MM-DD' NOT NULL,
+        |  AMOUNT DECIMAL(15,2))
+        |PRIMARY INDEX ( SALE_ID )
+        |PARTITION BY RANGE_N(SALE_DATE BETWEEN DATE '2020-01-01'
+        |  AND DATE '2026-12-31' EACH INTERVAL '1' MONTH)""".stripMargin
+    val t = DdlTranslator.parse(rangeDdl).toOption.get
+    assert(t.partitionColumns == Seq("SALE_DATE"))
+    val rendered = t.render()
+    assert(rendered.contains("PARTITIONED BY (SALE_DATE)"), rendered)
+
+    val caseDdl =
+      """CREATE TABLE shop.tiers (
+        |  CUST_ID INTEGER,
+        |  BAL DECIMAL(10,2))
+        |PARTITION BY CASE_N(BAL < 100, BAL < 1000, NO CASE)""".stripMargin
+    val c = DdlTranslator.parse(caseDdl).toOption.get
+    assert(c.partitionColumns == Seq("BAL"))
+
+    val extractDdl =
+      """CREATE TABLE shop.yearly (
+        |  EVT_ID INTEGER,
+        |  EVT_TS TIMESTAMP(0))
+        |PARTITION BY RANGE_N(EXTRACT(YEAR FROM EVT_TS) BETWEEN 2020 AND 2030 EACH 1)""".stripMargin
+    val e = DdlTranslator.parse(extractDdl).toOption.get
+    assert(e.partitionColumns == Seq("EVT_TS"))
+  }
+
+  test("RANGE_N-partitioned render executes as Spark partitioned table") {
+    val spark = graft.core.GraftSession.local("2", "rangen-exec")
+    val ddl =
+      """CREATE TABLE pt_exec (
+        |  ID INTEGER,
+        |  D DATE)
+        |PARTITION BY RANGE_N(D BETWEEN DATE '2020-01-01' AND DATE '2026-12-31' EACH INTERVAL '1' MONTH)""".stripMargin
+    val t = DdlTranslator.parse(ddl).toOption.get
+    spark.sql("DROP TABLE IF EXISTS pt_exec")
+    spark.sql(t.render())
+    val cat = spark.sql("DESCRIBE TABLE pt_exec").collect().map(_.getString(0))
+    assert(cat.contains("# Partition Information"), cat.mkString(","))
+    spark.sql("DROP TABLE pt_exec")
+  }
+
   test("Redshift DDL: ENCODE stripped, DISTSTYLE ignored, SORTKEY kept") {
     val ddl =
       """CREATE TABLE mig.supp (
