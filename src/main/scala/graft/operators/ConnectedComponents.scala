@@ -30,15 +30,22 @@ object ConnectedComponents {
     * Isolated nodes can be appended by the caller (their component is
     * themselves). */
   def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val spark = edges.sparkSession
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
       .cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // fuse round 1 into init: label(id) = min(id, neighbors) needs only
+    // the groupBy the node list requires anyway
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("comp"))
       .localCheckpoint()
-    var iter = 0
+    // Σcomp strictly decreases until the fixpoint, so one cheap exact
+    // aggregate replaces a join-based changed-count per round (decimal:
+    // a 2^63-scale node-id sum must not overflow)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym
@@ -50,11 +57,10 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
+      val cur = checksum(next)
       labels = next
-      converged = changed == 0
+      converged = cur.compareTo(prev) == 0
+      prev = cur
       iter += 1
     }
     sym.unpersist()
