@@ -34,11 +34,17 @@ object Bench {
     // warm the JVM/codegen path so the first measured query isn't
     // charged for session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // noop sink: fully evaluates every output row+column. A count() probe
+    // lets Catalyst prune unreferenced projections, so projection-heavy
+    // queries (text analysis, embeddings, scalar-function families) would
+    // be timed as little more than a scan.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { run(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache() // warm-up must not subsidize the timed run
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache() // caches must not subsidize later queries
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap

@@ -38,6 +38,22 @@ object Audit {
       unique_id: String, phase: String, total: Long, succeeded: Long,
       failed: Long, status: String, run_time: Timestamp)
 
+  /** One failed task, nested into the run-level report row (reference:
+    * `dmt_report_table.json` Error RECORD REPEATED; populated like
+    * `reporting_operator.py:104-127` scrapes failed task instances).
+    * `log_link` points at the audit table holding the detail rows — the
+    * engine's analog of the Airflow task-log URL. */
+  final case class TaskError(
+      task_name: String, error_message: String, log_link: String)
+
+  /** Run-level report row mirroring the reference's report schema
+    * (unique_id, source_db, dag_name, execution_time, dag_status,
+    * Error array). One row per Controller run, nested errors included —
+    * the flat per-phase ReportRow rows remain for counting. */
+  final case class DagReportRow(
+      unique_id: String, source_db: String, dag_name: String,
+      execution_time: Timestamp, dag_status: String, Error: Seq[TaskError])
+
   /** Success/Partial/Failed per the reference's report classifier
     * (`reporting_operator.py:131-139`). */
   def classify(total: Long, succeeded: Long): String =

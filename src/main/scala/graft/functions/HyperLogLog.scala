@@ -91,7 +91,11 @@ object HyperLogLog {
     val rho = when(w === 0, lit(WBits + 1))
       .otherwise(lit(WBits + 1) - length(conv(w.cast("string"), 10, 2)))
     val g = groupCols.map(col)
-    df.select(g :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+    // nulls must not form a bucket: they would inflate v by one while
+    // num_present ignores them, shifting the estimate — and HllSketchAgg
+    // skips nulls, so the documented bit-for-bit agreement would break
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ bucket.as("bucket") :+ rho.as("rho"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("mj"))
       .groupBy(g: _*)
@@ -106,7 +110,7 @@ object HyperLogLog {
   def oracleSql(table: String, groupCols: Seq[String], valueCol: String): String = {
     val g = groupCols.mkString(", ")
     val hex = s"CAST(concat('0x', substr(md5(CAST($valueCol AS VARCHAR)), 1, 15)) AS BIGINT)"
-    s"""WITH hh AS (SELECT $g, $hex AS h FROM $table),
+    s"""WITH hh AS (SELECT $g, $hex AS h FROM $table WHERE $valueCol IS NOT NULL),
        |bw AS (SELECT $g, h >> $WBits AS bucket,
        |  h & ${(1L << WBits) - 1} AS w FROM hh),
        |mr AS (SELECT $g, bucket,

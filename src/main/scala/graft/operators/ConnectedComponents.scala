@@ -10,25 +10,33 @@ import org.apache.spark.sql.functions._
   * pair (pairs alone under-delete: a~b and b~c must collapse to one
   * survivor even when a~c was never emitted).
   *
-  * Algorithm: hash-to-min label propagation. Every node starts labeled
-  * with its own id; each round every node takes the min label among
-  * itself and its neighbors; at fixpoint the label is the component's
-  * minimum id. Each round is one shuffle join + one min-aggregate —
-  * both map-side combinable — and lineage is truncated per round
-  * (`localCheckpoint`), which is what keeps an iterative dataflow
-  * re-plannable at scale instead of growing an O(rounds)-deep plan.
-  * Rounds needed = graph diameter; near-dup graphs are
-  * small-diameter (clusters of mutually-similar docs), so this
-  * converges in 2-4 rounds. For adversarially long chains swap the
-  * step for large-star/small-star (Kiveris et al., SOCC'14) — the
-  * driver loop and convergence test stay the same.
+  * Two algorithms:
+  *  - [[components]] — hash-to-min label propagation: one shuffle join +
+  *    one min-aggregate per round; rounds = graph diameter. Near-dup
+  *    graphs are small-diameter (clusters of mutually-similar docs plus
+  *    member→representative stars), so this converges in 2-4 rounds and
+  *    is the fast path.
+  *  - [[componentsStar]] — alternating large-star/small-star edge
+  *    rewriting (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond", SoCC'14): O(log n) rounds regardless of diameter, two
+  *    shuffles per round. The right choice for long-chain graphs
+  *    (lineage chains, session stitching) where diameter ≫ log n.
+  *
+  * Both truncate lineage per round (`localCheckpoint`) — what keeps an
+  * iterative dataflow re-plannable at scale instead of growing an
+  * O(rounds)-deep plan — and both FAIL LOUDLY if the iteration cap is
+  * hit before the fixpoint: silently returning unconverged labels would
+  * hand the caller wrong cluster ids.
   */
 object ConnectedComponents {
 
   /** (id, component) for every node in `edges` (src, dst), where
     * component = smallest id in the node's connected component.
     * Isolated nodes can be appended by the caller (their component is
-    * themselves). */
+    * themselves). Runs at most `maxIter` propagation rounds beyond the
+    * fused init round; throws if the fixpoint is not reached (use
+    * [[componentsStar]] for graphs whose diameter exceeds any sane
+    * round count). */
   def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -45,7 +53,7 @@ object ConnectedComponents {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prev = checksum(labels)
-    var iter = 1
+    var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym
@@ -64,6 +72,79 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents.components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds the cap) — raise maxIter or use " +
+          "componentsStar, whose round count is O(log n) regardless of diameter")
     labels
+  }
+
+  /** (id, component) via alternating large-star/small-star rewriting —
+    * O(log n) rounds on any graph shape.
+    *
+    * large-star: every node u with neighborhood Γ(u) and
+    * m = min(Γ(u) ∪ {u}) re-attaches its LARGER neighbors to m.
+    * small-star: every edge hangs off its larger endpoint u; u and its
+    * smaller neighbors all re-attach to the minimum. Both steps preserve
+    * connectivity; at the fixpoint every component is a star rooted at
+    * its minimum id. Each step is one groupBy-min plus one keyed join
+    * (map-side combinable; no neighborhood is ever collected into one
+    * row, so a 10⁶-degree hub never builds a 10⁶-element array).
+    *
+    * Convergence check: edge endpoints only ever decrease, so the
+    * (count, Σ(a+b)) pair is unchanged iff the edge set is unchanged —
+    * two scalar aggregates per round, no join-based set compare. */
+  def componentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("a") + col("b")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = stats(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: for each u, m(u) = min(Γ(u) ∪ {u}); larger
+      // neighbors v > u re-attach as (m(u), v)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: each edge (a < b) hangs off b; m(b) = min over the
+      // smaller neighborhood; b and its smaller neighbors re-attach to m
+      val smins = large.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val small = large.select(col("b").as("u"), col("a").as("v"))
+        .join(smins, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(smins.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint()
+      val cur = stats(small)
+      e = small
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents.componentsStar did not converge in $maxIter rounds")
+    // fixpoint edge set is (root, member) stars; roots label themselves
+    e.select(col("b").as("id"), col("a").as("comp"))
+      .unionByName(e.select(col("a").as("id"), col("a").as("comp")))
+      .distinct()
   }
 }

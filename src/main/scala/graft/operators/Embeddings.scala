@@ -32,14 +32,18 @@ object Embeddings {
   }
 
   /** int8 symmetric quantization of the unit-normalized vector:
-    * q_i = floor(x_i / ‖x‖ · 127 + 0.5), values in [-127, 127].
-    * Same once-bound-norm shape as [[normalize]]. */
+    * q_i = floor(x_i / ‖x‖ · 127 + 0.5), values in [-127, 127]. The
+    * zero vector quantizes to all zeros — without the guard the 0/0
+    * division yields NaN, which a non-ANSI int cast silently turns into
+    * 0 here while an oracle engine errors or diverges. Same
+    * once-bound-norm shape as [[normalize]]. */
   def quantize(v: Column): Column = {
     val d = v.cast("array<double>")
     val n = sqrt(Similarity.norm2(d))
-    element_at(
-      transform(array(n), nn =>
-        transform(d, x => floor(x / nn * 127.0 + lit(0.5)).cast("int"))), 1)
+    when(n === 0.0, transform(d, _ => lit(0)))
+      .otherwise(element_at(
+        transform(array(n), nn =>
+          transform(d, x => floor(x / nn * 127.0 + lit(0.5)).cast("int"))), 1))
   }
 
   /** One Lloyd (k-means) iteration in quantized space: assign every

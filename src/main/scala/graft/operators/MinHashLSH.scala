@@ -5,16 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection (LLM-pipeline op).
   *
-  * Pipeline: shingle → K minhashes → b bands of r rows → band-bucket
-  * join → exact-Jaccard verification of candidates.
+  * Pipeline: shingle → content-dedup → K minhashes over distinct-content
+  * representatives → b bands of r rows → band-bucket join → exact-Jaccard
+  * verification → expansion back to all document ids.
   *
-  * Scale design: signatures are pure per-row expressions (shingle set and
-  * K array_min(transform(...)) in one projection — NO shuffle, NO
-  * explode); the only shuffles are (a) the band-bucket self-join, whose
-  * input is b rows × docs of (band, key, id) — tiny relative to the
-  * corpus — and (b) two joins to fetch shingle sets for the candidate
-  * pairs, which are broadcast-able when candidates are rare (the normal
-  * case). Nothing ever materializes the O(n²) pair space.
+  * Scale design — the candidate space is bounded by DISTINCT content, not
+  * corpus size. A web-scale corpus carries boilerplate duplicated 10⁶-10⁷
+  * times; every copy shares every band bucket, so a naive within-bucket
+  * self-join materializes ~10¹²-10¹⁴ candidate pairs from one bucket.
+  * Here identical shingle-sets are collapsed to one representative
+  * ([[contentGroups]]) BEFORE signatures, so a 10⁶-copy cluster
+  * contributes exactly one row per band to the bucket join. Verified
+  * representative pairs are then expanded to member pairs with
+  * output-bounded joins ([[nearDuplicates]]) — quadratic work appears
+  * only where the requested OUTPUT is itself quadratic. Pipelines that
+  * want clusters, not pair lists (the only sane contract at 100 TB),
+  * use [[nearDupEdges]]: member→representative star edges plus verified
+  * representative pairs — linear in the corpus — which yield exactly the
+  * same connected components as the full pair list.
+  *
+  * Residual quadratic risk: a bucket can still be wide with many
+  * *distinct* near-identical documents (templated text differing by one
+  * token). [[candidatePairs]] takes an optional `maxBucketWidth`; buckets
+  * wider than the cap are skipped and surfaced by [[oversizedBuckets]]
+  * for auditing, so the skip is a visible data-quality signal rather
+  * than silent truncation.
   *
   * The default hasher is the portable md5-based [[TextOps.hexHash60]] so
   * results are oracle-checkable cross-engine; production can pass
@@ -22,20 +37,24 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (id, grams, sig) per document; sig is array<long> of length k.
-    *
-    * Signatures hash the *distinct-gram vocabulary* once (k hashes per
-    * distinct shingle, then a join back and k min-aggregates), rather
-    * than k hashes per (doc, gram) occurrence: corpora repeat shingles
-    * heavily, so this cuts hash work by the repetition factor (~8× on
-    * the testdata) and scales with vocabulary, not corpus size. Values
-    * are identical to the naive per-row form. */
-  /** (id, grams) shingle table — the expensive text-shredding pass;
-    * callers that consume it repeatedly should cache it. */
   /** (id, grams) shingle table — see [[TextOps.shingleTable]]. */
   def shingleTable(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
     TextOps.shingleTable(docs, idCol, textCol, shingleN)
+
+  /** Content-identity groups over a shingle table: (id, rep) where
+    * rep = min(id) among documents with the identical shingle SET
+    * (sorted-set fingerprint — signature, band keys, and Jaccard all
+    * depend only on the set). One hash-partitioned groupBy plus one
+    * keyed join; the shuffle-hash hint keeps AQE from broadcast-building
+    * a representative table that is ~corpus-sized when duplication is
+    * rare. */
+  def contentGroups(g: DataFrame): DataFrame = {
+    val fp = g.select(col("id"),
+      md5(concat_ws("", array_sort(col("grams")))).as("gfp"))
+    val reps = fp.groupBy(col("gfp")).agg(min(col("id")).as("rep"))
+    fp.join(reps.hint("shuffle_hash"), "gfp").select(col("id"), col("rep"))
+  }
 
   /** (id, sig) from a shingle table.
     *
@@ -84,18 +103,78 @@ object MinHashLSH {
         (1 to rows).map(j => element_at(col("sig"), col("band") * rows + j)): _*)))
       .select(col("band"), col("bkey"), col("id"))
 
-  /** Distinct candidate pairs (id_a < id_b) sharing any band bucket. */
-  def candidatePairs(banded: DataFrame): DataFrame = {
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
+  /** Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    * Buckets wider than `maxBucketWidth` are skipped (see
+    * [[oversizedBuckets]] for the audit view). Intended input is the
+    * REPRESENTATIVE band table (post-[[contentGroups]]) — bucket width
+    * then measures genuine near-dup diversity, not copy count. */
+  def candidatePairs(banded: DataFrame, maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val in =
+      if (maxBucketWidth == Int.MaxValue) banded
+      else {
+        val ok = banded.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("w")).filter(col("w") <= maxBucketWidth)
+          .select(col("band"), col("bkey"))
+        banded.join(ok.hint("shuffle_hash"), Seq("band", "bkey"), "left_semi")
+      }
+    val a = in.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = in.select(col("band"), col("bkey"), col("id").as("id_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
-  /** End-to-end: verified near-duplicate pairs with exact Jaccard ≥
-    * threshold. Returns (id_a, id_b, jaccard). */
+  /** Audit view of buckets a `maxBucketWidth` cap would skip:
+    * (band, bkey, width). Log or persist alongside the pair output so a
+    * capped run is never a silent under-count. */
+  def oversizedBuckets(banded: DataFrame, maxBucketWidth: Int): DataFrame =
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucketWidth)
+
+  /** Shared pipeline: shingles, content groups, and verified
+    * representative pairs (id_a < id_b, jaccard ≥ threshold; both ids
+    * are representatives). The caches are deliberate: shingles feed the
+    * signature pass AND both verify sides; groups feed the rep filter
+    * and the expansion; band keys feed both self-join sides — exchange
+    * reuse does not kick in across aliased branches, so without the
+    * caches each branch recomputes the whole text-shredding pipeline. */
+  private def repPipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int,
+      bands: Int,
+      shingleN: Int,
+      hashFn: (Int, Column) => Column,
+      maxBucketWidth: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val g = shingleTable(docs, idCol, textCol, shingleN).cache()
+    val groups = contentGroups(g).cache()
+    val repsG = g.join(
+      groups.filter(col("id") === col("rep")).select(col("id")),
+      Seq("id"), "left_semi").cache()
+    val sigs = signaturesFrom(repsG, k, hashFn)
+    val banded = bandKeys(sigs, bands, k / bands).cache()
+    val cands = candidatePairs(banded, maxBucketWidth)
+    val ga = repsG.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = repsG.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    val repPairs = cands.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (groups, repPairs)
+  }
+
+  /** End-to-end: ALL verified near-duplicate pairs with exact Jaccard ≥
+    * threshold, (id_a < id_b, jaccard). Identical output to the naive
+    * all-pairs form, but candidates are generated over distinct-content
+    * representatives only; the expansion joins below are bounded by the
+    * OUTPUT size. Note the pair-list contract is itself quadratic in
+    * copy count (10⁶ copies of one document = 5·10¹¹ output rows) — at
+    * that scale use [[nearDupEdges]] + [[ConnectedComponents]]. */
   def nearDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -104,22 +183,49 @@ object MinHashLSH {
       k: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3,
-      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    // cache the two small, multiply-traversed tables (shingles feed the
-    // signature pass AND both verify sides; band keys feed both self-
-    // join sides — exchange reuse does not kick in across the aliased
-    // branches, so without these caches each branch recomputes the
-    // whole upstream text-shredding pipeline)
-    val g = shingleTable(docs, idCol, textCol, shingleN).cache()
-    val sigs = signaturesFrom(g, k, hashFn)
-    val banded = bandKeys(sigs, bands, k / bands).cache()
-    val cands = candidatePairs(banded)
-    val ga = g.select(col("id").as("id_a"), col("grams").as("grams_a"))
-    val gb = g.select(col("id").as("id_b"), col("grams").as("grams_b"))
-    cands.join(ga, "id_a").join(gb, "id_b")
-      .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      hashFn: (Int, Column) => Column = TextOps.hexHash60,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val (groups, repPairs) = repPipeline(
+      docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
+    // cross-group pairs: every member of rep_a's group × every member of
+    // rep_b's group; jaccard(member_a, member_b) == jaccard(rep_a, rep_b)
+    // because members share their representative's shingle set exactly.
+    val mA = groups.select(col("rep").as("id_a"), col("id").as("m_a"))
+    val mB = groups.select(col("rep").as("id_b"), col("id").as("m_b"))
+    val cross = repPairs.join(mA, "id_a").join(mB, "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    // within-group pairs: identical shingle sets, jaccard exactly 1.0
+    val within = groups.select(col("rep"), col("id").as("m_a"))
+      .join(groups.select(col("rep"), col("id").as("m_b")), "rep")
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("id_a"), col("m_b").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** Scale-safe edge list for CLUSTERING: member→representative star
+    * edges (linear in corpus size — a 10⁶-copy group contributes 10⁶-1
+    * edges, not 5·10¹¹ pairs) plus verified representative pairs.
+    * Connected components over these edges equal the components over the
+    * full [[nearDuplicates]] pair list: within a group every member is
+    * connected through its representative, and a cross-group member pair
+    * (a, b) exists iff the corresponding representative pair does
+    * (identical shingle sets ⇒ identical jaccard). Returns (src, dst). */
+  def nearDupEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      hashFn: (Int, Column) => Column = TextOps.hexHash60,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val (groups, repPairs) = repPipeline(
+      docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
+    val stars = groups.filter(col("id") =!= col("rep"))
+      .select(col("id").as("src"), col("rep").as("dst"))
+    stars.unionByName(repPairs.select(col("id_a").as("src"), col("id_b").as("dst")))
   }
 }

@@ -5,23 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate fingerprinting (LLM-pipeline op).
   *
-  * A 60-bit simhash per document: each distinct shingle contributes
-  * +1/−1 to every bit position of its 60-bit hash; the sign of each
+  * A 64-bit simhash per document: each distinct shingle contributes
+  * +1/−1 to every bit position of its 64-bit hash; the sign of each
   * positional sum is the output bit. Documents within Hamming distance d
   * are near-duplicates.
   *
-  * Scale design: one explode to (doc, shingle) → one hash → one groupBy
-  * with 60 conditional sums (single shuffle, map-side partial agg).
-  * Pair search uses the pigeonhole property: for d ≤ 3, two simhashes
-  * within distance 3 must agree on at least one of 4 15-bit chunks, so
-  * candidates come from a join on (chunk_index, chunk_value) — never the
-  * O(n²) pair space — and are then verified with bit_count(a^b).
+  * Scale design:
+  *  - Fingerprints: one explode to (doc, shingle) → one hash → one
+  *    groupBy with 64 conditional sums (single shuffle, map-side partial
+  *    agg). SimHash needs ONE hash per gram, so the vocabulary-dedup
+  *    join that pays for MinHash's k=32 hashes costs more than it saves
+  *    here (an extra shuffle + join to avoid ~8× less md5 work) —
+  *    hashing per occurrence keeps the plan at a single exchange.
+  *  - 64 bits / 4×16-bit chunks: 16-bit chunk keys give 65 536 buckets
+  *    per chunk; the previous 60-bit/15-bit layout saturated by
+  *    pigeonhole at ~10⁵ documents.
+  *  - Pair search groups documents by simhash VALUE first — Hamming
+  *    distance depends only on the value, so a boilerplate corpus with
+  *    10⁶ identical copies contributes ONE row per chunk bucket instead
+  *    of 10⁶ (the within-bucket self-join would otherwise materialize
+  *    ~10¹² pairs from a single bucket). Verified value pairs are
+  *    expanded back to member pairs with output-bounded joins, exactly
+  *    as [[MinHashLSH.nearDuplicates]] does for shingle-set groups.
+  *
+  * The hash is the portable md5-derived [[TextOps.hexHash64]], so values
+  * and pairs stay bit-checkable against DuckDB (signed two's-complement
+  * arithmetic mirrors documented at [[graft.plans.HexHash60.hash64]];
+  * bit 63's contribution is the Long.MinValue summand, avoiding 64-bit
+  * shifts that DuckDB rejects).
   */
 object SimHash {
 
-  val Bits = 60
+  val Bits = 64
   val Chunks = 4
-  val ChunkBits: Int = Bits / Chunks // 15
+  val ChunkBits: Int = Bits / Chunks // 16
+
+  /** Two's-complement contribution of bit `b` (bit 63 ⇒ Long.MinValue):
+    * simhash = Σ_b set(b) · bitValue(b) stays in signed-64 range with no
+    * 64-bit shift on either engine. */
+  def bitValue(b: Int): Long = 1L << b // 1L << 63 == Long.MinValue
 
   /** (id, simhash) per document. */
   def simhashes(
@@ -34,33 +56,33 @@ object SimHash {
         .as(s"s$b")
     }
     val simhash = (0 until Bits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .map(b => when(col(s"s$b") > 0, lit(bitValue(b))).otherwise(0L))
       .reduce[Column](_ + _)
-    val ex = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    TextOps.shingleTable(docs, idCol, textCol, shingleN)
       .select(col("id"), explode(col("grams")).as("gram"))
-    // hash the distinct-gram vocabulary once, join back (same values as
-    // hashing every occurrence, ~repetition-factor less md5 work).
-    // Same join shape as MinHashLSH.signaturesFrom: explicit
-    // repartition pins the hash projection's parallelism against AQE
-    // small-shuffle coalescing, and the shuffle-hash hint stops AQE
-    // from broadcast-building the exploded-corpus side.
-    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val vocab = ex.select(col("gram")).distinct()
-      .repartition(p, col("gram"))
-      .withColumn("h", TextOps.hexHash60(col("gram")))
-    ex.join(vocab.hint("shuffle_hash"), "gram")
+      .withColumn("h", TextOps.hexHash64(col("gram")))
       .groupBy(col("id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("id"), simhash.as("simhash"))
   }
 
-  /** Pairs within Hamming distance `maxDist` (≤ 3 for exactness with 4
-    * chunks). Returns (id_a, id_b, hamming). */
-  def nearPairs(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
-    val sims = sims0.cache() // read three times (chunks + both join sides)
-    val chunks = sims.select(
-      col("id"), col("simhash"),
+  /** (simhash, rep) — one representative (min id) per distinct simhash
+    * value, plus the (id, rep) membership map. */
+  private def valueGroups(sims: DataFrame): (DataFrame, DataFrame) = {
+    val reps = sims.groupBy(col("simhash")).agg(min(col("id")).as("rep"))
+    val members = sims.join(reps.hint("shuffle_hash"), "simhash")
+      .select(col("id"), col("rep"))
+    (reps, members)
+  }
+
+  /** Verified pairs among distinct simhash VALUES: (id_a, id_b, hamming)
+    * with both ids representatives and 1 ≤ hamming ≤ maxDist. Pigeonhole:
+    * within distance maxDist < Chunks, two hashes must agree on at least
+    * one 16-bit chunk, so candidates come from a join on (chunk index,
+    * chunk value) — never the O(n²) pair space. */
+  private def repPairs(reps: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = reps.select(
+      col("rep").as("id"), col("simhash"),
       explode(sequence(lit(0), lit(Chunks - 1))).as("c"))
       .withColumn("ck",
         expr(s"shiftright(simhash, c * $ChunkBits) & ${(1 << ChunkBits) - 1}"))
@@ -72,5 +94,45 @@ object SimHash {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** ALL pairs within Hamming distance `maxDist` (≤ 3 for exactness with
+    * 4 chunks). Returns (id_a, id_b, hamming). Output-identical to the
+    * naive within-bucket self-join, but the candidate space is bounded
+    * by distinct VALUES: equal-value members expand as hamming-0 pairs,
+    * cross-value pairs inherit their representatives' hamming. The pair
+    * list is itself quadratic in copy count — clustering pipelines
+    * should use [[nearEdges]] instead. */
+  def nearPairs(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
+    val sims = sims0.cache()
+    val (reps, members0) = valueGroups(sims)
+    val members = members0.cache()
+    val verified = repPairs(reps, maxDist)
+    val mA = members.select(col("rep").as("id_a"), col("id").as("m_a"))
+    val mB = members.select(col("rep").as("id_b"), col("id").as("m_b"))
+    val cross = verified.join(mA, "id_a").join(mB, "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+    val within = members.select(col("rep"), col("id").as("m_a"))
+      .join(members.select(col("rep"), col("id").as("m_b")), "rep")
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("id_a"), col("m_b").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Scale-safe edge list for CLUSTERING: member→representative star
+    * edges plus verified representative pairs — linear in corpus size;
+    * connected components equal those of the full [[nearPairs]] list.
+    * Returns (src, dst). */
+  def nearEdges(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
+    val sims = sims0.cache()
+    val (reps, members) = valueGroups(sims)
+    val stars = members.filter(col("id") =!= col("rep"))
+      .select(col("id").as("src"), col("rep").as("dst"))
+    stars.unionByName(
+      repPairs(reps, maxDist).select(col("id_a").as("src"), col("id_b").as("dst")))
   }
 }

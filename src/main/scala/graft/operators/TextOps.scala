@@ -67,6 +67,11 @@ object TextOps {
   def hexHash60(seed: Int, c: Column): Column =
     hexHash60(concat(lit(s"$seed:"), c))
 
+  /** Portable SIGNED 64-bit hash: first 8 md5 bytes big-endian (= first
+    * 16 hex chars wrapped to two's complement). DuckDB mirror documented
+    * at [[graft.plans.HexHash60.hash64]]. */
+  def hexHash64(c: Column): Column = graft.plans.HexHash64(c)
+
   /** Fast non-portable alternative (xxhash64, codegen'd, no md5 cost). */
   def fastHash64(seed: Int, c: Column): Column = xxhash64(lit(seed), c)
 

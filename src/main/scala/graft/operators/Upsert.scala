@@ -25,11 +25,15 @@ object Upsert {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq
     require(keys.forall(cols.contains), s"keys $keys must be target columns")
+    // the synthetic match flag must not collide with the prefixed form
+    // of a real column (a target column literally named "hit" would
+    // prefix to "s_hit" and make the reference ambiguous)
+    val hit = "__graft_s_hit"
     val t = target.select(cols.map(c => col(c).as(s"t_$c")): _*)
-    val s = source.select(cols.map(c => col(c).as(s"s_$c")) :+ lit(true).as("s_hit"): _*)
+    val s = source.select(cols.map(c => col(c).as(s"s_$c")) :+ lit(true).as(hit): _*)
     val cond = keys.map(k => t(s"t_$k") <=> s(s"s_$k")).reduce(_ && _)
     t.join(s, cond, "full_outer")
       .select(cols.map(c =>
-        when(col("s_hit"), col(s"s_$c")).otherwise(col(s"t_$c")).as(c)): _*)
+        when(col(hit), col(s"s_$c")).otherwise(col(s"t_$c")).as(c)): _*)
   }
 }

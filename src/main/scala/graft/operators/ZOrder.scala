@@ -28,13 +28,19 @@ object ZOrder {
   def zValue(cols: Seq[Column], bits: Int = 21): Column = {
     require(cols.nonEmpty && cols.size * bits <= 63, "z-value must fit a long")
     val n = cols.size
-    cols.zipWithIndex.map { case (c, ci) =>
+    val morton = cols.zipWithIndex.map { case (c, ci) =>
       val x = c.cast("long")
       (0 until bits).map { i =>
         // bit i of column ci lands at position i*n + ci
         shiftleft(shiftrightunsigned(x, i).bitwiseAND(1), i * n + ci)
       }.reduce[Column](_ + _)
     }.reduce[Column](_ + _)
+    // negative inputs would silently corrupt the code (their high bits
+    // alias other columns' positions) — fail loudly, with ONE guard
+    // around the whole expression rather than per bit extraction
+    val anyNeg = cols.map(_.cast("long") < 0).reduce[Column](_ || _)
+    when(anyNeg, raise_error(lit("zValue requires non-negative inputs")))
+      .otherwise(morton)
   }
 
   /** Morton code over VALUE-SPACE-scaled columns: each column is
@@ -48,6 +54,13 @@ object ZOrder {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input / all-null columns yield null aggregates: scaling is
+    // then undefined — fail with a message instead of an NPE
+    require(!(0 until 2 * colNames.size).exists(stats.isNullAt), {
+      val bad = colNames.zipWithIndex.collect {
+        case (c, i) if stats.isNullAt(2 * i) => c }
+      s"zValueScaled: no non-null values to scale on column(s) ${bad.mkString(", ")}"
+    })
     val minMax: Map[String, (Double, Double)] = colNames.zipWithIndex.map {
       case (c, i) => c -> (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }.toMap

@@ -55,7 +55,8 @@ object Controller {
       uniqueId: String,
       phase: String,
       status: String, // Success | Partial | Failed
-      details: Map[String, String])
+      details: Map[String, String],
+      errors: Seq[Audit.TaskError] = Nil)
 
   private def now() = new Timestamp(System.currentTimeMillis())
 
@@ -80,9 +81,13 @@ object Controller {
     val translationReport = RunResult(cfg.uniqueId, "translation",
       Audit.classify(cfg.ddlFiles.size, tr.translated.size),
       Map("total" -> cfg.ddlFiles.size.toString,
-        "failed" -> tr.failedFiles.size.toString))
+        "failed" -> tr.failedFiles.size.toString),
+      errors = tr.errors.map(e => Audit.TaskError(
+        s"translation:${e.fileName}#${e.statementIndex}", e.message,
+        "dmt_logs.dmt_translation_results")))
     if (tr.translated.isEmpty && cfg.ddlFiles.nonEmpty)
-      return Seq(translationReport) // reference aborts when ALL files fail (P4)
+      return report(audit, cfg, "ddl", // reference aborts when ALL files fail (P4)
+        Seq(translationReport))
 
     // 2. databases referenced by translated statements
     val dbs = tr.translated.flatMap(_.statements)
@@ -99,18 +104,22 @@ object Controller {
         r.state.toString.toUpperCase, r.attempts, r.error.getOrElse(""), now())))
     val ok = results.count(_.state == DdlRunner.Done)
     val schemaReport = RunResult(cfg.uniqueId, "schema",
-      Audit.classify(results.size, ok), Map("scripts" -> results.size.toString))
+      Audit.classify(results.size, ok), Map("scripts" -> results.size.toString),
+      errors = results.filter(_.state != DdlRunner.Done).map(r =>
+        Audit.TaskError(s"schema:${r.name}", r.error.getOrElse(""),
+          "dmt_logs.dmt_schema_results")))
 
     // 4. validations gated on created tables (table_filter semantics)
     val created = results.filter(_.state == DdlRunner.Done).map(_.name)
     val vreports = runValidations(spark,
       cfg.copy(validations = cfg.validations
         .filter(v => spark.catalog.tableExists(v.targetTable))), audit)
-    report(audit, cfg.uniqueId, "ddl",
+    report(audit, cfg, "ddl",
       Seq(translationReport, schemaReport) ++ vreports)
   }
 
-  /** SQL/DML path: translate → Spark parser dry-run per statement
+  /** SQL/DML path: translate → Spark parser+analyzer dry-run per
+    * statement against the session catalog
     * (`dml_validation_dag.py:74-241` without a live warehouse). */
   def runSqlValidation(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
     val outcomes = cfg.sqlFiles.flatMap { case (name, content) =>
@@ -125,9 +134,12 @@ object Controller {
         err.getOrElse(""), now())
     })
     val ok = outcomes.count(_._3.isEmpty)
-    report(audit, cfg.uniqueId, cfg.kind, Seq(RunResult(cfg.uniqueId,
+    report(audit, cfg, cfg.kind, Seq(RunResult(cfg.uniqueId,
       "dry_run", Audit.classify(outcomes.size, ok),
-      Map("statements" -> outcomes.size.toString, "passed" -> ok.toString))))
+      Map("statements" -> outcomes.size.toString, "passed" -> ok.toString),
+      errors = outcomes.collect { case (f, i, Some(err)) =>
+        Audit.TaskError(s"dry_run:$f#$i", err, "dmt_logs.dmt_dml_validation_results")
+      })))
   }
 
   /** Data path: bounded-parallel loads → incremental drains → audit →
@@ -138,7 +150,9 @@ object Controller {
       Audit.LoadResult(cfg.uniqueId, o.table, o.status, o.rowsLoaded, o.message, now())))
     val ok = outcomes.count(_.status == "PASS")
     val loadReport = RunResult(cfg.uniqueId, "load",
-      Audit.classify(outcomes.size, ok), Map("tables" -> outcomes.size.toString))
+      Audit.classify(outcomes.size, ok), Map("tables" -> outcomes.size.toString),
+      errors = outcomes.filter(_.status != "PASS").map(o =>
+        Audit.TaskError(s"load:${o.table}", o.message, "dmt_logs.dmt_load_results")))
     val incReports = if (cfg.incrementals.isEmpty) Nil else {
       val inc = new graft.load.IncrementalLoader(spark, audit)
       val results = cfg.incrementals.map { i =>
@@ -157,10 +171,12 @@ object Controller {
       })
       Seq(RunResult(cfg.uniqueId, "incremental",
         Audit.classify(results.size, results.count(_._2)),
-        Map("streams" -> results.size.toString)))
+        Map("streams" -> results.size.toString),
+        errors = results.collect { case (t, false, msg) =>
+          Audit.TaskError(s"incremental:$t", msg, "dmt_logs.dmt_load_results") }))
     }
     val vreports = runValidations(spark, cfg, audit)
-    report(audit, cfg.uniqueId, "data", (loadReport +: incReports) ++ vreports)
+    report(audit, cfg, "data", (loadReport +: incReports) ++ vreports)
   }
 
   /** DVT stage: run each validation, audit per-row results, aggregate
@@ -197,17 +213,28 @@ object Controller {
     outcomes.map { case (v, total, passed) =>
       RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
         Audit.classify(total, passed),
-        Map("total" -> total.toString, "passed" -> passed.toString))
+        Map("total" -> total.toString, "passed" -> passed.toString),
+        errors = if (passed == total) Nil else Seq(Audit.TaskError(
+          s"dvt_${v.kind}:${v.targetTable}",
+          s"${total - passed} of $total comparisons failed",
+          "dmt_logs.dmt_dvt_aggregated_results")))
     }
   }
 
-  /** Final run report rows (ReportingOperator semantics). */
-  private def report(audit: AuditSink, uniqueId: String, kind: String,
+  /** Final run report rows (ReportingOperator semantics): flat per-phase
+    * counting rows, plus ONE run-level row with the failed tasks nested
+    * as an Error array — the reference's report shape
+    * (`dmt_report_table.json`; `reporting_operator.py:104-164`). */
+  private def report(audit: AuditSink, cfg: GraftConfig, kind: String,
       phases: Seq[RunResult]): Seq[RunResult] = {
     audit.appendRows("dmt_report_table", phases.map(p =>
-      Audit.ReportRow(uniqueId, s"$kind/${p.phase}",
+      Audit.ReportRow(cfg.uniqueId, s"$kind/${p.phase}",
         p.details.get("total").map(_.toLong).getOrElse(0L),
         0L, 0L, p.status, now())))
+    audit.appendRows("dmt_dag_report", Seq(Audit.DagReportRow(
+      cfg.uniqueId, cfg.source, s"graft_$kind", now(),
+      Audit.classify(phases.size, phases.count(_.status == "Success")),
+      phases.flatMap(_.errors))))
     phases
   }
 }

@@ -48,17 +48,54 @@ object HexHash60 {
       java.security.MessageDigest.getInstance("MD5"))
 
   /** Top 60 bits of md5 of the UTF-8 bytes (= first 15 hex chars). */
-  def hash60(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = hash64(s) >>> 4
+
+  /** First 8 md5 bytes big-endian as a SIGNED long (= first 16 hex chars
+    * wrapped to two's complement). DuckDB mirror: hi/lo 32-bit halves
+    * from `substr(md5(x),1,8)` / `substr(md5(x),9,8)`, then
+    * `(hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+    *  * 4294967296 + lo` — pure BIGINT arithmetic, no 64-bit shift
+    * (DuckDB's `<<` raises on overflow). */
+  def hash64(s: UTF8String): Long = {
     val md = threadMd5.get()
     md.reset()
     val d = md.digest(s.getBytes)
-    // big-endian first 8 bytes >>> 4 == first 15 hex nibbles
-    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   /** Column API over any input (cast to string first). */
   def apply(c: Column): Column =
     ExprBridge.column(HexHash60(ExprBridge.expression(c.cast("string"))))
+}
+
+/** Native portable 64-bit hash — first 8 md5 bytes big-endian as a
+  * signed long. Same thread-local-digest fast path as [[HexHash60]];
+  * used by the 64-bit SimHash where 60 bits would leave 15-bit chunk
+  * keys (which saturate by pigeonhole at ~10⁵ documents). */
+case class HexHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hex_hash64 requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HexHash60.hash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HexHash60.hash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HexHash64 =
+    copy(child = newChild)
+}
+
+object HexHash64 {
+  /** Column API over any input (cast to string first). */
+  def apply(c: Column): Column =
+    ExprBridge.column(HexHash64(ExprBridge.expression(c.cast("string"))))
 }

@@ -269,7 +269,9 @@ object CoreQueries {
       // 1-day lookback window over max event time + JSON attr (S13)
       val ev = T(s, dir, "events")
       val mx = ev.agg(max(col("ts")).as("mx"))
-      ev.crossJoin(mx)
+      // 1-row aggregate: broadcast explicitly (AQE would pick it anyway,
+      // but the hint removes the planner dependence — q11/q22 pattern)
+      ev.crossJoin(broadcast(mx))
         .filter(col("ts") > col("mx") - expr("INTERVAL 1 DAY"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -81,10 +81,12 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d6_dedup_clusters" -> ((s, dir) => {
-      val pairs = MinHashLSH.nearDuplicates(corpusDocs(s, dir), "doc_id", "text",
+      // nearDupEdges (star edges + verified representative pairs) is the
+      // 100 TB clustering path: edge count linear in corpus size, same
+      // components as the full nearDuplicates pair list.
+      val edges = MinHashLSH.nearDupEdges(corpusDocs(s, dir), "doc_id", "text",
         MinhashThreshold, k = K, bands = Bands)
-      ConnectedComponents.components(
-          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      ConnectedComponents.components(edges)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
@@ -149,13 +151,27 @@ object DedupQueries {
     val sums = (0 until SimHash.Bits)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n  ")
+    // bit 63's two's-complement contribution is Long.MinValue; emitted
+    // ascending so the positive bits (≤ 2^63-1) accumulate before the
+    // negative summand — DuckDB BIGINT arithmetic raises on overflow.
     val bits = (0 until SimHash.Bits)
-      .map(b => s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .map { b =>
+        val v = if (b == 63) "(-9223372036854775807 - 1)" else SimHash.bitValue(b).toString
+        s"(CASE WHEN s$b > 0 THEN CAST($v AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
       .mkString(" + ")
+    // hexHash64 mirror: signed 64-bit from two 32-bit md5 halves, pure
+    // BIGINT arithmetic (DuckDB `<<` raises on 64-bit shift overflow).
     s"""$wordsSql,
        |$gramsSql,
        |ge AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-       |h AS (SELECT doc_id, ${hex60("gram")} AS h FROM ge),
+       |hx AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(concat('0x', substr(md5(gram), 9, 8)) AS BIGINT) AS lo
+       | FROM ge),
+       |h AS (SELECT doc_id,
+       |  (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS h
+       | FROM hx),
        |ssum AS (SELECT doc_id,
        |  $sums
        | FROM h GROUP BY doc_id),

@@ -106,8 +106,12 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // zero-norm guard mirrors Embeddings.quantize: a zero vector
+  // quantizes to all zeros instead of 0/0 → NaN (whose int cast
+  // diverges across engines)
   private val quantizeExpr = (v: String, nrm: String) =>
-    s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) / $nrm * 127.0 + 0.5) AS INTEGER))"
+    s"(CASE WHEN $nrm = 0 THEN list_transform($v, x -> 0) ELSE " +
+      s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) / $nrm * 127.0 + 0.5) AS INTEGER)) END)"
 
   private val e1Oracle: String =
     s"""WITH n AS (SELECT vec_id, embedding,

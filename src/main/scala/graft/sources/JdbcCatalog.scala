@@ -7,10 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference shells out to `dwh-migration-dumper` (Teradata),
   * `pg_tables`+`SHOW TABLE` (Redshift) and an `all_tab_columns` CTE
   * (Oracle); the Spark-native form of all three is `spark.read.jdbc`
-  * against the system catalog plus range-partitioned bulk reads. This
-  * container ships no JDBC drivers, so these builders are exercised in
-  * tests only up to plan construction; the option plumbing is the
-  * production path.
+  * against the system catalog plus range-partitioned bulk reads. No
+  * warehouse drivers ship in this container, but the full path —
+  * driver loading, query-option pushdown, schema inference, partitioned
+  * reads — runs LIVE against embedded Derby in JdbcLiveSpec, with each
+  * dialect's catalog SQL executed verbatim over emulated catalog
+  * tables; only the warehouse-specific driver jar differs in
+  * production.
   */
 object JdbcCatalog {
 

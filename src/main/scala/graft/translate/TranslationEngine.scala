@@ -77,10 +77,19 @@ object TranslationEngine {
     s
   }
 
-  /** Dry-run a translated statement against Spark's parser+analyzer —
-    * the in-engine equivalent of the reference's BQ dry-run validation
-    * (`dml_validation_dag.py:192-214`). Returns None on success. */
+  /** Dry-run a translated statement against Spark's parser AND analyzer
+    * — the in-engine equivalent of the reference's BQ dry-run validation
+    * (`dml_validation_dag.py:192-214`), which is semantic: its own
+    * fixture `samples/dml/teradata/DML_Use_Case_2.sql` ("Error due to
+    * invalid_col not exist") parses fine and only fails resolution.
+    * Analysis resolves tables/columns against the session catalog and
+    * checks insert arity/types, without executing anything; DML on v1
+    * tables analyzes cleanly (the v2-writes-only restriction surfaces at
+    * execution, not analysis). Returns None on success. */
   def dryRun(spark: org.apache.spark.sql.SparkSession, stmt: String): Option[String] =
-    try { spark.sessionState.sqlParser.parsePlan(stmt); None }
-    catch { case e: Exception => Some(e.getMessage) }
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      spark.sessionState.executePlan(plan).assertAnalyzed()
+      None
+    } catch { case e: Exception => Some(e.getMessage) }
 }

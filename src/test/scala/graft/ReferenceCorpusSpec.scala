@@ -122,16 +122,27 @@ class ReferenceCorpusSpec extends AnyFunSuite {
       .dataType.simpleString == "decimal(38,18)")
   }
 
-  test("sample Teradata DML translates, splits, and dry-runs") {
+  test("sample Teradata DML translates, splits, and semantically dry-runs") {
     val samples = readAll("/root/reference/samples/dml/teradata")
     assume(samples.nonEmpty)
+    // the dry-run is analyzer-backed, so the referenced tables must
+    // exist (in the pipeline the DDL phase creates them; suite order
+    // across spec files isn't guaranteed, so ensure them here)
+    spark.sql("CREATE DATABASE IF NOT EXISTS DMT_DATASET")
+    Seq("EMPLOYEE1", "EMPLOYEE2").foreach(t =>
+      spark.sql(s"CREATE TABLE IF NOT EXISTS DMT_DATASET.$t (" +
+        "emp_no INT, emp_name STRING, job_title STRING, manager_id INT, " +
+        "salary DECIMAL(18,2), commission DECIMAL(18,2), dept_no INT) USING parquet"))
     val outcomes = samples.flatMap { case (name, content) =>
       StatementSplitter.split(content, StatementSplitter.Sql).map { stmt =>
         name -> TranslationEngine.dryRun(spark, TranslationEngine.translateSql(stmt))
       }
     }
     assert(outcomes.nonEmpty)
-    val failures = outcomes.filter(_._2.nonEmpty)
-    assert(failures.isEmpty, failures.mkString("\n"))
+    // Use_Case_2 is the reference's own negative fixture: parses, but
+    // invalid_col must fail resolution
+    val (bad, good) = outcomes.partition(_._1.contains("Use_Case_2"))
+    assert(good.forall(_._2.isEmpty), good.filter(_._2.nonEmpty).mkString("\n"))
+    assert(bad.nonEmpty && bad.forall(_._2.exists(_.contains("invalid_col"))), bad.mkString("\n"))
   }
 }

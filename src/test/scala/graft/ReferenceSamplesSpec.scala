@@ -97,12 +97,15 @@ class ReferenceSamplesSpec extends AnyFunSuite {
       .count() == 1)
   }
 
-  test("Teradata DML use cases (comment handling) split + dry-run like the reference") {
-    // the reference BQ-dry-runs these (no execution), and Spark's
-    // parquet v1 tables don't support DELETE/UPDATE anyway — parity is
-    // split + parse-level dry run
+  test("Teradata DML use cases split + SEMANTIC dry-run like the reference") {
+    // the reference BQ-dry-runs these (no execution) against the tables
+    // the DDL phase created; the dry-run is semantic — Use_Case_2 is its
+    // own negative fixture ("Error due to invalid_col not exist"), which
+    // parses fine and must fail RESOLUTION. The DDL test above created
+    // DMT_DATASET.EMPLOYEE1..6 in this shared session.
     val files = readAll("/root/reference/samples/dml/teradata")
     assume(files.nonEmpty)
+    assume(spark.catalog.tableExists("DMT_DATASET.EMPLOYEE1"))
     val perFile = files.map { case (n, c) =>
       n -> StatementSplitter.split(c, StatementSplitter.Sql)
     }.toMap
@@ -112,9 +115,31 @@ class ReferenceSamplesSpec extends AnyFunSuite {
     uc1.foreach { stmts =>
       assert(stmts.count(_.toUpperCase.contains("DELETE FROM")) == 1)
     }
-    val outcomes = perFile.values.flatten.map(s =>
-      TranslationEngine.dryRun(spark, TranslationEngine.translateSql(s)))
-    assert(outcomes.nonEmpty && outcomes.forall(_.isEmpty),
-      outcomes.flatten.mkString("\n"))
+    val outcomes = perFile.toSeq.flatMap { case (n, stmts) =>
+      stmts.map(s => n -> TranslationEngine.dryRun(spark, TranslationEngine.translateSql(s)))
+    }
+    assert(outcomes.nonEmpty)
+    val (bad, good) = outcomes.partition(_._1.contains("Use_Case_2"))
+    assert(good.forall(_._2.isEmpty), good.flatMap(_._2).mkString("\n"))
+    assert(bad.nonEmpty && bad.forall(_._2.exists(_.contains("invalid_col"))),
+      s"Use_Case_2 must fail the semantic dry-run on invalid_col: $bad")
+  }
+
+  test("Oracle dml_error fixture fails the semantic dry-run; dml_1 passes") {
+    assume(spark.catalog.tableExists("EDW_ODB.COUNTRIES"))
+    val files = readAll("/root/reference/samples/dml/oracle")
+    assume(files.nonEmpty)
+    val outcomes = files.flatMap { case (n, c) =>
+      val stmts = StatementSplitter.split(c) match {
+        case Nil => Seq(c.trim); case s => s
+      }
+      stmts.map(s => n -> TranslationEngine.dryRun(spark, TranslationEngine.translateSql(s)))
+    }
+    val (err, ok) = outcomes.partition(_._1.contains("error"))
+    assert(ok.forall(_._2.isEmpty), ok.flatMap(_._2).mkString("\n"))
+    // dml_error.sql: INSERT INTO COUNTRIES(country_id) VALUES(4, 'Americas')
+    // — one target column, two values: an arity error only analysis sees
+    assert(err.nonEmpty && err.forall(_._2.nonEmpty),
+      s"dml_error.sql must fail the semantic dry-run: $err")
   }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Duplicate-heavy-corpus scale guards: a web-scale corpus carries
+  * boilerplate duplicated 10⁶-10⁷ times, and every copy shares every
+  * LSH band bucket — the candidate space must be bounded by DISTINCT
+  * content, never by copy count. These tests plant a 10⁴-copy cluster
+  * (big enough that an all-pairs bucket join would materialize ~5·10⁷
+  * candidates per band and time out; small enough for CI) and assert
+  * the bounded shapes end-to-end.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "dedup-scale-test")
+
+  private val Copies = 10000L
+  private val boiler =
+    "this exact boilerplate paragraph appears verbatim on every page of the crawl again and again"
+
+  private def corpus = {
+    import spark.implicits._
+    val copies = (1L to Copies).map(i => (i, boiler))
+    val distinctDocs = (Copies + 1 to Copies + 50).map(i =>
+      (i, s"unique document number $i carrying tokens ${i * 7} ${i * 13} ${i * 29} of its own payload"))
+    (copies ++ distinctDocs).toDF("doc_id", "text")
+  }
+
+  test("contentGroups collapse 10^4 copies to one representative") {
+    val g = MinHashLSH.shingleTable(corpus, "doc_id", "text")
+    val groups = MinHashLSH.contentGroups(g).cache()
+    assert(groups.count() == Copies + 50)
+    assert(groups.filter(col("id") === col("rep")).count() == 51)
+    assert(groups.filter(col("rep") === 1L).count() == Copies)
+    groups.unpersist()
+  }
+
+  test("minhash candidate space is bounded by distinct content, not copy count") {
+    val g = MinHashLSH.shingleTable(corpus, "doc_id", "text").cache()
+    val groups = MinHashLSH.contentGroups(g)
+    val repsG = g.join(groups.filter(col("id") === col("rep")).select(col("id")),
+      Seq("id"), "left_semi")
+    val sigs = MinHashLSH.signaturesFrom(repsG, 16)
+    val banded = MinHashLSH.bandKeys(sigs, 4, 4).cache()
+    // 51 reps × 4 bands rows enter the bucket join; candidates ≤ C(51,2)
+    assert(banded.count() == 51 * 4)
+    assert(MinHashLSH.candidatePairs(banded).count() <= 51L * 50 / 2)
+    banded.unpersist(); g.unpersist()
+  }
+
+  test("nearDupEdges: linear edge list, one cluster over 10^4 copies") {
+    val edges = MinHashLSH.nearDupEdges(corpus, "doc_id", "text", 0.8).cache()
+    // the 10^4-copy group contributes exactly copies-1 star edges; the
+    // 50 distinct docs share no shingles so no verified rep pair forms
+    assert(edges.count() == Copies - 1)
+    val comps = ConnectedComponents.components(edges)
+    assert(comps.count() == Copies)
+    assert(comps.agg(countDistinct(col("comp"))).head.getLong(0) == 1L)
+    assert(comps.agg(min(col("comp"))).head.getLong(0) == 1L)
+    edges.unpersist()
+  }
+
+  test("simhash pair search groups by value: chunk join sees distinct values only") {
+    val sims = SimHash.simhashes(corpus, "doc_id", "text").cache()
+    assert(sims.count() == Copies + 50)
+    // all copies share one simhash value → 51 distinct values max
+    assert(sims.agg(countDistinct(col("simhash"))).head.getLong(0) <= 51L)
+    val edges = SimHash.nearEdges(sims).cache()
+    // star edges dominate; verified cross-value pairs only between docs
+    // within hamming 3 (the distinct docs are far apart)
+    assert(edges.count() >= Copies - 1 && edges.count() <= Copies + 60)
+    val comps = ConnectedComponents.components(edges)
+    assert(comps.filter(col("comp") === 1L).count() >= Copies)
+    edges.unpersist(); sims.unpersist()
+  }
+
+  test("bucket-width cap skips oversized buckets and audits them") {
+    import spark.implicits._
+    // 40 distinct-content docs that still share one band bucket is the
+    // residual risk; emulate with hand-built band rows
+    val banded = ((1L to 40L).map(i => (0, "hot", i)) ++ Seq((0, "cold", 41L), (0, "cold", 42L)))
+      .toDF("band", "bkey", "id")
+    val capped = MinHashLSH.candidatePairs(banded, maxBucketWidth = 10)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((41L, 42L)))
+    val audit = MinHashLSH.oversizedBuckets(banded, 10).collect()
+    assert(audit.length == 1 && audit.head.getAs[String]("bkey") == "hot"
+      && audit.head.getAs[Long]("width") == 40L)
+  }
+}

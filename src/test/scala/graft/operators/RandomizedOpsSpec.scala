@@ -42,6 +42,35 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsStar == union-find min-label on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(60)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(40, edges)
+      val got = ConnectedComponents.componentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
+  test("componentsStar: path graph converges in O(log n) rounds where hash-to-min needs diameter") {
+    import spark.implicits._
+    val n = 200L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    // diameter 199 ≫ the cap: hash-to-min must fail loudly, not return
+    // wrong labels silently
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(path, maxIter = 10)
+    }
+    // log2(200) ≈ 7.6; the star algorithm gets a small constant on top
+    val got = ConnectedComponents.componentsStar(path, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
   // ---- upsert vs map semantics --------------------------------------
 
   test("upsert == map override on random keyed data") {

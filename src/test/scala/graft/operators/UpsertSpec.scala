@@ -25,4 +25,13 @@ class UpsertSpec extends AnyFunSuite {
     val out = Upsert.upsert(target, source, Seq("k")).collect()
     assert(out.length == 1 && out(0).isNullAt(1))
   }
+
+  test("a target column literally named 'hit' does not collide with the match flag") {
+    import spark.implicits._
+    val target = Seq((1L, 5), (2L, 6)).toDF("k", "hit")
+    val source = Seq((2L, 60), (3L, 70)).toDF("k", "hit")
+    val out = Upsert.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1L, 5), (2L, 60), (3L, 70)))
+  }
 }

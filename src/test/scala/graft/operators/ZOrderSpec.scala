@@ -53,4 +53,17 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zx < rx * 0.55, s"x spread $zx vs random $rx")
     assert(zy < ry * 0.55, s"y spread $zy vs random $ry")
   }
+
+  test("zValue fails loudly on negative inputs; zValueScaled on empty/all-null input") {
+    import spark.implicits._
+    val neg = Seq((-1L, 2L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), 3).as("z"))
+    val e = intercept[Exception] { neg.collect() }
+    assert(e.getMessage != null)
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    intercept[IllegalArgumentException] { ZOrder.zValueScaled(empty, Seq("x", "y")) }
+    val allNull = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException] { ZOrder.zValueScaled(allNull, Seq("x", "y")) }
+    assert(e2.getMessage.contains("y"))
+  }
 }

@@ -110,6 +110,30 @@ class PipelineSpec extends AnyFunSuite {
     val types = spark.table("wh.items").schema.map(f => f.name -> f.dataType.simpleString).toMap
     assert(types("ID") == "int" && types("PRICE") == "decimal(15,2)")
     assert(audit.read("dmt_report_table").filter(col("unique_id") === "run1").count() >= 2)
+    // clean run: dag report row exists with an EMPTY Error array
+    val dag = audit.read("dmt_dag_report").filter(col("unique_id") === "run1").collect()
+    assert(dag.length == 1 && dag.head.getAs[String]("dag_status") == "Success"
+      && dag.head.getSeq[Any](dag.head.fieldIndex("Error")).isEmpty)
+  }
+
+  test("Controller ddl route: failed script lands in the nested Error array") {
+    val cfg = Controller.GraftConfig(
+      kind = "ddl", source = "teradata", uniqueId = "run1-fail",
+      ddlFiles = Seq(
+        ("good.sql", "CREATE TABLE whf.ok_t (ID INTEGER, NAME VARCHAR(10));"),
+        // a type no dialect maps -> translation error record
+        ("bad.sql", "CREATE TABLE whf.bad_t (ID INTEGER, J FROBNICATE(4));")))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.exists(_.status != "Success"))
+    // the run-level report row carries the failing task's name + message
+    // nested as ARRAY<STRUCT<task_name, error_message, log_link>>
+    val dag = audit.read("dmt_dag_report")
+      .filter(col("unique_id") === "run1-fail")
+      .selectExpr("explode(Error) AS e").select("e.*").collect()
+    assert(dag.nonEmpty, "expected nested error records")
+    assert(dag.exists(r => r.getAs[String]("task_name").contains("bad.sql")),
+      dag.mkString("\n"))
+    assert(dag.forall(r => r.getAs[String]("log_link").startsWith("dmt_logs.")))
   }
 
   test("Controller data route: load + column validation vs source parquet") {
@@ -172,14 +196,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("Controller sql route: dry-run classifies good and bad statements") {
+  test("Controller sql route: dry-run classifies good, unparseable, and unresolvable") {
+    // the dry-run is analyzer-backed: a parseable statement against a
+    // missing table (or column) must fail, not just syntax errors
     val cfg = Controller.GraftConfig(
       kind = "sql", source = "teradata", uniqueId = "run3",
       sqlFiles = Seq(
-        ("ok.sql", "SEL * FROM some.table;"),
-        ("bad.sql", "SELECT FROM WHERE;;; GROUP;")))
+        ("ok.sql", "SEL 1 AS one;"),
+        ("bad.sql", "SELECT FROM WHERE;;; GROUP;"),
+        ("missing.sql", "SELECT * FROM no_such_db.no_such_table;")))
     val results = Controller.run(spark, cfg, audit)
     assert(results.head.status == "Partial")
+    assert(results.head.details("passed") == "1")
   }
 
   test("ConfigStream: drains valid drops once, rejects bad folders/extensions") {
