@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.TpchQueries.queries ++
-      graft.queries.ExtraQueries.queries
+      graft.queries.ExtraQueries.queries ++
+      graft.queries.TrainQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.TpchQueries.oracle ++
-      graft.queries.ExtraQueries.oracle
+      graft.queries.ExtraQueries.oracle ++
+      graft.queries.TrainQueries.oracle
 }

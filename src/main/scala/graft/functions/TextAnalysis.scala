@@ -97,16 +97,11 @@ object TextAnalysis {
     * k-char window with the portable 60-bit hash, keep the k smallest.
     * Two documents share sketch entries iff they share k-char runs —
     * the classic fingerprint for plagiarism/near-dup detection. */
-  def charGramSketch(text: Column, gram: Int = 8, bottomK: Int = 4): Column = {
-    val hashes = transform(
-      sequence(lit(1), greatest(lit(1), length(text) - (gram - 1))),
-      i => TextOps.hexHash60(substring(text, i, lit(gram))))
-    slice(array_sort(array_distinct(hashes)), 1, bottomK)
-  }
+  def charGramSketch(text: Column, gram: Int = 8, bottomK: Int = 4): Column =
+    graft.plans.CharGramSketch(text, gram, bottomK)
 
-  /** Single rolling fingerprint: min over the char-gram hashes. */
+  /** Single rolling fingerprint: min over the char-gram hashes
+    * (= the bottom-1 sketch). */
   def fingerprint(text: Column, gram: Int = 8): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(lit(1), length(text) - (gram - 1))),
-      i => TextOps.hexHash60(substring(text, i, lit(gram)))))
+    element_at(graft.plans.CharGramSketch(text, gram, 1), 1)
 }

@@ -68,7 +68,11 @@ object TextQueries {
         .limit(20)
     }),
     "t4_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents").select(
+      // rebalance BEFORE the per-row md5 sketch: a single-file corpus
+      // scans as 1-3 partitions, which would pin the CPU-heavy gram
+      // hashing to as many cores (same pattern as TextOps.shingleTable)
+      val p = s.sessionState.conf.numShufflePartitions
+      Tables(s, dir, "documents").repartition(p).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         concat_ws(",", TextAnalysis.charGramSketch(col("text"))).as("sketch"))

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Contamination, QualityRules, SequencePacker, TextOps, TfIdf}
+
+/** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
+  * term weighting, Gopher-style rule filters, intra-document repetition,
+  * benchmark contamination, and context-window sequence packing. Every
+  * score that reaches a comparison or an output column is either integer
+  * arithmetic or a single IEEE double division, so results are
+  * bit-checkable against DuckDB (no ln(), no decimal-literal division).
+  */
+object TrainQueries {
+
+  private val PackBudget = 512L
+  private val PackBlock = 64L
+  private val ContamN = 5
+  private val Stops = Seq("the", "a")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tf1_tfidf_topk" -> ((s, dir) => {
+      TfIdf.topTerms(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("word"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    "g1_gopher_rules" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_words"),
+          QualityRules.meanWordLen(col("w")).as("mean_word_len"),
+          QualityRules.distinctRatio(col("w")).as("distinct_ratio"),
+          QualityRules.gopherPass(col("w"), Stops).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+    "rep1_repetition" -> ((s, dir) => {
+      // per-gram counts via explode: the scalable shape (the per-row
+      // O(g²) alternative dies on 10⁵-word documents)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.wordNGrams(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n2"),
+          count(lit(1)).as("n2_distinct"),
+          max(col("cnt")).as("max_cnt"))
+        .withColumn("dup_frac",
+          (col("n2") - col("n2_distinct")).cast("double") / col("n2"))
+        .orderBy(col("doc_id"))
+    }),
+    "c1_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      Contamination.overlap(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", ContamN)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+    "pk1_sequence_pack" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCountWs(col("text")).as("toks"))
+      SequencePacker.pack(toks, "doc_id", "toks", PackBudget, PackBlock)
+        .select(col("id").as("doc_id"), col("weight").as("toks"),
+          col("cum"), col("bin"))
+        .orderBy(col("doc_id"))
+    }))
+
+  // ---- DuckDB mirrors -------------------------------------------------
+
+  private val wordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private def shingleExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $parts))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "tf1_tfidf_topk" ->
+      s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
+         |wv AS (SELECT doc_id, word FROM wx WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM wv GROUP BY doc_id, word),
+         |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |  CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+         | FROM tf JOIN df ON tf.word = df.word, n)
+         |SELECT doc_id, word, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+         | SELECT s.*, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY score DESC, word) AS rank FROM s)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "g1_gopher_rules" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS INTEGER) AS n_words,
+         |  CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+         |    (a, x) -> a + x) AS DOUBLE) / len(w) AS mean_word_len,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+         |  list_has_any(w, ['the', 'a']) AS has_stop
+         | FROM ww)
+         |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+         | (n_words >= 50 AND n_words <= 100000
+         |  AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+         |  AND distinct_ratio > 0.2 AND has_stop) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "rep1_repetition" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |g2 AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+         | FROM ww WHERE len(w) >= 2),
+         |pc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM g2 GROUP BY doc_id, g)
+         |SELECT doc_id,
+         | CAST(SUM(cnt) AS BIGINT) AS n2,
+         | CAST(COUNT(*) AS BIGINT) AS n2_distinct,
+         | MAX(cnt) AS max_cnt,
+         | CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_frac
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c1_contamination" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |g5 AS (SELECT doc_id, unnest(${shingleExpr(ContamN)}) AS gram
+         | FROM ww WHERE len(w) >= $ContamN),
+         |bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, gram FROM g5 WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |FROM corpus c JOIN bench b ON c.gram = b.gram
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "pk1_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsExpr) AS BIGINT) AS toks
+         | FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  CAST(SUM(toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         | FROM t)
+         |SELECT doc_id, toks, cum, (cum - toks) // $PackBudget AS bin
+         |FROM c ORDER BY doc_id""".stripMargin
+  )
+}

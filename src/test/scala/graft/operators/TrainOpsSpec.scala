@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 training-data curation operators: two-phase sequence packing
+  * vs the single-window definition, TF-IDF ranking, contamination
+  * overlap vs brute force, quality-rule semantics. */
+class TrainOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "trainops-test")
+
+  test("SequencePacker two-phase prefix == single-window cumsum (gapped ids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // non-contiguous ids exercise uneven blocks
+    val rows = (0 until 500).map(i => (i.toLong * 3 + rnd.nextInt(2), 1L + rnd.nextInt(900)))
+      .distinctBy(_._1)
+    val df = rows.toDF("doc_id", "toks").repartition(7)
+    val packed = SequencePacker.pack(df, "doc_id", "toks", budget = 2048, blockSize = 32)
+      .select("id", "cum", "bin")
+    val naive = df.select(col("doc_id").as("id"),
+        sum(col("toks")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        col("toks"))
+      .select(col("id"), col("cum"),
+        floor((col("cum") - col("toks")) / lit(2048L)).cast("long").as("bin"))
+    assert(packed.except(naive).isEmpty && naive.except(packed).isEmpty)
+    // bins are contiguous and (except possibly the last) near-budget
+    val stats = SequencePacker.binStats(packed.withColumnRenamed("toks", "weight")
+        .join(df.select(col("doc_id").as("id"), col("toks").as("weight")), "id"))
+      .orderBy("bin").collect()
+    assert(stats.map(_.getLong(0)).toSeq == stats.indices.map(_.toLong))
+  }
+
+  test("TfIdf ranks a document's distinctive term above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words here"),
+      (3L, "common words there"),
+      (4L, "common words everywhere")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", 1)
+      .filter(col("id") === 1L).head()
+    // 'common' has tf 3 but df 4; 'zebra' tf 1 df 1: 1*4/1 > 3*4/4
+    assert(top.getAs[String]("word") == "zebra")
+    assert(top.getAs[Double]("score") == 4.0)
+  }
+
+  test("Contamination.overlap counts distinct shared n-grams, brute-force checked") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares the 5-gram window
+      (2L, "totally different words appear right here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = Contamination.overlap(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L)) // exactly one shared 5-gram, doc 2 absent
+  }
+
+  test("gopherPass gates on word count, mean length, distinct ratio, stopwords") {
+    import spark.implicits._
+    val good = (Seq.tabulate(60)(i => s"word$i") :+ "the").mkString(" ")
+    val tooShort = "the tiny doc"
+    val degenerate = ("spam " * 60).trim + " the" // distinct ratio ~2/61
+    val noStop = Seq.tabulate(60)(i => s"word$i").mkString(" ")
+    val df = Seq((1L, good), (2L, tooShort), (3L, degenerate), (4L, noStop))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        QualityRules.gopherPass(TextOps.words(col("text")), Seq("the", "a")).as("pass"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("dupBigramFraction: 0 for all-distinct, high for degenerate repetition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, ("x y " * 10).trim)).toDF("doc_id", "text")
+      .select(col("doc_id"), QualityRules.dupBigramFraction(col("text")).as("f"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) > 0.8) // 19 grams, 2 distinct
+  }
+}
