@@ -42,6 +42,13 @@ object Multimodal {
 
   final case class Frame(asset_id: Long, frame_idx: Int, ts_sec: Double)
 
+  final case class AudioAsset(
+      asset_id: Long, uri: String, sample_rate: Int, n_samples: Int,
+      data: Array[Byte])
+
+  final case class AudioWindow(
+      asset_id: Long, window_idx: Int, start_sample: Int, energy: Long)
+
   /** Extract image features in partition batches. One codec per
     * partition (the expensive init a real decoder needs), then a
     * per-row decode + featurize. */
@@ -84,6 +91,20 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.flatMap { v =>
       (0 until v.n_frames by everyN).map(i => Frame(v.asset_id, i, i / v.fps))
+    }
+  }
+
+  /** Per-window signal energy over decoded audio — the framing pass
+    * every audio pipeline runs before VAD / feature extraction. Batch
+    * mapPartitions like the image path (one codec per partition); the
+    * stub decoder streams samples, so a window's energy accumulates
+    * without materializing the waveform. */
+  def windowedEnergy(
+      ds: Dataset[AudioAsset], windowSize: Int = 256): Dataset[AudioWindow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new AudioCodec // per-partition init, amortized
+      it.flatMap(a => codec.windowEnergiesStub(a, windowSize))
     }
   }
 
@@ -154,6 +175,8 @@ final class ImageCodec {
     Multimodal.DecodedImage(width, height, 3, Array.emptyByteArray)
   }
 
+  private[multimodal] def hash60Of(bytes: Array[Byte]): Long = hash60(bytes)
+
   /** STUB — deterministic fake of an image-embedding model. */
   def featurizeStub(data: Array[Byte], dim: Int): Array[Float] = {
     val hex = md.digest(data).map("%02x".format(_)).mkString.take(15)
@@ -161,6 +184,36 @@ final class ImageCodec {
       val hi = java.lang.Long.parseLong(
         md.digest(s"$i:$hex".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
       (hi % 1000) / 1000.0f
+    }
+  }
+}
+
+/** Stub audio codec: deterministic md5-derived "PCM" — sample i of an
+  * asset with payload hash h is ((h + i·2654435761) mod 201) − 100, a
+  * pseudo-waveform in [−100, 100]. A real build replaces the sample
+  * generator with an actual decoder; the streaming per-window
+  * accumulation (never materializing the waveform) is the production
+  * shape.
+  */
+final class AudioCodec {
+  private val imageCodec = new ImageCodec
+
+  /** STUB — per-window energies Σ s_i² without materializing samples. */
+  def windowEnergiesStub(
+      a: Multimodal.AudioAsset, windowSize: Int): Iterator[Multimodal.AudioWindow] = {
+    val h = imageCodec.hash60Of(a.data)
+    val nWindows = (a.n_samples + windowSize - 1) / windowSize
+    (0 until nWindows).iterator.map { w =>
+      val start = w * windowSize
+      val end = math.min(start + windowSize, a.n_samples)
+      var e = 0L
+      var i = start
+      while (i < end) {
+        val s = (h + i * 2654435761L) % 201 - 100
+        e += s * s
+        i += 1
+      }
+      Multimodal.AudioWindow(a.asset_id, w, start, e)
     }
   }
 }

@@ -33,6 +33,19 @@ object MultimodalQueries {
       Multimodal.sampleFrames(vids, everyN = 7)
         .toDF()
         .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+    "m3_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val audio = Tables(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        concat(lit("mem://"), col("doc_id")).as("uri"),
+        lit(16000).as("sample_rate"),
+        ((col("n_chars") % 500) * 4 + 64).cast("int").as("n_samples"),
+        encode(col("text"), "UTF-8").as("data"))
+        .as[Multimodal.AudioAsset]
+      Multimodal.windowedEnergy(audio, windowSize = 256)
+        .toDF()
+        .orderBy(col("asset_id"), col("window_idx"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -47,6 +60,17 @@ object MultimodalQueries {
         | CAST(f.i AS DOUBLE) / 25.0 AS ts_sec
         |FROM documents, LATERAL (
         | SELECT unnest(generate_series(0, CAST(n_chars % 100 AS INTEGER), 7)) AS i) f
-        |ORDER BY asset_id, frame_idx""".stripMargin
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    "m3_audio_energy" ->
+      """WITH a AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h,
+        |  CAST((n_chars % 500) * 4 + 64 AS INTEGER) AS n FROM documents)
+        |SELECT doc_id AS asset_id, CAST(w.w AS INTEGER) AS window_idx,
+        | CAST(w.w * 256 AS INTEGER) AS start_sample,
+        | CAST(list_sum(list_transform(range(w.w * 256, least((w.w + 1) * 256, n)),
+        |   i -> ((h + i * 2654435761) % 201 - 100) * ((h + i * 2654435761) % 201 - 100)))
+        |  AS BIGINT) AS energy
+        |FROM a, LATERAL (SELECT unnest(range(0, (n + 255) // 256)) AS w) w
+        |ORDER BY asset_id, window_idx""".stripMargin
   )
 }

@@ -83,6 +83,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("tf1: corpus-wide df join is shuffle-hash; scalar N broadcast") {
+    val p = planOf("tf1_tfidf_topk")
+    // the (word, df) vocabulary must never be broadcast-built from the
+    // exploded corpus side; the 1-row N aggregate must broadcast
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("pk1: prefix sum is block-partitioned, offsets broadcast — no global window over the corpus") {
+    val p = planOf("pk1_sequence_pack")
+    // the corpus-sized window must carry the blk partition key; only the
+    // tiny block-offset list (<= n/blockSize rows) sorts globally
+    assert(p.contains("windowspecdefinition(blk"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c1: benchmark gram set broadcasts; corpus side never shuffles on gram") {
+    val p = planOf("c1_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("minhash content-group join is shuffle-hash (rep table ~corpus-sized when dup-free)") {
+    val g = graft.operators.TextOps.shingleTable(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text")
+    val p = graft.operators.MinHashLSH.contentGroups(g)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dedup exact: single hash-aggregate pipeline, no join before grouping") {
     val df = graft.operators.ExactDedup.groups(
       graft.core.Tables(spark, dir, "documents"), "doc_id", Seq("text"))

@@ -125,6 +125,39 @@ class ReferenceSamplesSpec extends AnyFunSuite {
       s"Use_Case_2 must fail the semantic dry-run on invalid_col: $bad")
   }
 
+  test("every reference sample config parses through ConfigJson") {
+    val files = Seq("hive", "oracle", "redshift", "teradata")
+      .flatMap(d => readAllJson(s"/root/reference/samples/configs/$d"))
+    assume(files.nonEmpty)
+    assert(files.size >= 11, files.map(_._1).toString)
+    files.foreach { case (name, raw) =>
+      // the templates leave deployment choices as <...> placeholders; a
+      // user substitutes them — do the same for the enum-valued ones
+      val json = raw
+        .replace("\"<ddl/sql>\"", "\"ddl\"")
+        .replace("\"<BTEQ/SQL>\"", "\"BTEQ\"")
+        .replace("\"<gke/cloudrun>\"", "\"gke\"")
+      val p = graft.pipeline.ConfigJson.parse(json, "cfg-test")
+      assert(Set("ddl", "sql", "dml", "data")(p.kind), s"$name: ${p.kind}")
+      assert(p.source.nonEmpty, name)
+      if (name.contains("ddl_sql_teradata")) {
+        assert(p.mode == StatementSplitter.Bteq, name)
+        assert(p.errorFilterRules.size == 7, name)
+        assert(p.nameMapping.entries.nonEmpty, name)
+      }
+      if (name.contains("inc_data_load_hive")) assert(p.source == "hive_inc", name)
+    }
+  }
+
+  private def readAllJson(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Nil
+    else Files.list(p).iterator().asScala.toSeq
+      .filter(f => f.toString.endsWith(".json") && Files.isRegularFile(f))
+      .sortBy(_.toString)
+      .map(f => f.getFileName.toString -> Files.readString(f))
+  }
+
   test("Oracle dml_error fixture fails the semantic dry-run; dml_1 passes") {
     assume(spark.catalog.tableExists("EDW_ODB.COUNTRIES"))
     val files = readAll("/root/reference/samples/dml/oracle")
