@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Contamination, QualityRules, SequencePacker, TextOps, TfIdf}
+import graft.operators.{Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
 
 /** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
   * term weighting, Gopher-style rule filters, intra-document repetition,
@@ -60,6 +60,18 @@ object TrainQueries {
           "doc_id", "text", ContamN)
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
+    }),
+    "sk1_salted_agg" -> ((s, dir) => {
+      // skew-safe two-phase aggregation; decimal accumulation makes the
+      // result independent of how the salt splits the partial groups,
+      // so the oracle is the PLAIN group-by — the query proves the
+      // salted rewrite is semantics-preserving
+      val ev = Tables(s, dir, "events")
+        .withColumn("v", col("value").cast("decimal(38,6)"))
+      Salt.saltedSumCount(ev, Seq("event_type"), "v", Seq("ts"), saltFactor = 16)
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_value"),
+          col("cnt"))
+        .orderBy(col("event_type"))
     }),
     "pk1_sequence_pack" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents").select(col("doc_id"),
@@ -130,6 +142,11 @@ object TrainQueries {
          |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
          |FROM corpus c JOIN bench b ON c.gram = b.gram
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "sk1_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        | CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pk1_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($wordsExpr) AS BIGINT) AS toks
          | FROM documents),

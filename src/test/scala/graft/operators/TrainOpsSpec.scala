@@ -73,6 +73,31 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("salted aggregation and join are semantics-preserving under heavy skew") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail
+    val rows = (1 to 10000).map(i => ("hot", i.toLong, 1L)) ++
+      (1 to 100).map(i => (s"tail_$i", i.toLong + 100000, 2L))
+    val df = rows.toDF("k", "id", "v").repartition(8)
+    val salted = Salt.saltedSumCount(df, Seq("k"), "v", Seq("id"), saltFactor = 8)
+    val plain = df.groupBy("k").agg(
+      org.apache.spark.sql.functions.sum("v").as("sum_v"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the hot key's partial stage really does split into multiple groups
+    val partials = df.groupBy(col("k"),
+        pmod(hash(col("id")), lit(8)).as("s")).count()
+      .filter(col("k") === "hot").count()
+    assert(partials == 8L)
+
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"tail_$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "attr")
+    val sj = Salt.saltedJoin(df, right, Seq("k"), Seq("id"), saltFactor = 8)
+    val pj = df.join(right, Seq("k"))
+    assert(sj.count() == pj.count())
+    assert(sj.except(pj).isEmpty && pj.except(sj).isEmpty)
+  }
+
   test("dupBigramFraction: 0 for all-distinct, high for degenerate repetition") {
     import spark.implicits._
     val df = Seq(
