@@ -187,21 +187,10 @@ object MinHashLSH {
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val (groups, repPairs) = repPipeline(
       docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
-    // cross-group pairs: every member of rep_a's group × every member of
-    // rep_b's group; jaccard(member_a, member_b) == jaccard(rep_a, rep_b)
-    // because members share their representative's shingle set exactly.
-    val mA = groups.select(col("rep").as("id_a"), col("id").as("m_a"))
-    val mB = groups.select(col("rep").as("id_b"), col("id").as("m_b"))
-    val cross = repPairs.join(mA, "id_a").join(mB, "id_b")
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
-    // within-group pairs: identical shingle sets, jaccard exactly 1.0
-    val within = groups.select(col("rep"), col("id").as("m_a"))
-      .join(groups.select(col("rep"), col("id").as("m_b")), "rep")
-      .filter(col("m_a") < col("m_b"))
-      .select(col("m_a").as("id_a"), col("m_b").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    // members share their representative's shingle set exactly, so
+    // cross-group pairs inherit the rep jaccard and within-group pairs
+    // are exactly 1.0
+    PairExpansion.expand(groups, repPairs, "jaccard", lit(1.0))
   }
 
   /** Scale-safe edge list for CLUSTERING: member→representative star
@@ -224,8 +213,6 @@ object MinHashLSH {
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val (groups, repPairs) = repPipeline(
       docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
-    val stars = groups.filter(col("id") =!= col("rep"))
-      .select(col("id").as("src"), col("rep").as("dst"))
-    stars.unionByName(repPairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    PairExpansion.edges(groups, repPairs)
   }
 }

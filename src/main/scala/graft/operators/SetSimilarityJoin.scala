@@ -26,14 +26,25 @@ import org.apache.spark.sql.DataFrame
 object SetSimilarityJoin {
 
   /** All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
-    * Returns (id_a, id_b, jaccard) — exactly the brute-force result. */
+    * Returns (id_a, id_b, jaccard) — exactly the brute-force result.
+    *
+    * Dedup-first like [[MinHashLSH]]: identical shingle sets collapse to
+    * one representative before the prefix index is built — exact copies
+    * share every prefix shingle, so a 10⁶-copy boilerplate group would
+    * otherwise put 10⁶ entries in each of its prefix postings and
+    * explode the candidate join; post-dedup it contributes one. Verified
+    * representative pairs expand back via [[PairExpansion]] (identical
+    * sets ⇒ identical jaccard), so the output is unchanged. */
   def jaccardSelfJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    val g = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    val g0 = TextOps.shingleTable(docs, idCol, textCol, shingleN).cache()
+    val groups = MinHashLSH.contentGroups(g0).cache()
+    val g = g0.join(groups.filter(col("id") === col("rep")).select(col("id")),
+        Seq("id"), "left_semi")
       .withColumn("sz", size(col("grams")))
       .cache()
     val ex = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
@@ -56,9 +67,10 @@ object SetSimilarityJoin {
       .distinct()
     val ga = g.select(col("id").as("id_a"), col("grams").as("grams_a"))
     val gb = g.select(col("id").as("id_b"), col("grams").as("grams_b"))
-    cand.join(ga, "id_a").join(gb, "id_b")
+    val repPairs = cand.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    PairExpansion.expand(groups, repPairs, "jaccard", lit(1.0))
   }
 }

@@ -108,18 +108,9 @@ object SimHash {
     val sims = sims0.cache()
     val (reps, members0) = valueGroups(sims)
     val members = members0.cache()
-    val verified = repPairs(reps, maxDist)
-    val mA = members.select(col("rep").as("id_a"), col("id").as("m_a"))
-    val mB = members.select(col("rep").as("id_b"), col("id").as("m_b"))
-    val cross = verified.join(mA, "id_a").join(mB, "id_b")
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
-    val within = members.select(col("rep"), col("id").as("m_a"))
-      .join(members.select(col("rep"), col("id").as("m_b")), "rep")
-      .filter(col("m_a") < col("m_b"))
-      .select(col("m_a").as("id_a"), col("m_b").as("id_b"),
-        lit(0).as("hamming"))
-    cross.unionByName(within)
+    // equal-value members expand as hamming-0 pairs; cross-value pairs
+    // inherit their representatives' hamming
+    PairExpansion.expand(members, repPairs(reps, maxDist), "hamming", lit(0))
   }
 
   /** Scale-safe edge list for CLUSTERING: member→representative star
@@ -130,9 +121,6 @@ object SimHash {
     require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
     val sims = sims0.cache()
     val (reps, members) = valueGroups(sims)
-    val stars = members.filter(col("id") =!= col("rep"))
-      .select(col("id").as("src"), col("rep").as("dst"))
-    stars.unionByName(
-      repPairs(reps, maxDist).select(col("id_a").as("src"), col("id_b").as("dst")))
+    PairExpansion.edges(members, repPairs(reps, maxDist))
   }
 }

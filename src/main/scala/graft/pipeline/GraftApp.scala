@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 
 import graft.core.AuditSink
-import graft.sources.ScriptScan
+import graft.sources.{CatalogOps, ScriptScan}
 
 /** The assembled event-driven engine (SURVEY §3.1 end-to-end): a config
   * JSON dropped into `<dropDir>/<phase>/` triggers parse → script scan
@@ -19,10 +19,25 @@ final class GraftApp(
     audit: AuditSink,
     checkpointDir: String) {
 
-  /** Resolve a config's source path to (fileName, content) scripts. */
-  private def scriptsFor(parsed: ConfigJson.Parsed): Seq[(String, String)] =
-    if (parsed.sourcePath.isEmpty) Nil
-    else ScriptScan.readScripts(spark, parsed.sourcePath)
+  /** Resolve a config's scripts. DDL configs for a hive source go
+    * through CATALOG EXTRACTION, not file reads — the reference's
+    * controller routes source==hive (and extract_ddl=yes) to the
+    * extractor DAG, whose database is the first name-map source schema
+    * (`controller_dag.py:195-205`, `extract_hive_ddls_manual.py:77`).
+    * For warehouse sources, extract_ddl=yes needs a live JDBC endpoint
+    * (the `JdbcCatalog` path, Derby-tested); absent one, scripts are
+    * read pre-extracted from the source path like the file flow. */
+  private def scriptsFor(parsed: ConfigJson.Parsed): Seq[(String, String)] = {
+    val hiveExtract = parsed.kind == "ddl" && parsed.source == "hive"
+    val extractDb = parsed.nameMapping.entries.headOption
+      .map(_.sourceDb).filter(_.nonEmpty)
+    (hiveExtract, extractDb) match {
+      case (true, Some(db)) if spark.catalog.databaseExists(db) =>
+        CatalogOps.extractDdls(spark, db)
+      case _ if parsed.sourcePath.isEmpty => Nil
+      case _ => ScriptScan.readScripts(spark, parsed.sourcePath)
+    }
+  }
 
   /** Handle one config document; returns phase results. */
   def handle(json: String, defaultUniqueId: String): Seq[Controller.RunResult] = {

@@ -19,7 +19,13 @@ object CatalogOps {
       .filter(!_.isTemporary) // listTables also returns session temp views
       .map { t =>
       val fq = s"$database.${t.name}"
-      fq -> spark.sql(s"SHOW CREATE TABLE $fq").head().getString(0)
+      // SHOW CREATE emits a three-part `spark_catalog.db.table` name;
+      // normalize to db.table so name-mapping/translation (which key on
+      // the source SCHEMA) see the same coordinates the config names
+      val raw = spark.sql(s"SHOW CREATE TABLE $fq").head().getString(0)
+      fq -> raw.replaceFirst(
+        "(?is)^CREATE TABLE [\\w$]+\\.(" + java.util.regex.Pattern.quote(fq) + ")",
+        "CREATE TABLE $1")
     }
 
   /** Per-table text-object write: one `<db>_<table>.sql` file per DDL

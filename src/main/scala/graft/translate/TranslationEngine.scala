@@ -40,7 +40,13 @@ object TranslationEngine {
       mode: StatementSplitter.Mode = StatementSplitter.Sql,
       nameMapping: NameMapping = NameMapping.empty): Result = {
     val perFile = files.map { case (name, content) =>
-      val stmts = StatementSplitter.split(content, mode)
+      // a file with no terminating ';' (catalog-extracted DDL, several
+      // reference sample fixtures) is one statement, not zero — zero
+      // would "translate" the file to nothing and report Success
+      val stmts = StatementSplitter.split(content, mode) match {
+        case Nil if StatementSplitter.hasUncommented(content) => Seq(content.trim)
+        case s => s
+      }
       val results = stmts.zipWithIndex.map { case (stmt, i) =>
         // views pass through: the observed corpus (`input/ddl/oracle`
         // emp_details_view) is ANSI SELECT over comma joins, which

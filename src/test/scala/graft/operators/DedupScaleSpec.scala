@@ -75,6 +75,19 @@ class DedupScaleSpec extends AnyFunSuite {
     edges.unpersist(); sims.unpersist()
   }
 
+  test("prefix-filter join is dedup-first: copies collapse before the posting index") {
+    import spark.implicits._
+    val copies = (1L to 1000L).map(i => (i, boiler))
+    val distinctDocs = (1001L to 1020L).map(i =>
+      (i, s"another unique doc $i with payload ${i * 3} ${i * 11} ${i * 17} entirely its own"))
+    val d = (copies ++ distinctDocs).toDF("doc_id", "text")
+    val pairs = SetSimilarityJoin.jaccardSelfJoin(d, "doc_id", "text", 3, 0.5).cache()
+    // output contract: all C(1000,2) copy pairs at jaccard 1.0, none across
+    assert(pairs.count() == 1000L * 999 / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    pairs.unpersist()
+  }
+
   test("bucket-width cap skips oversized buckets and audits them") {
     import spark.implicits._
     // 40 distinct-content docs that still share one band bucket is the

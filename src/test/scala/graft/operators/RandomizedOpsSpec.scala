@@ -73,6 +73,95 @@ class RandomizedOpsSpec extends AnyFunSuite {
 
   // ---- upsert vs map semantics --------------------------------------
 
+  // ---- dedup-first detectors vs brute force -------------------------
+
+  private def randomCorpus(rnd: Random, n: Int): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val bases = Seq.fill(5)(Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    (1 to n).map { i =>
+      val b = bases(rnd.nextInt(bases.size))
+      val t = rnd.nextInt(4) match {
+        case 0 => b                          // exact duplicate of a base
+        case 1 => b + " " + vocab(rnd.nextInt(vocab.size)) // near-dup
+        case _ => Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      (i.toLong, t)
+    }
+  }
+
+  private def bruteJaccardPairs(
+      docs: Seq[(Long, String)], n: Int, t: Double): Set[(Long, Long)] = {
+    def shingles(s: String): Set[String] =
+      s.trim.toLowerCase.split("\\s+").toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+    val g = docs.map { case (id, s) => id -> shingles(s) }.filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- g; (b, gb) <- g if a < b
+      inter = (ga & gb).size.toDouble
+      if inter / (ga.size + gb.size - inter) >= t
+    } yield (a, b)).toSet
+  }
+
+  test("jaccardSelfJoin (dedup-first prefix filter) == brute force on random dup-heavy corpora") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val docs = randomCorpus(rnd, 40 + rnd.nextInt(40))
+      val expected = bruteJaccardPairs(docs, 3, 0.5)
+      val got = SetSimilarityJoin.jaccardSelfJoin(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("MinHashLSH.nearDuplicates ⊆ brute force; catches every exact duplicate pair") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val docs = randomCorpus(rnd, 60)
+    // LSH may miss borderline pairs (probabilistic recall) but must never
+    // emit a pair below threshold, and identical docs share all bands
+    val expected = bruteJaccardPairs(docs, 3, 0.8)
+    val exactDups = bruteJaccardPairs(docs, 3, 1.0 - 1e-9)
+    val got = MinHashLSH.nearDuplicates(docs.toDF("doc_id", "text"), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(expected), (got -- expected).toString)
+    assert(exactDups.subsetOf(got), (exactDups -- got).toString)
+  }
+
+  test("TfIdf.topTerms == Scala reference ranking") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val docs = randomCorpus(rnd, 30)
+    val words = docs.map { case (id, s) => id -> s.trim.toLowerCase.split("\\s+").toSeq }
+    val n = docs.size
+    val tfm = words.map { case (id, ws) => id -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfm = tfm.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = tfm.flatMap { case (id, tfs) =>
+      tfs.toSeq.map { case (w, tf) => (id, w, tf * n.toDouble / dfm(w)) }
+        .sortBy { case (_, w, sc) => (-sc, w) }.take(2).zipWithIndex
+        .map { case ((_, w, _), i) => (id, w, i + 1) }
+    }.toSet
+    val got = TfIdf.topTerms(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("word"), r.getAs[Int]("rank"))).toSet
+    assert(got == expected)
+  }
+
+  test("Contamination.overlap == brute-force shingle intersection counts") {
+    import spark.implicits._
+    val rnd = new Random(37)
+    val docs = randomCorpus(rnd, 50)
+    val (bench, corpus) = docs.partition(_._1 % 7 == 0)
+    def sh(s: String) = s.trim.toLowerCase.split("\\s+").toSeq.sliding(3)
+      .filter(_.size == 3).map(_.mkString(" ")).toSet
+    val benchSet = bench.flatMap(d => sh(d._2)).toSet
+    val expected = corpus.map { case (id, s) => id -> (sh(s) & benchSet).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = Contamination.overlap(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("upsert == map override on random keyed data") {
     import spark.implicits._
     val rnd = new Random(7)

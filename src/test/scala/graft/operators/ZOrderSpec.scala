@@ -54,6 +54,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zy < ry * 0.55, s"y spread $zy vs random $ry")
   }
 
+  test("z-ordered layout actually SKIPS row groups: scan emits far fewer rows") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0 until n).map { i =>
+      ((i * 2654435761L) % 1024, (i * 40503L) % 1024)
+    }.toDF("x", "y").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("zskip").toString
+    ZOrder.clusteredWrite(df, Seq("x", "y"), s"$dir/z", nFiles = 16)
+    df.repartition(16).write.mode("overwrite").parquet(s"$dir/rand")
+
+    // rows the parquet reader actually surfaces (post row-group pruning,
+    // pre Spark Filter); AQE off so the scan node is directly reachable
+    def scanRows(path: String): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path)
+          .filter(col("x").between(100, 160) && col("y").between(600, 660))
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves().map {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+          case _ => 0L
+        }.sum
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val zRows = scanRows(s"$dir/z")
+    val rRows = scanRows(s"$dir/rand")
+    // random layout: every file's min/max spans the predicate -> no
+    // row group skips, the scan surfaces ~all 4096 rows; z-order: only
+    // the files whose hyper-rectangle intersects the 61x61 box read
+    assert(rRows > (n * 9) / 10, s"random layout unexpectedly skipped: $rRows")
+    assert(zRows < rRows / 2, s"z-order skipped too little: $zRows vs $rRows")
+  }
+
   test("zValue fails loudly on negative inputs; zValueScaled on empty/all-null input") {
     import spark.implicits._
     val neg = Seq((-1L, 2L)).toDF("x", "y")

@@ -57,4 +57,30 @@ class GraftAppSpec extends AnyFunSuite {
       .translateSql("SEL * FROM shop2_tgt.sales")).count()
     assert(n == 0) // created empty, queryable
   }
+
+  test("hive ddl config routes through CATALOG EXTRACTION (controller_dag P11)") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("e2e-hive").toString
+    Files.createDirectories(Paths.get(s"$root/drops/ddl"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS hive_xsrc")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("hive_xsrc.region")
+    // no gcsSourcePath at all: the scripts MUST come from the catalog,
+    // db = first name-map source schema (extract_hive_ddls_manual.py:77)
+    Files.writeString(Paths.get(s"$root/drops/ddl/run-hx.json"),
+      """{"type": "ddl", "source": "hive", "unique_id": "run-hx",
+        | "extract_ddl": "yes",
+        | "migrationTask": {"translationConfigDetails": {
+        |   "nameMappingList": {"name_map": [
+        |     {"source": {"type": "SCHEMA", "schema": "hive_xsrc"},
+        |      "target": {"schema": "hive_xtgt"}}]}}}}""".stripMargin)
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val results = app.runOnce(s"$root/drops")
+    assert(results.size == 1)
+    assert(results.head._2.forall(_.status == "Success"), results.toString)
+    assert(spark.catalog.tableExists("hive_xtgt.region"))
+    assert(spark.table("hive_xtgt.region").schema ==
+      spark.table("hive_xsrc.region").schema)
+  }
 }
