@@ -179,6 +179,36 @@ object Controller {
     report(audit, cfg, "data", (loadReport +: incReports) ++ vreports)
   }
 
+  /** Validation-params sheet rows → DVT specs (the reference's
+    * validation DAG builds its DVT command line from exactly these
+    * positional flags): count/sum/min/max/avg cells become AggSpecs
+    * (comma-lists fan out), grouped-columns → groupBy, threshold → pct,
+    * primary-keys + comparison-fields/hash/concat → row compare ('*' =
+    * all non-key columns, resolved at run time). */
+  def validationSpecs(
+      entries: Seq[graft.sources.ValidationParams.Entry]): Seq[ValidationSpec] =
+    entries.filter(e => Set("column", "row", "schema")(e.validationType.toLowerCase))
+      .map { e =>
+        def list(k: String): Seq[String] =
+          e.flags.get(k).toSeq.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+        e.validationType.toLowerCase match {
+          case "column" =>
+            val aggs = Seq("count", "sum", "min", "max", "avg").flatMap(fn =>
+              list(fn).filter(_ != "*").map(c => ColumnValidator.AggSpec(fn, c)))
+            ValidationSpec("column", e.sourceTable, e.targetTable,
+              groupBy = list("grouped-columns"),
+              aggSpecs = aggs,
+              pctThreshold = e.flags.get("threshold").map(_.toDouble).getOrElse(0.0))
+          case "row" =>
+            ValidationSpec("row", e.sourceTable, e.targetTable,
+              primaryKeys = list("primary-keys"),
+              compareCols = (list("comparison-fields") ++ list("hash") ++ list("concat"))
+                .filter(_ != "*").distinct)
+          case _ =>
+            ValidationSpec("schema", e.sourceTable, e.targetTable)
+        }
+      }
+
   /** DVT stage: run each validation, audit per-row results, aggregate
     * pass/fail counts (A1 semantics). */
   def runValidations(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
@@ -190,7 +220,10 @@ object Controller {
         case "column" =>
           ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
         case "row" =>
-          graft.validate.RowValidator.validate(src, tgt, v.primaryKeys, v.compareCols)
+          // hash='*' sheets leave compareCols empty: all non-key columns
+          val cmp = if (v.compareCols.nonEmpty) v.compareCols
+            else src.columns.toSeq.filterNot(v.primaryKeys.contains)
+          graft.validate.RowValidator.validate(src, tgt, v.primaryKeys, cmp)
             .withColumn("validation_status",
               when(col("validation_status") === "match", "pass").otherwise("fail"))
         case "schema" =>

@@ -39,6 +39,16 @@ final class GraftApp(
     }
   }
 
+  /** DVT specs from the config's validation-params sheet (the
+    * reference's validation DAG reads the same file; local paths stand
+    * in for the gs:// URI). Missing/unreadable sheet → no validations. */
+  private def validationsFor(parsed: ConfigJson.Parsed): Seq[Controller.ValidationSpec] =
+    if (parsed.validationParamsPath.isEmpty ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(parsed.validationParamsPath))) Nil
+    else Controller.validationSpecs(
+      graft.sources.ValidationParams.read(spark, parsed.validationParamsPath)
+        .filter(_.translationType.equalsIgnoreCase(parsed.kind)))
+
   /** Handle one config document; returns phase results. */
   def handle(json: String, defaultUniqueId: String): Seq[Controller.RunResult] = {
     val parsed = ConfigJson.parse(json, defaultUniqueId)
@@ -51,6 +61,7 @@ final class GraftApp(
       ddlFiles = if (parsed.kind == "ddl") scripts else Nil,
       sqlFiles = if (parsed.kind == "sql" || parsed.kind == "dml") scripts else Nil,
       nameMapping = parsed.nameMapping,
+      validations = validationsFor(parsed),
       batchDistribution = parsed.batchDistribution)
     Controller.run(spark, cfg, audit)
   }

@@ -24,27 +24,65 @@ object ValidationParams {
       targetTable: String,
       flags: Map[String, String])
 
-  /** Parse the sheet. Expected columns (after the 2 header rows):
-    * translation_type, validation_type, source_table, target_table,
-    * then flag columns as `key=value` pairs in remaining cells. */
+  /** Parse the sheet like the reference's pandas read
+    * (`storage_utils.py:84-121`): row 1 is a section banner, row 2
+    * names every column POSITIONALLY (source-table, target-table,
+    * source-query-file, …, per-validation flag columns); data rows put
+    * values under those positions. Flags = non-empty cells from column
+    * 5 on, keyed by their row-2 header name. Cells may be quoted
+    * (`"""emp_no,emp_name"""` — quoted lists with embedded commas), so
+    * the split is quote-aware. Query-file entries (custom-query
+    * validations) have no source-table; the query file is the key,
+    * matching the reference's keying. */
   def read(spark: SparkSession, path: String): Seq[Entry] = {
-    // read as raw lines, not spark.read.csv: the csv reader fixes the
-    // column count from the first row, silently truncating the ragged
-    // flag columns these sheets use (no quoted commas observed)
-    import spark.implicits._
-    val rows = spark.read.textFile(path).coalesce(1).collect().toSeq
-      .filter(_.nonEmpty).drop(2)
-    rows.map { line =>
-      val cells = line.split(",", -1).toSeq.map(_.trim)
+    val lines = spark.read.textFile(path).coalesce(1).collect().toSeq
+      .filter(_.nonEmpty)
+    require(lines.size >= 2, s"validation params sheet needs 2 header rows: $path")
+    val header = splitCsv(lines(1)).map(_.trim)
+    lines.drop(2).map { line =>
+      val cells = splitCsv(line).map(_.trim)
+      def at(i: Int) = cells.lift(i).getOrElse("")
+      val flags = (4 until math.max(header.size, cells.size))
+        .flatMap { i =>
+          val v = at(i)
+          val k = header.lift(i).filter(_.nonEmpty).getOrElse(s"col_$i")
+          if (v.nonEmpty) Some(k -> stripQuotes(v)) else None
+        }.toMap
       Entry(
-        translationType = cells.lift(0).getOrElse(""),
-        validationType = cells.lift(1).getOrElse(""),
-        sourceTable = cells.lift(2).getOrElse(""),
-        targetTable = cells.lift(3).getOrElse(""),
-        flags = cells.drop(4).filter(_.contains("="))
-          .map { f => val Array(k, v) = f.split("=", 2); k.trim -> v.trim }.toMap)
+        translationType = at(0),
+        validationType = at(1),
+        sourceTable = if (at(2).nonEmpty) at(2) else stripQuotes(at(4)),
+        targetTable = if (at(3).nonEmpty) at(3) else stripQuotes(at(5)),
+        flags = flags)
     }
   }
+
+  /** Quote-aware single-line CSV split (doubled quotes inside quoted
+    * cells, commas inside quotes preserved). */
+  private def splitCsv(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result(); cur.clear()
+        case ch  => cur += ch
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  private def stripQuotes(s: String): String =
+    s.stripPrefix("\"").stripSuffix("\"")
 
   /** Filter + key like the reference: entries for one (translation,
     * validation) pair, keyed by source table. */

@@ -58,6 +58,41 @@ class GraftAppSpec extends AnyFunSuite {
     assert(n == 0) // created empty, queryable
   }
 
+  test("validation-params sheet drives the DVT stage end-to-end") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("e2e-vp").toString
+    Files.createDirectories(Paths.get(s"$root/drops/data"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS vp_src")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("vp_src.nation_s")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("vp_src.nation_t")
+    // positional sheet exactly like the reference sample: banner row,
+    // name row, then flag cells under their named positions
+    Files.writeString(Paths.get(s"$root/params.csv"),
+      """banner,,Source and Target,,,,flags,,,,,
+        |,,source-table,target-table,source-query-file,target-query-file,primary-keys,count,sum,hash,grouped-columns,threshold
+        |data,column,vp_src.nation_s,vp_src.nation_t,,,,n_nationkey,n_nationkey,,,
+        |data,row,vp_src.nation_s,vp_src.nation_t,,,n_nationkey,,,*,,
+        |ddl,column,vp_src.ignored,vp_src.ignored,,,,x,,,,
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$root/drops/data/run-vp.json"),
+      s"""{"type": "data", "source": "hive", "unique_id": "run-vp",
+         | "validation_config": {
+         |   "validation_type": "column",
+         |   "validation_params_file_path": "$root/params.csv"}}""".stripMargin)
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val results = app.runOnce(s"$root/drops").head._2
+    // loads empty; the two 'data' sheet rows ran (the 'ddl' row filtered
+    // out); identical tables -> both validations pass
+    val dvt = results.filter(_.phase.startsWith("dvt_"))
+    assert(dvt.size == 2, results.toString)
+    assert(dvt.forall(_.status == "Success"), results.toString)
+    assert(audit.read("dmt_dvt_aggregated_results")
+      .filter(col("unique_id") === "run-vp").count() == 2)
+  }
+
   test("hive ddl config routes through CATALOG EXTRACTION (controller_dag P11)") {
     import org.apache.spark.sql.SaveMode
     val root = Files.createTempDirectory("e2e-hive").toString

@@ -10,14 +10,14 @@ import graft.functions.OrderedStringAgg
 class SourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "sources-test")
 
-  test("ValidationParams: 2-header skip, filter, key, flags, semi-join") {
+  test("ValidationParams: 2-header skip, positional flags, key, semi-join") {
     val dir = Files.createTempDirectory("vp").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/params.csv"),
-      """header1,a,b,c,d
-        |header2,a,b,c,d
-        |ddl,column,src.t1,tgt.t1,count=*,sum=x
-        |ddl,row,src.t2,tgt.t2,hash=*
-        |sql,column,src.t3,tgt.t3,count=*
+      """banner,,Source and Target,,,,flags,,,
+        |,,source-table,target-table,source-query-file,target-query-file,count,sum,hash,
+        |ddl,column,src.t1,tgt.t1,,,*,x,,
+        |ddl,row,src.t2,tgt.t2,,,,,*,
+        |sql,column,src.t3,tgt.t3,,,*,,,
         |""".stripMargin)
     val entries = ValidationParams.read(spark, s"$dir/params.csv")
     assert(entries.size == 3)
@@ -27,6 +27,28 @@ class SourcesSpec extends AnyFunSuite {
     val valid = ValidationParams.validComparisons(
       ValidationParams.forRun(entries, "ddl", "row"), Set("tgt.t2", "tgt.t9"))
     assert(valid == Seq(("src.t2", "tgt.t2")))
+  }
+
+  test("ValidationParams parses the reference's own sample sheet") {
+    val entries = ValidationParams.read(spark,
+      "/root/reference/samples/validation_params_files/validation_params.csv")
+    assert(entries.size == 9)
+    // schema validation: quoted exclusion list with embedded comma
+    val schema = ValidationParams.forRun(entries, "ddl", "schema")("dvt.EMPLOYEE")
+    assert(schema.targetTable == "dmt_dataset.employee")
+    assert(schema.flags("exclusion-columns") == "emp_no,emp_name")
+    assert(schema.flags("filter-status") == "success")
+    // row validation with random-row sampling flags
+    val row = ValidationParams.forRun(entries, "data", "row")("dvt.EMPLOYEE2")
+    assert(row.flags("primary-keys") == "emp_no")
+    assert(row.flags("hash") == "*")
+    assert(row.flags("use-random-row") == "Y" && row.flags("random-row-batch-size") == "1000")
+    // custom-query entries key on the query FILE (no source table)
+    val cq = ValidationParams.forRun(entries, "sql", "custom query column")
+    assert(cq.keySet == Set("source_query_1.sql"))
+    assert(cq("source_query_1.sql").targetTable == "target_query_1.sql")
+    assert(cq("source_query_1.sql").flags("count") == "emp_no")
+    assert(cq("source_query_1.sql").flags("min") == "salary")
   }
 
   test("CatalogOps: extract DDLs, write per-table files, json archive") {
