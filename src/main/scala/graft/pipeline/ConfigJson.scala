@@ -33,7 +33,9 @@ object ConfigJson {
       errorFilterRules: Seq[FilterRule],
       validationType: String,
       validationParamsPath: String,
-      validationMode: String)
+      validationMode: String,
+      transferParams: Map[String, String] = Map.empty,
+      dvtCheck: Boolean = true)
 
   private val mapper = new ObjectMapper()
 
@@ -76,7 +78,12 @@ object ConfigJson {
       validationParamsPath = opt(root, "validation_config", "validation_params_file_path")
         .map(_.asText).getOrElse(""),
       validationMode = opt(root, "validation_config", "validation_mode")
-        .map(_.asText).getOrElse(""))
+        .map(_.asText).getOrElse(""),
+      transferParams = opt(root, "transfer_config", "params").map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty) ++
+        opt(root, "transfer_config", "displayName").map("displayName" -> _.asText),
+      dvtCheck = !opt(root, "dvt_check").map(_.asText).exists(_.equalsIgnoreCase("N")))
   }
 
   private def parseRule(n: JsonNode): FilterRule =

@@ -49,6 +49,28 @@ final class GraftApp(
       graft.sources.ValidationParams.read(spark, parsed.validationParamsPath)
         .filter(_.translationType.equalsIgnoreCase(parsed.kind)))
 
+  /** Table loads from a data config's transfer params (the reference's
+    * hive data-load DAG: every table staged under
+    * `hive_gcs_staging_path/<table>` loads into
+    * `<bq_dataset_id>.<table>`; local dirs stand in for the bucket). */
+  private def loadsFor(parsed: ConfigJson.Parsed): Seq[graft.load.TableLoader.LoadSpec] = {
+    val staging = parsed.transferParams.getOrElse("hive_gcs_staging_path", "")
+    val p = java.nio.file.Paths.get(if (staging.isEmpty) "/nonexistent" else staging)
+    if (parsed.kind != "data" || staging.isEmpty || !java.nio.file.Files.isDirectory(p)) Nil
+    else {
+      val tgtDb = parsed.transferParams.getOrElse("bq_dataset_id",
+        parsed.transferParams.getOrElse("hive_db_name", "default"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.toSeq
+        .filter(java.nio.file.Files.isDirectory(_))
+        .sortBy(_.getFileName.toString)
+        .map { d =>
+          val table = d.getFileName.toString.stripSuffix(".db")
+          graft.load.TableLoader.LoadSpec(s"$tgtDb.$table", d.toString)
+        }
+    }
+  }
+
   /** Handle one config document; returns phase results. */
   def handle(json: String, defaultUniqueId: String): Seq[Controller.RunResult] = {
     val parsed = ConfigJson.parse(json, defaultUniqueId)
@@ -61,7 +83,8 @@ final class GraftApp(
       ddlFiles = if (parsed.kind == "ddl") scripts else Nil,
       sqlFiles = if (parsed.kind == "sql" || parsed.kind == "dml") scripts else Nil,
       nameMapping = parsed.nameMapping,
-      validations = validationsFor(parsed),
+      loads = loadsFor(parsed),
+      validations = if (parsed.dvtCheck) validationsFor(parsed) else Nil,
       batchDistribution = parsed.batchDistribution)
     Controller.run(spark, cfg, audit)
   }

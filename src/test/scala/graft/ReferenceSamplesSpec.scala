@@ -146,6 +146,12 @@ class ReferenceSamplesSpec extends AnyFunSuite {
         assert(p.nameMapping.entries.nonEmpty, name)
       }
       if (name.contains("inc_data_load_hive")) assert(p.source == "hive_inc", name)
+      if (name.contains("data_gke_column_hive")) {
+        assert(p.transferParams("hive_db_name") == "hive_db1", name)
+        assert(p.transferParams("hive_gcs_staging_path") == "hive_data/hive_db1.db", name)
+        assert(p.transferParams("bq_dataset_id") == "bq_dataset1", name)
+        assert(!p.dvtCheck, name) // dvt_check: "N"
+      }
     }
   }
 

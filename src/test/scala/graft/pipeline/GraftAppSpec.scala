@@ -58,6 +58,33 @@ class GraftAppSpec extends AnyFunSuite {
     assert(n == 0) // created empty, queryable
   }
 
+  test("data config transfer params drive per-table loads (hive data-load DAG shape)") {
+    val root = Files.createTempDirectory("e2e-data").toString
+    Files.createDirectories(Paths.get(s"$root/drops/data"))
+    // staging layout like hive_data/hive_db1.db/<table>/
+    val staging = s"$root/staging/hive_db1.db"
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$staging/$t")
+    }
+    spark.sql("CREATE DATABASE IF NOT EXISTS bq_ds1")
+    Files.writeString(Paths.get(s"$root/drops/data/run-dx.json"),
+      s"""{"type": "data", "source": "hive", "unique_id": "run-dx",
+         | "dvt_check": "N", "batchDistribution": 2,
+         | "transfer_config": {"dataSourceId": "HIVE", "displayName": "dm_test",
+         |  "params": {"database_type": "Hive", "hive_db_name": "hive_db1",
+         |   "hive_gcs_staging_path": "$staging", "bq_dataset_id": "bq_ds1"}}}""".stripMargin)
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val results = app.runOnce(s"$root/drops").head._2
+    assert(results.exists(r => r.phase == "load" && r.status == "Success"), results.toString)
+    assert(spark.table("bq_ds1.region").count() ==
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet").count())
+    assert(spark.table("bq_ds1.nation").count() > 0)
+    // dvt_check N suppressed validations
+    assert(!results.exists(_.phase.startsWith("dvt_")), results.toString)
+  }
+
   test("validation-params sheet drives the DVT stage end-to-end") {
     import org.apache.spark.sql.SaveMode
     val root = Files.createTempDirectory("e2e-vp").toString
