@@ -21,14 +21,16 @@ import graft.validate.ColumnValidator
 object Controller {
 
   final case class ValidationSpec(
-      kind: String, // column | row | schema
-      sourceTable: String,
+      kind: String, // column | row | schema | custom
+      sourceTable: String, // for custom: the source query FILE name
       targetTable: String,
       groupBy: Seq[String] = Nil,
       aggSpecs: Seq[ColumnValidator.AggSpec] = Nil,
       primaryKeys: Seq[String] = Nil,
       compareCols: Seq[String] = Nil,
-      pctThreshold: Double = 0.0)
+      pctThreshold: Double = 0.0,
+      sourceSql: String = "",
+      targetSql: String = "")
 
   /** File-arrival incremental load stage (§3.3 hive_inc path). */
   final case class IncrementalSpec(
@@ -113,7 +115,7 @@ object Controller {
     val created = results.filter(_.state == DdlRunner.Done).map(_.name)
     val vreports = runValidations(spark,
       cfg.copy(validations = cfg.validations
-        .filter(v => spark.catalog.tableExists(v.targetTable))), audit)
+        .filter(v => v.kind == "custom" || spark.catalog.tableExists(v.targetTable))), audit)
     report(audit, cfg, "ddl",
       Seq(translationReport, schemaReport) ++ vreports)
   }
@@ -134,12 +136,16 @@ object Controller {
         err.getOrElse(""), now())
     })
     val ok = outcomes.count(_._3.isEmpty)
-    report(audit, cfg, cfg.kind, Seq(RunResult(cfg.uniqueId,
+    // custom-query validations follow the dry-run (the reference's SQL
+    // validation DAG runs DVT custom-query after translation)
+    val vreports = runValidations(spark,
+      cfg.copy(validations = cfg.validations.filter(_.kind == "custom")), audit)
+    report(audit, cfg, cfg.kind, RunResult(cfg.uniqueId,
       "dry_run", Audit.classify(outcomes.size, ok),
       Map("statements" -> outcomes.size.toString, "passed" -> ok.toString),
       errors = outcomes.collect { case (f, i, Some(err)) =>
         Audit.TaskError(s"dry_run:$f#$i", err, "dmt_logs.dmt_dml_validation_results")
-      })))
+      }) +: vreports)
   }
 
   /** Data path: bounded-parallel loads → incremental drains → audit →
@@ -187,11 +193,17 @@ object Controller {
     * all non-key columns, resolved at run time). */
   def validationSpecs(
       entries: Seq[graft.sources.ValidationParams.Entry]): Seq[ValidationSpec] =
-    entries.filter(e => Set("column", "row", "schema")(e.validationType.toLowerCase))
+    entries.filter(e => e.validationType.toLowerCase.startsWith("custom query") ||
+        Set("column", "row", "schema")(e.validationType.toLowerCase))
       .map { e =>
         def list(k: String): Seq[String] =
           e.flags.get(k).toSeq.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
         e.validationType.toLowerCase match {
+          case t if t.startsWith("custom query") =>
+            // source/target tables carry the query FILE names; the app
+            // layer resolves them to SQL text next to the params sheet
+            ValidationSpec("custom", e.sourceTable, e.targetTable,
+              pctThreshold = e.flags.get("threshold").map(_.toDouble).getOrElse(0.0))
           case "column" =>
             val aggs = Seq("count", "sum", "min", "max", "avg").flatMap(fn =>
               list(fn).filter(_ != "*").map(c => ColumnValidator.AggSpec(fn, c)))
@@ -214,9 +226,12 @@ object Controller {
   def runValidations(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
     if (cfg.validations.isEmpty) return Nil
     val outcomes = cfg.validations.map { v =>
-      val src = spark.table(v.sourceTable)
-      val tgt = spark.table(v.targetTable)
+      lazy val src = spark.table(v.sourceTable)
+      lazy val tgt = spark.table(v.targetTable)
       val result = v.kind match {
+        case "custom" =>
+          graft.validate.CustomQueryValidator.validate(
+            spark, v.sourceSql, v.targetSql, v.pctThreshold)
         case "column" =>
           ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
         case "row" =>

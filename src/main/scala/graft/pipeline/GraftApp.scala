@@ -42,12 +42,31 @@ final class GraftApp(
   /** DVT specs from the config's validation-params sheet (the
     * reference's validation DAG reads the same file; local paths stand
     * in for the gs:// URI). Missing/unreadable sheet → no validations. */
-  private def validationsFor(parsed: ConfigJson.Parsed): Seq[Controller.ValidationSpec] =
-    if (parsed.validationParamsPath.isEmpty ||
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(parsed.validationParamsPath))) Nil
-    else Controller.validationSpecs(
-      graft.sources.ValidationParams.read(spark, parsed.validationParamsPath)
-        .filter(_.translationType.equalsIgnoreCase(parsed.kind)))
+  private def validationsFor(parsed: ConfigJson.Parsed): Seq[Controller.ValidationSpec] = {
+    val sheet = java.nio.file.Paths.get(parsed.validationParamsPath)
+    if (parsed.validationParamsPath.isEmpty || !java.nio.file.Files.exists(sheet)) Nil
+    else {
+      val specs = Controller.validationSpecs(
+        graft.sources.ValidationParams.read(spark, parsed.validationParamsPath)
+          .filter(_.translationType.equalsIgnoreCase(parsed.kind)))
+      // custom-query rows name SQL files next to the sheet (the
+      // reference reads them from the validation scripts prefix);
+      // resolve + dialect-translate, drop rows whose files are missing
+      val dir = Option(sheet.getParent).getOrElse(java.nio.file.Paths.get("."))
+      specs.flatMap {
+        case v if v.kind == "custom" =>
+          val (s, t) = (dir.resolve(v.sourceTable), dir.resolve(v.targetTable))
+          if (java.nio.file.Files.exists(s) && java.nio.file.Files.exists(t))
+            Some(v.copy(
+              sourceSql = graft.translate.TranslationEngine.translateSql(
+                java.nio.file.Files.readString(s)),
+              targetSql = graft.translate.TranslationEngine.translateSql(
+                java.nio.file.Files.readString(t))))
+          else None
+        case v => Some(v)
+      }
+    }
+  }
 
   /** Table loads from a data config's transfer params (the reference's
     * hive data-load DAG: every table staged under
@@ -71,6 +90,40 @@ final class GraftApp(
     }
   }
 
+  /** Incremental streams from a hive_inc data config (the reference's
+    * scheduled incremental-load DAG): arrivals staged under
+    * `<gcs_inc_staging_bucket>/<db>.db/<table>/` drain into the EXISTING
+    * `<db>.<table>` (created by the initial load), schema taken from the
+    * target; tables that don't exist yet are skipped — the reference
+    * requires the initial migration first. Checkpoints live beside the
+    * staging area; the audit anti-join keeps re-drains exactly-once
+    * even if they are lost. */
+  private def incrementalsFor(parsed: ConfigJson.Parsed): Seq[Controller.IncrementalSpec] = {
+    val staging = parsed.transferParams.getOrElse("gcs_inc_staging_bucket", "")
+    val root = java.nio.file.Paths.get(if (staging.isEmpty) "/nonexistent" else staging)
+    if (parsed.source != "hive_inc" || staging.isEmpty ||
+        !java.nio.file.Files.isDirectory(root)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala.toSeq
+        .filter(d => java.nio.file.Files.isDirectory(d) &&
+          !d.getFileName.toString.startsWith("_"))
+        .flatMap { dbDir =>
+          val db = dbDir.getFileName.toString.stripSuffix(".db")
+          java.nio.file.Files.list(dbDir).iterator().asScala.toSeq
+            .filter(java.nio.file.Files.isDirectory(_))
+            .sortBy(_.getFileName.toString)
+            .flatMap { tDir =>
+              val table = s"$db.${tDir.getFileName.toString}"
+              if (!spark.catalog.tableExists(table)) None
+              else Some(Controller.IncrementalSpec(
+                tDir.toString, spark.table(table).schema.toDDL, table,
+                s"$staging/_ck/${db}_${tDir.getFileName}"))
+            }
+        }
+    }
+  }
+
   /** Handle one config document; returns phase results. */
   def handle(json: String, defaultUniqueId: String): Seq[Controller.RunResult] = {
     val parsed = ConfigJson.parse(json, defaultUniqueId)
@@ -84,6 +137,7 @@ final class GraftApp(
       sqlFiles = if (parsed.kind == "sql" || parsed.kind == "dml") scripts else Nil,
       nameMapping = parsed.nameMapping,
       loads = loadsFor(parsed),
+      incrementals = incrementalsFor(parsed),
       validations = if (parsed.dvtCheck) validationsFor(parsed) else Nil,
       batchDistribution = parsed.batchDistribution)
     Controller.run(spark, cfg, audit)

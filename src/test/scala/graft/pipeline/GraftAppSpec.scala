@@ -120,6 +120,73 @@ class GraftAppSpec extends AnyFunSuite {
       .filter(col("unique_id") === "run-vp").count() == 2)
   }
 
+  test("hive_inc config drains staged arrivals into existing tables, idempotently") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val root = Files.createTempDirectory("e2e-inc").toString
+    Files.createDirectories(Paths.get(s"$root/drops/data"))
+    // initial migration created the table
+    spark.sql("CREATE DATABASE IF NOT EXISTS inc_db1")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).saveAsTable("inc_db1.t")
+    // two arrivals staged under <bucket>/inc_db1.db/t/
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/inc_staging/inc_db1.db/t")
+    Files.writeString(Paths.get(s"$root/drops/data/run-inc1.json"),
+      s"""{"type": "data", "source": "hive_inc", "unique_id": "run-inc1",
+         | "dvt_check": "N",
+         | "transfer_config": {"dataSourceId": "HIVE",
+         |  "params": {"gcs_inc_staging_bucket": "$root/inc_staging"}}}""".stripMargin)
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val r1 = app.runOnce(s"$root/drops").head._2
+    assert(r1.exists(r => r.phase == "incremental" && r.status == "Success"), r1.toString)
+    assert(spark.table("inc_db1.t").count() == 3)
+    // a second, identical drop (fresh checkpoint via new drop file):
+    // audit dedup keeps the same files from re-appending
+    Files.writeString(Paths.get(s"$root/drops/data/run-inc2.json"),
+      s"""{"type": "data", "source": "hive_inc", "unique_id": "run-inc2",
+         | "dvt_check": "N",
+         | "transfer_config": {"dataSourceId": "HIVE",
+         |  "params": {"gcs_inc_staging_bucket": "$root/inc_staging"}}}""".stripMargin)
+    app.runOnce(s"$root/drops")
+    assert(spark.table("inc_db1.t").count() == 3)
+  }
+
+  test("sql config: custom-query sheet rows run after the dry-run") {
+    val root = Files.createTempDirectory("e2e-cq").toString
+    Files.createDirectories(Paths.get(s"$root/drops/sql"))
+    Files.createDirectories(Paths.get(s"$root/scripts"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS cq_src")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable("cq_src.region")
+    Files.writeString(Paths.get(s"$root/scripts/q1.sql"),
+      "SEL COUNT(*) AS cnt, SUM(r_regionkey) AS s FROM cq_src.region") // dialect SEL
+    Files.writeString(Paths.get(s"$root/scripts/q2.sql"),
+      "SELECT COUNT(*) AS cnt, SUM(r_regionkey) AS s FROM cq_src.region")
+    Files.writeString(Paths.get(s"$root/params.csv"),
+      """banner,,,,,,
+        |,,source-table,target-table,source-query-file,target-query-file,threshold
+        |sql,custom query column,,,q1.sql,q2.sql,
+        |""".stripMargin)
+    // move the sheet next to the query files so they resolve
+    Files.move(Paths.get(s"$root/params.csv"), Paths.get(s"$root/scripts/params.csv"))
+    Files.writeString(Paths.get(s"$root/drops/sql/run-cq.json"),
+      s"""{"type": "sql", "source": "teradata", "unique_id": "run-cq",
+         | "migrationTask": {"translationConfigDetails": {
+         |   "gcsSourcePath": "$root/scripts"}},
+         | "validation_config": {
+         |   "validation_params_file_path": "$root/scripts/params.csv"}}""".stripMargin)
+    // keep only .sql scripts in the dry-run scan: the sheet is .csv so
+    // ScriptScan's .sql filter naturally excludes it
+    val audit = new AuditSink(spark, "dmt_logs_app")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+    val results = app.runOnce(s"$root/drops").head._2
+    assert(results.exists(r => r.phase == "dry_run" && r.status == "Success"), results.toString)
+    val custom = results.filter(_.phase.startsWith("dvt_custom"))
+    assert(custom.size == 1 && custom.head.status == "Success", results.toString)
+  }
+
   test("hive ddl config routes through CATALOG EXTRACTION (controller_dag P11)") {
     import org.apache.spark.sql.SaveMode
     val root = Files.createTempDirectory("e2e-hive").toString
