@@ -34,13 +34,22 @@ object ValidationParams {
     * the split is quote-aware. Query-file entries (custom-query
     * validations) have no source-table; the query file is the key,
     * matching the reference's keying. */
-  def read(spark: SparkSession, path: String): Seq[Entry] = {
-    val lines = spark.read.textFile(path).coalesce(1).collect().toSeq
-      .filter(_.nonEmpty)
-    require(lines.size >= 2, s"validation params sheet needs 2 header rows: $path")
-    val header = splitCsv(lines(1)).map(_.trim)
-    lines.drop(2).map { line =>
-      val cells = splitCsv(line).map(_.trim)
+  def read(spark: SparkSession, path: String): Seq[Entry] =
+    if (path.toLowerCase.endsWith(".xlsx"))
+      // xlsx sheets are what the reference actually ships
+      // (storage_utils.py:92-96 flattens them to CSV via pandas; the
+      // flatten + re-split round-trip is a no-op on the cell grid, so
+      // parse the grid directly)
+      fromGrid(path, Xlsx.rows(path).filter(_.exists(_.nonEmpty)))
+    else
+      fromGrid(path, spark.read.textFile(path).coalesce(1).collect().toSeq
+        .filter(_.nonEmpty).map(splitCsv))
+
+  private def fromGrid(path: String, rows: Seq[Seq[String]]): Seq[Entry] = {
+    require(rows.size >= 2, s"validation params sheet needs 2 header rows: $path")
+    val header = rows(1).map(_.trim)
+    rows.drop(2).map { raw =>
+      val cells = raw.map(_.trim)
       def at(i: Int) = cells.lift(i).getOrElse("")
       val flags = (4 until math.max(header.size, cells.size))
         .flatMap { i =>

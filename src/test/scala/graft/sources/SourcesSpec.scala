@@ -51,6 +51,79 @@ class SourcesSpec extends AnyFunSuite {
     assert(cq("source_query_1.sql").flags("min") == "salary")
   }
 
+  /** Genuine minimal .xlsx writer (zip of SpreadsheetML parts) so the
+    * reader is tested against a real workbook layout: shared strings
+    * for even-indexed cells, inline strings for odd, numerics raw, and
+    * empty cells omitted entirely (sparse refs, as Excel writes them). */
+  private def writeXlsx(path: String, grid: Seq[Seq[String]]): Unit = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colName(c: Int): String = {
+      var (n, s) = (c + 1, "")
+      while (n > 0) { s = ('A' + (n - 1) % 26).toChar + s; n = (n - 1) / 26 }
+      s
+    }
+    val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val rowsXml = grid.zipWithIndex.map { case (row, r) =>
+      val cells = row.zipWithIndex.collect {
+        case (v, c) if v.nonEmpty =>
+          val ref = s"${colName(c)}${r + 1}"
+          if (v.forall(_.isDigit)) s"""<c r="$ref"><v>$v</v></c>"""
+          else if (c % 2 == 0) {
+            val i = shared.getOrElseUpdate(v, shared.size)
+            s"""<c r="$ref" t="s"><v>$i</v></c>"""
+          } else s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }
+      s"""<row r="${r + 1}">${cells.mkString}</row>"""
+    }
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+    put("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">${
+        shared.keys.map(s => s"<si><t>${esc(s)}</t></si>").mkString}</sst>""")
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>${rowsXml.mkString}</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  test("ValidationParams reads xlsx workbooks (S6 full: reference sheet shape)") {
+    val dir = Files.createTempDirectory("vpx").toString
+    // same logical sheet as the reference sample, no CSV quoting needed:
+    // xlsx cells hold embedded commas natively
+    writeXlsx(s"$dir/params.xlsx", Seq(
+      Seq("banner", "", "Source and Target", "", "", "", "", "", ""),
+      Seq("translation-type", "validation-type", "source-table", "target-table",
+        "source-query-file", "target-query-file", "count", "exclusion-columns",
+        "random-row-batch-size"),
+      Seq("ddl", "schema", "dvt.EMPLOYEE", "dmt_dataset.employee", "", "", "",
+        "emp_no,emp_name", ""),
+      Seq("data", "row", "dvt.EMPLOYEE2", "dmt_dataset.employee2", "", "", "*",
+        "", "1000"),
+      Seq("sql", "custom query column", "", "", "source_query_1.sql",
+        "target_query_1.sql", "emp_no", "", "")))
+    val entries = ValidationParams.read(spark, s"$dir/params.xlsx")
+    assert(entries.size == 3)
+    val schema = ValidationParams.forRun(entries, "ddl", "schema")("dvt.EMPLOYEE")
+    assert(schema.targetTable == "dmt_dataset.employee")
+    assert(schema.flags("exclusion-columns") == "emp_no,emp_name")
+    val row = ValidationParams.forRun(entries, "data", "row")("dvt.EMPLOYEE2")
+    assert(row.flags("count") == "*" && row.flags("random-row-batch-size") == "1000")
+    val cq = ValidationParams.forRun(entries, "sql", "custom query column")
+    assert(cq.keySet == Set("source_query_1.sql"))
+    assert(cq("source_query_1.sql").targetTable == "target_query_1.sql")
+    assert(cq("source_query_1.sql").flags("count") == "emp_no")
+    assert(Xlsx.colOf("AA7") == 26 && Xlsx.colOf("B3") == 1)
+  }
+
   test("CatalogOps: extract DDLs, write per-table files, json archive") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS catops")
