@@ -4,21 +4,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — prints one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR.
   *
-  * Each query is first executed once, untimed, against the sf0.001
-  * sibling of the bench directory (falling back to the bench directory
-  * itself when no sibling exists). The warm-up compiles exactly the same
-  * whole-stage-codegen classes the measured run uses (generated code is
-  * keyed on plan shape, not input size), so the measured numbers are
-  * steady-state data-proportional cost. One-time Janino compilation is
-  * 5-10 s for the widest aggregations (e.g. the 60-sum SimHash stage) but
-  * is paid once per executor JVM regardless of data size — at the 100 TB
-  * design point it is noise, while at sf0.1 it would dominate and make
-  * every throughput comparison meaningless.
+  * Measurement protocol (round 5): every query is timed as the MEDIAN of
+  * `SPARK_GRAFT_BENCH_ITERS` (default 3) back-to-back runs at the bench
+  * scale, after one untimed warm-up at the sf0.001 sibling of the bench
+  * directory. A single-iteration bench in a shared JVM swings with GC
+  * pauses, JIT recompilation, and whatever the previous query left in
+  * the allocator — round 4 measured 15× run-to-run deltas on identical
+  * code. The warm-up compiles exactly the same whole-stage-codegen
+  * classes the measured runs use (generated code is keyed on plan
+  * shape, not input size), so one-time Janino compilation (5-10 s for
+  * the widest aggregations) is excluded everywhere, and the median
+  * discards the one-off outlier iterations that a mean would absorb.
+  *
+  * Output is ONE line of JSON — the last line on stdout — carrying the
+  * full per-query map (all queries, values rounded to ms) plus
+  * `"iters"` so a reader can tell which protocol produced the numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent
       val cand = if (p == null) null else p.resolve("sf0.001")
@@ -40,18 +46,25 @@ object Bench {
     // be timed as little more than a scan.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { run(fn(spark, warmDir)) } catch { case _: Throwable => () }
-      spark.catalog.clearCache() // warm-up must not subsidize the timed run
-      val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      spark.catalog.clearCache() // caches must not subsidize later queries
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // warm-up must not subsidize the timed runs
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        spark.catalog.clearCache() // caches must not subsidize later runs
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (math.rint(median(samples) * 1000) / 1000)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(results.values.sum * 1000) / 1000
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

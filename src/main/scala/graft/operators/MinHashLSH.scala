@@ -48,10 +48,18 @@ object MinHashLSH {
     * depend only on the set). One hash-partitioned groupBy plus one
     * keyed join; the shuffle-hash hint keeps AQE from broadcast-building
     * a representative table that is ~corpus-sized when duplication is
-    * rare. */
+    * rare.
+    *
+    * The fingerprint joins sorted grams with '\n', which cannot occur
+    * inside a gram — grams are space-joined tokens from a `\s+` split
+    * ([[TextOps.wordNGrams]]) — so the encoding is injective on gram
+    * sets. An unseparated (or non-whitespace-separated) concat is
+    * ambiguous: with shingleN=1, "ab c" and "a bc" would both
+    * fingerprint as md5("abc") and distinct documents would be merged
+    * as exact duplicates. */
   def contentGroups(g: DataFrame): DataFrame = {
     val fp = g.select(col("id"),
-      md5(concat_ws("", array_sort(col("grams")))).as("gfp"))
+      md5(concat_ws("\n", array_sort(col("grams")))).as("gfp"))
     val reps = fp.groupBy(col("gfp")).agg(min(col("id")).as("rep"))
     fp.join(reps.hint("shuffle_hash"), "gfp").select(col("id"), col("rep"))
   }

@@ -29,13 +29,27 @@ object SequencePacker {
 
   /** (id, weight, cum, bin) — `cum` the inclusive global running weight
     * in ascending `idCol` order, `bin` = floor((cum - weight) / budget).
-    * `idCol` must be non-negative and unique (document ids). */
+    * `idCol` must be non-negative and unique (document ids); negative
+    * ids fail loudly (ZOrder-style guard) rather than silently binning
+    * out of order.
+    *
+    * Both divisions are integral (`div`), never double: a double
+    * round-trip is exact only below 2⁵³, so long ids/cumulative weights
+    * near 2⁶³ would silently land in the wrong block/bin, and double
+    * division also truncates negatives toward zero instead of flooring.
+    * With the non-negative guard, `div` (truncation) equals floor. */
   def pack(
       df: DataFrame, idCol: String, weightCol: String,
       budget: Long, blockSize: Long = 1 << 20): DataFrame = {
-    val blk = (col(idCol) / lit(blockSize)).cast("long")
-    val base = df.select(col(idCol).as("id"),
-      col(weightCol).cast("long").as("weight"), blk.as("blk"))
+    require(budget > 0, s"budget must be positive: $budget")
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    val id = col(idCol).cast("long")
+    val guardedId = when(id < 0,
+      raise_error(lit("SequencePacker.pack requires non-negative ids")))
+      .otherwise(id)
+    val base = df.select(guardedId.as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("blk", expr(s"id div ${blockSize}L"))
     val inBlock = base.withColumn("local_cum",
       sum(col("weight")).over(
         Window.partitionBy(col("blk")).orderBy(col("id"))
@@ -50,7 +64,7 @@ object SequencePacker {
     inBlock.join(broadcast(offsets), "blk")
       .withColumn("cum", col("blk_offset") + col("local_cum"))
       .select(col("id"), col("weight"), col("cum"),
-        floor((col("cum") - col("weight")) / lit(budget)).cast("long").as("bin"))
+        expr(s"(cum - weight) div ${budget}L").as("bin"))
   }
 
   /** Bin summary: documents and total weight per bin (the packing

@@ -83,6 +83,7 @@ object Controller {
     val translationReport = RunResult(cfg.uniqueId, "translation",
       Audit.classify(cfg.ddlFiles.size, tr.translated.size),
       Map("total" -> cfg.ddlFiles.size.toString,
+        "passed" -> tr.translated.size.toString,
         "failed" -> tr.failedFiles.size.toString),
       errors = tr.errors.map(e => Audit.TaskError(
         s"translation:${e.fileName}#${e.statementIndex}", e.message,
@@ -106,7 +107,11 @@ object Controller {
         r.state.toString.toUpperCase, r.attempts, r.error.getOrElse(""), now())))
     val ok = results.count(_.state == DdlRunner.Done)
     val schemaReport = RunResult(cfg.uniqueId, "schema",
-      Audit.classify(results.size, ok), Map("scripts" -> results.size.toString),
+      Audit.classify(results.size, ok),
+      Map("scripts" -> results.size.toString,
+        "total" -> results.size.toString,
+        "passed" -> ok.toString,
+        "failed" -> (results.size - ok).toString),
       errors = results.filter(_.state != DdlRunner.Done).map(r =>
         Audit.TaskError(s"schema:${r.name}", r.error.getOrElse(""),
           "dmt_logs.dmt_schema_results")))
@@ -142,7 +147,10 @@ object Controller {
       cfg.copy(validations = cfg.validations.filter(_.kind == "custom")), audit)
     report(audit, cfg, cfg.kind, RunResult(cfg.uniqueId,
       "dry_run", Audit.classify(outcomes.size, ok),
-      Map("statements" -> outcomes.size.toString, "passed" -> ok.toString),
+      Map("statements" -> outcomes.size.toString,
+        "total" -> outcomes.size.toString,
+        "passed" -> ok.toString,
+        "failed" -> (outcomes.size - ok).toString),
       errors = outcomes.collect { case (f, i, Some(err)) =>
         Audit.TaskError(s"dry_run:$f#$i", err, "dmt_logs.dmt_dml_validation_results")
       }) +: vreports)
@@ -156,7 +164,11 @@ object Controller {
       Audit.LoadResult(cfg.uniqueId, o.table, o.status, o.rowsLoaded, o.message, now())))
     val ok = outcomes.count(_.status == "PASS")
     val loadReport = RunResult(cfg.uniqueId, "load",
-      Audit.classify(outcomes.size, ok), Map("tables" -> outcomes.size.toString),
+      Audit.classify(outcomes.size, ok),
+      Map("tables" -> outcomes.size.toString,
+        "total" -> outcomes.size.toString,
+        "passed" -> ok.toString,
+        "failed" -> (outcomes.size - ok).toString),
       errors = outcomes.filter(_.status != "PASS").map(o =>
         Audit.TaskError(s"load:${o.table}", o.message, "dmt_logs.dmt_load_results")))
     val incReports = if (cfg.incrementals.isEmpty) Nil else {
@@ -177,7 +189,10 @@ object Controller {
       })
       Seq(RunResult(cfg.uniqueId, "incremental",
         Audit.classify(results.size, results.count(_._2)),
-        Map("streams" -> results.size.toString),
+        Map("streams" -> results.size.toString,
+          "total" -> results.size.toString,
+          "passed" -> results.count(_._2).toString,
+          "failed" -> results.count(!_._2).toString),
         errors = results.collect { case (t, false, msg) =>
           Audit.TaskError(s"incremental:$t", msg, "dmt_logs.dmt_load_results") }))
     }
@@ -222,50 +237,72 @@ object Controller {
       }
 
   /** DVT stage: run each validation, audit per-row results, aggregate
-    * pass/fail counts (A1 semantics). */
+    * pass/fail counts (A1 semantics).
+    *
+    * Each validation is fault-isolated: a broken spec (missing source
+    * table, malformed SQL, unresolvable column) becomes a Failed
+    * RunResult carrying the error, and every other validation still
+    * runs — the reference's reporting operator likewise reports failed
+    * DVT tasks instead of aborting the run
+    * (`reporting_operator.py:104-127`). */
   def runValidations(spark: SparkSession, cfg: GraftConfig, audit: AuditSink): Seq[RunResult] = {
     if (cfg.validations.isEmpty) return Nil
     val outcomes = cfg.validations.map { v =>
-      lazy val src = spark.table(v.sourceTable)
-      lazy val tgt = spark.table(v.targetTable)
-      val result = v.kind match {
-        case "custom" =>
-          graft.validate.CustomQueryValidator.validate(
-            spark, v.sourceSql, v.targetSql, v.pctThreshold)
-        case "column" =>
-          ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
-        case "row" =>
-          // hash='*' sheets leave compareCols empty: all non-key columns
-          val cmp = if (v.compareCols.nonEmpty) v.compareCols
-            else src.columns.toSeq.filterNot(v.primaryKeys.contains)
-          graft.validate.RowValidator.validate(src, tgt, v.primaryKeys, cmp)
-            .withColumn("validation_status",
-              when(col("validation_status") === "match", "pass").otherwise("fail"))
-        case "schema" =>
-          graft.validate.SchemaValidator.validate(spark, src, tgt)
-            .withColumn("validation_status",
-              when(col("validation_status") === "pass", "pass").otherwise("fail"))
-        case other => throw new IllegalArgumentException(s"unknown validation: $other")
+      scala.util.Try {
+        lazy val src = spark.table(v.sourceTable)
+        lazy val tgt = spark.table(v.targetTable)
+        val result = v.kind match {
+          case "custom" =>
+            graft.validate.CustomQueryValidator.validate(
+              spark, v.sourceSql, v.targetSql, v.pctThreshold)
+          case "column" =>
+            ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
+          case "row" =>
+            // hash='*' sheets leave compareCols empty: all non-key columns
+            val cmp = if (v.compareCols.nonEmpty) v.compareCols
+              else src.columns.toSeq.filterNot(v.primaryKeys.contains)
+            graft.validate.RowValidator.validate(src, tgt, v.primaryKeys, cmp)
+              .withColumn("validation_status",
+                when(col("validation_status") === "match", "pass").otherwise("fail"))
+          case "schema" =>
+            graft.validate.SchemaValidator.validate(spark, src, tgt)
+              .withColumn("validation_status",
+                when(col("validation_status") === "pass", "pass").otherwise("fail"))
+          case other => throw new IllegalArgumentException(s"unknown validation: $other")
+        }
+        val counts = result.groupBy()
+          .agg(count(lit(1)).as("total"),
+            count(when(col("validation_status") === "pass" ||
+              col("validation_status") === "match", 1)).as("passed"))
+          .head()
+        (counts.getAs[Long]("total"), counts.getAs[Long]("passed"))
+      } match {
+        case scala.util.Success((total, passed)) => (v, total, passed, None)
+        case scala.util.Failure(e) =>
+          (v, 0L, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
-      val counts = result.groupBy()
-        .agg(count(lit(1)).as("total"),
-          count(when(col("validation_status") === "pass" ||
-            col("validation_status") === "match", 1)).as("passed"))
-        .head()
-      (v, counts.getAs[Long]("total"), counts.getAs[Long]("passed"))
     }
-    audit.appendRows("dmt_dvt_aggregated_results", outcomes.map { case (v, total, passed) =>
+    audit.appendRows("dmt_dvt_aggregated_results", outcomes.map { case (v, total, passed, err) =>
       Audit.ReportRow(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
-        total, passed, total - passed, Audit.classify(total, passed), now())
+        total, passed, total - passed,
+        if (err.isDefined) "Failed" else Audit.classify(total, passed), now())
     })
-    outcomes.map { case (v, total, passed) =>
-      RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
-        Audit.classify(total, passed),
-        Map("total" -> total.toString, "passed" -> passed.toString),
-        errors = if (passed == total) Nil else Seq(Audit.TaskError(
-          s"dvt_${v.kind}:${v.targetTable}",
-          s"${total - passed} of $total comparisons failed",
-          "dmt_logs.dmt_dvt_aggregated_results")))
+    outcomes.map {
+      case (v, _, _, Some(err)) =>
+        RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}", "Failed",
+          Map("total" -> "0", "passed" -> "0", "failed" -> "0", "error" -> err),
+          errors = Seq(Audit.TaskError(
+            s"dvt_${v.kind}:${v.targetTable}", err,
+            "dmt_logs.dmt_dvt_aggregated_results")))
+      case (v, total, passed, None) =>
+        RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
+          Audit.classify(total, passed),
+          Map("total" -> total.toString, "passed" -> passed.toString,
+            "failed" -> (total - passed).toString),
+          errors = if (passed == total) Nil else Seq(Audit.TaskError(
+            s"dvt_${v.kind}:${v.targetTable}",
+            s"${total - passed} of $total comparisons failed",
+            "dmt_logs.dmt_dvt_aggregated_results")))
     }
   }
 
@@ -275,10 +312,16 @@ object Controller {
     * (`dmt_report_table.json`; `reporting_operator.py:104-164`). */
   private def report(audit: AuditSink, cfg: GraftConfig, kind: String,
       phases: Seq[RunResult]): Seq[RunResult] = {
-    audit.appendRows("dmt_report_table", phases.map(p =>
+    audit.appendRows("dmt_report_table", phases.map { p =>
+      def n(k: String) = p.details.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
+      val total = n("total").getOrElse(0L)
+      // every phase populates total/passed/failed; derive the missing
+      // leg from the other two rather than reporting a silent zero
+      val passed = n("passed").orElse(n("failed").map(total - _)).getOrElse(0L)
+      val failed = n("failed").getOrElse(total - passed)
       Audit.ReportRow(cfg.uniqueId, s"$kind/${p.phase}",
-        p.details.get("total").map(_.toLong).getOrElse(0L),
-        0L, 0L, p.status, now())))
+        total, passed, failed, p.status, now())
+    })
     audit.appendRows("dmt_dag_report", Seq(Audit.DagReportRow(
       cfg.uniqueId, cfg.source, s"graft_$kind", now(),
       Audit.classify(phases.size, phases.count(_.status == "Success")),

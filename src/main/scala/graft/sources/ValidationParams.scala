@@ -45,16 +45,34 @@ object ValidationParams {
       fromGrid(path, spark.read.textFile(path).coalesce(1).collect().toSeq
         .filter(_.nonEmpty).map(splitCsv))
 
+  /** The reference's FIXED positional field list
+    * (`storage_utils.py:12-38`, `validation_csv_header_fields`). Flags
+    * are keyed by POSITION against this list — the row-2 header text is
+    * cosmetic in the reference (pandas reads by position), so a sheet
+    * with a blank or renamed header cell must still resolve
+    * threshold/primary-keys/grouped-columns. Row-2 text names only the
+    * EXTRA columns beyond the canonical 25. */
+  private val CanonicalFields = Seq(
+    "translation-type", "validation-type", "source-table", "target-table",
+    "source-query-file", "target-query-file", "filter-status",
+    "primary-keys", "filters", "exclusion-columns", "allow-list",
+    "count", "sum", "min", "max", "avg", "grouped-columns",
+    "wildcard-include-string-len", "cast-to-bigint", "threshold",
+    "hash", "concat", "comparison-fields", "use-random-row",
+    "random-row-batch-size")
+
   private def fromGrid(path: String, rows: Seq[Seq[String]]): Seq[Entry] = {
     require(rows.size >= 2, s"validation params sheet needs 2 header rows: $path")
     val header = rows(1).map(_.trim)
     rows.drop(2).map { raw =>
       val cells = raw.map(_.trim)
       def at(i: Int) = cells.lift(i).getOrElse("")
-      val flags = (4 until math.max(header.size, cells.size))
+      val flags = (4 until math.max(CanonicalFields.size, cells.size))
         .flatMap { i =>
           val v = at(i)
-          val k = header.lift(i).filter(_.nonEmpty).getOrElse(s"col_$i")
+          val k = CanonicalFields.lift(i)
+            .orElse(header.lift(i).filter(_.nonEmpty))
+            .getOrElse(s"col_$i")
           if (v.nonEmpty) Some(k -> stripQuotes(v)) else None
         }.toMap
       Entry(

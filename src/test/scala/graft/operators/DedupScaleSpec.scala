@@ -88,6 +88,26 @@ class DedupScaleSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("content fingerprint is injective: adjacent grams never blur together") {
+    import spark.implicits._
+    // Four docs, two classic collision shapes at shingleN=1:
+    //  - unseparated concat would merge ("ab c", "a bc") — both "abc";
+    //  - any non-whitespace separator S would merge ("a<S>b", "a b") —
+    //    the S-joined encodings are byte-identical. '\n' is whitespace,
+    //    so the \s+ tokenizer guarantees it never appears inside a gram.
+    val d = Seq(
+      (1L, "ab c"), (2L, "a bc"), (3L, "a\u0001b"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val g = MinHashLSH.shingleTable(d, "doc_id", "text", shingleN = 1)
+    val groups = MinHashLSH.contentGroups(g)
+    // every doc has distinct content → each is its own representative
+    assert(groups.filter(col("id") === col("rep")).count() == 4)
+    // and none of them is reported as an exact (jaccard 1.0) duplicate
+    val dupes = MinHashLSH.nearDuplicates(d, "doc_id", "text", 1.0,
+      k = 16, bands = 4, shingleN = 1)
+    assert(dupes.count() == 0)
+  }
+
   test("bucket-width cap skips oversized buckets and audits them") {
     import spark.implicits._
     // 40 distinct-content docs that still share one band bucket is the

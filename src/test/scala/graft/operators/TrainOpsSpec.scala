@@ -34,6 +34,31 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(0)).toSeq == stats.indices.map(_.toLong))
   }
 
+  test("SequencePacker: integral div survives ids/cums beyond 2^53; negative ids throw") {
+    import spark.implicits._
+    // cums reach ~100 * 2^52 ≈ 4.5e17: above 2^53 a double round-trip
+    // rounds (cum - weight) to a multiple of its 64-wide ulp, so with
+    // budget=2 almost every row would land in the wrong bin under
+    // double division — the exact Long answer is the only stable one
+    val rows = (0 until 100).map(i => ((1L << 62) + i * 3L, (1L << 52) + 2L * i + 1L))
+    val df = rows.toDF("doc_id", "toks").repartition(5)
+    val packed = SequencePacker.pack(df, "doc_id", "toks",
+        budget = 2L, blockSize = 1L << 20)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("cum"), r.getAs[Long]("bin")))
+    var cum = 0L
+    val expected = rows.sortBy(_._1).map { case (id, w) =>
+      cum += w
+      (id, w, cum, (cum - w) / 2L)
+    }
+    assert(packed.toSeq == expected)
+    val neg = Seq((-1L, 10L)).toDF("doc_id", "toks")
+    intercept[Exception] {
+      SequencePacker.pack(neg, "doc_id", "toks", budget = 100, blockSize = 16).collect()
+    }
+  }
+
   test("TfIdf ranks a document's distinctive term above ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(

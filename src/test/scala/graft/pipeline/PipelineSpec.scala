@@ -153,6 +153,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.forall(_.status == "Success"), results.toString)
   }
 
+  test("Controller: bad validation spec is isolated, others still run and report") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS whv")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("whv.region_src")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("whv.region_tgt")
+    val cfg = Controller.GraftConfig(
+      kind = "data", source = "hive", uniqueId = "run-visolate",
+      validations = Seq(
+        // missing source table: must become a Failed result, not a throw
+        Controller.ValidationSpec(kind = "column",
+          sourceTable = "whv.does_not_exist", targetTable = "whv.region_tgt",
+          aggSpecs = Seq(AggSpec("count", "r_regionkey"))),
+        Controller.ValidationSpec(kind = "column",
+          sourceTable = "whv.region_src", targetTable = "whv.region_tgt",
+          aggSpecs = Seq(AggSpec("count", "r_regionkey")))))
+    val results = Controller.run(spark, cfg, audit) // must not throw
+    assert(results.exists(r => r.phase.startsWith("dvt_column") && r.status == "Failed"),
+      results.toString)
+    assert(results.exists(r => r.phase == "dvt_column:whv.region_tgt" && r.status == "Success"),
+      results.toString)
+    // the failed spec lands in the dag report's nested Error array
+    val dag = audit.read("dmt_dag_report")
+      .filter(col("unique_id") === "run-visolate")
+      .selectExpr("explode(Error) AS e").select("e.*").collect()
+    assert(dag.exists(r => r.getAs[String]("error_message").toLowerCase.contains("does_not_exist")
+      || r.getAs[String]("task_name").contains("dvt_column")), dag.mkString("\n"))
+    // and still produces per-phase report rows for BOTH validations
+    assert(audit.read("dmt_report_table")
+      .filter(col("unique_id") === "run-visolate")
+      .filter(col("phase").startsWith("data/dvt_column")).count() == 2)
+  }
+
+  test("Controller report rows carry real per-phase pass/fail counts") {
+    val cfg = Controller.GraftConfig(
+      kind = "ddl", source = "teradata", uniqueId = "run-counts",
+      ddlFiles = Seq(
+        ("good.sql", "CREATE TABLE whc.ok_t (ID INTEGER, NAME VARCHAR(10));"),
+        ("bad.sql", "CREATE TABLE whc.bad_t (ID INTEGER, J FROBNICATE(4));")))
+    Controller.run(spark, cfg, audit)
+    val rows = audit.read("dmt_report_table")
+      .filter(col("unique_id") === "run-counts").collect()
+      .map(r => r.getAs[String]("phase") ->
+        ((r.getAs[Long]("total"), r.getAs[Long]("succeeded"), r.getAs[Long]("failed"))))
+      .toMap
+    // translation: 1 of 2 files translated; succeeded/failed must be
+    // REAL counts, not the hardcoded zeros of rounds <= 4
+    assert(rows("ddl/translation") == ((2L, 1L, 1L)), rows.toString)
+    // schema: the one translated script runs clean
+    assert(rows("ddl/schema") == ((1L, 1L, 0L)), rows.toString)
+  }
+
   test("Controller data route: incremental stage drains arrivals with audit dedup") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS lodinc")

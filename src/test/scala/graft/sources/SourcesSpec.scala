@@ -10,20 +10,39 @@ import graft.functions.OrderedStringAgg
 class SourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "sources-test")
 
+  /** Cells at the reference's fixed positions (storage_utils.py:12-38):
+    * 7=primary-keys, 11=count, 12=sum, 19=threshold, 20=hash. */
+  private def rowOf(cells: (Int, String)*): Seq[String] = {
+    val m = cells.toMap
+    (0 to 24).map(i => m.getOrElse(i, ""))
+  }
+
   test("ValidationParams: 2-header skip, positional flags, key, semi-join") {
     val dir = Files.createTempDirectory("vp").toString
+    // row-2 header cells over primary-keys and threshold are left BLANK
+    // (and 'count' is renamed) — flags key by POSITION against the
+    // reference's fixed field list, so they must still resolve
+    val lines = Seq(
+      rowOf(0 -> "banner", 2 -> "Source and Target"),
+      rowOf(2 -> "source-table", 3 -> "target-table",
+        4 -> "source-query-file", 5 -> "target-query-file",
+        11 -> "renamed-count-header", 12 -> "sum", 20 -> "hash"),
+      rowOf(0 -> "ddl", 1 -> "column", 2 -> "src.t1", 3 -> "tgt.t1",
+        11 -> "*", 12 -> "x", 19 -> "10.5"),
+      rowOf(0 -> "ddl", 1 -> "row", 2 -> "src.t2", 3 -> "tgt.t2",
+        7 -> "id", 20 -> "*"),
+      rowOf(0 -> "sql", 1 -> "column", 2 -> "src.t3", 3 -> "tgt.t3",
+        11 -> "*")).map(_.mkString(","))
     Files.writeString(java.nio.file.Paths.get(s"$dir/params.csv"),
-      """banner,,Source and Target,,,,flags,,,
-        |,,source-table,target-table,source-query-file,target-query-file,count,sum,hash,
-        |ddl,column,src.t1,tgt.t1,,,*,x,,
-        |ddl,row,src.t2,tgt.t2,,,,,*,
-        |sql,column,src.t3,tgt.t3,,,*,,,
-        |""".stripMargin)
+      lines.mkString("", "\n", "\n"))
     val entries = ValidationParams.read(spark, s"$dir/params.csv")
     assert(entries.size == 3)
     val ddlCol = ValidationParams.forRun(entries, "ddl", "column")
     assert(ddlCol.keySet == Set("src.t1"))
-    assert(ddlCol("src.t1").flags == Map("count" -> "*", "sum" -> "x"))
+    assert(ddlCol("src.t1").flags ==
+      Map("count" -> "*", "sum" -> "x", "threshold" -> "10.5"))
+    val row = ValidationParams.forRun(entries, "ddl", "row")("src.t2")
+    assert(row.flags("primary-keys") == "id" && row.flags("hash") == "*")
     val valid = ValidationParams.validComparisons(
       ValidationParams.forRun(entries, "ddl", "row"), Set("tgt.t2", "tgt.t9"))
     assert(valid == Seq(("src.t2", "tgt.t2")))
@@ -100,23 +119,24 @@ class SourcesSpec extends AnyFunSuite {
     // same logical sheet as the reference sample, no CSV quoting needed:
     // xlsx cells hold embedded commas natively
     writeXlsx(s"$dir/params.xlsx", Seq(
-      Seq("banner", "", "Source and Target", "", "", "", "", "", ""),
-      Seq("translation-type", "validation-type", "source-table", "target-table",
-        "source-query-file", "target-query-file", "count", "exclusion-columns",
-        "random-row-batch-size"),
-      Seq("ddl", "schema", "dvt.EMPLOYEE", "dmt_dataset.employee", "", "", "",
-        "emp_no,emp_name", ""),
-      Seq("data", "row", "dvt.EMPLOYEE2", "dmt_dataset.employee2", "", "", "*",
-        "", "1000"),
-      Seq("sql", "custom query column", "", "", "source_query_1.sql",
-        "target_query_1.sql", "emp_no", "", "")))
+      rowOf(0 -> "banner", 2 -> "Source and Target"),
+      rowOf(0 -> "translation-type", 1 -> "validation-type",
+        2 -> "source-table", 3 -> "target-table",
+        4 -> "source-query-file", 5 -> "target-query-file"),
+      rowOf(0 -> "ddl", 1 -> "schema", 2 -> "dvt.EMPLOYEE",
+        3 -> "dmt_dataset.employee", 9 -> "emp_no,emp_name"),
+      rowOf(0 -> "data", 1 -> "row", 2 -> "dvt.EMPLOYEE2",
+        3 -> "dmt_dataset.employee2", 7 -> "emp_no", 20 -> "*", 24 -> "1000"),
+      rowOf(0 -> "sql", 1 -> "custom query column", 4 -> "source_query_1.sql",
+        5 -> "target_query_1.sql", 11 -> "emp_no")))
     val entries = ValidationParams.read(spark, s"$dir/params.xlsx")
     assert(entries.size == 3)
     val schema = ValidationParams.forRun(entries, "ddl", "schema")("dvt.EMPLOYEE")
     assert(schema.targetTable == "dmt_dataset.employee")
     assert(schema.flags("exclusion-columns") == "emp_no,emp_name")
     val row = ValidationParams.forRun(entries, "data", "row")("dvt.EMPLOYEE2")
-    assert(row.flags("count") == "*" && row.flags("random-row-batch-size") == "1000")
+    assert(row.flags("primary-keys") == "emp_no" && row.flags("hash") == "*"
+      && row.flags("random-row-batch-size") == "1000")
     val cq = ValidationParams.forRun(entries, "sql", "custom query column")
     assert(cq.keySet == Set("source_query_1.sql"))
     assert(cq("source_query_1.sql").targetTable == "target_query_1.sql")
