@@ -256,6 +256,9 @@ object Controller {
             graft.validate.CustomQueryValidator.validate(
               spark, v.sourceSql, v.targetSql, v.pctThreshold)
           case "column" =>
+            require(v.aggSpecs.nonEmpty,
+              s"no aggregations for ${v.sourceTable} — check sheet columns " +
+                "11-15 (count/sum/min/max/avg)")
             ColumnValidator.validate(src, tgt, v.aggSpecs, v.groupBy, v.pctThreshold)
           case "row" =>
             // hash='*' sheets leave compareCols empty: all non-key columns
@@ -282,15 +285,21 @@ object Controller {
           (v, 0L, 0L, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
+    // a validation whose spec THREW (vs. ran and compared) counts as one
+    // attempted, one failed — consumers summing the failed column see the
+    // broken validation instead of a zero-count Failed row
     audit.appendRows("dmt_dvt_aggregated_results", outcomes.map { case (v, total, passed, err) =>
-      Audit.ReportRow(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
-        total, passed, total - passed,
-        if (err.isDefined) "Failed" else Audit.classify(total, passed), now())
+      if (err.isDefined)
+        Audit.ReportRow(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
+          1L, 0L, 1L, "Failed", now())
+      else
+        Audit.ReportRow(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}",
+          total, passed, total - passed, Audit.classify(total, passed), now())
     })
     outcomes.map {
       case (v, _, _, Some(err)) =>
         RunResult(cfg.uniqueId, s"dvt_${v.kind}:${v.targetTable}", "Failed",
-          Map("total" -> "0", "passed" -> "0", "failed" -> "0", "error" -> err),
+          Map("total" -> "1", "passed" -> "0", "failed" -> "1", "error" -> err),
           errors = Seq(Audit.TaskError(
             s"dvt_${v.kind}:${v.targetTable}", err,
             "dmt_logs.dmt_dvt_aggregated_results")))

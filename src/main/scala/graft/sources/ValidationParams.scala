@@ -64,6 +64,17 @@ object ValidationParams {
   private def fromGrid(path: String, rows: Seq[Seq[String]]): Seq[Entry] = {
     require(rows.size >= 2, s"validation params sheet needs 2 header rows: $path")
     val header = rows(1).map(_.trim)
+    // positions rule (the reference's DictReader ignores row-2 text), but
+    // a sheet authored against header-keyed semantics would be silently
+    // misparsed — surface the misalignment instead
+    header.zipWithIndex.foreach { case (h, i) =>
+      CanonicalFields.lift(i).foreach { canon =>
+        if (h.nonEmpty && h != canon)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$path: row-2 header '$h' at position $i differs from the " +
+              s"canonical field '$canon' — positions rule; the cell text is ignored")
+      }
+    }
     rows.drop(2).map { raw =>
       val cells = raw.map(_.trim)
       def at(i: Int) = cells.lift(i).getOrElse("")

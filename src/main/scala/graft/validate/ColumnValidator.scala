@@ -71,6 +71,9 @@ object ColumnValidator {
       specs: Seq[AggSpec],
       groupBy: Seq[String] = Nil,
       pctThreshold: Double = 0.0): DataFrame = {
+    require(specs.nonEmpty,
+      "no aggregations to validate — the params sheet row has no " +
+        "count/sum/min/max/avg cells (canonical positions 11-15)")
     val s = melt(aggregate(source, groupBy, specs), groupBy, specs, "source_agg_value")
     val t = melt(aggregate(target, groupBy, specs), groupBy, specs, "target_agg_value")
     val keys = groupBy :+ "validation_name"

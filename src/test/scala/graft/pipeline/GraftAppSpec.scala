@@ -94,14 +94,17 @@ class GraftAppSpec extends AnyFunSuite {
       .write.mode(SaveMode.Overwrite).saveAsTable("vp_src.nation_s")
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
       .write.mode(SaveMode.Overwrite).saveAsTable("vp_src.nation_t")
-    // positional sheet exactly like the reference sample: banner row,
-    // name row, then flag cells under their named positions
+    // positional sheet exactly like the reference sample
+    // (common_utils/tests/mock/validation_params.csv): banner row, name
+    // row, then flag cells at the CANONICAL 25 positions
+    // (storage_utils.py validation_csv_header_fields — count at 11,
+    // sum at 12, threshold at 19, hash at 20, primary-keys at 7)
     Files.writeString(Paths.get(s"$root/params.csv"),
-      """banner,,Source and Target,,,,flags,,,,,
-        |,,source-table,target-table,source-query-file,target-query-file,primary-keys,count,sum,hash,grouped-columns,threshold
-        |data,column,vp_src.nation_s,vp_src.nation_t,,,,n_nationkey,n_nationkey,,,
-        |data,row,vp_src.nation_s,vp_src.nation_t,,,n_nationkey,,,*,,
-        |ddl,column,vp_src.ignored,vp_src.ignored,,,,x,,,,
+      """Translation / Migration Type,Validation Type,Source and Target,,,,Common Flag to all Validations,Common Flag to Row and Column Validation,,Schema Validation Flags,,Column Validation Flags,,,,,,,,,Row Validation Flags,,,,
+        |,,source-table,target-table,source-query-file,target-query-file,filter-status,primary-keys,filters,exclusion-columns,allow-list,count,sum,min,max,avg,grouped-columns,wildcard-include-string-len,cast-to-bigint,threshold,hash,concat,comparison-fields,use-random-row,random-row-batch-size
+        |data,column,vp_src.nation_s,vp_src.nation_t,,,,,,,,n_nationkey,n_nationkey,,,,,,,,,,,,
+        |data,row,vp_src.nation_s,vp_src.nation_t,,,,n_nationkey,,,,,,,,,,,,,*,,,,
+        |ddl,column,vp_src.ignored,vp_src.ignored,,,,,,,,x,,,,,,,,,,,,,
         |""".stripMargin)
     Files.writeString(Paths.get(s"$root/drops/data/run-vp.json"),
       s"""{"type": "data", "source": "hive", "unique_id": "run-vp",

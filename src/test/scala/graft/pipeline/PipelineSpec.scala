@@ -186,6 +186,33 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("phase").startsWith("data/dvt_column")).count() == 2)
   }
 
+  test("Controller: column validation with no agg flags fails actionably, counted 1/1") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS whe")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("whe.region_src")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .write.mode(SaveMode.Overwrite).saveAsTable("whe.region_tgt")
+    val cfg = Controller.GraftConfig(
+      kind = "data", source = "hive", uniqueId = "run-noagg",
+      validations = Seq(Controller.ValidationSpec(kind = "column",
+        sourceTable = "whe.region_src", targetTable = "whe.region_tgt",
+        aggSpecs = Nil))) // sheet row with no count/sum/min/max/avg cells
+    val results = Controller.run(spark, cfg, audit) // isolated, not thrown
+    val failed = results.find(_.phase == "dvt_column:whe.region_tgt")
+    assert(failed.exists(_.status == "Failed"), results.toString)
+    // the error names the table and the sheet columns, not "head of empty list"
+    val err = failed.get.details("error")
+    assert(err.contains("whe.region_src") && err.contains("11-15"), err)
+    // a validation that could not execute counts as 1 attempted / 1 failed
+    assert(failed.get.details("total") == "1" && failed.get.details("failed") == "1",
+      failed.toString)
+    val agg = audit.read("dmt_dvt_aggregated_results")
+      .filter(col("unique_id") === "run-noagg").collect()
+    assert(agg.length == 1 &&
+      agg.head.getAs[Long]("total") == 1L && agg.head.getAs[Long]("failed") == 1L,
+      agg.mkString("\n"))
+  }
+
   test("Controller report rows carry real per-phase pass/fail counts") {
     val cfg = Controller.GraftConfig(
       kind = "ddl", source = "teradata", uniqueId = "run-counts",
