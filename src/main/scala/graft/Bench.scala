@@ -2,28 +2,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — prints one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR.
+  * SPARK_GRAFT_SF_DIR, and writes the same JSON to `BENCH.json` in the
+  * current directory so the full map survives any stdout truncation.
   *
-  * Measurement protocol (round 5): every query is timed as the MEDIAN of
-  * `SPARK_GRAFT_BENCH_ITERS` (default 3) back-to-back runs at the bench
-  * scale, after one untimed warm-up at the sf0.001 sibling of the bench
-  * directory. A single-iteration bench in a shared JVM swings with GC
-  * pauses, JIT recompilation, and whatever the previous query left in
-  * the allocator — round 4 measured 15× run-to-run deltas on identical
-  * code. The warm-up compiles exactly the same whole-stage-codegen
-  * classes the measured runs use (generated code is keyed on plan
-  * shape, not input size), so one-time Janino compilation (5-10 s for
-  * the widest aggregations) is excluded everywhere, and the median
-  * discards the one-off outlier iterations that a mean would absorb.
+  * Measurement protocol (round 5, amended round 6): every query is timed
+  * as the MEDIAN of `SPARK_GRAFT_BENCH_ITERS` (default 3) back-to-back
+  * runs at the bench scale, after one untimed warm-up at the sf0.001
+  * sibling of the bench directory. A single-iteration bench in a shared
+  * JVM swings with GC pauses, JIT recompilation, and whatever the
+  * previous query left in the allocator — round 4 measured 15×
+  * run-to-run deltas on identical code. The warm-up compiles exactly the
+  * same whole-stage-codegen classes the measured runs use (generated
+  * code is keyed on plan shape, not input size), so one-time Janino
+  * compilation (5-10 s for the widest aggregations) is excluded
+  * everywhere, and the median discards the one-off outlier iterations
+  * that a mean would absorb.
   *
-  * Output is ONE line of JSON — the last line on stdout — carrying the
-  * full per-query map (all queries, values rounded to ms) plus
-  * `"iters"` so a reader can tell which protocol produced the numbers.
+  * Round-6 changes:
+  *   - cpus default is 32, matching the stated bench contract
+  *     (local[32], 32-core host). The original stub's default of 4
+  *     silently quartered every CPU-bound query — rounds ≤5 reported
+  *     d2_minhash_lsh at 7.75 s that is ~2.1 s on the contract
+  *     configuration. `SPARK_GRAFT_CPUS` still overrides.
+  *   - a query that THROWS during a timed run is reported under
+  *     `"errors"` (exception class + message) and excluded from
+  *     `"queries"` and the total, instead of contributing a bogus
+  *     near-zero timing.
+  *   - the headline `"metric"/"value"` pair leads the line and the big
+  *     per-query map trails it, so a truncated capture still carries the
+  *     totals; the full line is also written to BENCH.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent
@@ -50,21 +62,32 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { run(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache() // warm-up must not subsidize the timed runs
+      var err: Option[String] = None
       val samples = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { run(fn(spark, sfDir)) } catch {
+          case e: Throwable => err = Some(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
         spark.catalog.clearCache() // caches must not subsidize later runs
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (math.rint(median(samples) * 1000) / 1000)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, math.rint(median(samples) * 1000) / 1000, err)
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ok = outcomes.collect { case (n, sec, None) => n -> sec }
+    val errs = outcomes.collect { case (n, _, Some(e)) => n -> e }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = math.rint(results.values.sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(ok.map(_._2).sum * 1000) / 1000
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","errors":$es,"queries":$qs}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * for auditing, so the skip is a visible data-quality signal rather
   * than silent truncation.
   *
-  * The default hasher is the portable md5-based [[TextOps.hexHash60]] so
-  * results are oracle-checkable cross-engine; production can pass
-  * [[TextOps.fastHash64]] for ~5× cheaper signatures.
+  * The default base hash is the portable md5-based
+  * [[TextOps.hexHash60Pair]] (one digest → two 60-bit halves → all k
+  * minhash functions by Kirsch-Mitzenmacher derivation) so results are
+  * oracle-checkable cross-engine; production can pass
+  * [[TextOps.fastHashPair]] (xxhash64) to drop the md5 cost entirely.
   */
 object MinHashLSH {
 
@@ -66,11 +68,21 @@ object MinHashLSH {
 
   /** (id, sig) from a shingle table.
     *
+    * Hash family: Kirsch-Mitzenmacher derivation over ONE base digest —
+    * h_i(s) = (h1(s) + i·(h2(s) div 32)) mod 2⁶⁰, where (h1, h2) are the
+    * two independent 60-bit halves of a single md5
+    * ([[TextOps.hexHash60Pair]]). One md5 per distinct gram replaces the
+    * k-md5s-per-gram seeded family of rounds ≤5 — md5 was the dominant
+    * CPU of the whole signature stage at k=32. The div-32 keeps
+    * i·(h2 div 32) < 2⁶⁰ so the sum never overflows a signed 64-bit
+    * (portable to DuckDB BIGINT, which raises on overflow: mirror is
+    * `(h1 + i * (h2 // 32)) % 1152921504606846976`).
+    *
     * Join shape matters here. The hashed vocabulary is (a) explicitly
-    * repartitioned to the session shuffle parallelism BEFORE the k hash
-    * expressions — the distinct gram list is tiny in bytes, so AQE
-    * would otherwise coalesce its shuffle to one partition and the k-
-    * md5s-per-gram projection would run on one core — and (b) joined
+    * repartitioned to the session shuffle parallelism BEFORE the hash
+    * projection — the distinct gram list is tiny in bytes, so AQE
+    * would otherwise coalesce its shuffle to one partition and the
+    * md5+derive projection would run on one core — and (b) joined
     * back with a shuffle-hash hint: left to its own devices AQE
     * broadcast-joins by building the EXPLODED CORPUS side (it looks
     * small by bytes), a driver-side serial build that dwarfs the real
@@ -79,12 +91,18 @@ object MinHashLSH {
     * to broadcast — the 100 TB case. */
   def signaturesFrom(
       g: DataFrame, k: Int = 32,
-      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+      hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
     val p = g.sparkSession.sessionState.conf.numShufflePartitions
+    val mod = 1L << 60
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))
     val vocab = ex.select(col("gram")).distinct()
       .repartition(p, col("gram"))
-      .select(col("gram") +: (0 until k).map(i => hashFn(i, col("gram")).as(s"h$i")): _*)
+      .select(col("gram"), hashPair(col("gram")).as("hp"))
+      // hp inlines into every h_i after projection collapse; codegen
+      // subexpression elimination evaluates the digest once per row
+      .select(col("gram") +: (0 until k).map(i =>
+        ((element_at(col("hp"), 1) +
+          lit(i.toLong) * shiftright(element_at(col("hp"), 2), 5)) % mod).as(s"h$i")): _*)
     ex.join(vocab.hint("shuffle_hash"), "gram")
       .groupBy(col("id"))
       .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -97,9 +115,9 @@ object MinHashLSH {
       textCol: String,
       k: Int = 32,
       shingleN: Int = 3,
-      hashFn: (Int, Column) => Column = TextOps.hexHash60): DataFrame = {
+      hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
     val g = shingleTable(docs, idCol, textCol, shingleN)
-    g.join(signaturesFrom(g, k, hashFn), "id")
+    g.join(signaturesFrom(g, k, hashPair), "id")
   }
 
   /** (band, bkey, id) — one row per band per doc; bkey is the md5 of the
@@ -156,7 +174,7 @@ object MinHashLSH {
       k: Int,
       bands: Int,
       shingleN: Int,
-      hashFn: (Int, Column) => Column,
+      hashPair: Column => Column,
       maxBucketWidth: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val g = shingleTable(docs, idCol, textCol, shingleN).cache()
@@ -164,7 +182,7 @@ object MinHashLSH {
     val repsG = g.join(
       groups.filter(col("id") === col("rep")).select(col("id")),
       Seq("id"), "left_semi").cache()
-    val sigs = signaturesFrom(repsG, k, hashFn)
+    val sigs = signaturesFrom(repsG, k, hashPair)
     val banded = bandKeys(sigs, bands, k / bands).cache()
     val cands = candidatePairs(banded, maxBucketWidth)
     val ga = repsG.select(col("id").as("id_a"), col("grams").as("grams_a"))
@@ -191,10 +209,10 @@ object MinHashLSH {
       k: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3,
-      hashFn: (Int, Column) => Column = TextOps.hexHash60,
+      hashPair: Column => Column = TextOps.hexHash60Pair,
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val (groups, repPairs) = repPipeline(
-      docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
+      docs, idCol, textCol, threshold, k, bands, shingleN, hashPair, maxBucketWidth)
     // members share their representative's shingle set exactly, so
     // cross-group pairs inherit the rep jaccard and within-group pairs
     // are exactly 1.0
@@ -217,10 +235,10 @@ object MinHashLSH {
       k: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3,
-      hashFn: (Int, Column) => Column = TextOps.hexHash60,
+      hashPair: Column => Column = TextOps.hexHash60Pair,
       maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val (groups, repPairs) = repPipeline(
-      docs, idCol, textCol, threshold, k, bands, shingleN, hashFn, maxBucketWidth)
+      docs, idCol, textCol, threshold, k, bands, shingleN, hashPair, maxBucketWidth)
     PairExpansion.edges(groups, repPairs)
   }
 }

@@ -67,6 +67,20 @@ object TextOps {
   def hexHash60(seed: Int, c: Column): Column =
     hexHash60(concat(lit(s"$seed:"), c))
 
+  /** Two independent 60-bit hashes from ONE md5 digest (hex chars 1-15
+    * and 17-31) as `array<bigint>[2]` — the base pair for the
+    * Kirsch-Mitzenmacher derived hash family in minhash signatures.
+    * DuckDB mirror of the halves: `substr(md5(x),1,15)` /
+    * `substr(md5(x),17,15)` via the usual '0x' BIGINT cast. */
+  def hexHash60Pair(c: Column): Column = graft.plans.HexHash60Pair(c)
+
+  /** Fast non-portable base pair (xxhash64, codegen'd, no md5 cost);
+    * masked to 60 bits so the same overflow-safe derivation applies. */
+  def fastHashPair(c: Column): Column = {
+    val mask = (1L << 60) - 1
+    array(xxhash64(lit(1), c).bitwiseAND(mask), xxhash64(lit(2), c).bitwiseAND(mask))
+  }
+
   /** Portable SIGNED 64-bit hash: first 8 md5 bytes big-endian (= first
     * 16 hex chars wrapped to two's complement). DuckDB mirror documented
     * at [[graft.plans.HexHash60.hash64]]. */

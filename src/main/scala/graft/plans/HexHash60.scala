@@ -99,3 +99,61 @@ object HexHash64 {
   def apply(c: Column): Column =
     ExprBridge.column(HexHash64(ExprBridge.expression(c.cast("string"))))
 }
+
+/** Two independent portable 60-bit hashes from ONE md5 digest: the
+  * high half (digest bytes 0-7 ≫ 4 = hex chars 1-15, identical to
+  * [[HexHash60]]) and the low half (bytes 8-15 ≫ 4 = hex chars 17-31).
+  * Returned as `array<bigint>[2]`.
+  *
+  * This is the base of the Kirsch-Mitzenmacher derived hash family the
+  * minhash signature stage uses (h_i = h1 + i·(h2 div 32) mod 2⁶⁰): one
+  * digest yields every seed's hash, so a k=32 signature costs 1 md5 per
+  * gram instead of 32 — md5 is the dominant CPU in the vocabulary
+  * projection at scale. DuckDB mirrors of the halves:
+  * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)` and
+  * `CAST(concat('0x', substr(md5(x),17,15)) AS BIGINT)`. */
+case class HexHash60Pair(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hex_hash60_pair requires a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HexHash60Pair.hashPair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HexHash60Pair.hashPair($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HexHash60Pair =
+    copy(child = newChild)
+}
+
+object HexHash60Pair {
+
+  private val threadMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** [hi60, lo60] from one digest pass. */
+  def hashPair(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = threadMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    def be64(o: Int): Long =
+      ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) |
+        ((d(o + 2) & 0xffL) << 40) | ((d(o + 3) & 0xffL) << 32) |
+        ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+        ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(be64(0) >>> 4, be64(8) >>> 4))
+  }
+
+  /** Column API over any input (cast to string first). */
+  def apply(c: Column): Column =
+    ExprBridge.column(HexHash60Pair(ExprBridge.expression(c.cast("string"))))
+}

@@ -55,6 +55,17 @@ object DedupQueries {
   private val R = K / Bands
   private val MinhashThreshold = 0.8
 
+  /** The edge list d6 clusters over — nearDupEdges (member→representative
+    * star edges + verified representative pairs) is the 100 TB clustering
+    * path: edge count linear in corpus size, same connected components as
+    * the full nearDuplicates pair list. Named (rather than inlined in the
+    * d6 lambda) so PlanAuditSpec can pin the exact DataFrame the query
+    * consumes: ConnectedComponents checkpoints per round, so d6's final
+    * plan cannot carry the star-edge invariant itself. */
+  private[graft] def d6Edges(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupEdges(corpusDocs(s, dir), "doc_id", "text",
+      MinhashThreshold, k = K, bands = Bands)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> ((s, dir) => {
       ExactDedup.groups(corpusDocs(s, dir), "doc_id", Seq("text"))
@@ -81,12 +92,7 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d6_dedup_clusters" -> ((s, dir) => {
-      // nearDupEdges (star edges + verified representative pairs) is the
-      // 100 TB clustering path: edge count linear in corpus size, same
-      // components as the full nearDuplicates pair list.
-      val edges = MinHashLSH.nearDupEdges(corpusDocs(s, dir), "doc_id", "text",
-        MinhashThreshold, k = K, bands = Bands)
-      ConnectedComponents.components(edges)
+      ConnectedComponents.components(d6Edges(s, dir))
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
@@ -102,10 +108,17 @@ object DedupQueries {
   // ---- generated DuckDB oracles --------------------------------------
 
   /** CTE chain shared by d2 (pairs) and d6 (clusters): corpus → shingles
-    * → minhash signatures → band buckets → candidates → verified pairs. */
+    * → minhash signatures → band buckets → candidates → verified pairs.
+    *
+    * Signature mirror of [[MinHashLSH.signaturesFrom]]'s
+    * Kirsch-Mitzenmacher family: h_i = (h1 + i·(h2 // 32)) mod 2⁶⁰ over
+    * the two 60-bit md5 halves (hex chars 1-15 / 17-31) — pure BIGINT
+    * arithmetic, overflow-free (i·(h2//32) < 2⁶⁰, sum < 2⁶¹). */
   private val d2Ctes: String = {
+    val h2 = "CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT)"
     val sigList = (0 until K)
-      .map(i => s"list_min(list_transform(grams, s -> ${hex60(s"'$i:' || s")}))")
+      .map(i => "list_min(list_transform(grams, s -> " +
+        s"(${hex60("s")} + $i * ($h2 // 32)) % 1152921504606846976))")
       .mkString("[\n   ", ",\n   ", "]")
     val bandKey = (1 to R).map(j => s"sig[b.band * $R + $j]").mkString(", ")
     s"""$corpusSql,

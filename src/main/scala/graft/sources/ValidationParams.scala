@@ -35,7 +35,7 @@ object ValidationParams {
     * validations) have no source-table; the query file is the key,
     * matching the reference's keying. */
   def read(spark: SparkSession, path: String): Seq[Entry] =
-    if (path.toLowerCase.endsWith(".xlsx"))
+    if (path.toLowerCase.endsWith(".xlsx") || path.toLowerCase.endsWith(".xltx"))
       // xlsx sheets are what the reference actually ships
       // (storage_utils.py:92-96 flattens them to CSV via pandas; the
       // flatten + re-split round-trip is a no-op on the cell grid, so

@@ -113,6 +113,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("d6 consumes nearDupEdges: star-edge union, no all-pairs expansion") {
+    // d6's own final plan is checkpoint-truncated by ConnectedComponents,
+    // so the pin targets the exact edge DataFrame the query builds
+    // (DedupQueries.d6Edges). The star path unions member→rep edges with
+    // verified rep pairs; the all-pairs path (PairExpansion.expand) is
+    // recognizable by its least/greatest member-pair canonicalization and
+    // must NOT appear — a 10⁶-copy group would expand to 5·10¹¹ pairs.
+    val p = graft.queries.DedupQueries.d6Edges(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("least(") && !p.contains("greatest("), p)
+  }
+
+  test("d2 near-dup pipeline: hash joins only — no sort-merge, no nested-loop, no cartesian") {
+    val p = planOf("d2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup exact: single hash-aggregate pipeline, no join before grouping") {
     val df = graft.operators.ExactDedup.groups(
       graft.core.Tables(spark, dir, "documents"), "doc_id", Seq("text"))

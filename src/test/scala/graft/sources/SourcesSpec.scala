@@ -144,6 +144,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(Xlsx.colOf("AA7") == 26 && Xlsx.colOf("B3") == 1)
   }
 
+  test("ValidationParams reads the reference's own sample workbook (.xltx template)") {
+    // samples/validation_params_files ships the sheet as CSV (with data
+    // rows) and as an Excel TEMPLATE (.xltx — same SpreadsheetML zip as
+    // .xlsx, header rows only). The template's row-2 names are the
+    // ground truth for the canonical positional field list
+    // (storage_utils.py validation_csv_header_fields positions 2-24).
+    val base = "/root/reference/samples/validation_params_files"
+    val grid = Xlsx.rows(s"$base/validation_params.xltx")
+    assert(grid.size >= 2, grid.toString)
+    assert(grid(1).drop(2).map(_.trim) == Seq(
+      "source-table", "target-table", "source-query-file", "target-query-file",
+      "filter-status", "primary-keys", "filters", "exclusion-columns",
+      "allow-list", "count", "sum", "min", "max", "avg", "grouped-columns",
+      "wildcard-include-string-len", "cast-to-bigint", "threshold",
+      "hash", "concat", "comparison-fields", "use-random-row",
+      "random-row-batch-size"), grid(1).toString)
+    // template has no data rows -> zero entries, no parse error
+    assert(ValidationParams.read(spark, s"$base/validation_params.xltx").isEmpty)
+    // the CSV twin carries data rows; its column flags land on the
+    // canonical positions
+    val fromCsv = ValidationParams.read(spark, s"$base/validation_params.csv")
+    assert(fromCsv.nonEmpty)
+    val col = ValidationParams.forRun(fromCsv, "ddl", "column")
+    assert(col.values.exists(e => e.flags.contains("count") || e.flags.contains("sum")),
+      col.toString)
+  }
+
   test("CatalogOps: extract DDLs, write per-table files, json archive") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS catops")
