@@ -151,9 +151,13 @@ object TpchQueries {
         .groupBy(col("l_suppkey"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(8,4)") -
           col("l_discount").cast("decimal(8,4)"))).cast("double").as("total_revenue"))
+      // distributed top-k (TakeOrderedAndProject: per-partition top-5 +
+      // driver merge) replaces a rank over the full supplier aggregate —
+      // a no-partition window would drag every supplier's row through one
+      // partition at scale; the rank window then covers only 5 rows
       val w = Window.orderBy(col("total_revenue").desc, col("l_suppkey"))
-      rev.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      rev.orderBy(col("total_revenue").desc, col("l_suppkey")).limit(5)
+        .withColumn("rnk", row_number().over(w))
         .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"),
           col("rnk").cast("int").as("rnk"))
