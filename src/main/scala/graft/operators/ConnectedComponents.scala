@@ -49,9 +49,11 @@ object ConnectedComponents {
       .localCheckpoint()
     // Σcomp strictly decreases until the fixpoint, so one cheap exact
     // aggregate replaces a join-based changed-count per round (decimal:
-    // a 2^63-scale node-id sum must not overflow)
+    // a 2^63-scale node-id sum must not overflow; ZERO for an empty
+    // graph — sum-of-nothing is SQL-null and must not NPE the compare)
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = checksum(labels)
     var iter = 0
     var converged = false

@@ -241,4 +241,44 @@ object MinHashLSH {
       docs, idCol, textCol, threshold, k, bands, shingleN, hashPair, maxBucketWidth)
     PairExpansion.edges(groups, repPairs)
   }
+
+  /** (id, comp) dedup clusters, end-to-end — the sharpest clustering
+    * shape: the iterative connected-components pass runs ONLY on the
+    * verified representative-pair graph (|pairs| edges — orders of
+    * magnitude below corpus size), never on the member star edges. A
+    * member's label is fully determined by its representative's label
+    * (identical content ⇒ identical connectivity), so after the tiny
+    * iteration one corpus-sized join labels every member:
+    * comp(doc) = comp(rep(doc)), defaulting to rep(doc) for
+    * representatives untouched by any cross-group pair. Output covers
+    * exactly the docs with at least one near-duplicate (members of
+    * multi-member groups — their exact copies — and docs in verified
+    * pairs), matching the components of the full [[nearDuplicates]]
+    * pair list. Compared to components-over-[[nearDupEdges]], every
+    * per-round shuffle drops from corpus-sized to pair-graph-sized;
+    * the corpus is touched by exactly one extra join. */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      hashPair: Column => Column = TextOps.hexHash60Pair,
+      maxBucketWidth: Int = Int.MaxValue,
+      maxIter: Int = 30): DataFrame = {
+    val (groups, repPairs) = repPipeline(
+      docs, idCol, textCol, threshold, k, bands, shingleN, hashPair, maxBucketWidth)
+    val repComps = ConnectedComponents.components(
+      repPairs.select(col("id_a").as("src"), col("id_b").as("dst")), maxIter)
+    // reps with ≥2 members: every member has an exact-copy partner
+    val multi = groups.filter(col("id") =!= col("rep"))
+      .select(col("rep")).distinct().withColumn("has_copies", lit(1))
+    groups
+      .join(multi.hint("shuffle_hash"), Seq("rep"), "left")
+      .join(repComps.select(col("id").as("rep"), col("comp")), Seq("rep"), "left")
+      .filter(col("has_copies").isNotNull || col("comp").isNotNull)
+      .select(col("id"), coalesce(col("comp"), col("rep")).as("comp"))
+  }
 }

@@ -55,15 +55,15 @@ object DedupQueries {
   private val R = K / Bands
   private val MinhashThreshold = 0.8
 
-  /** The edge list d6 clusters over — nearDupEdges (member→representative
-    * star edges + verified representative pairs) is the 100 TB clustering
-    * path: edge count linear in corpus size, same connected components as
-    * the full nearDuplicates pair list. Named (rather than inlined in the
-    * d6 lambda) so PlanAuditSpec can pin the exact DataFrame the query
-    * consumes: ConnectedComponents checkpoints per round, so d6's final
-    * plan cannot carry the star-edge invariant itself. */
-  private[graft] def d6Edges(s: SparkSession, dir: String): DataFrame =
-    MinHashLSH.nearDupEdges(corpusDocs(s, dir), "doc_id", "text",
+  /** The d6 clustering DataFrame — [[MinHashLSH.nearDupClusters]] runs
+    * the iterative connected-components pass on the verified
+    * representative-PAIR graph only (orders of magnitude below corpus
+    * size) and labels members with one corpus-sized join; identical
+    * components to clustering the full nearDuplicates pair list. Named
+    * (rather than inlined in the d6 lambda) so PlanAuditSpec can pin
+    * the shape the query consumes. */
+  private[graft] def d6Clusters(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupClusters(corpusDocs(s, dir), "doc_id", "text",
       MinhashThreshold, k = K, bands = Bands)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,7 +92,7 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d6_dedup_clusters" -> ((s, dir) => {
-      ConnectedComponents.components(d6Edges(s, dir))
+      d6Clusters(s, dir)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),

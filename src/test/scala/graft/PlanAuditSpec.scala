@@ -113,17 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("d6 consumes nearDupEdges: star-edge union, no all-pairs expansion") {
-    // d6's own final plan is checkpoint-truncated by ConnectedComponents,
-    // so the pin targets the exact edge DataFrame the query builds
-    // (DedupQueries.d6Edges). The star path unions member→rep edges with
-    // verified rep pairs; the all-pairs path (PairExpansion.expand) is
-    // recognizable by its least/greatest member-pair canonicalization and
-    // must NOT appear — a 10⁶-copy group would expand to 5·10¹¹ pairs.
-    val p = graft.queries.DedupQueries.d6Edges(spark, dir)
+  test("d6 clusters via the rep-pair graph: no all-pairs expansion, no star-edge iteration") {
+    // d6 = nearDupClusters: the CC iteration runs on the verified
+    // representative-pair graph (checkpoint-truncated out of the plan);
+    // the final plan is groups ⋈ has-copies ⋈ repComps. The all-pairs
+    // path (PairExpansion.expand) is recognizable by its least/greatest
+    // member-pair canonicalization and must NOT appear — a 10⁶-copy
+    // group would expand to 5·10¹¹ pairs. Neither may the star-edge
+    // Union feed the iteration anymore: the only Scan ExistingRDD is the
+    // checkpointed rep-component table, and the member labeling is a
+    // coalesce over the left joins.
+    val p = graft.queries.DedupQueries.d6Clusters(spark, dir)
       .queryExecution.explainString(FormattedMode)
-    assert(p.contains("Union"), p)
     assert(!p.contains("least(") && !p.contains("greatest("), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed rep components
+    assert(p.contains("coalesce(comp"), p)    // member labels from rep labels
   }
 
   test("d2 near-dup pipeline: hash joins only — no sort-merge, no nested-loop, no cartesian") {

@@ -61,6 +61,19 @@ class DedupScaleSpec extends AnyFunSuite {
     edges.unpersist()
   }
 
+  test("nearDupClusters: CC never touches the corpus — empty rep-pair graph, one cluster") {
+    // the 10^4-copy group forms one cluster with ZERO connected-components
+    // edges (no cross-group pair verifies): members label straight off
+    // their representative. This is the shape that makes clustering
+    // viable at 10^6-10^7 copy multiplicities.
+    val clusters = MinHashLSH.nearDupClusters(corpus, "doc_id", "text", 0.8).cache()
+    assert(clusters.count() == Copies)
+    assert(clusters.agg(countDistinct(col("comp"))).head.getLong(0) == 1L)
+    assert(clusters.agg(min(col("comp")), max(col("comp"))).head ==
+      org.apache.spark.sql.Row(1L, 1L))
+    clusters.unpersist()
+  }
+
   test("simhash pair search groups by value: chunk join sees distinct values only") {
     val sims = SimHash.simhashes(corpus, "doc_id", "text").cache()
     assert(sims.count() == Copies + 50)
