@@ -123,4 +123,29 @@ object SimHash {
     val (reps, members) = valueGroups(sims)
     PairExpansion.edges(members, repPairs(reps, maxDist))
   }
+
+  /** (id, comp) dedup clusters — the [[MinHashLSH.nearDupClusters]]
+    * shape for simhash: the iterative connected-components pass runs
+    * only on the verified representative-pair graph (distinct simhash
+    * values within maxDist — orders of magnitude below corpus size);
+    * members take their representative's label through one corpus-sized
+    * join. Output covers exactly the docs with at least one near-dup
+    * (equal-value copies or a within-distance value pair); components
+    * equal those of the full [[nearPairs]] list. */
+  def nearDupClusters(
+      sims0: DataFrame, maxDist: Int = 3, maxIter: Int = 30): DataFrame = {
+    require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
+    val sims = sims0.cache()
+    val (reps, members) = valueGroups(sims)
+    val repComps = ConnectedComponents.components(
+      repPairs(reps, maxDist).select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxIter)
+    val multi = members.filter(col("id") =!= col("rep"))
+      .select(col("rep")).distinct().withColumn("has_copies", lit(1))
+    members
+      .join(multi.hint("shuffle_hash"), Seq("rep"), "left")
+      .join(repComps.select(col("id").as("rep"), col("comp")), Seq("rep"), "left")
+      .filter(col("has_copies").isNotNull || col("comp").isNotNull)
+      .select(col("id"), coalesce(col("comp"), col("rep")).as("comp"))
+  }
 }

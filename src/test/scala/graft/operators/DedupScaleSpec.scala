@@ -88,6 +88,19 @@ class DedupScaleSpec extends AnyFunSuite {
     edges.unpersist(); sims.unpersist()
   }
 
+  test("simhash nearDupClusters mirrors the rep-pair CC shape") {
+    val sims = SimHash.simhashes(corpus, "doc_id", "text")
+    val clusters = SimHash.nearDupClusters(sims).cache()
+    // every copy clusters with doc 1; the distinct docs are far apart in
+    // hamming space, so they only appear if some value pair verifies
+    assert(clusters.filter(col("comp") === 1L).count() >= Copies)
+    // components equal those over the full star+pair edge list
+    val viaEdges = ConnectedComponents.components(SimHash.nearEdges(sims))
+    assert(clusters.exceptAll(viaEdges.select(col("id"), col("comp"))).count() == 0)
+    assert(viaEdges.select(col("id"), col("comp")).exceptAll(clusters).count() == 0)
+    clusters.unpersist()
+  }
+
   test("prefix-filter join is dedup-first: copies collapse before the posting index") {
     import spark.implicits._
     val copies = (1L to 1000L).map(i => (i, boiler))
