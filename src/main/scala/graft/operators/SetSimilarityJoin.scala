@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -49,13 +48,23 @@ object SetSimilarityJoin {
       .cache()
     val ex = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
     val dfreq = ex.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    // per-doc prefix selection via hash-agg + in-row sort: collect the
+    // (df, gram) pairs per doc, array_sort (struct order = df asc, gram
+    // asc — deterministic, grams are distinct within a doc), slice the
+    // |d| − ⌈t·|d|⌉ + 1 rarest. Same selection a row_number window
+    // yields, without the partition-wide sort of the exploded corpus —
+    // per-doc widths are bounded by document length, so the agg buffers
+    // stay small at any corpus size.
     // cached: both self-join branches traverse it, and exchange reuse
     // does not apply across the aliased branches
     val prefix = ex.join(dfreq, "gram")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("sz"), col("gram"))
+      .groupBy(col("id"))
+      .agg(first(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("gram")))).as("dfg"))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("id"), col("sz"),
+        explode(expr("transform(slice(dfg, 1, plen), x -> x.gram)")).as("gram"))
       .cache()
     val a = prefix.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))

@@ -75,17 +75,37 @@ object SimHash {
     (reps, members)
   }
 
-  /** Verified pairs among distinct simhash VALUES: (id_a, id_b, hamming)
-    * with both ids representatives and 1 ≤ hamming ≤ maxDist. Pigeonhole:
-    * within distance maxDist < Chunks, two hashes must agree on at least
-    * one 16-bit chunk, so candidates come from a join on (chunk index,
-    * chunk value) — never the O(n²) pair space. */
-  private def repPairs(reps: DataFrame, maxDist: Int): DataFrame = {
-    val chunks = reps.select(
+  /** (id, simhash, c, ck) chunk table over representatives. */
+  private def chunkTable(reps: DataFrame): DataFrame =
+    reps.select(
       col("rep").as("id"), col("simhash"),
       explode(sequence(lit(0), lit(Chunks - 1))).as("c"))
       .withColumn("ck",
         expr(s"shiftright(simhash, c * $ChunkBits) & ${(1 << ChunkBits) - 1}"))
+
+  /** Verified pairs among distinct simhash VALUES: (id_a, id_b, hamming)
+    * with both ids representatives and 1 ≤ hamming ≤ maxDist. Pigeonhole:
+    * within distance maxDist < Chunks, two hashes must agree on at least
+    * one 16-bit chunk, so candidates come from a join on (chunk index,
+    * chunk value) — never the O(n²) pair space.
+    *
+    * Residual quadratic risk (same as [[MinHashLSH.candidatePairs]]):
+    * there are only 2¹⁶ buckets per chunk, so a corpus with ≫2¹⁶
+    * DISTINCT values necessarily has wide buckets. `maxBucketWidth`
+    * skips buckets wider than the cap; [[oversizedChunkBuckets]] is the
+    * audit view — a capped run is never a silent under-count. */
+  private def repPairs(
+      reps: DataFrame, maxDist: Int,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val chunks0 = chunkTable(reps)
+    val chunks =
+      if (maxBucketWidth == Int.MaxValue) chunks0
+      else {
+        val ok = chunks0.groupBy(col("c"), col("ck"))
+          .agg(count(lit(1)).as("w")).filter(col("w") <= maxBucketWidth)
+          .select(col("c"), col("ck"))
+        chunks0.join(ok.hint("shuffle_hash"), Seq("c", "ck"), "left_semi")
+      }
     val a = chunks.select(col("c"), col("ck"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunks.select(col("c"), col("ck"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("c", "ck"))
@@ -96,6 +116,14 @@ object SimHash {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Audit view of chunk buckets a `maxBucketWidth` cap would skip:
+    * (c, ck, width) over the distinct-value representatives. */
+  def oversizedChunkBuckets(sims: DataFrame, maxBucketWidth: Int): DataFrame =
+    chunkTable(sims.groupBy(col("simhash")).agg(min(col("id")).as("rep")))
+      .groupBy(col("c"), col("ck"))
+      .agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucketWidth)
+
   /** ALL pairs within Hamming distance `maxDist` (≤ 3 for exactness with
     * 4 chunks). Returns (id_a, id_b, hamming). Output-identical to the
     * naive within-bucket self-join, but the candidate space is bounded
@@ -103,25 +131,30 @@ object SimHash {
     * cross-value pairs inherit their representatives' hamming. The pair
     * list is itself quadratic in copy count — clustering pipelines
     * should use [[nearEdges]] instead. */
-  def nearPairs(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
+  def nearPairs(
+      sims0: DataFrame, maxDist: Int = 3,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
     val sims = sims0.cache()
     val (reps, members0) = valueGroups(sims)
     val members = members0.cache()
     // equal-value members expand as hamming-0 pairs; cross-value pairs
     // inherit their representatives' hamming
-    PairExpansion.expand(members, repPairs(reps, maxDist), "hamming", lit(0))
+    PairExpansion.expand(members, repPairs(reps, maxDist, maxBucketWidth),
+      "hamming", lit(0))
   }
 
   /** Scale-safe edge list for CLUSTERING: member→representative star
     * edges plus verified representative pairs — linear in corpus size;
     * connected components equal those of the full [[nearPairs]] list.
     * Returns (src, dst). */
-  def nearEdges(sims0: DataFrame, maxDist: Int = 3): DataFrame = {
+  def nearEdges(
+      sims0: DataFrame, maxDist: Int = 3,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
     val sims = sims0.cache()
     val (reps, members) = valueGroups(sims)
-    PairExpansion.edges(members, repPairs(reps, maxDist))
+    PairExpansion.edges(members, repPairs(reps, maxDist, maxBucketWidth))
   }
 
   /** (id, comp) dedup clusters — the [[MinHashLSH.nearDupClusters]]
@@ -133,12 +166,14 @@ object SimHash {
     * (equal-value copies or a within-distance value pair); components
     * equal those of the full [[nearPairs]] list. */
   def nearDupClusters(
-      sims0: DataFrame, maxDist: Int = 3, maxIter: Int = 30): DataFrame = {
+      sims0: DataFrame, maxDist: Int = 3, maxIter: Int = 30,
+      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     require(maxDist < Chunks, s"pigeonhole needs maxDist < $Chunks chunks")
     val sims = sims0.cache()
     val (reps, members) = valueGroups(sims)
     val repComps = ConnectedComponents.components(
-      repPairs(reps, maxDist).select(col("id_a").as("src"), col("id_b").as("dst")),
+      repPairs(reps, maxDist, maxBucketWidth)
+        .select(col("id_a").as("src"), col("id_b").as("dst")),
       maxIter)
     val multi = members.filter(col("id") =!= col("rep"))
       .select(col("rep")).distinct().withColumn("has_copies", lit(1))

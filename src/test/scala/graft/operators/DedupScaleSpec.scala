@@ -134,6 +134,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(dupes.count() == 0)
   }
 
+  test("simhash chunk-bucket cap skips hot buckets and audits them") {
+    import spark.implicits._
+    // values chosen so chunk 0 (low 16 bits) puts 12 docs in one hot
+    // bucket while chunks 1-3 (= i each) separate them, plus two
+    // close-value docs
+    val hot = (1L to 12L).map(i => (i, (i << 48) | (i << 32) | (i << 16) | 7L))
+    val close = Seq((100L, 0x0123456789abcdeFL), (101L, 0x0123456789abcdeEL)) // hamming 1
+    val sims = (hot ++ close).toDF("id", "simhash")
+    val capped = SimHash.nearPairs(sims, maxDist = 3, maxBucketWidth = 10)
+    // hot-bucket candidates were skipped; the close pair still verifies
+    // through its unshared chunks (its buckets have width 2)
+    val got = capped.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)), got.toString)
+    val audit = SimHash.oversizedChunkBuckets(sims, 10).collect()
+    assert(audit.length == 1 && audit.head.getAs[Long]("width") == 12L,
+      audit.mkString("\n"))
+  }
+
   test("bucket-width cap skips oversized buckets and audits them") {
     import spark.implicits._
     // 40 distinct-content docs that still share one band bucket is the
