@@ -27,5 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "hex_hash60(s) takes one argument")
         HexHash60(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_hash64"),
+      new ExpressionInfo(classOf[HexHash64].getName, "hex_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hex_hash64(s) takes one argument")
+        HexHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_hash60_pair"),
+      new ExpressionInfo(classOf[HexHash60Pair].getName, "hex_hash60_pair"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hex_hash60_pair(s) takes one argument")
+        HexHash60Pair(args.head)
+      }))
   }
 }

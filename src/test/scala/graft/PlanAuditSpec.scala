@@ -137,6 +137,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d4 prefix-filter join: hash joins only, no window sort over the exploded corpus") {
+    val p = planOf("d4_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // prefix selection is a hash aggregate with an in-row sort — a
+    // Window over the exploded (doc, gram, df) rows would partition-sort
+    // the whole corpus and spill at scale
+    assert(!p.contains("Window"), p)
+  }
+
+  test("j8 as-of join: one shuffle over the union, no join operator at all") {
+    // the as-of semantics compile to union + partitioned running
+    // last_value — a join-based formulation would shuffle both sides
+    // and replay matches per row
+    val p = planOf("j8_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition"), p)
+  }
+
   test("dedup exact: single hash-aggregate pipeline, no join before grouping") {
     val df = graft.operators.ExactDedup.groups(
       graft.core.Tables(spark, dir, "documents"), "doc_id", Seq("text"))

@@ -27,6 +27,21 @@ class HexHash60Spec extends AnyFunSuite {
     assert(rows.count(_.isNullAt(0)) == 1)
   }
 
+  test("hex_hash60_pair: [hi, lo] halves match the builtin hex chains") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "abc def", "üñïçôdé", "x" * 500) ++
+      (0 until 100).map(i => s"gram $i")
+    val df = inputs.toDF("s").select(
+      HexHash60Pair(col("s")).as("p"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long").as("lo"))
+    assert(df.filter(element_at(col("p"), 1) =!= col("hi") ||
+      element_at(col("p"), 2) =!= col("lo")).count() == 0)
+    // both halves inside the 60-bit ring
+    assert(df.filter(element_at(col("p"), 1) < 0 ||
+      element_at(col("p"), 2) < 0).count() == 0)
+  }
+
   test("sql function hex_hash60 via extensions") {
     val ext = new GraftExtensions()
     // function registry injection is covered by session construction in
