@@ -43,10 +43,12 @@ object ConnectedComponents {
       .distinct()
       .cache()
     // fuse round 1 into init: label(id) = min(id, neighbors) needs only
-    // the groupBy the node list requires anyway
+    // the groupBy the node list requires anyway. Checkpoints are LAZY:
+    // the checksum action below materializes them, so each round costs
+    // one job (truncate-lineage + converge-check fused), not two.
     var labels = sym.groupBy(col("a").as("id"))
       .agg(min(least(col("a"), col("b"))).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Σcomp strictly decreases until the fixpoint, so one cheap exact
     // aggregate replaces a join-based changed-count per round (decimal:
     // a 2^63-scale node-id sum must not overflow; ZERO for an empty
@@ -66,7 +68,7 @@ object ConnectedComponents {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the checksum action
       val cur = checksum(next)
       labels = next
       converged = cur.compareTo(prev) == 0
@@ -103,7 +105,7 @@ object ConnectedComponents {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the stats action
 
     def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
@@ -134,7 +136,7 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .unionByName(smins.select(col("m").as("a"), col("u").as("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the stats action
       val cur = stats(small)
       e = small
       converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
