@@ -33,9 +33,14 @@ object TextOps {
           .otherwise(array().cast("array<string>"))),
       1)
 
-  /** Distinct word n-grams (shingle set). */
+  /** Distinct word n-grams (shingle set) — the native one-pass
+    * [[graft.plans.WordShingles]], value-identical to
+    * `array_distinct(wordNGrams(text, n))` (equivalence property-tested
+    * in WordShinglesSpec) without the five per-row array
+    * materializations of the builtin chain. The hottest path of the
+    * dedup family: d2/d3/d4/d6 all shingle the corpus first. */
   def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(wordNGrams(text, n))
+    graft.plans.WordShingles(text, n)
 
   /** (id, grams) shingle table, rebalanced to the session shuffle
     * parallelism BEFORE the CPU-heavy tokenize/shingle projection: a
