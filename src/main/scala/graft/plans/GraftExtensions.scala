@@ -41,5 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "hex_hash60_pair(s) takes one argument")
         HexHash60Pair(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(s, n) takes two arguments")
+        val n = args(1) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args.head, n)
+      }))
   }
 }
