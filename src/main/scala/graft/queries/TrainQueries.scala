@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
+import graft.operators.{Chunker, Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
 
 /** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
   * term weighting, Gopher-style rule filters, intra-document repetition,
@@ -19,6 +19,9 @@ object TrainQueries {
   private val PackBlock = 64L
   private val ContamN = 5
   private val Stops = Seq("the", "a")
+  private val ChunkSize = 64
+  private val ChunkOverlap = 16
+  private val ChunkStep = ChunkSize - ChunkOverlap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -80,6 +83,13 @@ object TrainQueries {
         .select(col("id").as("doc_id"), col("weight").as("toks"),
           col("cum"), col("bin"))
         .orderBy(col("doc_id"))
+    }),
+    "ch1_chunking" -> ((s, dir) => {
+      Chunker.chunk(Tables(s, dir, "documents"), "doc_id", "text",
+          ChunkSize, ChunkOverlap)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }))
 
   // ---- DuckDB mirrors -------------------------------------------------
@@ -155,6 +165,19 @@ object TrainQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          | FROM t)
          |SELECT doc_id, toks, cum, (cum - toks) // $PackBudget AS bin
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "ch1_chunking" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ww),
+         |ch AS (SELECT doc_id, w, n,
+         |  unnest(range(0, 1 + greatest(0,
+         |    (n - $ChunkSize + ${ChunkStep - 1}) // $ChunkStep))) AS chunk_idx
+         | FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         | array_to_string(
+         |   w[chunk_idx * $ChunkStep + 1 : chunk_idx * $ChunkStep + $ChunkSize],
+         |   ' ') AS chunk_text,
+         | CAST(least($ChunkSize, n - chunk_idx * $ChunkStep) AS INTEGER) AS n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

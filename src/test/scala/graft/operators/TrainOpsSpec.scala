@@ -11,6 +11,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class TrainOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "trainops-test")
 
+  test("Chunker: windows cover every token exactly once outside overlaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 3 chunks at 64/16
+      (2L, (1 to 64).map(i => s"s$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 65).map(i => s"u$i").mkString(" ")),  // one token past -> 2 chunks
+      (4L, "tiny doc"),                                 // shorter than a window
+      (5L, "")                                          // degenerate: one "" token
+    ).toDF("doc_id", "text")
+    val chunks = Chunker.chunk(docs, "doc_id", "text", 64, 16)
+      .orderBy(col("id"), col("chunk_idx")).collect()
+    def of(id: Long) = chunks.filter(_.getLong(0) == id)
+    // doc 1: n=150, step=48 -> 1 + ceil(86/48) = 3 chunks; sizes 64,64,54
+    assert(of(1L).map(_.getAs[Int]("n_tokens")).toSeq == Seq(64, 64, 54))
+    // consecutive chunks share exactly the 16-token overlap
+    val c1 = of(1L).map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    assert(c1(0).takeRight(16) == c1(1).take(16))
+    assert(c1(1).takeRight(16) == c1(2).take(16))
+    // dropping each chunk's first 16 tokens (after the first chunk)
+    // reconstructs the document exactly
+    val rebuilt = c1.head ++ c1.tail.flatMap(_.drop(16))
+    assert(rebuilt == (1 to 150).map(i => s"t$i"))
+    // exact fit -> one window; one extra token -> a short second window
+    assert(of(2L).length == 1 && of(2L).head.getAs[Int]("n_tokens") == 64)
+    assert(of(3L).map(_.getAs[Int]("n_tokens")).toSeq == Seq(64, 17))
+    assert(of(4L).length == 1 && of(4L).head.getAs[Int]("n_tokens") == 2)
+    assert(of(5L).length == 1) // "" tokenizes to one empty token, like split
+    // invalid parameters rejected
+    intercept[IllegalArgumentException](Chunker.chunk(docs, "doc_id", "text", 16, 16))
+  }
+
   test("SequencePacker two-phase prefix == single-window cumsum (gapped ids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
