@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Chunker, Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
+import graft.operators.{BloomContamination, Chunker, Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
 
 /** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
   * term weighting, Gopher-style rule filters, intra-document repetition,
@@ -22,6 +22,7 @@ object TrainQueries {
   private val ChunkSize = 64
   private val ChunkOverlap = 16
   private val ChunkStep = ChunkSize - ChunkOverlap
+  private val BloomM = 65536
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -90,7 +91,27 @@ object TrainQueries {
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "bf1_bloom_decontam" -> ((s, dir) => {
+      // same benchmark/corpus split as c1; the filter build is an eager
+      // filter-sized aggregate, then the probe plan carries the bits as
+      // a literal — no corpus-side join (c1 is the exact-join twin)
+      val d = Tables(s, dir, "documents")
+      val bits = BloomContamination.buildBits(
+        d.filter(col("doc_id") % 97 === 0), "text", ContamN, BloomM)
+      BloomContamination.flagged(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", ContamN, bits)
+        .select(col("id").as("doc_id"), col("n_maybe"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** DuckDB twin of one [[BloomContamination]] probe: bit i of the
+    * mirrored filter list `l` for the gram hashed to (h1, h2). */
+  private def bloomProbe(i: Int): String = {
+    val pos = s"((h1 + $i * h2) % $BloomM)"
+    s"(l[CAST($pos // 32 AS INTEGER) + 1] & " +
+      s"(1::BIGINT << CAST($pos % 32 AS INTEGER))) <> 0"
+  }
 
   // ---- DuckDB mirrors -------------------------------------------------
 
@@ -178,6 +199,29 @@ object TrainQueries {
          |   w[chunk_idx * $ChunkStep + 1 : chunk_idx * $ChunkStep + $ChunkSize],
          |   ' ') AS chunk_text,
          | CAST(least($ChunkSize, n - chunk_idx * $ChunkStep) AS INTEGER) AS n_tokens
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "bf1_bloom_decontam" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |g5 AS (SELECT doc_id, unnest(${shingleExpr(ContamN)}) AS gram
+         | FROM ww WHERE len(w) >= $ContamN),
+         |bh AS (SELECT
+         |  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+         |  CAST(concat('0x', substr(md5(gram), 17, 15)) AS BIGINT) // 32 AS h2
+         | FROM (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0)),
+         |bw AS (SELECT pos // 32 AS wi,
+         |  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+         | FROM (SELECT (h1 + t.i * h2) % $BloomM AS pos
+         |        FROM bh, range(0, ${BloomContamination.HashK}) t(i))
+         | GROUP BY 1),
+         |bits AS (SELECT list(coalesce(word, 0) ORDER BY r.i) AS l
+         | FROM range(0, ${BloomM / 32}) r(i) LEFT JOIN bw ON r.i = bw.wi),
+         |ph AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+         |  CAST(concat('0x', substr(md5(gram), 17, 15)) AS BIGINT) // 32 AS h2
+         | FROM g5 WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+         |FROM ph CROSS JOIN bits
+         |WHERE ${(0 until BloomContamination.HashK).map(bloomProbe).mkString(" AND ")}
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

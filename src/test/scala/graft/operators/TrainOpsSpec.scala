@@ -42,6 +42,33 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunker.chunk(docs, "doc_id", "text", 16, 16))
   }
 
+  test("BloomContamination: no false negatives vs exact overlap; deterministic") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx alpha beta gamma delta epsilon yy"), // shares one 5-gram
+      (2L, "one two three four five"),              // shares one 5-gram
+      (3L, "totally different words here nothing"), // clean
+      (4L, "five four three two one")               // reversed: clean
+    ).toDF("doc_id", "text")
+    val bits = BloomContamination.buildBits(bench, "text", 5, 4096)
+    // 32-bits-per-word contract: the sign half of every word stays clear
+    assert(bits.exists(_ != 0L) && bits.forall(w => (w >>> 32) == 0L))
+    // filter-build is deterministic
+    assert(bits.sameElements(BloomContamination.buildBits(bench, "text", 5, 4096)))
+    val flagged = BloomContamination.flagged(corpus, "doc_id", "text", 5, bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided error: every exact overlap is flagged with >= its count
+    val exact = Contamination.overlap(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == Set(1L, 2L))
+    exact.foreach { case (id, n) => assert(flagged.getOrElse(id, 0L) >= n) }
+    intercept[IllegalArgumentException](
+      BloomContamination.buildBits(bench, "text", 5, 1000)) // not a power of 2
+  }
+
   test("SequencePacker two-phase prefix == single-window cumsum (gapped ids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
