@@ -36,12 +36,49 @@ object ConnectedComponents {
     * themselves). Runs at most `maxIter` propagation rounds beyond the
     * fused init round; throws if the fixpoint is not reached (use
     * [[componentsStar]] for graphs whose diameter exceeds any sane
-    * round count). */
-  def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    * round count).
+    *
+    * Size-gated fast path (same pattern as the d5 brute-force gate):
+    * near-dup REP graphs are orders of magnitude below corpus size —
+    * usually a few thousand edges even when the corpus is billions of
+    * documents — and every distributed round costs a full job of
+    * scheduling latency that dwarfs the actual work. When the deduped
+    * symmetric edge list is at most `localEdgeCap` rows (cap ≈ 16 MB of
+    * (long, long) pairs — bounded driver memory, checked by an exact
+    * count first), labels come from a driver-side union-find in one
+    * collect instead of O(diameter) tiny jobs. Identical labels by
+    * construction (min id per component); the distributed loop is
+    * unchanged beyond the cap, so the 100 TB shape still never
+    * materializes a graph driver-side. Pass `localEdgeCap = 0` to force
+    * the distributed loop. */
+  def components(
+      edges: DataFrame, maxIter: Int = 30,
+      localEdgeCap: Long = 1L << 20): DataFrame = {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
       .cache()
+    if (localEdgeCap > 0 && sym.count() <= localEdgeCap) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + full path compression: a union-by-min forest
+      // can chain O(n) deep, so a recursive find would blow the stack
+      // near the cap
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      sym.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      sym.unpersist()
+      import edges.sparkSession.implicits._
+      return labels.toDF("id", "comp")
+    }
     // fuse round 1 into init: label(id) = min(id, neighbors) needs only
     // the groupBy the node list requires anyway. Checkpoints are LAZY:
     // the checksum action below materializes them, so each round costs

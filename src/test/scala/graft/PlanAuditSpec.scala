@@ -114,19 +114,22 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("d6 clusters via the rep-pair graph: no all-pairs expansion, no star-edge iteration") {
-    // d6 = nearDupClusters: the CC iteration runs on the verified
-    // representative-pair graph (checkpoint-truncated out of the plan);
+    // d6 = nearDupClusters: the CC labels come from the verified
+    // representative-pair graph — either the size-gated driver
+    // union-find (a LocalTableScan/LocalRelation, broadcastable) or the
+    // distributed loop (checkpoint-truncated to a Scan ExistingRDD);
     // the final plan is groups ⋈ has-copies ⋈ repComps. The all-pairs
     // path (PairExpansion.expand) is recognizable by its least/greatest
     // member-pair canonicalization and must NOT appear — a 10⁶-copy
     // group would expand to 5·10¹¹ pairs. Neither may the star-edge
-    // Union feed the iteration anymore: the only Scan ExistingRDD is the
-    // checkpointed rep-component table, and the member labeling is a
-    // coalesce over the left joins.
+    // Union feed a plan-visible iteration: rep components enter as a
+    // leaf table, and the member labeling is a coalesce over the left
+    // joins.
     val p = graft.queries.DedupQueries.d6Clusters(spark, dir)
       .queryExecution.explainString(FormattedMode)
     assert(!p.contains("least(") && !p.contains("greatest("), p)
-    assert(p.contains("Scan ExistingRDD"), p) // checkpointed rep components
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan")
+      || p.contains("LocalRelation"), p)      // rep components as a leaf
     assert(p.contains("coalesce(comp"), p)    // member labels from rep labels
   }
 

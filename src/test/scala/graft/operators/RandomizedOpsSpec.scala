@@ -38,7 +38,12 @@ class RandomizedOpsSpec extends AnyFunSuite {
       val expected = unionFind(40, edges)
       val got = ConnectedComponents.components(edges.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial: $edges")
+      assert(got == expected, s"trial $trial (local gate): $edges")
+      // the distributed loop must agree with the gated driver-side path
+      val gotDist = ConnectedComponents
+        .components(edges.toDF("src", "dst"), localEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"trial $trial (distributed): $edges")
     }
   }
 
@@ -61,10 +66,15 @@ class RandomizedOpsSpec extends AnyFunSuite {
     val n = 200L
     val path = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     // diameter 199 ≫ the cap: hash-to-min must fail loudly, not return
-    // wrong labels silently
+    // wrong labels silently (localEdgeCap = 0 forces the distributed
+    // loop — the driver-side gate would trivially solve a 199-edge path)
     intercept[IllegalStateException] {
-      ConnectedComponents.components(path, maxIter = 10)
+      ConnectedComponents.components(path, maxIter = 10, localEdgeCap = 0)
     }
+    // the gated path solves the same long chain exactly
+    assert(ConnectedComponents.components(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == (1L to n).map(_ -> 1L).toMap)
     // log2(200) ≈ 7.6; the star algorithm gets a small constant on top
     val got = ConnectedComponents.componentsStar(path, maxIter = 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
