@@ -39,6 +39,22 @@ object BloomContamination {
     * stays in range. */
   private val WordBits = 32
 
+  /** Smallest power-of-two bit count giving ≤ `fpp` false-positive
+    * probability for `n` distinct grams at [[HashK]] probes:
+    * fpp ≈ (1 − e^(−k·n/m))^k, solved for m and rounded up. Sizing is a
+    * driver-side scalar — callers typically know n only approximately
+    * (an HLL count of the benchmark grams is plenty; overshooting m
+    * costs bytes, undershooting costs re-check work, never recall). */
+  def bitsFor(n: Long, fpp: Double): Int = {
+    require(n > 0 && fpp > 0 && fpp < 1, s"need n > 0, 0 < fpp < 1; got n=$n fpp=$fpp")
+    val perProbe = math.pow(fpp, 1.0 / HashK) // target per-probe load
+    val m = -HashK * n / math.log1p(-perProbe)
+    require(m <= (1L << 30).toDouble,
+      s"filter for n=$n at fpp=$fpp needs ${m.toLong} bits (> 128 MB) — " +
+        "raise fpp or shard the benchmark set")
+    math.max(WordBits, Integer.highestOneBit(math.ceil(m).toInt - 1) << 1)
+  }
+
   /** Dense filter words (`mBits/32` longs, each holding 32 bits) over
     * the benchmark's distinct `n`-grams. Distributed build: grams are
     * hashed and OR-folded per word index executor-side; the driver

@@ -133,6 +133,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("coalesce(comp"), p)    // member labels from rep labels
   }
 
+  test("bf1 bloom probe: zero joins — the filter rides as a plan literal") {
+    // the whole point of the bloom path over c1's broadcast-semi join:
+    // after the (eager, filter-sized) build, the corpus probe is pure
+    // narrow expressions + one count aggregate. Any Join operator here
+    // means the benchmark gram set re-entered the corpus plan.
+    val p = planOf("bf1_bloom_decontam")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p) // the per-doc count
+  }
+
+  test("ch1 chunker: narrow per-row plan — no exchange before the final sort") {
+    // tokenize/explode/slice are per-row; the only exchange allowed is
+    // the query's own ORDER BY (a range partitioning for the sort)
+    val p = graft.operators.Chunker
+      .chunk(graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 64, 16)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d2 near-dup pipeline: hash joins only — no sort-merge, no nested-loop, no cartesian") {
     val p = planOf("d2_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)

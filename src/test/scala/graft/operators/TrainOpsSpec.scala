@@ -69,6 +69,24 @@ class TrainOpsSpec extends AnyFunSuite {
       BloomContamination.buildBits(bench, "text", 5, 1000)) // not a power of 2
   }
 
+  test("BloomContamination.bitsFor: sized filter honors the fpp contract") {
+    import spark.implicits._
+    // power-of-two sizing, monotone in n, hard cap enforced
+    assert(BloomContamination.bitsFor(2000, 1e-4) == 131072)
+    assert(BloomContamination.bitsFor(500, 0.01) == 8192)
+    assert(BloomContamination.bitsFor(4000, 0.01) > BloomContamination.bitsFor(500, 0.01))
+    intercept[IllegalArgumentException](BloomContamination.bitsFor(1L << 40, 1e-9))
+    // empirical check (fully deterministic — md5 hashing): 500 disjoint
+    // single-word docs probed against a 500-gram filter sized for
+    // fpp = 1%; every flagged doc is a false positive
+    val bench = (0 until 500).map(i => (i.toLong, s"b$i")).toDF("doc_id", "text")
+    val corpus = (0 until 500).map(i => (i.toLong, s"c$i")).toDF("doc_id", "text")
+    val bits = BloomContamination.buildBits(bench, "text", 1,
+      BloomContamination.bitsFor(500, 0.01))
+    val fps = BloomContamination.flagged(corpus, "doc_id", "text", 1, bits).count()
+    assert(fps <= 15, s"false-positive count $fps exceeds 3x the 1% contract on 500 probes")
+  }
+
   test("SequencePacker two-phase prefix == single-window cumsum (gapped ids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
