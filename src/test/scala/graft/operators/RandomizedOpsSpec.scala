@@ -81,6 +81,46 @@ class RandomizedOpsSpec extends AnyFunSuite {
     assert(got == (1L to n).map(_ -> 1L).toMap)
   }
 
+  // ---- chunker vs pure sliding-window reference ----------------------
+
+  test("Chunker == pure sliding-window reference across random shapes") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    def refChunks(words: IndexedSeq[String], size: Int, overlap: Int): Seq[(Int, IndexedSeq[String])] = {
+      val step = size - overlap
+      val n = words.length
+      val nChunks = if (n <= size) 1 else 1 + ((n - size) + step - 1) / step
+      (0 until nChunks).map(i => i -> words.slice(i * step, i * step + size))
+    }
+    for (_ <- 1 to 4) {
+      val size = 2 + rnd.nextInt(40)
+      val overlap = rnd.nextInt(size) // 0 <= overlap < size
+      val docs = (1 to 30).map { id =>
+        val n = 1 + rnd.nextInt(3 * size)
+        (id.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }
+      val got = graft.operators.Chunker
+        .chunk(docs.toDF("doc_id", "text"), "doc_id", "text", size, overlap)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getAs[Int]("chunk_idx"))
+            .map(r => (r.getAs[Int]("chunk_idx"),
+              r.getAs[String]("chunk_text").split(" ").toIndexedSeq,
+              r.getAs[Int]("n_tokens")))
+            .toSeq
+        }
+      docs.foreach { case (id, text) =>
+        val ref = refChunks(text.split(" ").toIndexedSeq, size, overlap)
+        val g = got(id)
+        assert(g.map(c => (c._1, c._2)) == ref,
+          s"size=$size overlap=$overlap id=$id")
+        assert(g.forall(c => c._3 == c._2.length),
+          s"n_tokens mismatch at size=$size overlap=$overlap id=$id")
+      }
+    }
+  }
+
   // ---- upsert vs map semantics --------------------------------------
 
   // ---- dedup-first detectors vs brute force -------------------------
