@@ -50,8 +50,9 @@ object BloomContamination {
     val perProbe = math.pow(fpp, 1.0 / HashK) // target per-probe load
     val m = -HashK * n / math.log1p(-perProbe)
     require(m <= (1L << 30).toDouble,
-      s"filter for n=$n at fpp=$fpp needs ${m.toLong} bits (> 128 MB) — " +
-        "raise fpp or shard the benchmark set")
+      s"filter for n=$n at fpp=$fpp needs ${m.toLong} bits (> 256 MB " +
+        "stored at 32 bits per long word) — raise fpp or shard the " +
+        "benchmark set")
     math.max(WordBits, Integer.highestOneBit(math.ceil(m).toInt - 1) << 1)
   }
 
@@ -85,7 +86,11 @@ object BloomContamination {
   /** (id, n_maybe): corpus documents with ≥ 1 distinct `n`-gram probing
     * positive, with the count of such grams. No false negatives; false
     * positives are deterministic (and oracle-mirrored). The filter rides
-    * into the plan as a literal array — zero joins corpus-side. */
+    * into the plan as a literal array — zero joins corpus-side. The
+    * corpus goes through [[TextOps.shingleTable]], which rebalances raw
+    * (id, text) rows before the CPU-heavy shingle+md5 projection — a
+    * few-files corpus would otherwise probe on only as many cores as
+    * the scan has partitions. */
   def flagged(
       corpus: DataFrame, idCol: String, textCol: String,
       n: Int, bits: Array[Long]): DataFrame = {
@@ -98,9 +103,8 @@ object BloomContamination {
         pos.bitwiseAND(lit(31L)).cast("int"))
       word.bitwiseAND(mask) =!= 0
     }
-    corpus
-      .select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), n)).as("gram"))
+    TextOps.shingleTable(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("grams")).as("gram"))
       .select(col("id"), TextOps.hexHash60Pair(col("gram")).as("hp"))
       .select(col("id"), col("hp")(0).as("h1"), expr("hp[1] div 32").as("h2d"))
       .filter((0 until HashK).map(probe(col("h1"), col("h2d"), _)).reduce(_ && _))

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: pure per-row expressions (tokenize once, bind the token
   * array, explode the chunk-index sequence, slice per index) — no
-  * shuffle, no UDF; parallelism is whatever the upstream scan provides,
-  * and chunk count per row is bounded by document length.
+  * shuffle, no UDF; chunk count per row is bounded by document length.
+  * Parallelism is deliberately whatever the upstream scan provides
+  * (pinned by PlanAuditSpec's no-exchange assertion): unlike the
+  * md5-heavy dedup family, per-row chunking cost is a single tokenize
+  * plus array slices, so a rebalance shuffle of the raw text would
+  * usually cost more than it buys — callers with a pathological
+  * few-huge-files layout can `repartition` upstream.
   */
 object Chunker {
 

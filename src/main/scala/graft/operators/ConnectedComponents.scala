@@ -43,23 +43,28 @@ object ConnectedComponents {
     * usually a few thousand edges even when the corpus is billions of
     * documents — and every distributed round costs a full job of
     * scheduling latency that dwarfs the actual work. When the deduped
-    * symmetric edge list is at most `localEdgeCap` rows (cap ≈ 16 MB of
-    * (long, long) pairs — bounded driver memory, checked by an exact
-    * count first), labels come from a driver-side union-find in one
-    * collect instead of O(diameter) tiny jobs. Identical labels by
-    * construction (min id per component); the distributed loop is
-    * unchanged beyond the cap, so the 100 TB shape still never
-    * materializes a graph driver-side. Pass `localEdgeCap = 0` to force
-    * the distributed loop. */
+    * symmetric edge list is at most `localEdgeCap` rows (default 2¹⁸ —
+    * ~4 MB of primitive (long, long) pairs plus an unboxed LongMap of
+    * the same order, checked by an exact count first), labels come from
+    * a driver-side union-find in one collect instead of O(diameter)
+    * tiny jobs. Identical labels by construction (min id per
+    * component); the distributed loop is unchanged beyond the cap, so
+    * the 100 TB shape still never materializes a graph driver-side.
+    * Pass `localEdgeCap = 0` to force the distributed loop.
+    *
+    * Ids are cast to long on entry, so any integral id type works on
+    * both paths (and both label outputs are LongType). */
   def components(
       edges: DataFrame, maxIter: Int = 30,
-      localEdgeCap: Long = 1L << 20): DataFrame = {
-    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      localEdgeCap: Long = 1L << 18): DataFrame = {
+    val sym = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionByName(
+        edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .distinct()
       .cache()
     if (localEdgeCap > 0 && sym.count() <= localEdgeCap) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       // iterative find + full path compression: a union-by-min forest
       // can chain O(n) deep, so a recursive find would blow the stack
       // near the cap
@@ -70,13 +75,13 @@ object ConnectedComponents {
         while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      sym.collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      import edges.sparkSession.implicits._
+      sym.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val labels = parent.keys.toSeq.sorted.map(x => (x, find(x)))
       sym.unpersist()
-      import edges.sparkSession.implicits._
       return labels.toDF("id", "comp")
     }
     // fuse round 1 into init: label(id) = min(id, neighbors) needs only

@@ -47,6 +47,16 @@ class RandomizedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("components accepts non-long integral ids (cast on entry), both paths") {
+    import spark.implicits._
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+    def run(cap: Long) = ConnectedComponents
+      .components(Seq((1, 2), (2, 3), (5, 6)).toDF("src", "dst"), localEdgeCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1L << 18) == expected) // gated driver path
+    assert(run(0) == expected)        // distributed loop
+  }
+
   test("componentsStar == union-find min-label on random graphs") {
     import spark.implicits._
     val rnd = new Random(7)
