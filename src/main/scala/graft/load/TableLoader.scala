@@ -14,9 +14,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Reproduces the reference's load matrix Spark-first:
   *  - formats CSV (delimiter, header, explicit `col:type` schema via
-  *    `StructType.fromDDL`), PARQUET, ORC, JSON; AVRO is rejected with
-  *    a clear message in this build (no spark-avro connector on the
-  *    classpath) through the same options path;
+  *    `StructType.fromDDL`), PARQUET, ORC, JSON, and AVRO — the last
+  *    via [[graft.sources.AvroRead]], a native container reader over
+  *    `binaryFile` + avro-core (this build has no spark-avro
+  *    connector; parallelism is per file, the reference's own load
+  *    unit);
   *  - partition preservation: source hive-partition discovery is free
   *    on read; `partitionBy` on write;
   *  - clustering → `sortWithinPartitions` (BQ clustering has no exact
@@ -77,9 +79,7 @@ object TableLoader {
           case Some(ddl) => r.schema(StructType.fromDDL(ddl)).csv(spec.sourcePath)
           case None      => r.option("inferSchema", "true").csv(spec.sourcePath)
         }
-      case "avro" =>
-        throw new IllegalArgumentException(
-          "avro: spark-avro connector not on the classpath in this build")
+      case "avro" => graft.sources.AvroRead.read(spark, spec.sourcePath)
       case other =>
         // reference rejects formats outside its matrix as OTHER
         throw new IllegalArgumentException(s"unsupported source format: $other")
