@@ -94,6 +94,44 @@ class AvroReadSpec extends AnyFunSuite {
     assert(rows(0).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 7))
   }
 
+  test("schema evolution: older file lacking an optional field resolves to null") {
+    val dir = Files.createTempDirectory("avro-evo")
+    // "old" writer schema: no score field; reader (file-1 lexicographic)
+    // has [null, double] score with default null — avro resolution rules
+    val oldSchema = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title").endRecord()
+    val evoReader = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title")
+      .optionalDouble("score").endRecord()
+    writeContainer(dir, "a-first.avro", evoReader, Seq(
+      new GenericRecordBuilder(evoReader)
+        .set("id", 1L).set("title", "new").set("score", 0.5).build()))
+    writeContainer(dir, "b-old.avro", oldSchema, Seq(
+      new GenericRecordBuilder(oldSchema)
+        .set("id", 2L).set("title", "old").build()))
+    val df = AvroRead.read(spark, dir.toString + "/*.avro").orderBy("id")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("score") == 0.5)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("score")))
+  }
+
+  test("corrupt and empty sources become FAIL outcomes, not crashes") {
+    val dir = Files.createTempDirectory("avro-bad")
+    Files.write(dir.resolve("junk.avro"), Array[Byte](1, 2, 3, 4, 5))
+    val corrupt = TableLoader.load(spark, TableLoader.LoadSpec(
+      table = "avro_bad_tbl", sourcePath = dir.toString + "/*.avro", format = "avro"))
+    assert(corrupt.status == "FAIL" && corrupt.message.nonEmpty)
+    val empty = TableLoader.load(spark, TableLoader.LoadSpec(
+      table = "avro_empty_tbl",
+      sourcePath = Files.createTempDirectory("avro-none").toString + "/*.avro",
+      format = "avro"))
+    // Spark's binaryFile source rejects the unmatched glob before our
+    // own no-files require — either way a clear FAIL outcome
+    assert(empty.status == "FAIL" &&
+      (empty.message.contains("no files") || empty.message.contains("not exist")))
+  }
+
   test("unsupported avro shapes fail loudly") {
     // multi-branch (non-nullable) union has no Spark twin
     val bad = SchemaBuilder.record("r").fields()
