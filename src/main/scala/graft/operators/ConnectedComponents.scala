@@ -52,11 +52,26 @@ object ConnectedComponents {
     * the 100 TB shape still never materializes a graph driver-side.
     * Pass `localEdgeCap = 0` to force the distributed loop.
     *
-    * Ids are cast to long on entry, so any integral id type works on
-    * both paths (and both label outputs are LongType). */
+    * Ids must be integral (byte/short/int/long — cast to long on
+    * entry, so both paths emit LongType labels and agree exactly).
+    * Non-integral ids are rejected loudly: a silent `cast("long")` of
+    * string/uuid ids would null out under non-ANSI configs and the
+    * distributed loop would then converge on garbage null labels — map
+    * such ids through `hex_hash60` or `monotonically_increasing_id`
+    * first. */
   def components(
       edges: DataFrame, maxIter: Int = 30,
       localEdgeCap: Long = 1L << 18): DataFrame = {
+    Seq("src", "dst").foreach { c =>
+      val t = edges.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(t),
+        s"components: edge column '$c' must be integral, got $t — hash or " +
+          "index non-integral ids to longs first (hex_hash60, " +
+          "monotonically_increasing_id)")
+    }
     val sym = edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionByName(

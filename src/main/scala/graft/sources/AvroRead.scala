@@ -2,9 +2,10 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.{LogicalType, LogicalTypes, Schema}
+import org.apache.avro.file.{DataFileReader, DataFileStream, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -15,51 +16,91 @@ import org.apache.spark.sql.types._
   * (`avro-1.12.1`) does ship, and the container format + generic datum
   * reader live there.
   *
-  * Shape: the driver sniffs the writer schema from the header of the
-  * first file (lexicographic path order — container headers are
-  * self-describing), maps it to a Spark `StructType`, and executors
-  * decode whole files from the binaryFile rows with a per-partition
-  * `GenericDatumReader` (the schema travels as its canonical JSON
-  * string — `org.apache.avro.Schema` is not serializable). Parallelism
-  * is per FILE — the same unit as the reference's per-file load jobs.
-  * Block-level splitting of a single huge container needs the connector
-  * (sync-marker seeks); files beyond the binaryFile 2 GB row limit fail
-  * loudly upstream rather than decoding partially.
+  * Shape: the driver reads container HEADERS only (a few KB via the
+  * Hadoop filesystem — never a full file) to pick the reader schema
+  * from the lexicographically-first file, maps it to a Spark
+  * `StructType`, and executors stream-decode whole files from the
+  * binaryFile rows with a per-file `DataFileReader` (the schema travels
+  * as its canonical JSON string — `org.apache.avro.Schema` is not
+  * serializable). Parallelism is per FILE — the same unit as the
+  * reference's per-file load jobs. Block-level splitting of a single
+  * huge container needs the connector (sync-marker seeks); files beyond
+  * the binaryFile 2 GB row limit fail loudly upstream rather than
+  * decoding partially.
+  *
+  * Schema evolution follows Avro resolution against the first file's
+  * schema: older files missing an optional reader field yield null;
+  * fields that exist ONLY in later files are dropped by resolution, so
+  * the driver scans up to [[HeaderScanCap]] headers and logs a warning
+  * naming any file whose writer schema differs — pass a wider explicit
+  * reader schema (or re-order files) when the first file is the stale
+  * one.
   *
   * Type mapping (fail-loudly beyond it): Avro primitives, enum/fixed,
-  * nullable unions, arrays, maps (string keys), nested records, and the
-  * date / timestamp-millis / timestamp-micros logical types.
+  * [null, T] unions, arrays, string-keyed maps, nested records, and the
+  * date / timestamp-millis / timestamp-micros / decimal / uuid logical
+  * types. Any OTHER logical type (time-millis, local-timestamp, custom)
+  * throws rather than silently degrading to its base primitive — a
+  * NUMERIC column quietly loading as raw unscaled bytes is how data
+  * corruption ships.
   */
 object AvroRead {
 
+  /** Max file headers the driver inspects for the schema-drift warning. */
+  val HeaderScanCap = 100
+
+  private def logical(s: Schema): Option[LogicalType] = Option(s.getLogicalType)
+
   /** Spark type for an Avro schema; throws on shapes outside the
-    * supported matrix (multi-branch unions, union-of-collections …). */
-  def sparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.INT =>
-      if (s.getLogicalType != null && s.getLogicalType.getName == "date") DateType
-      else IntegerType
-    case Schema.Type.LONG => s.getLogicalType match {
-      case lt if lt != null && lt.getName == "timestamp-millis" => TimestampType
-      case lt if lt != null && lt.getName == "timestamp-micros" => TimestampType
-      case _ => LongType
+    * supported matrix (multi-branch unions, unknown logical types …). */
+  def sparkType(s: Schema): DataType = {
+    def unsupported(lt: LogicalType): Nothing =
+      throw new IllegalArgumentException(
+        s"avro: unsupported logical type '${lt.getName}' on ${s.getType} — " +
+          "supported: date, timestamp-millis, timestamp-micros, decimal, uuid")
+    s.getType match {
+      case Schema.Type.STRING => logical(s) match {
+        case Some(lt) if lt.getName != "uuid" => unsupported(lt)
+        case _ => StringType
+      }
+      case Schema.Type.ENUM => StringType
+      case Schema.Type.INT => logical(s) match {
+        case Some(lt) if lt.getName == "date" => DateType
+        case Some(lt) => unsupported(lt)
+        case None => IntegerType
+      }
+      case Schema.Type.LONG => logical(s) match {
+        case Some(lt) if lt.getName == "timestamp-millis" => TimestampType
+        case Some(lt) if lt.getName == "timestamp-micros" => TimestampType
+        case Some(lt) => unsupported(lt)
+        case None => LongType
+      }
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES | Schema.Type.FIXED => logical(s) match {
+        case Some(d: LogicalTypes.Decimal) => DecimalType(d.getPrecision, d.getScale)
+        case Some(lt) => unsupported(lt)
+        case None => BinaryType
+      }
+      case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
+      case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
+      case Schema.Type.RECORD =>
+        StructType(s.getFields.asScala.toSeq.map(f =>
+          StructField(f.name, sparkType(f.schema), nullable = true)))
+      case Schema.Type.NULL => NullType
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (branches.size != 1)
+          throw new IllegalArgumentException(
+            s"avro: unsupported union ${s} — only [null, T] unions map to a Spark type")
+        sparkType(branches.head)
     }
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-    case Schema.Type.ARRAY => ArrayType(sparkType(s.getElementType))
-    case Schema.Type.MAP => MapType(StringType, sparkType(s.getValueType))
-    case Schema.Type.RECORD =>
-      StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name, sparkType(f.schema), nullable = true)))
-    case Schema.Type.NULL => NullType
-    case Schema.Type.UNION =>
-      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      if (branches.size != 1)
-        throw new IllegalArgumentException(
-          s"avro: unsupported union ${s} — only [null, T] unions map to a Spark type")
-      sparkType(branches.head)
+  }
+
+  private def decimalOf(bytes: Array[Byte], s: Schema): java.math.BigDecimal = {
+    val d = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal]
+    new java.math.BigDecimal(new java.math.BigInteger(bytes), d.getScale)
   }
 
   /** Avro generic datum → Spark external row value. */
@@ -72,20 +113,23 @@ object AvroRead {
     case s: String => s
     case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
     case b: java.nio.ByteBuffer =>
-      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case f: GenericFixed => f.bytes().clone()
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      val sch = resolve(avro, Schema.Type.BYTES)
+      if (logical(sch).exists(_.getName == "decimal")) decimalOf(a, sch) else a
+    case f: GenericFixed =>
+      val sch = resolve(avro, Schema.Type.FIXED)
+      if (logical(sch).exists(_.getName == "decimal")) decimalOf(f.bytes(), sch)
+      else f.bytes().clone()
     case i: java.lang.Integer =>
       val sch = resolve(avro, Schema.Type.INT)
-      if (sch.getLogicalType != null && sch.getLogicalType.getName == "date")
+      if (logical(sch).exists(_.getName == "date"))
         java.time.LocalDate.ofEpochDay(i.longValue) else i
     case l: java.lang.Long =>
       val sch = resolve(avro, Schema.Type.LONG)
-      sch.getLogicalType match {
-        case lt if lt != null && lt.getName == "timestamp-millis" =>
-          java.time.Instant.ofEpochMilli(l)
-        case lt if lt != null && lt.getName == "timestamp-micros" =>
-          java.time.Instant.ofEpochSecond(
-            Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+      logical(sch).map(_.getName) match {
+        case Some("timestamp-millis") => java.time.Instant.ofEpochMilli(l)
+        case Some("timestamp-micros") => java.time.Instant.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
         case _ => l
       }
     case a: java.util.Collection[_] =>
@@ -103,15 +147,44 @@ object AvroRead {
     else s.getTypes.asScala.find(_.getType == t).getOrElse(
       throw new IllegalArgumentException(s"avro: no $t branch in $s"))
 
-  /** Writer schema sniffed from the first container file under `path`
-    * (driver-side, header bytes only — containers are self-describing). */
+  /** Data files under `path` (glob or directory), lexicographic order. */
+  private def listFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    matched.flatMap {
+      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+      case f => Seq(f)
+    }.sortBy(_.getPath.toString)
+  }
+
+  /** Header of one container file — a few KB read, never the payload. */
+  private def headerSchema(spark: SparkSession, f: FileStatus): Schema = {
+    val fs = f.getPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(f.getPath)
+    try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      .getSchema
+    finally in.close()
+  }
+
+  /** Writer schema of the lexicographically-first container file, read
+    * header-only driver-side; warns (up to [[HeaderScanCap]] headers)
+    * when other files declare a different schema, since Avro resolution
+    * silently drops fields absent from the reader schema. */
   def schemaOf(spark: SparkSession, path: String): Schema = {
-    val first = spark.read.format("binaryFile").load(path)
-      .select("path", "content").orderBy("path").limit(1).collect()
-    require(first.nonEmpty, s"avro: no files under $path")
-    val in = new SeekableByteArrayInput(first(0).getAs[Array[Byte]]("content"))
-    val rd = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    try rd.getSchema finally rd.close()
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"avro: no files under $path")
+    val reader = headerSchema(spark, files.head)
+    val drifted = files.tail.take(HeaderScanCap - 1)
+      .filter(f => headerSchema(spark, f) != reader)
+    if (drifted.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"avro: ${drifted.size} of the first ${math.min(files.size, HeaderScanCap)} " +
+          s"files declare a schema different from reader file ${files.head.getPath} " +
+          s"(e.g. ${drifted.head.getPath}); fields missing from the reader schema " +
+          "are DROPPED by Avro resolution — supply a wider reader file first if " +
+          "newer files added columns")
+    reader
   }
 
   /** All records under `path` (container files, any layout `binaryFile`
@@ -127,14 +200,21 @@ object AvroRead {
         val schema = new Schema.Parser().parse(schemaJson)
         parts.flatMap { fileRow =>
           val in = new SeekableByteArrayInput(fileRow.getAs[Array[Byte]](0))
-          // one reader per file; reader schema = writer schema of file 1,
-          // so heterogeneous containers resolve (or fail loudly) per Avro
-          // schema-resolution rules
+          // reader schema = file 1's, so heterogeneous containers resolve
+          // (or fail loudly) per Avro schema-resolution rules; records
+          // stream one at a time — a Vector of a whole decoded file on
+          // top of the raw bytes would double-buffer large containers
           val rd = new DataFileReader[GenericRecord](
             in, new GenericDatumReader[GenericRecord](schema))
-          try rd.iterator().asScala
-            .map(rec => convert(rec, schema).asInstanceOf[Row]).toVector
-          finally rd.close()
+          new Iterator[Row] {
+            private var open = true
+            def hasNext: Boolean = open && {
+              val h = rd.hasNext
+              if (!h) { rd.close(); open = false }
+              h
+            }
+            def next(): Row = convert(rd.next(), schema).asInstanceOf[Row]
+          }
         }
       }
     spark.createDataFrame(rows, sparkSchema)

@@ -132,6 +132,24 @@ class AvroReadSpec extends AnyFunSuite {
       (empty.message.contains("no files") || empty.message.contains("not exist")))
   }
 
+  test("decimal logical type loads as DecimalType with exact values") {
+    val dir = Files.createTempDirectory("avro-dec")
+    val dec = LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("amount").`type`(dec).noDefault()
+      .endRecord()
+    def amt(cents: Long) = java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(cents).toByteArray) // unscaled big-endian
+    writeContainer(dir, "d.avro", s, Seq(
+      new GenericRecordBuilder(s).set("id", 1L).set("amount", amt(12345)).build(),
+      new GenericRecordBuilder(s).set("id", 2L).set("amount", amt(-99)).build()))
+    val df = AvroRead.read(spark, dir.toString + "/*.avro").orderBy("id")
+    assert(df.schema("amount").dataType == DecimalType(10, 2))
+    val vals = df.collect().map(_.getAs[java.math.BigDecimal]("amount").toPlainString)
+    assert(vals.toSeq == Seq("123.45", "-0.99"))
+  }
+
   test("unsupported avro shapes fail loudly") {
     // multi-branch (non-nullable) union has no Spark twin
     val bad = SchemaBuilder.record("r").fields()
@@ -139,5 +157,11 @@ class AvroReadSpec extends AnyFunSuite {
       .endRecord()
     val e = intercept[IllegalArgumentException](AvroRead.sparkType(bad))
     assert(e.getMessage.contains("union"))
+    // unknown logical types must throw, not silently load base primitives
+    val timeMs = LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+    val badLt = SchemaBuilder.record("r2").fields()
+      .name("t").`type`(timeMs).noDefault().endRecord()
+    val e2 = intercept[IllegalArgumentException](AvroRead.sparkType(badLt))
+    assert(e2.getMessage.contains("time-millis"))
   }
 }
