@@ -93,6 +93,29 @@ class RandomizedOpsSpec extends AnyFunSuite {
 
   // ---- chunker vs pure sliding-window reference ----------------------
 
+  test("bloom decontamination is a superset of exact overlap on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    for (trial <- 1 to 3) {
+      def doc() = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // tiny vocab + 3-grams => plenty of genuine shared grams per trial
+      val bench = (1L to 5L).map(i => (i, doc())).toDF("doc_id", "text")
+      val corpus = (10L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+      val bits = BloomContamination.buildBits(bench, "text", 3, 4096)
+      val bloom = BloomContamination.flagged(corpus, "doc_id", "text", 3, bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = Contamination.overlap(corpus, bench, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact.nonEmpty, s"trial $trial degenerate: no exact overlap planted")
+      // one-sided error: every exactly-contaminated doc flagged, with a
+      // per-doc count at least the exact distinct-gram overlap
+      exact.foreach { case (id, n) =>
+        assert(bloom.getOrElse(id, 0L) >= n, s"trial $trial doc $id: $n vs ${bloom.get(id)}")
+      }
+    }
+  }
+
   test("Chunker == pure sliding-window reference across random shapes") {
     import spark.implicits._
     val rnd = new Random(23)
