@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * right plan while the eval set is thousands of documents, but a
   * production decontamination pass screens against MANY benchmarks at
   * once, and tens of millions of distinct 13-grams no longer broadcast
-  * as strings. A Bloom filter over the gram set is a few hundred KB
-  * regardless: the corpus side then needs NO join at all — each gram is
+  * as strings. A Bloom filter over the gram set is KB-to-MB (hard cap
+  * 32 MB stored — beyond that, shard the benchmark set; an embedded
+  * literal ships with every probe-stage task binary): the corpus side
+  * then needs NO join at all — each gram is
   * one md5 plus k bit-probes against a plan-literal bit array, fully
   * inside whole-stage codegen, and the only shuffle left is the final
   * per-document count. One-sided error: a set gram always probes true
@@ -49,10 +51,14 @@ object BloomContamination {
     require(n > 0 && fpp > 0 && fpp < 1, s"need n > 0, 0 < fpp < 1; got n=$n fpp=$fpp")
     val perProbe = math.pow(fpp, 1.0 / HashK) // target per-probe load
     val m = -HashK * n / math.log1p(-perProbe)
-    require(m <= (1L << 30).toDouble,
-      s"filter for n=$n at fpp=$fpp needs ${m.toLong} bits (> 256 MB " +
-        "stored at 32 bits per long word) — raise fpp or shard the " +
-        "benchmark set")
+    // cap where plan-literal embedding stays sane: 2^27 bits = 32 MB
+    // stored (32-in-64) — the literal ships inside every probe stage's
+    // task binary, so a quarter-GB filter belongs in shards (or a
+    // broadcast-variable design), not one literal
+    require(m <= (1L << 27).toDouble,
+      s"filter for n=$n at fpp=$fpp needs ${m.toLong} bits (> 32 MB " +
+        "stored at 32 bits per long word — too large to embed as a " +
+        "plan literal) — raise fpp or shard the benchmark set")
     math.max(WordBits, Integer.highestOneBit(math.ceil(m).toInt - 1) << 1)
   }
 

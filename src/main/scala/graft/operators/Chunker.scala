@@ -39,7 +39,12 @@ object Chunker {
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
     docs
-      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("w"))
+      // null text == empty text: the one-chunk-per-short-document
+      // invariant must hold for EVERY input row — a bare words(null)
+      // would null the chunk-index sequence and silently drop the
+      // document from the output
+      .select(col(idCol).as("id"),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
       .withColumn("n", size(col("w")).cast("long"))
       // integral chunk count: 1 window for n <= chunkSize, else
       // 1 + ceil((n - chunkSize) / step) via (x + step - 1) div step

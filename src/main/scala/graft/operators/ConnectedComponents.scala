@@ -56,9 +56,10 @@ object ConnectedComponents {
     * entry, so both paths emit LongType labels and agree exactly).
     * Non-integral ids are rejected loudly: a silent `cast("long")` of
     * string/uuid ids would null out under non-ANSI configs and the
-    * distributed loop would then converge on garbage null labels — map
-    * such ids through `hex_hash60` or `monotonically_increasing_id`
-    * first. */
+    * distributed loop would then converge on garbage null labels (the
+    * earlier cast-free loop was no better — its decimal convergence
+    * checksum threw mid-iteration on non-numeric ids) — map such ids
+    * through `hex_hash60` or `monotonically_increasing_id` first. */
   def components(
       edges: DataFrame, maxIter: Int = 30,
       localEdgeCap: Long = 1L << 18): DataFrame = {

@@ -188,7 +188,10 @@ object TrainQueries {
          |SELECT doc_id, toks, cum, (cum - toks) // $PackBudget AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
     "ch1_chunking" ->
-      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+      // coalesce mirrors Chunker's null-text == empty-text contract
+      s"""WITH ww AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS w
+         | FROM documents),
          |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM ww),
          |ch AS (SELECT doc_id, w, n,
          |  unnest(range(0, 1 + greatest(0,

@@ -147,15 +147,22 @@ object AvroRead {
     else s.getTypes.asScala.find(_.getType == t).getOrElse(
       throw new IllegalArgumentException(s"avro: no $t branch in $s"))
 
-  /** Data files under `path` (glob or directory), lexicographic order. */
+  /** Data files under `path` (glob or directory), lexicographic order.
+    * Directories recurse (hive-partitioned layouts) and
+    * metadata/hidden entries (`_SUCCESS`, `.…crc` — the same `_`/`.`
+    * prefixes Spark's own file index skips) are filtered, so the
+    * driver-side enumeration matches what binaryFile will read. */
   private def listFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-    matched.flatMap {
-      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
-      case f => Seq(f)
-    }.sortBy(_.getPath.toString)
+    def visible(h: HPath): Boolean =
+      !h.getName.startsWith("_") && !h.getName.startsWith(".")
+    def walk(s: FileStatus): Seq[FileStatus] =
+      if (!visible(s.getPath)) Nil
+      else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else Seq(s)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .flatMap(walk).sortBy(_.getPath.toString)
   }
 
   /** Header of one container file — a few KB read, never the payload. */
@@ -195,7 +202,11 @@ object AvroRead {
       s"avro: top-level schema must be a record, got ${avroSchema.getType}")
     val sparkSchema = sparkType(avroSchema).asInstanceOf[StructType]
     val schemaJson = avroSchema.toString // Schema itself is not Serializable
-    val rows = spark.read.format("binaryFile").load(path)
+    // recursiveFileLookup matches listFiles' walk exactly: nested
+    // (hive-partitioned or arbitrary) layouts read in full, and the
+    // file index skips the same _/. metadata entries
+    val rows = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(path)
       .select("content").rdd.mapPartitions { parts =>
         val schema = new Schema.Parser().parse(schemaJson)
         parts.flatMap { fileRow =>

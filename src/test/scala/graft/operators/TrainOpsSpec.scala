@@ -18,7 +18,8 @@ class TrainOpsSpec extends AnyFunSuite {
       (2L, (1 to 64).map(i => s"s$i").mkString(" ")),  // exactly one window
       (3L, (1 to 65).map(i => s"u$i").mkString(" ")),  // one token past -> 2 chunks
       (4L, "tiny doc"),                                 // shorter than a window
-      (5L, "")                                          // degenerate: one "" token
+      (5L, ""),                                         // degenerate: one "" token
+      (6L, null.asInstanceOf[String])                   // null == empty, never dropped
     ).toDF("doc_id", "text")
     val chunks = Chunker.chunk(docs, "doc_id", "text", 64, 16)
       .orderBy(col("id"), col("chunk_idx")).collect()
@@ -38,6 +39,7 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(of(3L).map(_.getAs[Int]("n_tokens")).toSeq == Seq(64, 17))
     assert(of(4L).length == 1 && of(4L).head.getAs[Int]("n_tokens") == 2)
     assert(of(5L).length == 1) // "" tokenizes to one empty token, like split
+    assert(of(6L).length == 1) // null text coalesces to "", doc not dropped
     // invalid parameters rejected
     intercept[IllegalArgumentException](Chunker.chunk(docs, "doc_id", "text", 16, 16))
   }

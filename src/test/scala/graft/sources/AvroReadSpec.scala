@@ -116,6 +116,21 @@ class AvroReadSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("score")))
   }
 
+  test("metadata files are skipped and partitioned layouts recurse") {
+    val dir = Files.createTempDirectory("avro-part")
+    // _SUCCESS sorts before 'd…' — a naive head() would pick it as the
+    // schema file; .crc twins must be invisible too
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    val part = Files.createDirectories(dir.resolve("date=2026-01-01"))
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("v").endRecord()
+    writeContainer(part, "part-0.avro", s, Seq(
+      new GenericRecordBuilder(s).set("id", 1L).set("v", "a").build()))
+    Files.write(part.resolve(".part-0.avro.crc"), Array[Byte](1, 2))
+    val df = AvroRead.read(spark, dir.toString)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
   test("corrupt and empty sources become FAIL outcomes, not crashes") {
     val dir = Files.createTempDirectory("avro-bad")
     Files.write(dir.resolve("junk.avro"), Array[Byte](1, 2, 3, 4, 5))
