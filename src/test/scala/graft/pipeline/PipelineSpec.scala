@@ -153,6 +153,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.forall(_.status == "Success"), results.toString)
   }
 
+  test("Controller data route loads avro sources end-to-end (K1)") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecord, GenericRecordBuilder}
+    spark.sql("CREATE DATABASE IF NOT EXISTS wha")
+    // source of truth from parquet; the avro twin is derived from it
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    region.write.mode(SaveMode.Overwrite).saveAsTable("wha.region_src")
+    val s = SchemaBuilder.record("region").fields()
+      .requiredLong("r_regionkey").requiredString("r_name").endRecord()
+    val dir = Files.createTempDirectory("avro-e2e")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.create(s, dir.resolve("region.avro").toFile)
+    region.select("r_regionkey", "r_name").collect().foreach { r =>
+      w.append(new GenericRecordBuilder(s)
+        .set("r_regionkey", r.getAs[Number](0).longValue)
+        .set("r_name", r.getString(1)).build())
+    }
+    w.close()
+    val cfg = Controller.GraftConfig(
+      kind = "data", source = "hive", uniqueId = "run-avro",
+      loads = Seq(TableLoader.LoadSpec("wha.region_tgt",
+        dir.toString + "/*.avro", format = "avro")),
+      validations = Seq(Controller.ValidationSpec(
+        kind = "column", sourceTable = "wha.region_src",
+        targetTable = "wha.region_tgt",
+        aggSpecs = Seq(AggSpec("count", "r_regionkey"), AggSpec("sum", "r_regionkey")))))
+    val results = Controller.run(spark, cfg, audit)
+    assert(results.forall(_.status == "Success"), results.toString)
+    assert(spark.table("wha.region_tgt").count() == region.count())
+  }
+
   test("Controller: bad validation spec is isolated, others still run and report") {
     spark.sql("CREATE DATABASE IF NOT EXISTS whv")
     spark.read.parquet("/root/testdata/sf0.001/region.parquet")
