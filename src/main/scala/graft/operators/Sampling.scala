@@ -42,4 +42,28 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("sample_h")
   }
+
+  /** Rate-based deterministic mixture sampling — the corpus-MIXING
+    * primitive (domain weights): keep each row of stratum s with
+    * probability `rates(s)` (else `defaultRate`), decided by comparing
+    * the seeded portable id-hash against `rate · 2⁶⁰`. Unlike
+    * [[stratified]] (fixed count per group, needs a per-group shuffle)
+    * this is a pure per-row filter — NO shuffle, no window, fully
+    * codegen'd — and the keep-decision for a given (seed, id) never
+    * changes as the corpus grows, so incremental runs are consistent
+    * with full reruns. Rates are a small when-chain literal (domain
+    * weight tables are tens of entries); rate 1.0 keeps everything
+    * (2⁶⁰ exceeds every 60-bit hash), rate 0.0 keeps nothing. */
+  def weightedMixture(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double, seed: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    def threshold(r: Double) = lit((r * (1L << 60).toDouble).toLong)
+    val thr = rates.foldLeft(threshold(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, threshold(r)).otherwise(acc)
+    }
+    val h = TextOps.hexHash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    df.filter(h < thr)
+  }
 }

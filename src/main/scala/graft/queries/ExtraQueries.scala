@@ -230,6 +230,16 @@ object ExtraQueries {
           Seq("l_returnflag"), "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
     }),
+    "mix1_weighted_mixture" -> ((s, dir) => {
+      // corpus mixing by domain weight: rate-based deterministic keep,
+      // pure per-row filter (no shuffle; sm1 is the fixed-count twin)
+      graft.operators.Sampling.weightedMixture(
+          T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.75),
+          defaultRate = 0.4, seed = 7)
+        .orderBy(col("doc_id"))
+    }),
     "sm1_stratified_sample" -> ((s, dir) => {
       graft.operators.Sampling
         .stratified(T(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey")),
@@ -292,6 +302,16 @@ object ExtraQueries {
       (graft.operators.Stats.momentsOracleSql("lineitem",
         Seq("l_returnflag"), "l_quantity", "l_extendedprice") +
         "\nORDER BY l_returnflag"),
+    "mix1_weighted_mixture" -> {
+      // thresholds are exact longs (r · 2⁶⁰) computed once here so both
+      // engines compare the same integers
+      def t(r: Double) = (r * (1L << 60).toDouble).toLong
+      s"""SELECT doc_id, source FROM documents
+         |WHERE CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |  < CASE source WHEN 'src0' THEN ${t(1.0)} WHEN 'src1' THEN ${t(0.0)}
+         |    WHEN 'src2' THEN ${t(0.75)} ELSE ${t(0.4)} END
+         |ORDER BY doc_id""".stripMargin
+    },
     "sm1_stratified_sample" ->
       """WITH h AS (
         | SELECT o_orderstatus, o_orderkey,

@@ -89,6 +89,32 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(fps <= 15, s"false-positive count $fps exceeds 3x the 1% contract on 500 probes")
   }
 
+  test("weightedMixture: rate semantics, determinism, shuffle-free plan") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def run(rates: Map[String, Double], default: Double) =
+      Sampling.weightedMixture(docs, "source", "doc_id", rates, default, seed = 7)
+    // rate 1 keeps every row of the stratum; rate 0 keeps none
+    val kept = run(Map("src0" -> 1.0, "src1" -> 0.0), 0.5).collect()
+    assert(kept.count(_.getString(1) == "src0") == 100)
+    assert(kept.count(_.getString(1) == "src1") == 0)
+    // default rate ~0.5 keeps roughly half of the remaining 200 rows
+    val rest = kept.count(r => r.getString(1) == "src2" || r.getString(1) == "src3")
+    assert(rest > 60 && rest < 140, s"default-rate keep count $rest implausible")
+    // same seed -> identical keep set; keep-decisions independent of corpus size
+    val again = run(Map("src0" -> 1.0, "src1" -> 0.0), 0.5).collect()
+    assert(kept.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+    val half = Sampling.weightedMixture(docs.filter(col("doc_id") <= 200),
+      "source", "doc_id", Map("src0" -> 1.0, "src1" -> 0.0), 0.5, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(half == kept.map(_.getLong(0)).filter(_ <= 200).toSet)
+    // pure filter: no exchange in the plan
+    val plan = run(Map("src0" -> 0.5), 0.5).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](run(Map("src0" -> 1.5), 0.5).collect())
+  }
+
   test("SequencePacker two-phase prefix == single-window cumsum (gapped ids)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
