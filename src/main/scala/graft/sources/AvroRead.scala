@@ -3,38 +3,45 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalType, LogicalTypes, Schema}
-import org.apache.avro.file.{DataFileReader, DataFileStream, SeekableByteArrayInput}
+import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.{SerializableWritable, TaskContext}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Native Avro object-container reader over the `binaryFile` source —
-  * closes the K1 AVRO load path (reference
-  * `hive_bq_load_utils.py:201-227`) without the `spark-avro` connector,
-  * which is absent from this build's offline classpath; Avro CORE
-  * (`avro-1.12.1`) does ship, and the container format + generic datum
-  * reader live there.
+/** Native Avro object-container reader — closes the K1 AVRO load path
+  * (reference `hive_bq_load_utils.py:201-227`) without the `spark-avro`
+  * connector, which is absent from this build's offline classpath; Avro
+  * CORE (`avro-1.12.1`) does ship, and the container format + generic
+  * datum reader live there.
   *
-  * Shape: the driver reads container HEADERS only (a few KB via the
-  * Hadoop filesystem — never a full file) to pick the reader schema
-  * from the lexicographically-first file, maps it to a Spark
-  * `StructType`, and executors stream-decode whole files from the
-  * binaryFile rows with a per-file `DataFileReader` (the schema travels
-  * as its canonical JSON string — `org.apache.avro.Schema` is not
-  * serializable). Parallelism is per FILE — the same unit as the
-  * reference's per-file load jobs. Block-level splitting of a single
-  * huge container needs the connector (sync-marker seeks); files beyond
-  * the binaryFile 2 GB row limit fail loudly upstream rather than
-  * decoding partially.
+  * Shape: the driver lists the container files once, then runs two
+  * distributed passes over the PATHS (never file bytes):
+  *  1. a header scan — each executor reads a few KB of container header
+  *    per file and the driver collects only the DISTINCT writer
+  *    schemas (bounded by schema variety, not corpus size);
+  *  2. the decode — one partition per file, each task opens a
+  *    `FileSystem` stream and feeds `DataFileStream` directly, so a
+  *    container is never materialized in memory and there is no
+  *    per-file byte-array (~2 GB) ceiling. Streams close on task
+  *    completion even when a consumer stops early (limit / take /
+  *    task failure).
+  * Parallelism is per FILE — the same unit as the reference's per-file
+  * load jobs. Block-level splitting of a single huge container
+  * (sync-marker seeks) is future work; the scaladoc'd contract is one
+  * task per container, streaming within it.
   *
-  * Schema evolution follows Avro resolution against the first file's
-  * schema: older files missing an optional reader field yield null;
-  * fields that exist ONLY in later files are dropped by resolution, so
-  * the driver scans up to [[HeaderScanCap]] headers and logs a warning
-  * naming any file whose writer schema differs — pass a wider explicit
-  * reader schema (or re-order files) when the first file is the stale
-  * one.
+  * Schema evolution WIDENS instead of dropping: the loaded table's
+  * schema is the union of every file's fields (first-seen order,
+  * starting from the lexicographically-first file), each file decodes
+  * with its own writer schema, and rows from files missing a field
+  * carry null there. A field whose type genuinely conflicts across
+  * files (e.g. long in one, string in another) fails loudly naming the
+  * field and both files — the reference's `bq load` with
+  * `use_avro_logical_types` likewise surfaces added columns and rejects
+  * incompatible ones (`hive_bq_load_utils.py:201-227`).
   *
   * Type mapping (fail-loudly beyond it): Avro primitives, enum/fixed,
   * [null, T] unions, arrays, string-keyed maps, nested records, and the
@@ -45,9 +52,6 @@ import org.apache.spark.sql.types._
   * corruption ships.
   */
 object AvroRead {
-
-  /** Max file headers the driver inspects for the schema-drift warning. */
-  val HeaderScanCap = 100
 
   private def logical(s: Schema): Option[LogicalType] = Option(s.getLogicalType)
 
@@ -150,8 +154,7 @@ object AvroRead {
   /** Data files under `path` (glob or directory), lexicographic order.
     * Directories recurse (hive-partitioned layouts) and
     * metadata/hidden entries (`_SUCCESS`, `.…crc` — the same `_`/`.`
-    * prefixes Spark's own file index skips) are filtered, so the
-    * driver-side enumeration matches what binaryFile will read. */
+    * prefixes Spark's own file index skips) are filtered. */
   private def listFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -165,69 +168,131 @@ object AvroRead {
       .flatMap(walk).sortBy(_.getPath.toString)
   }
 
-  /** Header of one container file — a few KB read, never the payload. */
-  private def headerSchema(spark: SparkSession, f: FileStatus): Schema = {
-    val fs = f.getPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(f.getPath)
-    try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      .getSchema
-    finally in.close()
+  /** Container-header writer schema — a few KB read, never the payload. */
+  private def headerSchemaJson(path: String, conf: Configuration): String = {
+    val hp = new HPath(path)
+    val in = hp.getFileSystem(conf).open(hp)
+    try {
+      val s = new DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try s.getSchema.toString finally s.close()
+    } finally { try in.close() catch { case _: Exception => () } }
   }
 
-  /** Writer schema of the lexicographically-first container file, read
-    * header-only driver-side; warns (up to [[HeaderScanCap]] headers)
-    * when other files declare a different schema, since Avro resolution
-    * silently drops fields absent from the reader schema. */
-  def schemaOf(spark: SparkSession, path: String): Schema = {
+  /** Distinct writer schemas across the files, each tagged with the
+    * lexicographically-first path that declares it, in first-declared
+    * order. The scan runs ON THE EXECUTORS over the path list; the
+    * driver holds only the distinct set — bounded by schema variety
+    * (typically 1–2 after an evolution), not by corpus size. */
+  private def distinctWriterSchemas(
+      spark: SparkSession, paths: Seq[String],
+      conf: SerializableWritable[Configuration]): Seq[(Schema, String)] = {
+    val slices = math.max(1, math.min(paths.size, 64))
+    spark.sparkContext.parallelize(paths, slices)
+      .map(p => (headerSchemaJson(p, conf.value), p))
+      .reduceByKey((a, b) => if (a < b) a else b)
+      .collect().toSeq
+      .sortBy(_._2)
+      .map { case (json, p) => (new Schema.Parser().parse(json), p) }
+  }
+
+  /** Union-widest Spark struct over the writer schemas: fields in
+    * first-seen order, types must agree (as mapped Spark types) or the
+    * conflict fails loudly naming the field and both declaring files. */
+  private def widestStruct(schemas: Seq[(Schema, String)]): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, (DataType, String)]()
+    schemas.foreach { case (s, path) =>
+      require(s.getType == Schema.Type.RECORD,
+        s"avro: top-level schema must be a record, got ${s.getType} in $path")
+      s.getFields.asScala.foreach { f =>
+        val t = sparkType(f.schema)
+        fields.get(f.name) match {
+          case Some((prev, prevPath)) if prev != t =>
+            throw new IllegalArgumentException(
+              s"avro: field '${f.name}' has incompatible types across files — " +
+                s"$prev in $prevPath vs $t in $path; rewrite one side or load them " +
+                "as separate tables")
+          case Some(_) => ()
+          case None => fields.put(f.name, (t, path))
+        }
+      }
+    }
+    StructType(fields.toSeq.map { case (n, (t, _)) => StructField(n, t, nullable = true) })
+  }
+
+  /** All records under `path` (container files, any layout) as a
+    * DataFrame with the union-widest mapped schema. */
+  def read(spark: SparkSession, path: String): DataFrame = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"avro: no files under $path")
-    val reader = headerSchema(spark, files.head)
-    val drifted = files.tail.take(HeaderScanCap - 1)
-      .filter(f => headerSchema(spark, f) != reader)
-    if (drifted.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"avro: ${drifted.size} of the first ${math.min(files.size, HeaderScanCap)} " +
-          s"files declare a schema different from reader file ${files.head.getPath} " +
-          s"(e.g. ${drifted.head.getPath}); fields missing from the reader schema " +
-          "are DROPPED by Avro resolution — supply a wider reader file first if " +
-          "newer files added columns")
-    reader
-  }
-
-  /** All records under `path` (container files, any layout `binaryFile`
-    * globs) as a DataFrame with the mapped schema. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val avroSchema = schemaOf(spark, path)
-    require(avroSchema.getType == Schema.Type.RECORD,
-      s"avro: top-level schema must be a record, got ${avroSchema.getType}")
-    val sparkSchema = sparkType(avroSchema).asInstanceOf[StructType]
-    val schemaJson = avroSchema.toString // Schema itself is not Serializable
-    // recursiveFileLookup matches listFiles' walk exactly: nested
-    // (hive-partitioned or arbitrary) layouts read in full, and the
-    // file index skips the same _/. metadata entries
-    val rows = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true").load(path)
-      .select("content").rdd.mapPartitions { parts =>
-        val schema = new Schema.Parser().parse(schemaJson)
-        parts.flatMap { fileRow =>
-          val in = new SeekableByteArrayInput(fileRow.getAs[Array[Byte]](0))
-          // reader schema = file 1's, so heterogeneous containers resolve
-          // (or fail loudly) per Avro schema-resolution rules; records
-          // stream one at a time — a Vector of a whole decoded file on
-          // top of the raw bytes would double-buffer large containers
-          val rd = new DataFileReader[GenericRecord](
-            in, new GenericDatumReader[GenericRecord](schema))
+    val paths = files.map(_.getPath.toString)
+    // Hadoop Configuration is Writable but not Serializable; ship it
+    // once per executor instead of rebuilding defaults per task
+    val conf = new SerializableWritable(
+      new Configuration(spark.sessionState.newHadoopConf()))
+    val confB = spark.sparkContext.broadcast(conf)
+    val schemas = distinctWriterSchemas(spark, paths, conf)
+    val struct = widestStruct(schemas)
+    val names = struct.fields.map(_.name)
+    val types = struct.fields.map(_.dataType)
+    // one partition per file — the reference's own load unit; records
+    // stream straight off the FileSystem, no whole-file buffering
+    val rows = spark.sparkContext.parallelize(paths, paths.size)
+      .mapPartitions { pathIter =>
+        val hconf = confB.value.value
+        pathIter.flatMap { p =>
+          val hp = new HPath(p)
+          val in = hp.getFileSystem(hconf).open(hp)
+          val stream = new DataFileStream[GenericRecord](
+            in, new GenericDatumReader[GenericRecord]())
+          var closed = false
+          def closeOnce(): Unit = if (!closed) {
+            closed = true
+            try stream.close() catch { case _: Exception => () }
+            try in.close() catch { case _: Exception => () }
+          }
+          // release the decompressor/stream even when the consumer
+          // stops early (limit, take, task failure)
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeOnce()))
+          val writer = stream.getSchema
+          // project this file's writer fields into the widest struct:
+          // pos(i) = writer field position or -1 (→ null column)
+          val pos = new Array[Int](names.length)
+          val fieldSchema = new Array[Schema](names.length)
+          var i = 0
+          while (i < names.length) {
+            val f = writer.getField(names(i))
+            if (f == null) pos(i) = -1
+            else {
+              val t = sparkType(f.schema)
+              require(t == types(i),
+                s"avro: field '${names(i)}' in $p maps to $t but the widest " +
+                  s"schema expects ${types(i)}")
+              pos(i) = f.pos(); fieldSchema(i) = f.schema
+            }
+            i += 1
+          }
           new Iterator[Row] {
-            private var open = true
-            def hasNext: Boolean = open && {
-              val h = rd.hasNext
-              if (!h) { rd.close(); open = false }
+            def hasNext: Boolean = !closed && {
+              val h = stream.hasNext
+              if (!h) closeOnce()
               h
             }
-            def next(): Row = convert(rd.next(), schema).asInstanceOf[Row]
+            def next(): Row = {
+              val rec = stream.next()
+              val vals = new Array[Any](names.length)
+              var j = 0
+              while (j < names.length) {
+                vals(j) = if (pos(j) < 0) null
+                          else convert(rec.get(pos(j)), fieldSchema(j))
+                j += 1
+              }
+              Row.fromSeq(vals.toIndexedSeq)
+            }
           }
         }
       }
-    spark.createDataFrame(rows, sparkSchema)
+    spark.createDataFrame(rows, struct)
   }
 }

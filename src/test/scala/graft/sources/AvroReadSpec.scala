@@ -116,6 +116,68 @@ class AvroReadSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("score")))
   }
 
+  test("schema widening: a column added by a LATER file survives, with nulls for older rows") {
+    val dir = Files.createTempDirectory("avro-widen")
+    val v1 = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title").endRecord()
+    val v2 = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title")
+      .optionalDouble("score").endRecord()
+    // v1 is the lexicographically-FIRST file — under the old
+    // first-file-wins resolution, score would have been dropped
+    writeContainer(dir, "a-v1.avro", v1, Seq(
+      new GenericRecordBuilder(v1).set("id", 1L).set("title", "old").build()))
+    writeContainer(dir, "b-v2.avro", v2, Seq(
+      new GenericRecordBuilder(v2)
+        .set("id", 2L).set("title", "new").set("score", 0.75).build()))
+    val df = AvroRead.read(spark, dir.toString + "/*.avro")
+    assert(df.schema.fieldNames.toSeq == Seq("id", "title", "score"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // v1 row widened with null
+    assert(rows(1).getAs[Double]("score") == 0.75)
+  }
+
+  test("incompatible field types across files fail loudly naming the field and files") {
+    val dir = Files.createTempDirectory("avro-conflict")
+    val asLong = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredLong("v").endRecord()
+    val asString = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("v").endRecord()
+    writeContainer(dir, "a.avro", asLong, Seq(
+      new GenericRecordBuilder(asLong).set("id", 1L).set("v", 5L).build()))
+    writeContainer(dir, "b.avro", asString, Seq(
+      new GenericRecordBuilder(asString).set("id", 2L).set("v", "five").build()))
+    val e = intercept[IllegalArgumentException](
+      AvroRead.read(spark, dir.toString + "/*.avro"))
+    assert(e.getMessage.contains("'v'"))
+    assert(e.getMessage.contains("a.avro") && e.getMessage.contains("b.avro"))
+  }
+
+  test("decode streams from FileSystem paths — no binaryFile content column in the plan") {
+    val dir = Files.createTempDirectory("avro-stream")
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("pad").endRecord()
+    // force a MULTI-BLOCK container: sync every ~64 bytes so 200 records
+    // span many avro blocks inside one file
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.setSyncInterval(64)
+    w.create(s, dir.resolve("multiblock.avro").toFile)
+    (1L to 200L).foreach(i => w.append(
+      new GenericRecordBuilder(s).set("id", i).set("pad", "x" * 32).build()))
+    w.close()
+    val df = AvroRead.read(spark, dir.toString + "/*.avro")
+    // the plan must be an RDD scan over decoded rows, not a binaryFile
+    // relation materializing whole containers as byte arrays
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("binaryFile") && !plan.contains("content"), plan)
+    assert(df.count() == 200)
+    assert(df.orderBy("id").limit(1).collect().head.getLong(0) == 1L)
+    // early-terminating consumer (limit) must not wedge on unclosed
+    // streams — a second full read over the same files still works
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).collect()
+      .head.getLong(0) == 20100L)
+  }
+
   test("metadata files are skipped and partitioned layouts recurse") {
     val dir = Files.createTempDirectory("avro-part")
     // _SUCCESS sorts before 'd…' — a naive head() would pick it as the
