@@ -35,7 +35,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed, not passed through: a non-numeric value (e.g. "*", valid
+    // for a Spark master but not here) would emit invalid JSON below and
+    // an invalid shuffle-partition count — fail loudly at startup instead
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toIntOption.filter(_ > 0)
+      .getOrElse(sys.error(
+        s"SPARK_GRAFT_CPUS must be a positive integer, got '${sys.env("SPARK_GRAFT_CPUS")}'"))
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent

@@ -23,7 +23,8 @@ import graft.core.AuditSink
 final class IncrementalLoader(
     spark: SparkSession,
     audit: AuditSink,
-    auditTable: String = "graft_inc_load_audit") {
+    auditTable: String = "graft_inc_load_audit",
+    maxFilesPerBatch: Int = IncrementalLoader.DefaultMaxFilesPerBatch) {
 
   import spark.implicits._
 
@@ -48,7 +49,18 @@ final class IncrementalLoader(
       .join(broadcast(alreadyLoaded(targetTable)), Seq("file_path"), "left_anti")
       .cache()
     try {
-      val files = fresh.select("file_path").distinct().as[String].collect()
+      val distinctFiles = fresh.select("file_path").distinct().cache()
+      // the per-file audit rows are collected driver-side; the bound is
+      // a day's arrivals (the reference's load unit) — enforce it rather
+      // than assume it, and COUNT before collecting so an over-cap batch
+      // never materializes on the driver
+      val nFiles = distinctFiles.count()
+      require(nFiles <= maxFilesPerBatch,
+        s"incremental batch for $targetTable has $nFiles distinct files, over the " +
+          s"$maxFilesPerBatch driver-side audit cap — shard the drop directory into " +
+          "smaller daily prefixes or raise maxFilesPerBatch")
+      val files = distinctFiles.as[String].collect()
+      distinctFiles.unpersist()
       if (files.nonEmpty) {
         val rows = fresh.drop("file_path")
         if (spark.catalog.tableExists(targetTable))
@@ -84,6 +96,11 @@ final class IncrementalLoader(
 }
 
 object IncrementalLoader {
+  /** Driver-side cap on distinct arrived files audited per micro-batch.
+    * 100k paths ≈ a few MB of driver memory — far above any daily
+    * arrival volume the reference's per-file load unit implies. */
+  val DefaultMaxFilesPerBatch = 100000
+
   final case class IncAuditRow(
       file_path: String, target_table: String, status: String,
       run_time: java.sql.Timestamp)

@@ -73,8 +73,9 @@ object MinHashLSH {
     * two independent 60-bit halves of a single md5
     * ([[TextOps.hexHash60Pair]]). One md5 per distinct gram replaces the
     * k-md5s-per-gram seeded family of rounds ≤5 — md5 was the dominant
-    * CPU of the whole signature stage at k=32. The div-32 keeps
-    * i·(h2 div 32) < 2⁶⁰ so the sum never overflows a signed 64-bit
+    * CPU of the whole signature stage at k=32. Overflow bound: h1 < 2⁶⁰
+    * and (h2 div 32) < 2⁵⁵, so the pre-mod sum is < 2⁶⁰ + (k−1)·2⁵⁵ —
+    * inside signed 64-bit iff k ≤ 224, enforced by the require below
     * (portable to DuckDB BIGINT, which raises on overflow: mirror is
     * `(h1 + i * (h2 // 32)) % 1152921504606846976`).
     *
@@ -92,6 +93,8 @@ object MinHashLSH {
   def signaturesFrom(
       g: DataFrame, k: Int = 32,
       hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
+    require(k >= 1 && k <= 224,
+      s"minhash k must be in [1, 224] (KM derivation stays inside signed 64-bit), got $k")
     val p = g.sparkSession.sessionState.conf.numShufflePartitions
     val mod = 1L << 60
     val ex = g.select(col("id"), explode(col("grams")).as("gram"))

@@ -91,6 +91,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")), s"got $rows")
   }
 
+  test("IncrementalLoader: over-cap file batch fails loudly before collecting") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS lod")
+    val srcDir = tmp("inccap")
+    // two files in one batch against a cap of 1 — the driver-side audit
+    // collect must refuse with the shard-or-raise message, not OOM
+    val inc = new IncrementalLoader(spark, audit, "inc_cap_audit", maxFilesPerBatch = 1)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$srcDir/d/p1")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$srcDir/d/p2")
+    val e = intercept[Exception](
+      inc.runOnce(s"$srcDir/d/*", schema, "lod.inc_cap_t", tmp("ckcap")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m =>
+      m.contains("driver-side audit cap") && m.contains("shard the drop directory")),
+      msgs(e).mkString(" | "))
+  }
+
   test("Controller ddl route: translate -> create -> validate -> report") {
     val ddl =
       """CREATE SET TABLE wh.items ,FALLBACK ,
