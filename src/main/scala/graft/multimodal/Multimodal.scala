@@ -11,12 +11,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * mapInPandas batch shape: per-partition iterators let a real decoder
   * initialize its codec/model once per task, not once per row).
   *
-  * STUB NOTE: this container has no image/audio codecs, so
-  * [[ImageCodec.decodeStub]] is a deterministic fake (md5-derived
-  * dimensions and features). The Spark-side plumbing — schemas, encoder
-  * signatures, batch shape, partition sizing — is real and tested; a
-  * production build swaps the stub body for a JNI/javacv decoder with
-  * the same signature.
+  * CODEC DISPATCH: formats the JDK itself can decode are decoded for
+  * real — PNG/JPEG/BMP via `ImageIO` (selected by mime,
+  * [[ImageCodec.RealMimes]]) and WAV/PCM via `javax.sound.sampled`
+  * (selected by RIFF/WAVE header sniff). Payloads outside those
+  * formats (e.g. the synthetic `image/fake` test corpus, or video
+  * codecs absent from this container) fall back to
+  * [[ImageCodec.decodeStub]] — a deterministic md5-derived fake —
+  * through the same signatures, so the Spark-side plumbing (schemas,
+  * encoder signatures, batch shape, partition sizing) is exercised
+  * identically on both paths. A production build widens the real set
+  * with a JNI/javacv decoder behind the same dispatch.
   *
   * Scale notes: payloads are the dominant bytes, so (a)
   * [[Multimodal.repartitionBySize]] targets a fixed number of payload
@@ -58,16 +63,15 @@ object Multimodal {
     ds.mapPartitions { it =>
       val codec = new ImageCodec // per-partition init, amortized
       it.map { a =>
-        val img = codec.decodeStub(a.data)
+        val img = codec.decode(a.mime, a.data)
         ImageFeatures(a.asset_id, img.width, img.height, a.data.length.toLong,
-          codec.featurizeStub(a.data, embeddingDim))
+          codec.featurize(a.mime, a.data, img, embeddingDim))
       }
     }
   }
 
-  /** Resize images in partition batches (stubbed scaler: real builds
-    * swap the codec body; the metadata math and batch shape are the
-    * production path). Output dims are the stub-decoded dims scaled to
+  /** Resize images in partition batches. Output dims are the decoded
+    * dims (real for [[ImageCodec.RealMimes]], stub otherwise) scaled to
     * fit (maxW, maxH) preserving aspect ratio. */
   def resizeImages(
       ds: Dataset[ImageAsset], maxW: Int, maxH: Int): Dataset[ImageFeatures] = {
@@ -75,7 +79,7 @@ object Multimodal {
     ds.mapPartitions { it =>
       val codec = new ImageCodec
       it.map { a =>
-        val img = codec.decodeStub(a.data)
+        val img = codec.decode(a.mime, a.data)
         val scale = math.min(1.0,
           math.min(maxW.toDouble / img.width, maxH.toDouble / img.height))
         val (w, h) = (math.max(1, (img.width * scale).toInt),
@@ -96,15 +100,16 @@ object Multimodal {
 
   /** Per-window signal energy over decoded audio — the framing pass
     * every audio pipeline runs before VAD / feature extraction. Batch
-    * mapPartitions like the image path (one codec per partition); the
-    * stub decoder streams samples, so a window's energy accumulates
-    * without materializing the waveform. */
+    * mapPartitions like the image path (one codec per partition); both
+    * decoders stream samples, so a window's energy accumulates without
+    * materializing the waveform. RIFF/WAVE payloads decode for real;
+    * anything else uses the deterministic stub waveform. */
   def windowedEnergy(
       ds: Dataset[AudioAsset], windowSize: Int = 256): Dataset[AudioWindow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val codec = new AudioCodec // per-partition init, amortized
-      it.flatMap(a => codec.windowEnergiesStub(a, windowSize))
+      it.flatMap(a => codec.windowEnergies(a, windowSize))
     }
   }
 
@@ -153,11 +158,79 @@ object Multimodal {
   }
 }
 
-/** Stub codec: deterministic md5-derived "decode". A real build replaces
-  * the two stub bodies (same signatures) with an actual codec. */
+object ImageCodec {
+  /** Mimes the JDK's ImageIO decodes natively in this container. */
+  val RealMimes: Set[String] = Set("image/png", "image/jpeg", "image/bmp")
+}
+
+/** Image codec: REAL decode for [[ImageCodec.RealMimes]] (JDK ImageIO —
+  * PNG/JPEG/BMP, no external libs), deterministic md5-derived stub for
+  * everything else (same signatures, same downstream plumbing). */
 final class ImageCodec {
 
   private val md = MessageDigest.getInstance("MD5")
+
+  /** Decode dispatch: real for decodable mimes, stub otherwise. */
+  def decode(mime: String, data: Array[Byte]): Multimodal.DecodedImage =
+    if (ImageCodec.RealMimes(mime)) decodeReal(data) else decodeStub(data)
+
+  /** Featurize dispatch: pixel-derived features for decodable mimes,
+    * md5-derived stub embedding otherwise. */
+  def featurize(
+      mime: String, data: Array[Byte], img: Multimodal.DecodedImage,
+      dim: Int): Array[Float] =
+    if (ImageCodec.RealMimes(mime)) featurizeReal(img, dim)
+    else featurizeStub(data, dim)
+
+  /** REAL decode via ImageIO: any registered reader (PNG/JPEG/BMP in a
+    * stock JDK), pixels out as packed RGB bytes row-major. A payload
+    * that CLAIMS a decodable mime but fails to parse throws — a corrupt
+    * image silently featurized as a fake is how training data rots. */
+  def decodeReal(data: Array[Byte]): Multimodal.DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null,
+      s"image: ImageIO found no reader for a ${data.length}-byte payload " +
+        "declared as a decodable mime — corrupt file or mislabeled format")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // ARGB regardless of source model
+        val o = (y * w + x) * 3
+        px(o) = ((rgb >> 16) & 0xff).toByte
+        px(o + 1) = ((rgb >> 8) & 0xff).toByte
+        px(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.DecodedImage(w, h, 3, px)
+  }
+
+  /** REAL pixel features: mean luminance (Rec.601 weights) over `dim`
+    * vertical strips, normalized to [0, 1] — a deterministic, testable
+    * stand-in for an embedding model with the same output shape. */
+  def featurizeReal(img: Multimodal.DecodedImage, dim: Int): Array[Float] = {
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = (y * img.width + x) * 3
+        val lum = 0.299 * (img.pixels(o) & 0xff) +
+          0.587 * (img.pixels(o + 1) & 0xff) + 0.114 * (img.pixels(o + 2) & 0xff)
+        val b = math.min(dim - 1, x * dim / img.width)
+        sums(b) += lum; counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(b =>
+      if (counts(b) == 0) 0f else (sums(b) / counts(b) / 255.0).toFloat)
+  }
 
   /** 60-bit integer from the md5 of `bytes` (matches the engine's
     * portable hexHash60 when `bytes` is UTF-8 text). */
@@ -188,15 +261,111 @@ final class ImageCodec {
   }
 }
 
-/** Stub audio codec: deterministic md5-derived "PCM" — sample i of an
-  * asset with payload hash h is ((h + i·2654435761) mod 201) − 100, a
-  * pseudo-waveform in [−100, 100]. A real build replaces the sample
-  * generator with an actual decoder; the streaming per-window
-  * accumulation (never materializing the waveform) is the production
-  * shape.
+object AudioCodec {
+  /** RIFF/WAVE container sniff — the 12-byte header every WAV leads
+    * with ("RIFF" <size> "WAVE"). */
+  def isWav(data: Array[Byte]): Boolean =
+    data.length >= 12 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+      data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E'
+}
+
+/** Audio codec: REAL WAV/PCM decode via `javax.sound.sampled` (header
+  * sniff selects it), deterministic md5-derived stub waveform for
+  * everything else — sample i of an asset with payload hash h is
+  * ((h + i·2654435761) mod 201) − 100, a pseudo-waveform in
+  * [−100, 100]. Both paths stream per-window accumulation and never
+  * materialize the whole waveform.
   */
 final class AudioCodec {
   private val imageCodec = new ImageCodec
+
+  /** Decode dispatch: real WAV path on a RIFF/WAVE header, stub
+    * waveform otherwise. */
+  def windowEnergies(
+      a: Multimodal.AudioAsset, windowSize: Int): Iterator[Multimodal.AudioWindow] =
+    if (AudioCodec.isWav(a.data)) windowEnergiesWav(a, windowSize)
+    else windowEnergiesStub(a, windowSize)
+
+  /** REAL per-window energies over WAV/PCM: the payload's own header is
+    * the source of truth (not the asset's declared sample metadata) —
+    * samples convert to signed PCM and windows accumulate Σ s² as the
+    * frames stream off the decoder. Multi-channel audio averages
+    * channels per frame (mono mixdown), the framing convention the
+    * stub path and the m3 oracle share. */
+  def windowEnergiesWav(
+      a: Multimodal.AudioAsset, windowSize: Int): Iterator[Multimodal.AudioWindow] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(a.data))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+      s"audio: only PCM WAV is decodable here, got ${fmt.getEncoding} in ${a.uri}")
+    val bytesPerSample = fmt.getSampleSizeInBits / 8
+    require(bytesPerSample == 1 || bytesPerSample == 2,
+      s"audio: ${fmt.getSampleSizeInBits}-bit PCM unsupported in ${a.uri} (8/16 only)")
+    val channels = fmt.getChannels
+    val frameBytes = bytesPerSample * channels
+    val buf = new Array[Byte](frameBytes * 1024) // stream in 1024-frame chunks
+    new Iterator[Multimodal.AudioWindow] {
+      private var windowIdx = 0
+      private var frameInWindow = 0
+      private var energy = 0L
+      private var filled = 0 // bytes in buf
+      private var off = 0
+      private var eof = false
+      private var pending: Multimodal.AudioWindow = null
+
+      private def sampleAt(o: Int, ch: Int): Int = {
+        val so = o + ch * bytesPerSample
+        if (bytesPerSample == 1) {
+          val v = buf(so) & 0xff
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - 128
+          else buf(so).toInt
+        } else {
+          val (b0, b1) = if (fmt.isBigEndian) (buf(so), buf(so + 1)) else (buf(so + 1), buf(so))
+          val v = (b0 << 8) | (b1 & 0xff)
+          if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - 32768 else v
+        }
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !eof) {
+          if (off >= filled) {
+            filled = ais.read(buf); off = 0
+            if (filled <= 0) {
+              eof = true; ais.close()
+              if (frameInWindow > 0) { // trailing partial window
+                pending = Multimodal.AudioWindow(
+                  a.asset_id, windowIdx, windowIdx * windowSize, energy)
+              }
+              return
+            }
+          }
+          while (off < filled && pending == null) {
+            var s = 0L
+            var ch = 0
+            while (ch < channels) { s += sampleAt(off, ch); ch += 1 }
+            val mono = s / channels
+            energy += mono * mono
+            off += frameBytes
+            frameInWindow += 1
+            if (frameInWindow == windowSize) {
+              pending = Multimodal.AudioWindow(
+                a.asset_id, windowIdx, windowIdx * windowSize, energy)
+              windowIdx += 1; frameInWindow = 0; energy = 0L
+            }
+          }
+        }
+      }
+
+      def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+      def next(): Multimodal.AudioWindow = {
+        if (!hasNext) throw new NoSuchElementException
+        val w = pending; pending = null; w
+      }
+    }
+  }
 
   /** STUB — per-window energies Σ s_i² without materializing samples. */
   def windowEnergiesStub(

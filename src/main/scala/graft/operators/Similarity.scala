@@ -113,9 +113,10 @@ object Similarity {
     * The coarse quantizer is data-derived and deterministic: the
     * centroids are the corpus vectors whose id satisfies
     * `id % centroidMod == centroidRem` (≈ n/centroidMod lists — pick
-    * centroidMod ≈ √n so list size ≈ centroid count). A production
-    * pipeline would drop in k-means centroids computed offline; the
-    * assignment/probe machinery below is unchanged by that swap.
+    * centroidMod ≈ √n so list size ≈ centroid count). For a
+    * k-means-refined quantizer, feed [[kmeansCentroids]] into
+    * [[ivfTopKWith]] — same assignment/probe machinery, better lists
+    * (recall floor pinned by IvfKmeansQualitySpec).
     *
     * Scale design: the centroid table is tiny (√n rows) and broadcast,
     * so assignment is a map-only n×C projection — no shuffle until the
@@ -124,17 +125,105 @@ object Similarity {
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int): DataFrame = {
-    val c = rebalance(corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v")))
-      .withColumn("n", sqrt(norm2(col("v"))))
+    val c = prepVectors(corpus, idCol, vecCol)
     val cents = c.filter(col("id") % centroidMod === centroidRem)
       .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
+    assignToCentroids(c, cents)
+  }
+
+  /** (id, v, n) prep shared by the IVF paths: project, cast, rebalance,
+    * precompute the norm once per row. */
+  private def prepVectors(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    rebalance(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .withColumn("n", sqrt(norm2(col("v"))))
+
+  /** Nearest-centroid argmax against an arbitrary (cent_id, cent_v,
+    * cent_n) table: broadcast the centroids, map-only n×C cosine
+    * projection, reduce back to n rows with a map-side-combinable
+    * max_by of (cos, -centroid). */
+  private def assignToCentroids(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         dot(col("v"), col("cent_v")) / (col("n") * col("cent_n")))
       .groupBy(col("id"), col("v"), col("n"))
       .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"))).as("best"))
       .select(col("id"), col("v"), col("n"), (-col("best.neg_cent")).as("list_id"))
+
+  /** K-means-refined coarse quantizer for IVF: seed centroids from the
+    * deterministic id-mod rule ([[ivfAssign]]'s pinned family), then
+    * run `iters` Lloyd rounds — assign every vector to its nearest
+    * centroid by cosine, re-emit each list's per-dimension mean as the
+    * new centroid. Returns a (cent_id, cent_v, cent_n) table for
+    * [[ivfTopKWith]].
+    *
+    * Scale shape per round: one broadcast-join assignment (map-only)
+    * and one posexplode + (list, pos) mean aggregation — both map-side
+    * combinable, no window, no driver collect. Each round's centroid
+    * table is cached and materialized so the iterative lineage stays
+    * one round deep (same discipline as connected components). Lists
+    * that lose all members simply drop out (k shrinks), which is the
+    * standard Lloyd behavior on empty clusters. */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, centroidRem: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"kmeans iters must be >= 0, got $iters")
+    val c = prepVectors(corpus, idCol, vecCol).cache()
+    var cents = c.filter(col("id") % centroidMod === centroidRem)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
+    var prev: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val newCents = assignToCentroids(c, cents)
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cent_v"))
+        .select(col("list_id").as("cent_id"), col("cent_v"),
+          sqrt(norm2(col("cent_v"))).as("cent_n"))
+        .cache()
+      newCents.count() // materialize; keeps lineage one round deep
+      if (prev != null) prev.unpersist()
+      prev = newCents
+      cents = newCents
+    }
+    c.unpersist()
+    cents
+  }
+
+  /** [[ivfTopK]] with an explicit (cent_id, cent_v, cent_n) coarse
+    * quantizer — e.g. the [[kmeansCentroids]] output. Identical probe
+    * machinery: queries rank the broadcast centroids, probe their
+    * `nProbe` nearest lists, and run exact cosine + rank against only
+    * the vectors assigned to those lists. */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(prepVectors(corpus, idCol, vecCol), centroids)
+      .select(col("id").as("corpus_id"), col("v").as("cv"),
+        col("n").as("cn"), col("list_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(norm2(col("qv"))))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos",
+        dot(col("qv"), col("cent_v")) / (col("qn") * col("cent_n")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("list_id"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    probes.join(assigned, "list_id")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos_sim"), col("rank"))
   }
 
   /** ANN via an IVF (inverted-file) index: queries probe their `nProbe`

@@ -2,15 +2,48 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, CreateNamedStruct, Expression, ExpressionInfo, LambdaFunction, LessThan, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Session-extension entry point (SURVEY §7.3): registers the engine's
   * native expressions into the SQL function registry so `spark.sql`
   * users get them too. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * or programmatically via `withExtensions`.
+  *
+  * Besides the native codegen'd expressions, two of the LLM-pipeline
+  * primitives are registered as composed SQL functions so spark.sql
+  * users get the exact Scala-API semantics: `chunk_spans` (the
+  * [[graft.operators.Chunker]] window math as an array of structs —
+  * explode with `inline(...)` for the table form) and `mixture_keep`
+  * (the [[graft.operators.Sampling.weightedMixture]] per-row keep
+  * decision). Both are emitted as the same parser-shaped trees
+  * (`UnresolvedFunction` + lambda variables) SQL text would produce,
+  * so the analyzer resolves them exactly like handwritten SQL;
+  * value-parity with the Scala APIs is pinned by SqlParitySpec.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Foldable-int argument (the same contract as word_shingles' n). */
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case x if x.foldable && x.dataType == org.apache.spark.sql.types.IntegerType =>
+      x.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn $name must be an integer literal, got $other")
+  }
+
+  /** Parser-style builtin call: resolved by the analyzer's normal
+    * function-resolution pass, like the identical tree from SQL text. */
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args, isDistinct = false)
+
+  /** One-variable SQL lambda `name -> body(name)`. */
+  private def lam(name: String)(body: Expression => Expression): LambdaFunction = {
+    val v = UnresolvedNamedLambdaVariable(Seq(name))
+    LambdaFunction(body(v), Seq(v))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorDotRewrite)
     ext.injectFunction((
@@ -54,6 +87,68 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles n must be an integer literal, got $other")
         }
         WordShingles(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_spans"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "chunk_spans"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "chunk_spans(text, chunk_size, overlap) takes three arguments")
+        val chunkSize = intArg(args(1), "chunk_spans", "chunk_size")
+        val overlap = intArg(args(2), "chunk_spans", "overlap")
+        require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+          s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+        val step = chunkSize - overlap
+        // same shapes as Chunker.chunk: tokenize once (the array is the
+        // lambda variable, so the regex split runs once per row), then
+        // n_chunks = 1 + max(0, n - chunkSize + step - 1) div step,
+        // chunk i = tokens [i·step, i·step + chunkSize)
+        val wordsE = fn("split",
+          fn("trim", fn("lower", fn("coalesce", args.head, Literal("")))),
+          Literal("\\s+"))
+        val spans = fn("element_at",
+          fn("transform", fn("array", wordsE), lam("gw") { w =>
+            def n = Cast(fn("size", w), LongType)
+            val nChunks = fn("+", Literal(1L),
+              fn("div",
+                fn("+",
+                  fn("greatest", Literal(0L), fn("-", n, Literal(chunkSize.toLong))),
+                  Literal(step - 1L)),
+                Literal(step.toLong)))
+            fn("transform",
+              fn("sequence", Literal(0L), fn("-", nChunks, Literal(1L))),
+              lam("gi") { i =>
+                CreateNamedStruct(Seq(
+                  Literal("chunk_idx"), Cast(i, IntegerType),
+                  Literal("chunk_text"), fn("concat_ws", Literal(" "),
+                    fn("slice", w,
+                      Cast(fn("+", fn("*", i, Literal(step.toLong)), Literal(1L)),
+                        IntegerType),
+                      Literal(chunkSize))),
+                  Literal("n_tokens"), Cast(
+                    fn("least", Literal(chunkSize.toLong),
+                      fn("-", n, fn("*", i, Literal(step.toLong)))),
+                    IntegerType)))
+              })
+          }),
+          Literal(1))
+        spans
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mixture_keep"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "mixture_keep"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "mixture_keep(seed, id, rate) takes three arguments")
+        // identical hash input and threshold arithmetic to
+        // Sampling.weightedMixture: hash("<seed>:<id>") < rate · 2⁶⁰
+        // (double multiply then truncate, matching the Scala .toLong)
+        val h = HexHash60(Concat(Seq(
+          Cast(args(0), StringType), Literal(":"), Cast(args(1), StringType))))
+        val thr = Cast(
+          fn("*", Cast(args(2), DoubleType), Literal((1L << 60).toDouble)),
+          LongType)
+        LessThan(h, thr)
       }))
   }
 }

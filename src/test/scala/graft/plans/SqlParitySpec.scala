@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunker, Sampling}
+
+/** SQL-registry parity for the LLM-pipeline primitives: `chunk_spans`
+  * and `mixture_keep` called through `spark.sql` must return exactly
+  * what the Scala APIs ([[Chunker.chunk]],
+  * [[Sampling.weightedMixture]]) return on the same input. */
+class SqlParitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.local("4", "sql-parity")
+    // suite-shared session: install the extension functions into its
+    // registry directly (builder-time extensions can't apply here)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.ExprBridge.installFunctions(
+      ext, s.sessionState.functionRegistry)
+    s
+  }
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "short doc"),
+      (3L, null.asInstanceOf[String]),
+      (4L, ("tok " * 23).trim) // 23 tokens: exercises a trailing partial chunk
+    ).toDF("doc_id", "text")
+  }
+
+  test("chunk_spans via spark.sql equals Chunker.chunk") {
+    docs.createOrReplaceTempView("parity_docs")
+    val sql = spark.sql(
+      """SELECT doc_id AS id, s.chunk_idx, s.chunk_text, s.n_tokens
+        |FROM parity_docs
+        |LATERAL VIEW inline(chunk_spans(text, 5, 2)) s
+        |ORDER BY id, chunk_idx""".stripMargin)
+    val api = Chunker.chunk(docs, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("id", "chunk_idx")
+    assert(sql.schema == api.schema, s"${sql.schema} vs ${api.schema}")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // the short and null docs still yield exactly one chunk each
+    assert(sql.filter(col("id").isin(2L, 3L)).count() == 2)
+  }
+
+  test("mixture_keep via spark.sql equals Sampling.weightedMixture") {
+    import spark.implicits._
+    val corpus = (0L until 500L).map(i =>
+      (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "forum"))
+      .toDF("doc_id", "domain")
+    corpus.createOrReplaceTempView("parity_corpus")
+    val sql = spark.sql(
+      """SELECT doc_id, domain FROM parity_corpus
+        |WHERE mixture_keep(42, doc_id,
+        |  CASE domain WHEN 'web' THEN 0.25d WHEN 'code' THEN 0.9d ELSE 0.5d END)
+        |ORDER BY doc_id""".stripMargin)
+    val api = Sampling.weightedMixture(corpus, "domain", "doc_id",
+        rates = Map("web" -> 0.25, "code" -> 0.9), defaultRate = 0.5, seed = 42)
+      .orderBy("doc_id")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    assert(sql.count() > 0) // the sample is non-degenerate
+  }
+
+  test("chunk_spans rejects non-literal sizes and bad windows loudly") {
+    docs.createOrReplaceTempView("parity_docs")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT chunk_spans(text, CAST(doc_id AS INT), 0) FROM parity_docs")
+        .collect())
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT chunk_spans(text, 5, 5) FROM parity_docs").collect())
+    assert(e2.getMessage.contains("overlap"), e2.getMessage)
+  }
+}
