@@ -89,8 +89,30 @@ object Bench {
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = math.rint(ok.map(_._2).sum * 1000) / 1000
+    // full-pipeline wall time (ddl drop + data/DVT drop over the 8
+    // tables) vs the reference's 660 s data-migration allowance — the
+    // only absolute numbers BASELINE.md publishes. One run, timed
+    // drains only (fixture staging is untimed); not part of "value",
+    // which stays comparable across rounds. SPARK_GRAFT_E2E=0 skips.
+    val e2eJson =
+      if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+        try {
+          val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root)
+          def s3(d: Double) = math.rint(d * 1000) / 1000
+          s""","e2e":{"sec":${s3(r.totalSec)},"ddl_sec":${s3(r.ddlSec)},""" +
+            s""""data_dvt_sec":${s3(r.dataSec)},"tables":${graft.pipeline.E2ePipeline.TableKeys.size},""" +
+            s""""validations":${r.validations},"report_rows":${r.reportRows},""" +
+            s""""all_success":${r.allSuccess}}"""
+        } catch {
+          case e: Throwable =>
+            s""","e2e":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(160))}"}"""
+        }
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","errors":$es,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir","errors":$es,"queries":$qs$e2eJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.core.{AuditSink, Tables}
+
+/** Full-pipeline wall-clock driver: one complete GraftApp migration run
+  * over the TPC-H-ish tables at a given scale directory — ddl drop
+  * (translate → create), then a data drop (load all tables → DVT
+  * schema + column + row validation of every table → report) — with
+  * per-drop timings. The reference's only published performance numbers
+  * are its e2e phase allowances (BASELINE.md: 120 s between config
+  * drops, 660 s data migration, 300 s SQL phase;
+  * `end_to_end/end_to_end.py:211,226-228,241`), so this is the
+  * apples-to-apples number: `graft.Bench` stamps the result into
+  * BENCH.json under `"e2e"`, and GraftAppSpec drives the same path at
+  * sf0.001 asserting every phase row exists.
+  *
+  * Setup (staging writes, source-table registration, config/sheet
+  * authoring) happens BEFORE the timers — the reference allowance
+  * covers the migration run, not test-fixture creation.
+  */
+object E2ePipeline {
+
+  /** (table, key column used for count/sum aggs, row-hash primary keys —
+    * comma-joined for the sheet cell, CSV-quoted when composite).
+    *
+    * The synthetic lineitem does NOT satisfy the TPC-H
+    * (l_orderkey, l_linenumber) primary key (4599 distinct of 6000 at
+    * sf0.001), so its row validation keys on the full column set — the
+    * DVT existence-check form (join on every field, no residual hash):
+    * a row dropped or altered by the load still surfaces as
+    * source_only/target_only. */
+  val TableKeys: Seq[(String, String, String)] = Seq(
+    ("region", "r_regionkey", "r_regionkey"),
+    ("nation", "n_nationkey", "n_nationkey"),
+    ("customer", "c_custkey", "c_custkey"),
+    ("supplier", "s_suppkey", "s_suppkey"),
+    ("part", "p_partkey", "p_partkey"),
+    ("orders", "o_orderkey", "o_orderkey"),
+    ("lineitem", "l_orderkey", "\"l_orderkey,l_partkey,l_suppkey,l_linenumber," +
+      "l_quantity,l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate\""),
+    ("events", "event_id", "event_id"))
+
+  final case class Result(
+      ddlSec: Double,
+      dataSec: Double,
+      phases: Seq[Controller.RunResult],
+      reportRows: Long,
+      allSuccess: Boolean) {
+    def totalSec: Double = ddlSec + dataSec
+    def validations: Long = phases.count(_.phase.startsWith("dvt_")).toLong
+  }
+
+  /** Stage, configure, and drive the two config drops; time each drain. */
+  def run(spark: SparkSession, sfDir: String, root: String): Result = {
+    val srcDb = "e2e_src"
+    val tgtDb = "e2e_tgt"
+    Seq(srcDb, tgtDb, "e2e_ddl_tgt").foreach(db =>
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+    spark.sql(s"CREATE DATABASE $srcDb")
+    // the reference pre-creates the target BQ dataset; loads land in it
+    spark.sql(s"CREATE DATABASE $tgtDb")
+
+    // ---- untimed setup: source tables, staging copies, configs, sheet
+    val staging = s"$root/staging"
+    TableKeys.foreach { case (t, _, _) =>
+      val df = Tables(spark, sfDir, t)
+      df.write.mode(SaveMode.Overwrite).saveAsTable(s"$srcDb.$t")
+      df.write.mode(SaveMode.Overwrite).parquet(s"$staging/$t")
+    }
+    val scripts = s"$root/ddl_scripts"
+    Files.createDirectories(Paths.get(scripts))
+    Files.writeString(Paths.get(s"$scripts/audit_run.sql"),
+      """CREATE SET TABLE e2e_ddl.audit_run ,FALLBACK ,
+        |     CHECKSUM = DEFAULT
+        |     (
+        |      RUN_ID INTEGER NOT NULL,
+        |      PHASE VARCHAR(32) CHARACTER SET LATIN NOT CASESPECIFIC,
+        |      STARTED TIMESTAMP(6))
+        |PRIMARY INDEX ( RUN_ID );""".stripMargin)
+    Files.writeString(Paths.get(s"$scripts/audit_err.sql"),
+      """CREATE SET TABLE e2e_ddl.audit_err ,FALLBACK ,
+        |     (
+        |      RUN_ID INTEGER NOT NULL,
+        |      MSG VARCHAR(256) CHARACTER SET LATIN)
+        |PRIMARY INDEX ( RUN_ID );""".stripMargin)
+    // canonical 25-position validation sheet: per table a schema row, a
+    // count+sum column row (cols 11/12), and a hash-* row row (pk at 7,
+    // hash at 20) — the storage_utils.py positional layout
+    val head =
+      "Translation / Migration Type,Validation Type,Source and Target,,,,Common Flag to all Validations,Common Flag to Row and Column Validation,,Schema Validation Flags,,Column Validation Flags,,,,,,,,,Row Validation Flags,,,,\n" +
+      ",,source-table,target-table,source-query-file,target-query-file,filter-status,primary-keys,filters,exclusion-columns,allow-list,count,sum,min,max,avg,grouped-columns,wildcard-include-string-len,cast-to-bigint,threshold,hash,concat,comparison-fields,use-random-row,random-row-batch-size\n"
+    val rows = TableKeys.flatMap { case (t, sumCol, pk) => Seq(
+      s"data,schema,$srcDb.$t,$tgtDb.$t,,,,,,,,,,,,,,,,,,,,,",
+      s"data,column,$srcDb.$t,$tgtDb.$t,,,,,,,,$sumCol,$sumCol,,,,,,,,,,,,",
+      s"data,row,$srcDb.$t,$tgtDb.$t,,,,$pk,,,,,,,,,,,,,*,,,,")
+    }
+    Files.writeString(Paths.get(s"$root/validation_params.csv"),
+      head + rows.mkString("\n") + "\n")
+
+    val drops = s"$root/drops"
+    Files.createDirectories(Paths.get(s"$drops/ddl"))
+    Files.createDirectories(Paths.get(s"$drops/data"))
+    val audit = new AuditSink(spark, "dmt_logs_e2e")
+    val app = new GraftApp(spark, audit, s"$root/ck")
+
+    // ---- timed drop 1: ddl — translate → create → report
+    Files.writeString(Paths.get(s"$drops/ddl/e2e-ddl.json"),
+      s"""{"type": "ddl", "source": "teradata", "unique_id": "e2e-ddl",
+         | "migrationTask": {"translationConfigDetails": {
+         |   "gcsSourcePath": "$scripts",
+         |   "nameMappingList": {"name_map": [
+         |     {"source": {"type": "SCHEMA", "schema": "e2e_ddl"},
+         |      "target": {"schema": "e2e_ddl_tgt"}}]}}}}""".stripMargin)
+    val t0 = System.nanoTime()
+    val ddlResults = app.runOnce(drops).flatMap(_._2)
+    val ddlSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- timed drop 2: data — load 8 tables → DVT (schema+column+row) → report
+    Files.writeString(Paths.get(s"$drops/data/e2e-data.json"),
+      s"""{"type": "data", "source": "hive", "unique_id": "e2e-data",
+         | "dvt_check": "Y",
+         | "transfer_config": {"dataSourceId": "HIVE", "displayName": "e2e",
+         |  "params": {"database_type": "Hive", "hive_db_name": "$srcDb",
+         |   "hive_gcs_staging_path": "$staging", "bq_dataset_id": "$tgtDb"}},
+         | "validation_config": {
+         |   "validation_type": "all",
+         |   "validation_params_file_path": "$root/validation_params.csv"}}""".stripMargin)
+    val t1 = System.nanoTime()
+    val dataResults = app.runOnce(drops).flatMap(_._2)
+    val dataSec = (System.nanoTime() - t1) / 1e9
+
+    val phases = ddlResults ++ dataResults
+    val reportRows = audit.read("dmt_report_table")
+      .filter(org.apache.spark.sql.functions.col("unique_id")
+        .isin("e2e-ddl", "e2e-data")).count()
+    Result(ddlSec, dataSec, phases, reportRows,
+      allSuccess = phases.forall(_.status == "Success"))
+  }
+}

@@ -215,4 +215,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(spark.table("hive_xtgt.region").schema ==
       spark.table("hive_xsrc.region").schema)
   }
+
+  test("E2ePipeline drives ddl + load + full DVT over all 8 tables with phase rows") {
+    val root = Files.createTempDirectory("e2e-full").toString
+    val r = E2ePipeline.run(spark, "/root/testdata/sf0.001", root)
+    assert(r.allSuccess, r.phases.filterNot(_.status == "Success").toString)
+    // ddl drop: translate + schema phases
+    assert(r.phases.exists(_.phase == "translation"))
+    assert(r.phases.exists(_.phase == "schema"))
+    assert(spark.catalog.tableExists("e2e_ddl_tgt.audit_run"))
+    // data drop: one load phase over the 8 tables, then per-table
+    // schema/column/row DVT phases
+    val load = r.phases.find(_.phase == "load").get
+    assert(load.details("total") == E2ePipeline.TableKeys.size.toString, load.toString)
+    assert(load.details("failed") == "0", load.toString)
+    for ((t, _, _) <- E2ePipeline.TableKeys; kind <- Seq("schema", "column", "row"))
+      assert(r.phases.exists(_.phase == s"dvt_$kind:e2e_tgt.$t"),
+        s"missing dvt_$kind:e2e_tgt.$t in ${r.phases.map(_.phase)}")
+    assert(r.validations == 3L * E2ePipeline.TableKeys.size)
+    assert(spark.table("e2e_tgt.lineitem").count() ==
+      spark.table("e2e_src.lineitem").count())
+    // report rows exist for both drops
+    assert(r.reportRows >= r.phases.size, s"${r.reportRows} vs ${r.phases.size}")
+    assert(r.totalSec > 0 && r.ddlSec > 0 && r.dataSec > 0)
+  }
 }
