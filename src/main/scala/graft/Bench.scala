@@ -97,9 +97,9 @@ object Bench {
     val e2eJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
       else {
-        val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+        val root = java.nio.file.Files.createTempDirectory("graft-e2e")
         try {
-          val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root)
+          val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root.toString)
           def s3(d: Double) = math.rint(d * 1000) / 1000
           s""","e2e":{"sec":${s3(r.totalSec)},"ddl_sec":${s3(r.ddlSec)},""" +
             s""""data_dvt_sec":${s3(r.dataSec)},"tables":${graft.pipeline.E2ePipeline.TableKeys.size},""" +
@@ -109,6 +109,13 @@ object Bench {
           case e: Throwable =>
             s""","e2e":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(160))}"}"""
+        } finally {
+          // the root holds full staging copies of the bench tables —
+          // delete or repeated runs fill /tmp
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => { try java.nio.file.Files.deleteIfExists(p) catch {
+              case _: Exception => () } })
         }
       }
     val line =

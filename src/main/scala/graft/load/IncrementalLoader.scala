@@ -54,13 +54,14 @@ final class IncrementalLoader(
       // a day's arrivals (the reference's load unit) — enforce it rather
       // than assume it, and COUNT before collecting so an over-cap batch
       // never materializes on the driver
-      val nFiles = distinctFiles.count()
-      require(nFiles <= maxFilesPerBatch,
-        s"incremental batch for $targetTable has $nFiles distinct files, over the " +
-          s"$maxFilesPerBatch driver-side audit cap — shard the drop directory into " +
-          "smaller daily prefixes or raise maxFilesPerBatch")
-      val files = distinctFiles.as[String].collect()
-      distinctFiles.unpersist()
+      val files = try {
+        val nFiles = distinctFiles.count()
+        require(nFiles <= maxFilesPerBatch,
+          s"incremental batch for $targetTable has $nFiles distinct files, over the " +
+            s"$maxFilesPerBatch driver-side audit cap — shard the drop directory into " +
+            "smaller daily prefixes or raise maxFilesPerBatch")
+        distinctFiles.as[String].collect()
+      } finally distinctFiles.unpersist()
       if (files.nonEmpty) {
         val rows = fresh.drop("file_path")
         if (spark.catalog.tableExists(targetTable))

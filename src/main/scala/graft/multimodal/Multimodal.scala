@@ -192,19 +192,18 @@ final class ImageCodec {
       s"image: ImageIO found no reader for a ${data.length}-byte payload " +
         "declared as a decodable mime — corrupt file or mislabeled format")
     val (w, h) = (img.getWidth, img.getHeight)
+    // one bulk ARGB fetch: per-pixel getRGB(x, y) re-runs the
+    // ColorModel conversion per call — ~10× slower on the decode path
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
     val px = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y) // ARGB regardless of source model
-        val o = (y * w + x) * 3
-        px(o) = ((rgb >> 16) & 0xff).toByte
-        px(o + 1) = ((rgb >> 8) & 0xff).toByte
-        px(o + 2) = (rgb & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < argb.length) {
+      val rgb = argb(i)
+      val o = i * 3
+      px(o) = ((rgb >> 16) & 0xff).toByte
+      px(o + 1) = ((rgb >> 8) & 0xff).toByte
+      px(o + 2) = (rgb & 0xff).toByte
+      i += 1
     }
     Multimodal.DecodedImage(w, h, 3, px)
   }
@@ -318,14 +317,16 @@ final class AudioCodec {
 
       private def sampleAt(o: Int, ch: Int): Int = {
         val so = o + ch * bytesPerSample
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
         if (bytesPerSample == 1) {
-          val v = buf(so) & 0xff
-          if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - 128
-          else buf(so).toInt
+          if (unsigned) (buf(so) & 0xff) - 128 else buf(so).toInt
         } else {
           val (b0, b1) = if (fmt.isBigEndian) (buf(so), buf(so + 1)) else (buf(so + 1), buf(so))
-          val v = (b0 << 8) | (b1 & 0xff)
-          if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED) v - 32768 else v
+          // unsigned 16-bit must NOT sign-extend the high byte: 0x8000
+          // (midpoint silence) is +32768 raw, shifting to 0 — a
+          // sign-extended read would turn it into -65536
+          if (unsigned) (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+          else (b0 << 8) | (b1 & 0xff)
         }
       }
 

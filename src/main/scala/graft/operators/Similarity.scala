@@ -163,7 +163,12 @@ object Similarity {
     * table is cached and materialized so the iterative lineage stays
     * one round deep (same discipline as connected components). Lists
     * that lose all members simply drop out (k shrinks), which is the
-    * standard Lloyd behavior on empty clusters. */
+    * standard Lloyd behavior on empty clusters.
+    *
+    * The RETURNED table is still cached (it feeds a broadcast probe,
+    * usually several times) — `unpersist()` it when the index is no
+    * longer needed. Intermediate caches are released even when a round
+    * fails. */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int, iters: Int): DataFrame = {
@@ -172,25 +177,30 @@ object Similarity {
     var cents = c.filter(col("id") % centroidMod === centroidRem)
       .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
     var prev: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val newCents = assignToCentroids(c, cents)
-        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("list_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cent_v"))
-        .select(col("list_id").as("cent_id"), col("cent_v"),
-          sqrt(norm2(col("cent_v"))).as("cent_n"))
-        .cache()
-      newCents.count() // materialize; keeps lineage one round deep
-      if (prev != null) prev.unpersist()
-      prev = newCents
-      cents = newCents
-    }
-    c.unpersist()
-    cents
+    try {
+      (1 to iters).foreach { _ =>
+        val newCents = assignToCentroids(c, cents)
+          .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("list_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cent_v"))
+          .select(col("list_id").as("cent_id"), col("cent_v"),
+            sqrt(norm2(col("cent_v"))).as("cent_n"))
+          .cache()
+        newCents.count() // materialize; keeps lineage one round deep
+        if (prev != null) prev.unpersist()
+        prev = newCents
+        cents = newCents
+      }
+      cents
+    } catch {
+      case e: Throwable =>
+        if (prev != null) prev.unpersist()
+        throw e
+    } finally c.unpersist()
   }
 
   /** [[ivfTopK]] with an explicit (cent_id, cent_v, cent_n) coarse
@@ -234,33 +244,11 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, centroidMod: Int, centroidRem: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem)
-      .select(col("id").as("corpus_id"), col("v").as("cv"),
-        col("n").as("cn"), col("list_id"))
     val cents = corpus.select(col(idCol).as("cent_id"),
         col(vecCol).cast("array<double>").as("cent_v"))
       .filter(col("cent_id") % centroidMod === centroidRem)
       .withColumn("cent_n", sqrt(norm2(col("cent_v"))))
-    val q = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", sqrt(norm2(col("qv"))))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        dot(col("qv"), col("cent_v")) / (col("qn") * col("cent_n")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("list_id"))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("corpus_id"))
-    probes.join(assigned, "list_id")
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos_sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos_sim"), col("rank"))
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, cents, nProbe)
   }
 
   /** ANN via hyperplane LSH: candidates share a bucket key; exact cosine

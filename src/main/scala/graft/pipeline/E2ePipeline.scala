@@ -58,7 +58,9 @@ object E2ePipeline {
   def run(spark: SparkSession, sfDir: String, root: String): Result = {
     val srcDb = "e2e_src"
     val tgtDb = "e2e_tgt"
-    Seq(srcDb, tgtDb, "e2e_ddl_tgt").foreach(db =>
+    // dmt_logs_e2e included: audit tables append, so a stale database
+    // from a previous run would inflate reportRows and grow unbounded
+    Seq(srcDb, tgtDb, "e2e_ddl_tgt", "dmt_logs_e2e").foreach(db =>
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
     spark.sql(s"CREATE DATABASE $srcDb")
     // the reference pre-creates the target BQ dataset; loads land in it

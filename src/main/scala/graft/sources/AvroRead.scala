@@ -186,10 +186,11 @@ object AvroRead {
     * (typically 1–2 after an evolution), not by corpus size. */
   private def distinctWriterSchemas(
       spark: SparkSession, paths: Seq[String],
-      conf: SerializableWritable[Configuration]): Seq[(Schema, String)] = {
+      confB: org.apache.spark.broadcast.Broadcast[SerializableWritable[Configuration]])
+      : Seq[(Schema, String)] = {
     val slices = math.max(1, math.min(paths.size, 64))
     spark.sparkContext.parallelize(paths, slices)
-      .map(p => (headerSchemaJson(p, conf.value), p))
+      .map(p => (headerSchemaJson(p, confB.value.value), p))
       .reduceByKey((a, b) => if (a < b) a else b)
       .collect().toSeq
       .sortBy(_._2)
@@ -231,7 +232,7 @@ object AvroRead {
     val conf = new SerializableWritable(
       new Configuration(spark.sessionState.newHadoopConf()))
     val confB = spark.sparkContext.broadcast(conf)
-    val schemas = distinctWriterSchemas(spark, paths, conf)
+    val schemas = distinctWriterSchemas(spark, paths, confB)
     val struct = widestStruct(schemas)
     val names = struct.fields.map(_.name)
     val types = struct.fields.map(_.dataType)
