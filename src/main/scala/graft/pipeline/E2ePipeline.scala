@@ -58,13 +58,27 @@ object E2ePipeline {
   def run(spark: SparkSession, sfDir: String, root: String): Result = {
     val srcDb = "e2e_src"
     val tgtDb = "e2e_tgt"
-    // dmt_logs_e2e included: audit tables append, so a stale database
-    // from a previous run would inflate reportRows and grow unbounded
-    Seq(srcDb, tgtDb, "e2e_ddl_tgt", "dmt_logs_e2e").foreach(db =>
-      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
-    spark.sql(s"CREATE DATABASE $srcDb")
+    // dmt_logs_e2e and e2e_ddl_tgt included (created downstream by
+    // AuditSink / DdlRunner with IF NOT EXISTS): audit tables append, so
+    // a stale database from a previous run would inflate reportRows
+    val dbs = Seq(srcDb, tgtDb, "e2e_ddl_tgt", "dmt_logs_e2e")
+    dbs.foreach(db => spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+    // a previous JVM leaves these databases' default-warehouse
+    // directories behind while the fresh in-memory catalog forgets the
+    // databases themselves — DROP above is then a no-op and the first
+    // managed CREATE TABLE dies with LOCATION_ALREADY_EXISTS. Clear the
+    // stale locations, then anchor every run's databases under the
+    // per-run temp root so they can never collide (or outlive the run).
+    val hconf = spark.sessionState.newHadoopConf()
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    dbs.foreach { db =>
+      val stale = new org.apache.hadoop.fs.Path(warehouse, s"$db.db")
+      stale.getFileSystem(hconf).delete(stale, true)
+    }
     // the reference pre-creates the target BQ dataset; loads land in it
-    spark.sql(s"CREATE DATABASE $tgtDb")
+    dbs.foreach(db =>
+      spark.sql(s"CREATE DATABASE $db LOCATION '$root/warehouse/$db.db'"))
 
     // ---- untimed setup: source tables, staging copies, configs, sheet
     val staging = s"$root/staging"

@@ -218,7 +218,22 @@ class GraftAppSpec extends AnyFunSuite {
 
   test("E2ePipeline drives ddl + load + full DVT over all 8 tables with phase rows") {
     val root = Files.createTempDirectory("e2e-full").toString
+    // simulate the cross-JVM hazard: a previous run's managed-table
+    // directories survive in the default warehouse while the fresh
+    // in-memory catalog has forgotten the databases — without explicit
+    // cleanup the first CREATE TABLE dies with LOCATION_ALREADY_EXISTS
+    for (db <- Seq("e2e_src", "e2e_tgt", "e2e_ddl_tgt", "dmt_logs_e2e")) {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      Files.createDirectories(Paths.get(
+        spark.sessionState.conf.warehousePath.stripPrefix("file:"),
+        s"$db.db", "region"))
+    }
     val r = E2ePipeline.run(spark, "/root/testdata/sf0.001", root)
+    // hermetic: every e2e database is anchored under the per-run root,
+    // not the shared warehouse
+    for (db <- Seq("e2e_src", "e2e_tgt", "e2e_ddl_tgt", "dmt_logs_e2e"))
+      assert(spark.catalog.getDatabase(db).locationUri.contains(root),
+        spark.catalog.getDatabase(db).locationUri)
     assert(r.allSuccess, r.phases.filterNot(_.status == "Success").toString)
     // ddl drop: translate + schema phases
     assert(r.phases.exists(_.phase == "translation"))
