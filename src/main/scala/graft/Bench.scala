@@ -82,7 +82,18 @@ object Bench {
       }
       (name, math.rint(median(samples) * 1000) / 1000, err)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // full JSON string escape: Spark exception messages are routinely
+    // multi-line, and a raw control char inside the one-line artifact
+    // makes strict parsers reject all of BENCH.json
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }
     val ok = outcomes.collect { case (n, sec, None) => n -> sec }
     val errs = outcomes.collect { case (n, _, Some(e)) => n -> e }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -187,7 +187,12 @@ final class ImageCodec {
     * that CLAIMS a decodable mime but fails to parse throws — a corrupt
     * image silently featurized as a fake is how training data rots. */
   def decodeReal(data: Array[Byte]): Multimodal.DecodedImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    // MemoryCacheImageInputStream: ImageIO.read(InputStream) defaults
+    // to a FileCacheImageInputStream — one temp-file write per payload
+    // that is already fully in memory, pure wasted I/O on the hot path
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(data)))
     require(img != null,
       s"image: ImageIO found no reader for a ${data.length}-byte payload " +
         "declared as a decodable mime — corrupt file or mislabeled format")

@@ -174,10 +174,13 @@ object Similarity {
       centroidMod: Int, centroidRem: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"kmeans iters must be >= 0, got $iters")
     val c = prepVectors(corpus, idCol, vecCol).cache()
+    // seed cached + materialized so the RETURNED table never leans on
+    // `c` (unpersisted below) — also covers iters == 0
     var cents = c.filter(col("id") % centroidMod === centroidRem)
       .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
-    var prev: DataFrame = null
+      .cache()
     try {
+      cents.count()
       (1 to iters).foreach { _ =>
         val newCents = assignToCentroids(c, cents)
           .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -190,15 +193,17 @@ object Similarity {
           .select(col("list_id").as("cent_id"), col("cent_v"),
             sqrt(norm2(col("cent_v"))).as("cent_n"))
           .cache()
-        newCents.count() // materialize; keeps lineage one round deep
-        if (prev != null) prev.unpersist()
-        prev = newCents
+        // materialize; keeps lineage one round deep. A failed round
+        // must release ITS OWN cache entry, not just the previous one
+        try newCents.count()
+        catch { case e: Throwable => newCents.unpersist(); throw e }
+        cents.unpersist()
         cents = newCents
       }
       cents
     } catch {
       case e: Throwable =>
-        if (prev != null) prev.unpersist()
+        cents.unpersist()
         throw e
     } finally c.unpersist()
   }

@@ -140,6 +140,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3,
           "mixture_keep(seed, id, rate) takes three arguments")
+        // mirror Sampling.weightedMixture's bounds check when the rate
+        // is a literal (the common case) — past 1.0 the threshold
+        // saturates and a typo'd rate silently keeps every row
+        if (args(2).foldable) {
+          val r = Cast(args(2), DoubleType).eval()
+          if (r != null) {
+            val d = r.asInstanceOf[Double]
+            require(d >= 0.0 && d <= 1.0,
+              s"mixture_keep: rates must be in [0, 1], got $d")
+          }
+        }
         // identical hash input and threshold arithmetic to
         // Sampling.weightedMixture: hash("<seed>:<id>") < rate · 2⁶⁰
         // (double multiply then truncate, matching the Scala .toLong)

@@ -61,6 +61,19 @@ class IvfKmeansQualitySpec extends AnyFunSuite {
       f"kmeans recall $kmRecall%.3f fell more than 0.05 below seed $seedRecall%.3f")
   }
 
+  test("kmeans centroids honor the cache contract at iters = 0") {
+    // the returned seed table must be cached in its own right — not
+    // lineage over the prepVectors scan the finally block unpersists —
+    // so ivfTopKWith's repeated broadcasts don't rescan the corpus
+    val cents = Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", CentroidMod, CentroidRem, iters = 0)
+    try {
+      assert(cents.storageLevel.useMemory,
+        s"iters=0 centroids not cached: ${cents.storageLevel}")
+      assert(cents.count() > 0)
+    } finally cents.unpersist()
+  }
+
   test("kmeans centroids: lists keep the seed family's ids, dims intact, norms positive") {
     val cents = Similarity.kmeansCentroids(
       corpus, "vec_id", "embedding", CentroidMod, CentroidRem, iters = 2)

@@ -65,6 +65,20 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.count() > 0) // the sample is non-degenerate
   }
 
+  test("mixture_keep rejects an out-of-range literal rate like the Scala API") {
+    docs.createOrReplaceTempView("parity_docs")
+    // past 1.0 the 2^60 threshold saturates and every row is silently
+    // kept — the registry must fail as loudly as weightedMixture's require
+    val e = intercept[Exception](
+      spark.sql("SELECT doc_id FROM parity_docs WHERE mixture_keep(42, doc_id, 1.5d)")
+        .collect())
+    assert(e.getMessage.contains("[0, 1]"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT doc_id FROM parity_docs WHERE mixture_keep(42, doc_id, -0.1d)")
+        .collect())
+    assert(e2.getMessage.contains("[0, 1]"), e2.getMessage)
+  }
+
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {
     docs.createOrReplaceTempView("parity_docs")
     val e1 = intercept[Exception](
