@@ -3,10 +3,10 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{LogicalType, LogicalTypes, Schema}
-import org.apache.avro.file.DataFileStream
+import org.apache.avro.file.{DataFileReader, DataFileStream, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, Path => HPath}
 import org.apache.spark.{SerializableWritable, TaskContext}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -22,16 +22,17 @@ import org.apache.spark.sql.types._
   *  1. a header scan — each executor reads a few KB of container header
   *    per file and the driver collects only the DISTINCT writer
   *    schemas (bounded by schema variety, not corpus size);
-  *  2. the decode — one partition per file, each task opens a
-  *    `FileSystem` stream and feeds `DataFileStream` directly, so a
-  *    container is never materialized in memory and there is no
-  *    per-file byte-array (~2 GB) ceiling. Streams close on task
-  *    completion even when a consumer stops early (limit / take /
-  *    task failure).
-  * Parallelism is per FILE — the same unit as the reference's per-file
-  * load jobs. Block-level splitting of a single huge container
-  * (sync-marker seeks) is future work; the scaladoc'd contract is one
-  * task per container, streaming within it.
+  *  2. the decode — files are planned into BYTE-RANGE SPLITS (default
+  *    size `spark.sql.files.maxPartitionBytes`, the same knob Spark's
+  *    own file sources use); each task opens a seekable `FileSystem`
+  *    stream, `sync(start)`s to the first container block at or after
+  *    its range start, and decodes until `pastSync(end)` — the
+  *    standard Avro sync-marker split contract, so every block is
+  *    read by exactly one task and one 50 GB container fans out
+  *    across the cluster instead of serializing on one task. A
+  *    container is never materialized in memory (no per-file ~2 GB
+  *    byte-array ceiling) and streams close on task completion even
+  *    when a consumer stops early (limit / take / task failure).
   *
   * Schema evolution WIDENS instead of dropping: the loaded table's
   * schema is the union of every file's fields (first-seen order,
@@ -221,9 +222,37 @@ object AvroRead {
     StructType(fields.toSeq.map { case (n, (t, _)) => StructField(n, t, nullable = true) })
   }
 
+  /** avro-core's [[SeekableInput]] over a Hadoop stream — `FsInput`
+    * lives in avro-mapred (absent offline), but the interface is four
+    * methods. */
+  private final class HadoopSeekable(in: FSDataInputStream, len: Long)
+      extends SeekableInput {
+    def seek(p: Long): Unit = in.seek(p)
+    def tell(): Long = in.getPos
+    def length(): Long = len
+    def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    def close(): Unit = in.close()
+  }
+
+  /** Byte-range splits: (path, fileLen, start, end). Every byte of
+    * every file is covered by exactly one range; a container block
+    * belongs to the range holding the sync position it starts at, so
+    * decode with `sync(start)` … until `pastSync(end)` reads each
+    * block exactly once (the contract Avro's own mapred splits use). */
+  private[sources] def planSplits(
+      files: Seq[(String, Long)], splitBytes: Long): Seq[(String, Long, Long, Long)] = {
+    require(splitBytes > 0, s"avro: splitBytes must be positive, got $splitBytes")
+    files.flatMap { case (p, len) =>
+      if (len <= splitBytes) Seq((p, len, 0L, len))
+      else (0L until len by splitBytes).map(s => (p, len, s, math.min(s + splitBytes, len)))
+    }
+  }
+
   /** All records under `path` (container files, any layout) as a
-    * DataFrame with the union-widest mapped schema. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * DataFrame with the union-widest mapped schema. `splitBytes`
+    * bounds the bytes one decode task owns (0 → the session's
+    * `spark.sql.files.maxPartitionBytes`). */
+  def read(spark: SparkSession, path: String, splitBytes: Long = 0L): DataFrame = {
     val files = listFiles(spark, path)
     require(files.nonEmpty, s"avro: no files under $path")
     val paths = files.map(_.getPath.toString)
@@ -236,27 +265,50 @@ object AvroRead {
     val struct = widestStruct(schemas)
     val names = struct.fields.map(_.name)
     val types = struct.fields.map(_.dataType)
-    // one partition per file — the reference's own load unit; records
-    // stream straight off the FileSystem, no whole-file buffering
-    val rows = spark.sparkContext.parallelize(paths, paths.size)
-      .mapPartitions { pathIter =>
+    val splitSz =
+      if (splitBytes > 0) splitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = planSplits(files.map(f => (f.getPath.toString, f.getLen)), splitSz)
+    // records stream straight off the FileSystem, no whole-file
+    // buffering. Partition count is capped: one-task-per-split would
+    // schedule 100k tasks on a 100k-small-file drop (the flatMap
+    // already walks many splits per partition)
+    val slices = math.max(1, math.min(splits.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val rows = spark.sparkContext.parallelize(splits, slices)
+      .mapPartitions { splitIter =>
         val hconf = confB.value.value
-        pathIter.flatMap { p =>
+        splitIter.flatMap { case (p, len, start, end) =>
           val hp = new HPath(p)
           val in = hp.getFileSystem(hconf).open(hp)
-          val stream = new DataFileStream[GenericRecord](
-            in, new GenericDatumReader[GenericRecord]())
+          // a truncated/non-avro file makes the constructor throw
+          // BEFORE the completion listener below exists — close the
+          // raw stream on that path or every retry leaks an fd
+          val reader =
+            try {
+              val r = new DataFileReader[GenericRecord](
+                new HadoopSeekable(in, len),
+                new GenericDatumReader[GenericRecord]())
+              // position at the first block whose sync point is at or
+              // after `start` (start 0 lands on the header's marker,
+              // i.e. the first block)
+              r.sync(start)
+              r
+            } catch { case e: Throwable =>
+              try in.close() catch { case _: Exception => () }
+              throw e
+            }
           var closed = false
           def closeOnce(): Unit = if (!closed) {
             closed = true
-            try stream.close() catch { case _: Exception => () }
+            try reader.close() catch { case _: Exception => () }
             try in.close() catch { case _: Exception => () }
           }
           // release the decompressor/stream even when the consumer
           // stops early (limit, take, task failure)
           Option(TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => closeOnce()))
-          val writer = stream.getSchema
+          val writer = reader.getSchema
           // project this file's writer fields into the widest struct:
           // pos(i) = writer field position or -1 (→ null column)
           val pos = new Array[Int](names.length)
@@ -276,12 +328,14 @@ object AvroRead {
           }
           new Iterator[Row] {
             def hasNext: Boolean = !closed && {
-              val h = stream.hasNext
+              // stop at the first block past this split's range — the
+              // task owning that range decodes it
+              val h = reader.hasNext && !reader.pastSync(end)
               if (!h) closeOnce()
               h
             }
             def next(): Row = {
-              val rec = stream.next()
+              val rec = reader.next()
               val vals = new Array[Any](names.length)
               var j = 0
               while (j < names.length) {

@@ -178,6 +178,47 @@ class AvroReadSpec extends AnyFunSuite {
       .head.getLong(0) == 20100L)
   }
 
+  test("sync-marker byte-range splits decode each block exactly once") {
+    val dir = Files.createTempDirectory("avro-split")
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("pad").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.setSyncInterval(64) // many small blocks inside one container
+    w.create(s, dir.resolve("big.avro").toFile)
+    (1L to 500L).foreach(i => w.append(
+      new GenericRecordBuilder(s).set("id", i).set("pad", "x" * 32).build()))
+    w.close()
+    val len = Files.size(dir.resolve("big.avro"))
+    // split sizes from pathological (every boundary lands mid-block)
+    // to whole-file: the sync(start)/pastSync(end) ownership rule must
+    // keep every id exactly once — no loss, no double-decode
+    for (sb <- Seq(37L, 100L, 1000L, len)) {
+      val df = AvroRead.read(spark, dir.toString + "/*.avro", splitBytes = sb)
+      val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 500L), s"splitBytes=$sb lost or duplicated rows")
+    }
+  }
+
+  test("planSplits tiles every file exactly, one range for small files") {
+    val files = Seq(("a", 10L), ("b", 4000L), ("c", 1024L), ("d", 1025L))
+    val splits = AvroRead.planSplits(files, 1024L)
+    assert(splits.filter(_._1 == "a") == Seq(("a", 10L, 0L, 10L)))
+    assert(splits.filter(_._1 == "c") == Seq(("c", 1024L, 0L, 1024L)))
+    assert(splits.filter(_._1 == "d") ==
+      Seq(("d", 1025L, 0L, 1024L), ("d", 1025L, 1024L, 1025L)))
+    // tiling: per file, ranges run contiguously from 0 to len
+    for ((p, len) <- files) {
+      val rs = splits.filter(_._1 == p).map(t => (t._3, t._4)).sorted
+      assert(rs.head._1 == 0L && rs.last._2 == len)
+      rs.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2, s"$p gap/overlap at $e1")
+        case _ => ()
+      }
+    }
+    val e = intercept[IllegalArgumentException](AvroRead.planSplits(files, 0L))
+    assert(e.getMessage.contains("splitBytes"))
+  }
+
   test("metadata files are skipped and partitioned layouts recurse") {
     val dir = Files.createTempDirectory("avro-part")
     // _SUCCESS sorts before 'd…' — a naive head() would pick it as the
