@@ -82,18 +82,10 @@ object Bench {
       }
       (name, math.rint(median(samples) * 1000) / 1000, err)
     }
-    // full JSON string escape: Spark exception messages are routinely
-    // multi-line, and a raw control char inside the one-line artifact
-    // makes strict parsers reject all of BENCH.json
-    def esc(s: String) = s.flatMap {
-      case '\\' => "\\\\"
-      case '"'  => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
-      case ch => ch.toString
-    }
+    // full JSON string escape (shared table): Spark exception messages
+    // are routinely multi-line, and a raw control char inside the
+    // one-line artifact makes strict parsers reject all of BENCH.json
+    def esc(s: String) = graft.core.JsonText.escape(s)
     val ok = outcomes.collect { case (n, sec, None) => n -> sec }
     val errs = outcomes.collect { case (n, _, Some(e)) => n -> e }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -122,11 +114,18 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(160))}"}"""
         } finally {
           // the root holds full staging copies of the bench tables —
-          // delete or repeated runs fill /tmp
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => { try java.nio.file.Files.deleteIfExists(p) catch {
-              case _: Exception => () } })
+          // delete or repeated runs fill /tmp. The walk stream owns
+          // directory handles (close it), and a cleanup failure must
+          // never mask the e2e outcome
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(root)
+            val entries =
+              try walk.iterator().asScala.toSeq finally walk.close()
+            entries.reverse.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p) catch {
+                case _: Exception => () })
+          } catch { case _: Exception => () }
         }
       }
     val line =

@@ -163,7 +163,9 @@ object Similarity {
     * table is cached and materialized so the iterative lineage stays
     * one round deep (same discipline as connected components). Lists
     * that lose all members simply drop out (k shrinks), which is the
-    * standard Lloyd behavior on empty clusters.
+    * standard Lloyd behavior on empty clusters — and so do lists whose
+    * members average to the exact zero vector, whose NaN cosine would
+    * otherwise silently capture every vector and probe.
     *
     * The RETURNED table is still cached (it feeds a broadcast probe,
     * usually several times) — `unpersist()` it when the index is no
@@ -178,6 +180,7 @@ object Similarity {
     // `c` (unpersisted below) — also covers iters == 0
     var cents = c.filter(col("id") % centroidMod === centroidRem)
       .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
+      .filter(col("cent_n") > 0) // an all-zero seed vector would NaN-capture
       .cache()
     try {
       cents.count()
@@ -192,6 +195,11 @@ object Similarity {
             s => s.getField("m")).as("cent_v"))
           .select(col("list_id").as("cent_id"), col("cent_v"),
             sqrt(norm2(col("cent_v"))).as("cent_n"))
+          // a list whose members average to the zero vector must drop
+          // out like an empty list: a zero-norm centroid's 0/0 cosine
+          // is NaN, which sorts above every real double and would
+          // silently capture ALL vectors (and all probes) next round
+          .filter(col("cent_n") > 0)
           .cache()
         // materialize; keeps lineage one round deep. A failed round
         // must release ITS OWN cache entry, not just the previous one

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, CreateNamedStruct, Expression, ExpressionInfo, LambdaFunction, LessThan, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Concat, CreateNamedStruct, Expression, ExpressionInfo, GreaterThanOrEqual, If, IsNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Or, RaiseError, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Session-extension entry point (SURVEY §7.3): registers the engine's
@@ -140,24 +140,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3,
           "mixture_keep(seed, id, rate) takes three arguments")
-        // mirror Sampling.weightedMixture's bounds check when the rate
-        // is a literal (the common case) — past 1.0 the threshold
-        // saturates and a typo'd rate silently keeps every row
+        // mirror Sampling.weightedMixture's rate bounds. Foldable rates
+        // (a literal) fail at plan time like the Scala require; the
+        // primary real-world form is NON-foldable (a CASE over the
+        // stratum column, a joined weights column), so the same check
+        // also runs per row — past 1.0 the 2⁶⁰ threshold saturates and
+        // a typo'd rate would otherwise silently keep every row. A null
+        // rate stays null (row filtered), matching the plain arithmetic.
+        val rate = Cast(args(2), DoubleType)
         if (args(2).foldable) {
-          val r = Cast(args(2), DoubleType).eval()
+          val r = rate.eval()
           if (r != null) {
             val d = r.asInstanceOf[Double]
             require(d >= 0.0 && d <= 1.0,
               s"mixture_keep: rates must be in [0, 1], got $d")
           }
         }
+        val rateOk = Or(IsNull(rate), And(
+          GreaterThanOrEqual(rate, Literal(0.0)), LessThanOrEqual(rate, Literal(1.0))))
+        val checkedRate = If(rateOk, rate, Cast(new RaiseError(Concat(Seq(
+          Literal("mixture_keep: rates must be in [0, 1], got "),
+          Cast(rate, StringType)))), DoubleType))
         // identical hash input and threshold arithmetic to
         // Sampling.weightedMixture: hash("<seed>:<id>") < rate · 2⁶⁰
         // (double multiply then truncate, matching the Scala .toLong)
         val h = HexHash60(Concat(Seq(
           Cast(args(0), StringType), Literal(":"), Cast(args(1), StringType))))
         val thr = Cast(
-          fn("*", Cast(args(2), DoubleType), Literal((1L << 60).toDouble)),
+          fn("*", checkedRate, Literal((1L << 60).toDouble)),
           LongType)
         LessThan(h, thr)
       }))

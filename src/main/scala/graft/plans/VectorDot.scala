@@ -42,6 +42,14 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return null even for NON-null inputs (length mismatch, null
+  // element). Without this override, non-nullable children (e.g. out
+  // of an InMemoryRelation) make nullSafeCodeGen bind ev.isNull to the
+  // literal `false`, the template's `isNull = true` branch stops
+  // compiling, and the whole stage silently falls back to interpreted
+  // mode — the exact hot path this expression exists to speed up.
+  override def nullable: Boolean = true
+
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -38,7 +38,10 @@ import org.apache.spark.sql.types._
   * schema is the union of every file's fields (first-seen order,
   * starting from the lexicographically-first file), each file decodes
   * with its own writer schema, and rows from files missing a field
-  * carry null there. A field whose type genuinely conflicts across
+  * carry null there. A field typed int in one file and long in another
+  * (or float/double) widens to the larger type with values upcast —
+  * the same lossless promotions Avro's own schema resolution applies.
+  * A field whose type genuinely conflicts across
   * files (e.g. long in one, string in another) fails loudly naming the
   * field and both files — the reference's `bq load` with
   * `use_avro_logical_types` likewise surfaces added columns and rejects
@@ -198,9 +201,22 @@ object AvroRead {
       .map { case (json, p) => (new Schema.Parser().parse(json), p) }
   }
 
+  /** Lossless numeric widening Avro's own schema resolution allows:
+    * int→long and float→double. Returns the widened type when the pair
+    * differs only by such a promotion. (Lossy Avro promotions —
+    * long→double past 2⁵³, int→float — still fail loudly: silently
+    * rounding ids is how keys stop joining.) */
+  private def promoted(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case _ => None
+  }
+
   /** Union-widest Spark struct over the writer schemas: fields in
-    * first-seen order, types must agree (as mapped Spark types) or the
-    * conflict fails loudly naming the field and both declaring files. */
+    * first-seen order; types must agree as mapped Spark types or differ
+    * by a lossless numeric promotion (int→long, float→double — widened
+    * like Avro resolution itself). Anything else fails loudly naming
+    * the field and both declaring files. */
   private def widestStruct(schemas: Seq[(Schema, String)]): StructType = {
     val fields = scala.collection.mutable.LinkedHashMap[String, (DataType, String)]()
     schemas.foreach { case (s, path) =>
@@ -210,10 +226,13 @@ object AvroRead {
         val t = sparkType(f.schema)
         fields.get(f.name) match {
           case Some((prev, prevPath)) if prev != t =>
-            throw new IllegalArgumentException(
-              s"avro: field '${f.name}' has incompatible types across files — " +
-                s"$prev in $prevPath vs $t in $path; rewrite one side or load them " +
-                "as separate tables")
+            promoted(prev, t) match {
+              case Some(wide) => fields.put(f.name, (wide, prevPath))
+              case None => throw new IllegalArgumentException(
+                s"avro: field '${f.name}' has incompatible types across files — " +
+                  s"$prev in $prevPath vs $t in $path; rewrite one side or load them " +
+                  "as separate tables")
+            }
           case Some(_) => ()
           case None => fields.put(f.name, (t, path))
         }
@@ -310,18 +329,30 @@ object AvroRead {
             _.addTaskCompletionListener[Unit](_ => closeOnce()))
           val writer = reader.getSchema
           // project this file's writer fields into the widest struct:
-          // pos(i) = writer field position or -1 (→ null column)
+          // pos(i) = writer field position or -1 (→ null column);
+          // upcast(i) widens a file's narrower numeric values into the
+          // promoted column type (int→long, float→double)
           val pos = new Array[Int](names.length)
           val fieldSchema = new Array[Schema](names.length)
+          val upcast = new Array[Any => Any](names.length)
           var i = 0
           while (i < names.length) {
             val f = writer.getField(names(i))
             if (f == null) pos(i) = -1
             else {
               val t = sparkType(f.schema)
-              require(t == types(i),
-                s"avro: field '${names(i)}' in $p maps to $t but the widest " +
-                  s"schema expects ${types(i)}")
+              upcast(i) = (t, types(i)) match {
+                case (a, b) if a == b => identity
+                case (IntegerType, LongType) =>
+                  v => if (v == null) null
+                       else java.lang.Long.valueOf(v.asInstanceOf[java.lang.Integer].longValue)
+                case (FloatType, DoubleType) =>
+                  v => if (v == null) null
+                       else java.lang.Double.valueOf(v.asInstanceOf[java.lang.Float].doubleValue)
+                case (a, b) => throw new IllegalArgumentException(
+                  s"avro: field '${names(i)}' in $p maps to $a but the widest " +
+                    s"schema expects $b")
+              }
               pos(i) = f.pos(); fieldSchema(i) = f.schema
             }
             i += 1
@@ -340,7 +371,7 @@ object AvroRead {
               var j = 0
               while (j < names.length) {
                 vals(j) = if (pos(j) < 0) null
-                          else convert(rec.get(pos(j)), fieldSchema(j))
+                          else upcast(j)(convert(rec.get(pos(j)), fieldSchema(j)))
                 j += 1
               }
               Row.fromSeq(vals.toIndexedSeq)

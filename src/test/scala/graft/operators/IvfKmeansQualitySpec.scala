@@ -74,6 +74,31 @@ class IvfKmeansQualitySpec extends AnyFunSuite {
     } finally cents.unpersist()
   }
 
+  test("a list averaging to the zero vector drops out instead of NaN-capturing everything") {
+    import spark.implicits._
+    // one seed list (id 0) whose two members are exact opposites: the
+    // Lloyd mean is [0,0], whose 0/0 cosine is NaN — NaN sorts above
+    // every double, so an unguarded zero centroid captures every
+    // vector and probe. The guard drops it like an empty list.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(
+      corpus, "vec_id", "embedding", centroidMod = 2, centroidRem = 0, iters = 1)
+    try assert(cents.count() == 0) // k shrank to zero, loudly countable
+    finally cents.unpersist()
+    // an all-zero SEED vector is filtered the same way
+    val zeroSeed = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents2 = Similarity.kmeansCentroids(
+      zeroSeed, "vec_id", "embedding", centroidMod = 2, centroidRem = 0, iters = 0)
+    try {
+      val ids = cents2.collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L), s"zero seed not filtered: $ids")
+    } finally cents2.unpersist()
+  }
+
   test("kmeans centroids: lists keep the seed family's ids, dims intact, norms positive") {
     val cents = Similarity.kmeansCentroids(
       corpus, "vec_id", "embedding", CentroidMod, CentroidRem, iters = 2)

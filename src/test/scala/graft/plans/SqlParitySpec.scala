@@ -77,6 +77,21 @@ class SqlParitySpec extends AnyFunSuite {
       spark.sql("SELECT doc_id FROM parity_docs WHERE mixture_keep(42, doc_id, -0.1d)")
         .collect())
     assert(e2.getMessage.contains("[0, 1]"), e2.getMessage)
+    // the real-world form is NON-foldable (CASE over the stratum
+    // column) — the guard must also fire per row at runtime
+    val e3 = intercept[Exception](
+      spark.sql(
+        """SELECT doc_id FROM parity_docs
+          |WHERE mixture_keep(42, doc_id,
+          |  CASE WHEN doc_id > 2 THEN 1.5d ELSE 0.5d END)""".stripMargin)
+        .collect())
+    assert(e3.getMessage.contains("[0, 1]"), e3.getMessage)
+    // an in-range non-foldable rate still works (no spurious raise)
+    assert(spark.sql(
+      """SELECT doc_id FROM parity_docs
+        |WHERE mixture_keep(42, doc_id,
+        |  CASE WHEN doc_id > 2 THEN 1.0d ELSE 0.0d END)""".stripMargin)
+      .count() >= 0)
   }
 
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {

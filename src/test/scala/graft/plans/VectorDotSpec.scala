@@ -37,6 +37,34 @@ class VectorDotSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11.0, null, null))
   }
 
+  test("non-nullable inputs still whole-stage-compile (nullable override)") {
+    // a cached relation's columns come back non-nullable; VectorDot can
+    // still return null (length mismatch), so it must declare itself
+    // nullable or nullSafeCodeGen binds ev.isNull to the literal
+    // `false` and the generated `isNull = true` branch fails to
+    // compile — a silent fallback to interpreted mode on the hot path
+    assert(VectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.default(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))).nullable)
+    val cached = df.select(col("id"),
+      col("a").cast("array<double>").as("a"),
+      col("b").cast("array<double>").as("b")).cache()
+    try {
+      cached.count()
+      val q = cached.select(VectorDot(col("a"), col("b")).as("d"))
+        .filter(col("d") > 0)
+      assert(q.collect().map(_.getDouble(0)).sorted.toSeq == Seq(3.0, 32.0))
+      // the shape that regressed: the filter stage over the cached scan
+      // must be inside a WholeStageCodegen span, not a fallback
+      val exec = q.queryExecution.executedPlan.toString
+      assert(exec.contains("*("), exec) // codegen stage marker
+    } finally cached.unpersist()
+  }
+
   test("registered as SQL function via GraftExtensions") {
     // getOrCreate reuses the suite-shared session, so builder-time
     // extensions can't apply here; install into its registry directly

@@ -137,6 +137,29 @@ class AvroReadSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("score") == 0.75)
   }
 
+  test("int→long and float→double widen across files like Avro resolution") {
+    val dir = Files.createTempDirectory("avro-promote")
+    val narrow = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredInt("n").requiredFloat("x").endRecord()
+    val wide = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredLong("n").requiredDouble("x").endRecord()
+    // narrow file first lexicographically — widening must not depend on
+    // which order the types are first seen
+    writeContainer(dir, "a-narrow.avro", narrow, Seq(
+      new GenericRecordBuilder(narrow)
+        .set("id", 1L).set("n", 7).set("x", 1.5f).build()))
+    writeContainer(dir, "b-wide.avro", wide, Seq(
+      new GenericRecordBuilder(wide)
+        .set("id", 2L).set("n", 9000000000L).set("x", 2.25).build()))
+    val df = AvroRead.read(spark, dir.toString + "/*.avro")
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(rows(0).fieldIndex("n")) == 7L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("x")) == 1.5)
+    assert(rows(1).getLong(rows(1).fieldIndex("n")) == 9000000000L)
+  }
+
   test("incompatible field types across files fail loudly naming the field and files") {
     val dir = Files.createTempDirectory("avro-conflict")
     val asLong = SchemaBuilder.record("doc").fields()
