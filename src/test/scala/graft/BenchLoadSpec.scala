@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact must be load-aware (round 8): BENCH.json carries a
+  * `"load"` object with before/after OS load averages and a fixed-work CPU
+  * calibration probe, so a loaded-host run (like the round-7 349.7 s driver
+  * capture) is self-identifying instead of impersonating a regression.
+  * These tests pin the emitted shape and the degraded-flag semantics
+  * without a full bench run.
+  */
+class BenchLoadSpec extends AnyFunSuite {
+
+  test("loadJson emits every contract field, rounded to millis") {
+    val j = Bench.loadJson(avgStart = 0.16064, avgEnd = 1.23456,
+      calStart = 0.1988, calEnd = 0.1871)
+    assert(j.startsWith("\"load\":{"))
+    assert(j.contains("\"avg_start\":0.161"))
+    assert(j.contains("\"avg_end\":1.235"))
+    assert(j.contains("\"cal_start_sec\":0.199"))
+    assert(j.contains("\"cal_end_sec\":0.187"))
+    assert(j.contains(s""""cal_bound_sec":${Bench.CalibrationBoundSec}"""))
+    assert(j.contains("\"degraded\":false"))
+  }
+
+  test("a probe beyond the bound on either side marks the run degraded") {
+    val slowStart = Bench.loadJson(0.0, 0.0, Bench.CalibrationBoundSec + 0.01, 0.19)
+    val slowEnd = Bench.loadJson(0.0, 0.0, 0.19, Bench.CalibrationBoundSec + 0.01)
+    assert(slowStart.contains("\"degraded\":true"))
+    assert(slowEnd.contains("\"degraded\":true"))
+  }
+
+  test("the unavailable-loadavg sentinel (-1.0) passes through unmangled") {
+    val j = Bench.loadJson(-1.0, -1.0, 0.2, 0.2)
+    assert(j.contains("\"avg_start\":-1"))
+  }
+
+  test("load fragment embeds into a JSON object that strict parsers accept") {
+    val line = s"""{"metric":"total","value":1.0,${Bench.loadJson(0.1, 0.2, 0.19, 0.21)},"queries":{}}"""
+    // scala-side sanity: balanced braces and parseable by Spark's JSON reader path
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("load").get("degraded").isBoolean)
+    assert(node.get("load").get("cal_start_sec").asDouble() === 0.19)
+  }
+
+  test("calibrationSec does fixed work and returns a positive wall time") {
+    Bench.calibrationSec() // JIT warm
+    val s = Bench.calibrationSec()
+    assert(s > 0.0 && s < 60.0)
+  }
+}
