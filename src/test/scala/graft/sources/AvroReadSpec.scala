@@ -291,6 +291,124 @@ class AvroReadSpec extends AnyFunSuite {
     assert(vals.toSeq == Seq("123.45", "-0.99"))
   }
 
+  test("column pruning skips conversion of unrequested fields (round 8)") {
+    val dir = Files.createTempDirectory("avro-prune")
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id").requiredString("a").requiredString("b")
+      .requiredString("c").requiredDouble("x").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.setSyncInterval(64) // multi-block, so pruning is exercised across blocks
+    w.create(s, dir.resolve("wide.avro").toFile)
+    (1L to 300L).foreach(i => w.append(
+      new GenericRecordBuilder(s).set("id", i).set("a", "a" * 20)
+        .set("b", "b" * 20).set("c", "c" * 20).set("x", i * 0.25).build()))
+    w.close()
+
+    // baseline: an unpruned read converts every cell of every row
+    AvroRead.convertedCells.reset()
+    assert(AvroRead.read(spark, dir.toString + "/*.avro").count() == 300)
+    assert(AvroRead.convertedCells.sum() == 300L * 5)
+
+    // pruned: only the requested cells are converted, request order kept
+    AvroRead.convertedCells.reset()
+    val pruned = AvroRead.read(spark, dir.toString + "/*.avro",
+      columns = Seq("x", "id"), splitBytes = 0L)
+    assert(pruned.schema.fieldNames.toSeq == Seq("x", "id"))
+    // plain collect: orderBy would add a range-partitioner sampling pass
+    // that decodes the data a second time and doubles the counter
+    val rows = pruned.collect().sortBy(_.getLong(1))
+    assert(rows.length == 300)
+    assert(rows(9).getDouble(0) == 2.5 && rows(9).getLong(1) == 10L)
+    assert(AvroRead.convertedCells.sum() == 300L * 2)
+
+    // pruning composes with byte-range splits: every id exactly once
+    val split = AvroRead.read(spark, dir.toString + "/*.avro",
+      columns = Seq("id"), splitBytes = 100L)
+    assert(split.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
+
+    // unknown columns fail loudly naming what IS available
+    val e = intercept[IllegalArgumentException](
+      AvroRead.read(spark, dir.toString + "/*.avro", Seq("nope"), 0L))
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("available"))
+  }
+
+  test("column pruning across schema evolution: absent field reads as null") {
+    val dir = Files.createTempDirectory("avro-prune-evo")
+    val v1 = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title").endRecord()
+    val v2 = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").requiredString("title")
+      .optionalDouble("score").endRecord()
+    writeContainer(dir, "a-v1.avro", v1, Seq(
+      new GenericRecordBuilder(v1).set("id", 1L).set("title", "old").build()))
+    writeContainer(dir, "b-v2.avro", v2, Seq(
+      new GenericRecordBuilder(v2)
+        .set("id", 2L).set("title", "new").set("score", 0.75).build()))
+    val df = AvroRead.read(spark, dir.toString + "/*.avro",
+      columns = Seq("id", "score"), splitBytes = 0L)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) == 0.75)
+  }
+
+  test("logical-type breadth: local-timestamp-micros + decimal(38,12) + fixed " +
+      "round-trip TableLoader and DVT row validation") {
+    // the reference's type-stress fixture (ppl_data_types.sql) exercises
+    // TIMESTAMP(6) WITH[OUT] TIME ZONE and VARBYTE — the Avro twins are
+    // local-timestamp-micros, bytes-decimal(38,12), and fixed
+    val dir = Files.createTempDirectory("avro-types")
+    val dec3812 = LogicalTypes.decimal(38, 12).addToSchema(Schema.create(Schema.Type.BYTES))
+    val fixed8 = Schema.createFixed("fx8", null, null, 8)
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("wall").`type`(LogicalTypes.localTimestampMicros().addToSchema(
+        Schema.create(Schema.Type.LONG))).noDefault()
+      .name("amount").`type`(dec3812).noDefault()
+      .name("raw").`type`(fixed8).noDefault()
+      .endRecord()
+    def amount(unscaled: String) = java.nio.ByteBuffer.wrap(
+      new java.math.BigInteger(unscaled).toByteArray)
+    def fx(b: Byte) = new GenericData.Fixed(fixed8, Array.fill[Byte](8)(b))
+    // 2026-02-03T04:05:06.000007 wall time, in epoch micros at UTC
+    val wallMicros = java.time.LocalDateTime.of(2026, 2, 3, 4, 5, 6, 7000)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 7L
+    writeContainer(dir, "t.avro", s, Seq(
+      new GenericRecordBuilder(s).set("id", 1L).set("wall", wallMicros)
+        .set("amount", amount("123456789012345678901234567890123456")) // 38 digits scaled 12
+        .set("raw", fx(0x5a.toByte)).build(),
+      new GenericRecordBuilder(s).set("id", 2L).set("wall", 0L)
+        .set("amount", amount("-1")).set("raw", fx(1)).build()))
+
+    val outcome = TableLoader.load(spark, TableLoader.LoadSpec(
+      table = "avro_types_tbl", sourcePath = dir.toString + "/*.avro", format = "avro"))
+    assert(outcome.status == "PASS", outcome.message)
+    val df = spark.table("avro_types_tbl")
+    assert(df.schema("wall").dataType == TimestampNTZType)
+    assert(df.schema("amount").dataType == DecimalType(38, 12))
+    assert(df.schema("raw").dataType == BinaryType)
+    val rows = df.orderBy("id").collect()
+    // NTZ survives as wall-clock: no session-zone shift on read-back
+    assert(rows(0).getAs[java.time.LocalDateTime]("wall") ==
+      java.time.LocalDateTime.of(2026, 2, 3, 4, 5, 6, 7000))
+    assert(rows(0).getAs[java.math.BigDecimal]("amount").toPlainString ==
+      "123456789012345678901234.567890123456")
+    assert(rows(1).getAs[java.math.BigDecimal]("amount").toPlainString ==
+      "-0.000000000001")
+    assert(rows(0).getAs[Array[Byte]]("raw").toSeq == Seq.fill(8)(0x5a.toByte))
+
+    // DVT row validation over the loaded table: self-compare matches on
+    // every row once the typed columns are cast to deterministic strings
+    import org.apache.spark.sql.functions.col
+    val typed = df.select(col("id"),
+      col("wall").cast(StringType).as("wall_s"),
+      col("amount").cast(StringType).as("amount_s"),
+      org.apache.spark.sql.functions.hex(col("raw")).as("raw_s"))
+    val v = graft.validate.RowValidator.validate(
+      typed, typed, Seq("id"), Seq("wall_s", "amount_s", "raw_s"))
+    assert(v.count() == 2)
+    assert(v.filter(col("validation_status") =!= "match").count() == 0)
+  }
+
   test("unsupported avro shapes fail loudly") {
     // multi-branch (non-nullable) union has no Spark twin
     val bad = SchemaBuilder.record("r").fields()
