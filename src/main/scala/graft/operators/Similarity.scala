@@ -185,10 +185,19 @@ object Similarity {
     try {
       cents.count()
       (1 to iters).foreach { _ =>
+        // per-dimension mean via exact decimal sum: a double SUM's value
+        // depends on partition merge order, so a plain avg() would make
+        // centroids (and every downstream assignment) differ run-to-run
+        // on a cluster and never hash-match the single-threaded oracle.
+        // decimal(38,18) holds any realistic component magnitude exactly
+        // through corpus-sized sums; the final cast+divide is one
+        // deterministic IEEE op on both engines. Oracle mirror:
+        // CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
         val newCents = assignToCentroids(c, cents)
           .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("list_id"), col("pos"))
-          .agg(avg(col("x")).as("m"))
+          .agg((sum(graft.core.Exact.dec(col("x"), 38, 18)).cast("double") /
+            count(col("x"))).as("m"))
           .groupBy(col("list_id"))
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),

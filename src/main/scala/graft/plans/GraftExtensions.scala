@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Concat, CreateNamedStruct, Expression, ExpressionInfo, GreaterThanOrEqual, If, IsNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Or, RaiseError, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{And, BitwiseAnd, Cast, Concat, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThanOrEqual, If, IsNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Not, Or, RaiseError, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Session-extension entry point (SURVEY §7.3): registers the engine's
@@ -12,16 +12,32 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * or programmatically via `withExtensions`.
   *
-  * Besides the native codegen'd expressions, two of the LLM-pipeline
+  * Besides the native codegen'd expressions, three of the LLM-pipeline
   * primitives are registered as composed SQL functions so spark.sql
   * users get the exact Scala-API semantics: `chunk_spans` (the
   * [[graft.operators.Chunker]] window math as an array of structs —
-  * explode with `inline(...)` for the table form) and `mixture_keep`
+  * explode with `inline(...)` for the table form), `mixture_keep`
   * (the [[graft.operators.Sampling.weightedMixture]] per-row keep
-  * decision). Both are emitted as the same parser-shaped trees
-  * (`UnresolvedFunction` + lambda variables) SQL text would produce,
-  * so the analyzer resolves them exactly like handwritten SQL;
-  * value-parity with the Scala APIs is pinned by SqlParitySpec.
+  * decision), and `bloom_might_contain` (the
+  * [[graft.operators.BloomContamination]] per-gram membership probe
+  * against a filter-word array — the corpus-side decontamination
+  * pipeline in pure SQL: `word_shingles` → explode →
+  * `bloom_might_contain` filter → count per doc). All are emitted as
+  * the same parser-shaped trees (`UnresolvedFunction` + lambda
+  * variables) SQL text would produce, so the analyzer resolves them
+  * exactly like handwritten SQL; value-parity with the Scala APIs is
+  * pinned by SqlParitySpec.
+  *
+  * Deliberately NOT registered: [[graft.operators.SequencePacker]].
+  * Its contract is a whole-relation transform — a two-phase
+  * distributed prefix sum (per-block running-sum window, block-offset
+  * window over the block totals, broadcast join back) — not a row-local
+  * scalar, so no parser-shaped expression tree can express it; a
+  * scalar `pack_bin` would only wrap the trivial final
+  * `(cum - weight) div budget` while hiding the part that matters (the
+  * plan shape that avoids a single-task global window at 100 TB). SQL
+  * users get the real thing by materializing `SequencePacker.pack`'s
+  * output as a view.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -133,6 +149,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }),
           Literal(1))
         spans
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(bits, gram) takes two arguments")
+        val bits = args.head
+        // same probe family as BloomContamination.flagged: one md5 per
+        // gram (hex_hash60_pair), positions h1 + i·(h2 div 32) mod m,
+        // 32 bits per stored word. m derives from the array (size·32) —
+        // pass the words produced by BloomContamination.buildBits (a
+        // power-of-two word count; any other source changes fpp only,
+        // never correctness of the no-false-negative guarantee).
+        // The transform-over-one-element-array wrapper binds the hash
+        // pair to a lambda variable so the md5 runs once per gram, not
+        // once per probe.
+        val m = Cast(fn("*", fn("size", bits), Literal(32)), LongType)
+        fn("element_at",
+          fn("transform", fn("array", HexHash60Pair(args(1))), lam("bmc_hp") { hp =>
+            val h1 = fn("element_at", hp, Literal(1))
+            val h2d = fn("div", fn("element_at", hp, Literal(2)), Literal(32L))
+            (0 until graft.operators.BloomContamination.HashK).map { i =>
+              val pos = fn("%", fn("+", h1, fn("*", Literal(i.toLong), h2d)), m)
+              val word = fn("element_at", bits,
+                Cast(fn("+", fn("shiftright", pos, Literal(5)), Literal(1L)),
+                  IntegerType))
+              val mask = fn("shiftleft", Literal(1L),
+                Cast(fn("%", pos, Literal(32L)), IntegerType))
+              Not(EqualTo(BitwiseAnd(Cast(word, LongType), mask), Literal(0L)))
+            }.reduce[Expression](And(_, _))
+          }),
+          Literal(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("mixture_keep"),

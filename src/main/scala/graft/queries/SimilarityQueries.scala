@@ -22,6 +22,9 @@ object SimilarityQueries {
   private val CentroidMod = 23
   private val CentroidRem = 7
   private val NProbe = 4
+  // n5: Lloyd rounds refining the id-mod seed family (fixed, so the
+  // iterative operator is oracle-graded end-to-end, not just quality-spec'd)
+  private val KmIters = 2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_knn_bruteforce" -> ((s, dir) => {
@@ -40,6 +43,14 @@ object SimilarityQueries {
       val e = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, CentroidMod, CentroidRem, NProbe)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "n5_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        CentroidMod, CentroidRem, KmIters)
+      Similarity.ivfTopKWith(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, cents, NProbe)
         .orderBy(col("query_id"), col("rank"))
     }),
     "e1_embed_quantize" -> ((s, dir) => {
@@ -106,6 +117,65 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of the full kmeans-IVF chain: seed centroids →
+    * `KmIters` Lloyd rounds (assignment argmax with the same
+    * (cos DESC, cent_id ASC) tie-break, then per-(list, dim)
+    * EXACT-DECIMAL mean — `CAST(SUM(CAST(x AS DECIMAL(38,18))) AS
+    * DOUBLE) / COUNT(*)`, the order-independent form kmeansCentroids
+    * itself computes) → IVF probe/rank against the refined centroids.
+    * Zero-norm seeds/centroids drop out on both sides (`nrm > 0`),
+    * mirroring the NaN-capture guard. */
+  private val n5Oracle: String = {
+    // nearest-centroid assignment of CTE `src` against centroid CTE `ct`
+    def assign(src: String, ct: String, keep: String) = {
+      val cos = s"${dotCols(s"$src.embedding", "c.cemb")} / ($src.nrm * c.cnrm)"
+      s"""SELECT vec_id, embedding, nrm, cent_id AS list_id FROM (
+         |  SELECT $src.vec_id, $src.embedding, $src.nrm, c.cent_id,
+         |   row_number() OVER (PARTITION BY $src.vec_id
+         |     ORDER BY $cos DESC, c.cent_id) AS rn
+         |  FROM $src, $ct c) WHERE $keep""".stripMargin
+    }
+    // one Lloyd re-centering: per-(list, dim) exact-decimal mean of the
+    // assigned vectors, reassembled in dimension order, zero-norm lists out
+    def recenter(asgn: String) = {
+      val nrm = s"sqrt(${dotCols("cemb", "cemb")})"
+      s"""SELECT * FROM (
+         | SELECT cent_id, cemb, $nrm AS cnrm FROM (
+         |  SELECT list_id AS cent_id, list(m ORDER BY pos) AS cemb FROM (
+         |   SELECT a.list_id, p.pos,
+         |    CAST(SUM(CAST(CAST(a.embedding[p.pos + 1] AS DOUBLE)
+         |      AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+         |   FROM $asgn a, (SELECT unnest(range(0, $Dim)) AS pos) p
+         |   GROUP BY a.list_id, p.pos) GROUP BY list_id))
+         |WHERE cnrm > 0""".stripMargin
+    }
+    val qc = s"${dotCols("q.embedding", "c.cemb")} / (q.nrm * c.cnrm)"
+    val pa = s"${dotCols("p.qv", "a.cv")} / (p.qn * a.cn)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${dot("e", "e")}) AS nrm FROM embeddings e),
+       |c0 AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+       | FROM n WHERE vec_id % $CentroidMod = $CentroidRem AND nrm > 0),
+       |a1 AS (${assign("n", "c0", "rn = 1")}),
+       |c1 AS (${recenter("a1")}),
+       |a2 AS (${assign("n", "c1", "rn = 1")}),
+       |c2 AS (${recenter("a2")}),
+       |asgn AS (SELECT vec_id AS corpus_id, embedding AS cv, nrm AS cn, list_id
+       | FROM (${assign("n", "c2", "rn = 1")})),
+       |probes AS (
+       | SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, cent_id AS list_id FROM (
+       |  SELECT q.vec_id, q.embedding, q.nrm, c.cent_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $qc DESC, c.cent_id) AS rn
+       |  FROM (SELECT * FROM n WHERE vec_id < $NQueries) q, c2 c) WHERE rn <= $NProbe)
+       |SELECT query_id, corpus_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       | SELECT p.query_id, a.corpus_id, $pa AS cos_sim,
+       |  row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY $pa DESC, a.corpus_id) AS rank
+       | FROM probes p JOIN asgn a
+       |  ON p.list_id = a.list_id AND p.query_id <> a.corpus_id)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   // zero-norm guard mirrors Embeddings.quantize: a zero vector
   // quantizes to all zeros instead of 0/0 → NaN (whose int cast
   // diverges across engines)
@@ -146,6 +216,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "n3_ann_ivf" -> n3Oracle,
+    "n5_ann_ivf_kmeans" -> n5Oracle,
     "e1_embed_quantize" -> e1Oracle,
     "n4_kmeans_step" -> n4Oracle,
     "n1_knn_bruteforce" ->

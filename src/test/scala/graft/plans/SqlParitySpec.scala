@@ -94,6 +94,44 @@ class SqlParitySpec extends AnyFunSuite {
       .count() >= 0)
   }
 
+  test("bloom_might_contain via spark.sql equals BloomContamination.flagged") {
+    import spark.implicits._
+    import graft.operators.BloomContamination
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("bid", "text")
+    val corpus = Seq(
+      (1L, "intro words then alpha beta gamma delta inside the doc"), // contaminated
+      (2L, "totally clean document with its own unique phrasing here"),
+      (3L, "two three four five trailing text"),                      // contaminated
+      (4L, "short"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bits = BloomContamination.buildBits(bench, "text", n = 3,
+      mBits = BloomContamination.bitsFor(16, 0.01))
+    corpus.createOrReplaceTempView("parity_bloom")
+    val bitsSql = bits.mkString("array(", "L,", "L)")
+    val sql = spark.sql(
+      s"""SELECT id, count(1) AS n_maybe FROM (
+         |  SELECT doc_id AS id, explode(word_shingles(text, 3)) AS gram
+         |  FROM parity_bloom)
+         |WHERE bloom_might_contain($bitsSql, gram)
+         |GROUP BY id ORDER BY id""".stripMargin)
+    val api = BloomContamination.flagged(corpus, "doc_id", "text", 3, bits)
+      .orderBy("id")
+    assert(sql.schema.fieldNames.toSeq == api.schema.fieldNames.toSeq)
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // no false negatives: both contaminated docs are flagged
+    val flaggedIds = sql.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 3L).subsetOf(flaggedIds), s"missed contamination: $flaggedIds")
+    // every benchmark gram must probe positive through the SQL form
+    bench.createOrReplaceTempView("parity_bench")
+    val misses = spark.sql(
+      s"""SELECT gram FROM (
+         |  SELECT explode(word_shingles(text, 3)) AS gram FROM parity_bench)
+         |WHERE NOT bloom_might_contain($bitsSql, gram)""".stripMargin).count()
+    assert(misses == 0)
+  }
+
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {
     docs.createOrReplaceTempView("parity_docs")
     val e1 = intercept[Exception](
