@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-point measurement for the dedup/ANN family (round 8).
+  *
+  * The 100-TB story for d2/d4/d6/n3 is design-argued (bucketed
+  * candidates, no all-pairs) and spec-proven at sf0.1; this main adds a
+  * MEASURED point: it deterministically blows sf0.1's `documents` /
+  * `embeddings` up by `SPARK_GRAFT_SCALE_FACTOR` (default 10×), times
+  * the four queries at both scales, and writes the observed growth
+  * exponents (`log(t_big/t_base) / log(factor)`) to `SCALING.md`.
+  * Near-linear exponents validate the bucketed shapes; superlinear ones
+  * name the next optimization target.
+  *
+  * Blow-up construction (all deterministic, no RNG):
+  *  - `documents` replica k ≥ 1: `doc_id += k·stride`; every WORD gets
+  *    a `_k` suffix. Replicas are disjoint in shingle space, so the
+  *    corpus behaves like `factor` independent sf0.1 corpora —
+  *    duplicate DENSITY per unit volume is preserved, which is the
+  *    property a fair scaling measurement needs (naive row copies
+  *    would instead add ~factor² cross-replica near-dup pairs and
+  *    measure the data change, not the plan).
+  *  - `embeddings` replica k ≥ 1: `vec_id += k·stride`; the vector is
+  *    rotated by k positions (norm-preserving, distinct from the
+  *    original). Query vectors (`vec_id < 10`) stay replica-0-only, so
+  *    the probe fan-out measures corpus growth with a fixed query set.
+  *
+  * n3 is measured in BOTH parameterizations because its scaling is a
+  * knob, not a fact: the shipped `n3_ann_ivf` pins `centroidMod = 23`,
+  * so centroid count C grows ∝ n and the broadcast assignment stage
+  * does n·C ∝ n² cosines — the oracle-stable choice, not the scale
+  * choice. The operator's own guidance ("pick centroidMod ≈ √n",
+  * `Similarity.ivfAssign`) scales the mod by √factor instead, keeping
+  * C ≈ √n and assignment ∝ n^1.5. The table reports both exponents so
+  * the quadratic one is attributable to the pinned parameter, not the
+  * operator shape.
+  */
+object Scaling {
+
+  private def timeOne(fn: => DataFrame, iters: Int): Double = {
+    def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    val samples = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      run(fn)
+      val s = (System.nanoTime() - t0) / 1e9
+      fn.sparkSession.catalog.clearCache()
+      s
+    }.sorted
+    val m = if (samples.size % 2 == 1) samples(samples.size / 2)
+            else (samples(samples.size / 2 - 1) + samples(samples.size / 2)) / 2
+    math.rint(m * 1000) / 1000
+  }
+
+  private def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    Files.createDirectories(Paths.get(out))
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val dStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * dStride)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+          " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val eStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * eStride)).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.calibrationSec()
+    val cal = Bench.calibrationSec()
+
+    if (!Files.exists(Paths.get(out, "documents.parquet")) ||
+        !Files.exists(Paths.get(out, "embeddings.parquet")))
+      generate(spark, base, out, factor)
+
+    // √factor-scaled IVF quantizer: centroidMod grows so C stays ≈ √n
+    def sqrtMod(m: Int, f: Int): Int =
+      math.max(1, math.round(m * math.sqrt(f.toDouble)).toInt)
+    val ivfSqrt: (String, Int) => DataFrame = (dir, mod) => {
+      val e = graft.core.Tables(spark, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroidMod = mod, centroidRem = 7, nProbe = 4)
+    }
+
+    val fixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
+      "n3_ann_ivf")
+    // warm codegen on the tiny sibling so neither scale pays Janino
+    val warmDir = Paths.get(base).getParent.resolve("sf0.001").toString
+    fixed.foreach(q => try SparkEntry.queries(q)(spark, warmDir)
+      .write.format("noop").mode("overwrite").save() catch { case _: Throwable => () })
+    spark.catalog.clearCache()
+
+    val rows = fixed.map { q =>
+      val tBase = timeOne(SparkEntry.queries(q)(spark, base), iters)
+      val tBig = timeOne(SparkEntry.queries(q)(spark, out), iters)
+      (q, tBase, tBig)
+    } :+ {
+      val tBase = timeOne(ivfSqrt(base, 23), iters)
+      val tBig = timeOne(ivfSqrt(out, sqrtMod(23, factor)), iters)
+      ("n3_ann_ivf_sqrtC", tBase, tBig)
+    }
+
+    val lines = rows.map { case (q, a, b) =>
+      val exp = math.rint(math.log(b / a) / math.log(factor.toDouble) * 100) / 100
+      f"| `$q` | $a%.2f | $b%.2f | ${b / a}%.1f× | $exp%.2f |"
+    }
+    val md =
+      s"""# SCALING — measured ${factor}× scale point (round 8)
+         |
+         |Deterministic ${factor}× blow-up of sf0.1 `documents`/`embeddings`
+         |(per-replica word suffixes / vector rotations — replica-disjoint
+         |shingle and vector space, duplicate density preserved; see
+         |`graft.Scaling` scaladoc). Timed with the Bench protocol: noop
+         |sink, codegen warm-up at sf0.001, median of $iters, local[$cpus],
+         |CPU calibration probe ${cal}s (idle ≈ 0.19s, degraded bound
+         |${Bench.CalibrationBoundSec}s).
+         |
+         |exponent = log(t_big / t_base) / log($factor): 1.00 = linear,
+         |1.50 = n^1.5, 2.00 = quadratic.
+         |
+         || query | sf0.1 (s) | sf1 (s) | ratio | exponent |
+         ||---|---|---|---|---|
+         |${lines.mkString("\n")}
+         |
+         |`n3_ann_ivf` pins `centroidMod = 23` (oracle stability), so
+         |centroid count grows ∝ n and broadcast assignment does n·C ∝ n²
+         |cosines — expected superlinear. `n3_ann_ivf_sqrtC` is the same
+         |operator with the mod scaled by √factor per its own guidance
+         |(C ≈ √n ⇒ assignment ∝ n^1.5): the exponent difference is the
+         |pinned parameter, not the plan shape.
+         |
+         |Reproduce: `sbt "runMain graft.Scaling /root/testdata/sf0.1 /tmp/graft_sf1"`.
+         |""".stripMargin
+    Files.writeString(Paths.get("SCALING.md"), md)
+    println(md)
+    spark.stop()
+  }
+}
