@@ -15,10 +15,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Reproduces the reference's load matrix Spark-first:
   *  - formats CSV (delimiter, header, explicit `col:type` schema via
   *    `StructType.fromDDL`), PARQUET, ORC, JSON, and AVRO — the last
-  *    via [[graft.sources.AvroRead]], a native container reader over
-  *    `binaryFile` + avro-core (this build has no spark-avro
-  *    connector; parallelism is per file, the reference's own load
-  *    unit);
+  *    via [[graft.sources.AvroRead]], a native container reader built
+  *    on avro-core with sync-marker byte-range splits (this build has
+  *    no spark-avro connector). Loads decode full records by design
+  *    (the table is materialized whole, reference parity); analytical
+  *    scans that want Catalyst-automatic column pruning should read
+  *    through the DSv2 face instead:
+  *    `spark.read.format("graft-avro").load(path)`
+  *    ([[graft.sources.AvroTableProvider]]);
   *  - partition preservation: source hive-partition discovery is free
   *    on read; `partitionBy` on write;
   *  - clustering → `sortWithinPartitions` (BQ clustering has no exact

@@ -176,7 +176,7 @@ object AvroRead {
     * Directories recurse (hive-partitioned layouts) and
     * metadata/hidden entries (`_SUCCESS`, `.…crc` — the same `_`/`.`
     * prefixes Spark's own file index skips) are filtered. */
-  private def listFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
+  private[sources] def listFiles(spark: SparkSession, path: String): Seq[FileStatus] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(h: HPath): Boolean =
@@ -310,6 +310,124 @@ object AvroRead {
     rec
   }
 
+  /** Union-widest mapped schema of the containers under `path` — the
+    * schema-inference half of [[read]], shared with
+    * [[AvroTableProvider]] (DSv2 `inferSchema`). */
+  private[sources] def unionSchema(spark: SparkSession, path: String): StructType = {
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"avro: no files under $path")
+    val confB = spark.sparkContext.broadcast(new SerializableWritable(
+      new Configuration(spark.sessionState.newHadoopConf())))
+    widestStruct(distinctWriterSchemas(spark, files.map(_.getPath.toString), confB))
+  }
+
+  /** Decoded rows of ONE byte-range split — the per-task decode shared
+    * by the RDD path ([[read]]) and the DSv2 partition reader
+    * ([[AvroTableProvider]]). Opens a seekable stream, `sync(start)`s
+    * to the first block at or after the range start, decodes until
+    * `pastSync(end)`. With `prune`, a projected reader schema makes
+    * Avro's resolving decoder skip unrequested writer fields byte-wise.
+    * Registers a task-completion listener for early-stop consumers and
+    * also returns the idempotent closer for callers with their own
+    * close contract (DSv2 `PartitionReader.close`). */
+  private[sources] def splitIterator(
+      p: String, len: Long, start: Long, end: Long, hconf: Configuration,
+      names: Array[String], types: Array[DataType],
+      prune: Boolean): (Iterator[Row], () => Unit) = {
+    val hp = new HPath(p)
+    val in = hp.getFileSystem(hconf).open(hp)
+    // a truncated/non-avro file makes the constructor throw BEFORE the
+    // completion listener below exists — close the raw stream on that
+    // path or every retry leaks an fd
+    val datum = new GenericDatumReader[GenericRecord]()
+    val reader =
+      try {
+        val r = new DataFileReader[GenericRecord](new HadoopSeekable(in, len), datum)
+        // position at the first block whose sync point is at or after
+        // `start` (start 0 lands on the header's marker, i.e. the
+        // first block)
+        r.sync(start)
+        r
+      } catch { case e: Throwable =>
+        try in.close() catch { case _: Exception => () }
+        throw e
+      }
+    var closed = false
+    var cellsConverted = 0L
+    def closeOnce(): Unit = if (!closed) {
+      closed = true
+      convertedCells.add(cellsConverted)
+      try reader.close() catch { case _: Exception => () }
+      try in.close() catch { case _: Exception => () }
+    }
+    // release the decompressor/stream even when the consumer stops
+    // early (limit, take, task failure)
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeOnce()))
+    // with pruning, hand the datum reader a projected EXPECTED schema:
+    // the resolving decoder then skips unrequested writer fields
+    // byte-wise, and decoded records carry the projected shape — so
+    // all downstream positions come from it
+    val writer =
+      if (prune) {
+        val proj = projectedReader(reader.getSchema, names.toSet)
+        datum.setExpected(proj)
+        proj
+      } else reader.getSchema
+    // project this file's writer fields into the widest struct:
+    // pos(i) = writer field position or -1 (→ null column); upcast(i)
+    // widens a file's narrower numeric values into the promoted column
+    // type (int→long, float→double)
+    val pos = new Array[Int](names.length)
+    val fieldSchema = new Array[Schema](names.length)
+    val upcast = new Array[Any => Any](names.length)
+    var i = 0
+    while (i < names.length) {
+      val f = writer.getField(names(i))
+      if (f == null) pos(i) = -1
+      else {
+        val t = sparkType(f.schema)
+        upcast(i) = (t, types(i)) match {
+          case (a, b) if a == b => identity
+          case (IntegerType, LongType) =>
+            v => if (v == null) null
+                 else java.lang.Long.valueOf(v.asInstanceOf[java.lang.Integer].longValue)
+          case (FloatType, DoubleType) =>
+            v => if (v == null) null
+                 else java.lang.Double.valueOf(v.asInstanceOf[java.lang.Float].doubleValue)
+          case (a, b) => throw new IllegalArgumentException(
+            s"avro: field '${names(i)}' in $p maps to $a but the widest " +
+              s"schema expects $b")
+        }
+        pos(i) = f.pos(); fieldSchema(i) = f.schema
+      }
+      i += 1
+    }
+    val livePerRow = pos.count(_ >= 0)
+    val it = new Iterator[Row] {
+      def hasNext: Boolean = !closed && {
+        // stop at the first block past this split's range — the task
+        // owning that range decodes it
+        val h = reader.hasNext && !reader.pastSync(end)
+        if (!h) closeOnce()
+        h
+      }
+      def next(): Row = {
+        val rec = reader.next()
+        cellsConverted += livePerRow
+        val vals = new Array[Any](names.length)
+        var j = 0
+        while (j < names.length) {
+          vals(j) = if (pos(j) < 0) null
+                    else upcast(j)(convert(rec.get(pos(j)), fieldSchema(j)))
+          j += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    (it, closeOnce _)
+  }
+
   /** All records under `path` (container files, any layout) as a
     * DataFrame with the union-widest mapped schema. `splitBytes`
     * bounds the bytes one decode task owns (0 → the session's
@@ -366,98 +484,7 @@ object AvroRead {
       .mapPartitions { splitIter =>
         val hconf = confB.value.value
         splitIter.flatMap { case (p, len, start, end) =>
-          val hp = new HPath(p)
-          val in = hp.getFileSystem(hconf).open(hp)
-          // a truncated/non-avro file makes the constructor throw
-          // BEFORE the completion listener below exists — close the
-          // raw stream on that path or every retry leaks an fd
-          val datum = new GenericDatumReader[GenericRecord]()
-          val reader =
-            try {
-              val r = new DataFileReader[GenericRecord](
-                new HadoopSeekable(in, len), datum)
-              // position at the first block whose sync point is at or
-              // after `start` (start 0 lands on the header's marker,
-              // i.e. the first block)
-              r.sync(start)
-              r
-            } catch { case e: Throwable =>
-              try in.close() catch { case _: Exception => () }
-              throw e
-            }
-          var closed = false
-          var cellsConverted = 0L
-          def closeOnce(): Unit = if (!closed) {
-            closed = true
-            convertedCells.add(cellsConverted)
-            try reader.close() catch { case _: Exception => () }
-            try in.close() catch { case _: Exception => () }
-          }
-          // release the decompressor/stream even when the consumer
-          // stops early (limit, take, task failure)
-          Option(TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => closeOnce()))
-          // with pruning, hand the datum reader a projected EXPECTED
-          // schema: the resolving decoder then skips unrequested
-          // writer fields byte-wise, and decoded records carry the
-          // projected shape — so all downstream positions come from it
-          val writer =
-            if (prune) {
-              val p = projectedReader(reader.getSchema, names.toSet)
-              datum.setExpected(p)
-              p
-            } else reader.getSchema
-          // project this file's writer fields into the widest struct:
-          // pos(i) = writer field position or -1 (→ null column);
-          // upcast(i) widens a file's narrower numeric values into the
-          // promoted column type (int→long, float→double)
-          val pos = new Array[Int](names.length)
-          val fieldSchema = new Array[Schema](names.length)
-          val upcast = new Array[Any => Any](names.length)
-          var i = 0
-          while (i < names.length) {
-            val f = writer.getField(names(i))
-            if (f == null) pos(i) = -1
-            else {
-              val t = sparkType(f.schema)
-              upcast(i) = (t, types(i)) match {
-                case (a, b) if a == b => identity
-                case (IntegerType, LongType) =>
-                  v => if (v == null) null
-                       else java.lang.Long.valueOf(v.asInstanceOf[java.lang.Integer].longValue)
-                case (FloatType, DoubleType) =>
-                  v => if (v == null) null
-                       else java.lang.Double.valueOf(v.asInstanceOf[java.lang.Float].doubleValue)
-                case (a, b) => throw new IllegalArgumentException(
-                  s"avro: field '${names(i)}' in $p maps to $a but the widest " +
-                    s"schema expects $b")
-              }
-              pos(i) = f.pos(); fieldSchema(i) = f.schema
-            }
-            i += 1
-          }
-          val livePerRow = pos.count(_ >= 0)
-          new Iterator[Row] {
-            def hasNext: Boolean = !closed && {
-              // stop at the first block past this split's range — the
-              // task owning that range decodes it
-              val h = reader.hasNext && !reader.pastSync(end)
-              if (!h) closeOnce()
-              h
-            }
-            def next(): Row = {
-              val rec = reader.next()
-              cellsConverted += livePerRow
-              val vals = new Array[Any](names.length)
-              var j = 0
-              while (j < names.length) {
-                vals(j) = if (pos(j) < 0) null
-                          else upcast(j)(convert(rec.get(pos(j)), fieldSchema(j)))
-                j += 1
-              }
-              Row.fromSeq(vals.toIndexedSeq)
-            }
-          }
+          splitIterator(p, len, start, end, hconf, names, types, prune)._1
         }
       }
     spark.createDataFrame(rows, struct)
