@@ -245,6 +245,89 @@ object MinHashLSH {
     PairExpansion.edges(groups, repPairs)
   }
 
+  /** Precomputed screening index over an EXISTING corpus, for
+    * incremental batch-vs-corpus dedup ([[screenAgainst]]). Holds the
+    * content groups (id → rep), the representatives' shingle sets, and
+    * the representatives' band keys — everything a new batch needs to
+    * be screened WITHOUT re-shingling, re-hashing, or re-banding the
+    * corpus. All three tables are rep-collapsed, so a boilerplate-heavy
+    * corpus stores far below corpus size; persist them as tables and
+    * reload per ingestion batch (each is a plain DataFrame).
+    *
+    * Cache contract mirrors [[kmeansCentroids]]'s: callers own the
+    * lifetime — persist/unpersist around the batch loop. */
+  final case class DedupIndex(groups: DataFrame, repGrams: DataFrame,
+    repBands: DataFrame)
+
+  /** Build the [[DedupIndex]] — the one-time (or per-compaction)
+    * corpus-sized pass; every subsequent [[screenAgainst]] touches
+    * only index tables and batch-sized work. */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      hashPair: Column => Column = TextOps.hexHash60Pair): DedupIndex = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val g = shingleTable(docs, idCol, textCol, shingleN).cache()
+    val groups = contentGroups(g)
+    val repsG = g.join(
+      groups.filter(col("id") === col("rep")).select(col("id")),
+      Seq("id"), "left_semi")
+    val banded = bandKeys(signaturesFrom(repsG, k, hashPair), bands, k / bands)
+    DedupIndex(groups, repsG, banded)
+  }
+
+  /** Incremental near-duplicate screening: (batch_id, corpus_id,
+    * jaccard) for every batch document whose exact Jaccard against a
+    * band-colliding corpus document is ≥ threshold — the same answer a
+    * full [[nearDuplicates]] recompute over corpus ∪ batch gives for
+    * the cross pairs, without touching corpus text. Correctness of the
+    * restriction-to-reps: a corpus member's shingle set IS its rep's,
+    * so it collides with a batch doc iff the rep does and carries the
+    * identical jaccard — the member expansion at the end is exact, not
+    * approximate.
+    *
+    * Scale shape: batch-side shingle/sign/band work is ∝ batch; the
+    * candidate join shuffles on (band, bkey) where a small batch side
+    * lets AQE broadcast it against the rep band table; the two verify
+    * joins are candidate-bounded; the member expansion is
+    * output-bounded. The corpus-sized pass happened once in
+    * [[buildIndex]] — screening N daily batches costs N·batch, not
+    * N·corpus, which is the entire point at 100 TB. `k`/`bands`/
+    * `shingleN`/`hashPair` MUST match the index build (band keys are
+    * positional over the signature). */
+  def screenAgainst(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DedupIndex,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val bg = shingleTable(batch, idCol, textCol, shingleN).cache()
+    val bBands = bandKeys(signaturesFrom(bg, k, hashPair), bands, k / bands)
+    val cands = bBands.select(col("band"), col("bkey"), col("id").as("batch_id"))
+      .join(index.repBands.select(col("band"), col("bkey"), col("id").as("rep")),
+        Seq("band", "bkey"))
+      .select(col("batch_id"), col("rep"))
+      .distinct()
+    val verified = cands
+      .join(bg.select(col("id").as("batch_id"), col("grams").as("grams_b")), "batch_id")
+      .join(index.repGrams.select(col("id").as("rep"), col("grams").as("grams_r")), "rep")
+      .withColumn("jaccard", TextOps.jaccard(col("grams_b"), col("grams_r")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("rep"), col("jaccard"))
+    verified
+      .join(index.groups.select(col("rep"), col("id").as("corpus_id")), "rep")
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** (id, comp) dedup clusters, end-to-end — the sharpest clustering
     * shape: the iterative connected-components pass runs ONLY on the
     * verified representative-pair graph (|pairs| edges — orders of

@@ -150,6 +150,40 @@ object Similarity {
       .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"))).as("best"))
       .select(col("id"), col("v"), col("n"), (-col("best.neg_cent")).as("list_id"))
 
+  /** SemDeDup-style semantic deduplication (public technique: Abbas et
+    * al. 2023, arXiv:2303.09540 — cluster embeddings, drop
+    * near-duplicates within each cluster): vectors are assigned to
+    * their IVF list ([[ivfAssign]]'s deterministic id-mod quantizer),
+    * pairwise cosine runs ONLY within a list, and every vector with an
+    * above-threshold partner of LOWER id becomes a drop candidate.
+    * Returns (doc_id, keep_id, max_cos): the dropped vector, its
+    * lowest-id above-threshold partner, and its best cosine —
+    * `corpus.join(result, "doc_id", "left_anti")` is the deduped set.
+    *
+    * Scale shape: assignment is the broadcast-centroid map-only argmax;
+    * the pair stage shuffles both sides on `list_id` once and computes
+    * |list|² cosines per list — Σ|list|² ≈ n·(n/C), so with the
+    * recommended C ≈ √n it is n^1.5 TOTAL, never the corpus-wide n²
+    * cross join; the final per-doc keep/max is one map-side-combinable
+    * min/max aggregation. Same within-bucket-only discipline as the
+    * LSH/banded dedup family. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidMod: Int, centroidRem: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem)
+    val a = assigned.select(col("list_id"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("list_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("keep_id"), max(col("cos_sim")).as("max_cos"))
+      .select(col("id_b").as("doc_id"), col("keep_id"), col("max_cos"))
+  }
+
   /** K-means-refined coarse quantizer for IVF: seed centroids from the
     * deterministic id-mod rule ([[ivfAssign]]'s pinned family), then
     * run `iters` Lloyd rounds — assign every vector to its nearest

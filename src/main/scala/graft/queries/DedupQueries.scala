@@ -103,6 +103,31 @@ object DedupQueries {
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Similarity.bruteForcePairs(corpus, "vec_id", "embedding", 0.99)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d8_incremental_screen" -> ((s, dir) => {
+      // incremental ingestion: screen a NEW batch (drifted copies of
+      // every doc_id % 41 == 5) against the standing corpus via a
+      // prebuilt rep-collapsed index — corpus text is never re-shingled
+      val corpus = corpusDocs(s, dir)
+      val batch = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 41 === 5)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" incremental drift probe")).as("text"))
+      val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text", k = K, bands = Bands)
+      MinHashLSH.screenAgainst(batch, "doc_id", "text", idx,
+          MinhashThreshold, k = K, bands = Bands)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+    "d7_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: same injected near-dups as d5, but candidates come
+      // from within-IVF-list pairs (bounded lists), never all-pairs
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = e.unionByName(
+        e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        centroidMod = 23, centroidRem = 7, threshold = 0.99)
+        .orderBy(col("doc_id"))
     }))
 
   // ---- generated DuckDB oracles --------------------------------------
@@ -114,14 +139,18 @@ object DedupQueries {
     * Kirsch-Mitzenmacher family: h_i = (h1 + i·(h2 // 32)) mod 2⁶⁰ over
     * the two 60-bit md5 halves (hex chars 1-15 / 17-31) — pure BIGINT
     * arithmetic, overflow-free (i·(h2//32) < 2⁶⁰, sum < 2⁶¹). */
-  private val d2Ctes: String = {
+  private val d2Ctes: String = lshCtes(corpusSql)
+
+  /** The d2 CTE chain over an arbitrary corpus CTE — d8 reuses it with
+    * the corpus extended by the incremental batch. */
+  private def lshCtes(corpusCte: String): String = {
     val h2 = "CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT)"
     val sigList = (0 until K)
       .map(i => "list_min(list_transform(grams, s -> " +
         s"(${hex60("s")} + $i * ($h2 // 32)) % 1152921504606846976))")
       .mkString("[\n   ", ",\n   ", "]")
     val bandKey = (1 to R).map(j => s"sig[b.band * $R + $j]").mkString(", ")
-    s"""$corpusSql,
+    s"""$corpusCte,
        |$wordsSql,
        |$gramsSql,
        |sig AS (SELECT doc_id, grams, $sigList AS sig FROM g),
@@ -143,6 +172,22 @@ object DedupQueries {
     s"""WITH $d2Ctes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $MinhashThreshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d8 ground truth: the full-recompute answer over corpus ∪ batch,
+    * restricted to cross (batch, corpus) pairs. The incremental
+    * operator's contract is to equal this without re-processing corpus
+    * text — the oracle deliberately does NOT mirror incrementality,
+    * only the answer. Batch ids live at +300000, above every corpus
+    * id, so `cand`'s id_a < id_b puts the batch doc on the b side. */
+  private val d8Oracle: String = {
+    val extendedCorpus = corpusSql.stripSuffix(")") +
+      "\n UNION ALL SELECT doc_id + 300000, text || ' incremental drift probe' " +
+      "FROM documents WHERE doc_id % 41 = 5)"
+    s"""WITH ${lshCtes(extendedCorpus)}
+       |SELECT id_b AS batch_id, id_a AS corpus_id, jaccard FROM j
+       |WHERE jaccard >= $MinhashThreshold AND id_b >= 300000 AND id_a < 300000
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
 
   /** Clusters via recursive closure over the verified near-dup pairs:
     * cluster_id = smallest doc_id reachable in the undirected pair
@@ -243,7 +288,39 @@ object DedupQueries {
        | FROM n a JOIN n b ON a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB mirror of Similarity.semanticDedup on the d5 corpus: the
+    * id-mod centroid family, the (cos DESC, cent_id ASC) assignment
+    * argmax, within-list pairs only, then per-doc lowest keeper /
+    * best cosine. */
+  private val d7Oracle: String = {
+    val nc = s"${dotSql("n", "c")} / (n.nrm * c.cnrm)"
+    val ab = s"${dotSql("a", "b")} / (a.nrm * b.nrm)"
+    s"""WITH corpus AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |n AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("corpus", "corpus")}) AS nrm FROM corpus),
+       |cents AS (SELECT vec_id AS cent_id, embedding, nrm AS cnrm
+       | FROM n WHERE vec_id % 23 = 7),
+       |asgn AS (
+       | SELECT vec_id, embedding, nrm, cent_id AS list_id FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |   row_number() OVER (PARTITION BY n.vec_id
+       |     ORDER BY $nc DESC, c.cent_id) AS rn
+       |  FROM n, cents c) WHERE rn = 1)
+       |SELECT doc_id, keep_id, max_cos FROM (
+       | SELECT b.vec_id AS doc_id, MIN(a.vec_id) AS keep_id,
+       |  MAX($ab) AS max_cos
+       | FROM asgn a JOIN asgn b
+       |  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       | WHERE $ab >= 0.99
+       | GROUP BY b.vec_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d7_semantic_dedup" -> d7Oracle,
+    "d8_incremental_screen" -> d8Oracle,
     "d1_exact_dedup" ->
       s"""WITH $corpusSql
          |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt

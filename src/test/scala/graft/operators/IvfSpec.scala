@@ -57,4 +57,32 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf1.join(exactPairs, Seq("query_id", "corpus_id", "cos_sim"))
       .count() == ivf1.count())
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeping the lowest id") {
+    import spark.implicits._
+    // well-separated corpus: 4 directions, members spread wide enough
+    // that no NATURAL pair reaches the 0.9999 threshold (adjacent-eps
+    // same-direction cosines top out ≈ 0.9994)
+    val base = (0 until 40).map { i =>
+      val a = Array.fill(8)(0.0f)
+      a(i % 4) = 1.0f
+      a(4 + i % 4) = (0.2 + 0.15 * (i / 4)).toFloat
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    // inject exact copies of vectors 0 and 13 with higher ids — same
+    // vector ⇒ same argmax list ⇒ guaranteed in-cluster candidates
+    val dups = base.filter(col("vec_id").isin(0L, 13L))
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val dropped = Similarity.semanticDedup(base.unionByName(dups),
+      "vec_id", "embedding", centroidMod = 10, centroidRem = 3, threshold = 0.9999)
+    val rows = dropped.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1000L, 1013L), rows.toSeq)
+    assert(rows.map(_._2).toSeq == Seq(0L, 13L))
+    rows.foreach { case (_, _, cos) => assert(cos > 0.99999) }
+    // left-anti against the result is the deduped corpus: originals stay
+    val deduped = base.unionByName(dups)
+      .join(dropped.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    assert(deduped.count() == 40)
+  }
 }
