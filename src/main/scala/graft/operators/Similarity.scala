@@ -170,12 +170,19 @@ object Similarity {
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem)
+    // cached: the pair stage reads the assignment on BOTH sides of a
+    // self-join, and Spark does not reuse a subplan across self-join
+    // branches — uncached, the n×C broadcast argmax would run twice
+    // (same cache discipline as MinHashLSH.repPipeline)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem).cache()
     val a = assigned.select(col("list_id"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val b = assigned.select(col("list_id"), col("id").as("id_b"),
       col("v").as("vb"), col("n").as("nb"))
-    a.join(b, "list_id")
+    // shuffle-hash, not sort-merge: both sides shuffle on list_id
+    // anyway, and the hash build skips the per-partition sort of the
+    // (wide) vector payload rows
+    a.join(b.hint("shuffle_hash"), "list_id")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)

@@ -186,4 +186,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d7 semantic dedup: centroids broadcast, pairs join keyed on list_id — never corpus-wide all-pairs") {
+    val p = planOf("d7_semantic_dedup")
+    // the only cartesian-shaped operator allowed is the n×C assignment
+    // against the BROADCAST centroid table (BroadcastNestedLoopJoin is
+    // broadcast-build by construction; the assigned table is cached so
+    // the self-join reads it once at runtime). An unkeyed
+    // shuffle-shuffle corpus×corpus would surface as CartesianProduct,
+    // asserted absent below.
+    assert(!p.contains("CartesianProduct"), p)
+    // the within-list pair join is keyed (hash) on list_id
+    assert(p.contains("list_id"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d8 incremental screen: hash joins only, candidate-bounded — no cartesian, no sort-merge") {
+    val p = planOf("d8_incremental_screen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the band-bucket candidate join is keyed on (band, bkey)
+    assert(p.contains("bkey"), p)
+  }
 }
