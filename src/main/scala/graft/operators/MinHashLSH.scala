@@ -250,18 +250,28 @@ object MinHashLSH {
     * content groups (id → rep), the representatives' shingle sets, and
     * the representatives' band keys — everything a new batch needs to
     * be screened WITHOUT re-shingling, re-hashing, or re-banding the
-    * corpus. All three tables are rep-collapsed, so a boilerplate-heavy
-    * corpus stores far below corpus size; persist them as tables and
-    * reload per ingestion batch (each is a plain DataFrame).
+    * corpus — plus the build parameters, so the batch side derives its
+    * signatures with EXACTLY the family the band keys were cut from
+    * (band keys are positional over the signature: a k or hash-family
+    * mismatch would not error, it would silently never collide).
+    * All three tables are rep-collapsed, so a boilerplate-heavy corpus
+    * stores far below corpus size; persist them as tables and reload
+    * per ingestion batch.
     *
-    * Cache contract mirrors [[kmeansCentroids]]'s: callers own the
-    * lifetime — persist/unpersist around the batch loop. */
-  final case class DedupIndex(groups: DataFrame, repGrams: DataFrame,
-    repBands: DataFrame)
+    * [[buildIndex]] returns the three tables CACHED and materialized
+    * (the corpus-sized intermediates are already released); callers own
+    * the returned tables' lifetime — `unpersist()` them when the index
+    * is retired, same contract as [[graft.operators.Similarity.kmeansCentroids]]. */
+  final case class DedupIndex(
+      groups: DataFrame, repGrams: DataFrame, repBands: DataFrame,
+      k: Int, bands: Int, shingleN: Int, hashPair: Column => Column)
 
   /** Build the [[DedupIndex]] — the one-time (or per-compaction)
     * corpus-sized pass; every subsequent [[screenAgainst]] touches
-    * only index tables and batch-sized work. */
+    * only index tables and batch-sized work. Eager: the three index
+    * tables are computed, cached, and materialized here, and the
+    * corpus-sized shingle cache is released before returning — a
+    * rebuild loop holds index-sized cache, never corpus-sized. */
   def buildIndex(
       docs: DataFrame,
       idCol: String,
@@ -272,12 +282,21 @@ object MinHashLSH {
       hashPair: Column => Column = TextOps.hexHash60Pair): DedupIndex = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val g = shingleTable(docs, idCol, textCol, shingleN).cache()
-    val groups = contentGroups(g)
-    val repsG = g.join(
-      groups.filter(col("id") === col("rep")).select(col("id")),
-      Seq("id"), "left_semi")
-    val banded = bandKeys(signaturesFrom(repsG, k, hashPair), bands, k / bands)
-    DedupIndex(groups, repsG, banded)
+    try {
+      val groups = contentGroups(g).cache()
+      val repsG = g.join(
+        groups.filter(col("id") === col("rep")).select(col("id")),
+        Seq("id"), "left_semi").cache()
+      val banded = bandKeys(signaturesFrom(repsG, k, hashPair), bands, k / bands)
+        .cache()
+      try {
+        groups.count(); repsG.count(); banded.count()
+      } catch { case e: Throwable =>
+        groups.unpersist(); repsG.unpersist(); banded.unpersist()
+        throw e
+      }
+      DedupIndex(groups, repsG, banded, k, bands, shingleN, hashPair)
+    } finally g.unpersist()
   }
 
   /** Incremental near-duplicate screening: (batch_id, corpus_id,
@@ -296,21 +315,26 @@ object MinHashLSH {
     * joins are candidate-bounded; the member expansion is
     * output-bounded. The corpus-sized pass happened once in
     * [[buildIndex]] — screening N daily batches costs N·batch, not
-    * N·corpus, which is the entire point at 100 TB. `k`/`bands`/
-    * `shingleN`/`hashPair` MUST match the index build (band keys are
-    * positional over the signature). */
+    * N·corpus, which is the entire point at 100 TB. The batch derives
+    * its signatures with the INDEX's recorded k/bands/shingleN/
+    * hashPair — band keys are positional over the signature, so a
+    * mismatched family would not error, it would silently never
+    * collide; recording the parameters in the index removes the
+    * footgun entirely.
+    *
+    * The batch shingle table is deliberately NOT cached: it feeds two
+    * join branches (band keys + verify), so uncached it is shingled
+    * twice per action — batch-sized work — while a cache inside a
+    * function that returns a lazy DataFrame has no owner and would
+    * leak one CacheManager entry per micro-batch on a stream. */
   def screenAgainst(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       index: DedupIndex,
-      threshold: Double,
-      k: Int = 32,
-      bands: Int = 8,
-      shingleN: Int = 3,
-      hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val bg = shingleTable(batch, idCol, textCol, shingleN).cache()
+      threshold: Double): DataFrame = {
+    import index.{k, bands, shingleN, hashPair}
+    val bg = shingleTable(batch, idCol, textCol, shingleN)
     val bBands = bandKeys(signaturesFrom(bg, k, hashPair), bands, k / bands)
     val cands = bBands.select(col("band"), col("bkey"), col("id").as("batch_id"))
       .join(index.repBands.select(col("band"), col("bkey"), col("id").as("rep")),

@@ -166,29 +166,47 @@ object Similarity {
     * recommended C ≈ √n it is n^1.5 TOTAL, never the corpus-wide n²
     * cross join; the final per-doc keep/max is one map-side-combinable
     * min/max aggregation. Same within-bucket-only discipline as the
-    * LSH/banded dedup family. */
+    * LSH/banded dedup family.
+    *
+    * Zero-norm vectors are excluded from the pair stage: their cosine
+    * is 0/0 = NaN, and Spark's NaN-as-largest ordering would make
+    * `NaN >= threshold` TRUE — one all-zero embedding with a low id
+    * would silently mark its entire list as drop candidates (the same
+    * NaN-capture [[kmeansCentroids]] guards against). A zero vector
+    * has no cosine neighborhood, so excluding it is the semantics, not
+    * a shortcut.
+    *
+    * Eager, like [[kmeansCentroids]]: the corpus-sized assignment is
+    * cached only within this call (the pair self-join reads it twice;
+    * Spark does not reuse a subplan across self-join branches) and
+    * released before returning; the RETURNED drop-candidate table is
+    * cached and materialized — `unpersist()` it when consumed. */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int, threshold: Double): DataFrame = {
-    // cached: the pair stage reads the assignment on BOTH sides of a
-    // self-join, and Spark does not reuse a subplan across self-join
-    // branches — uncached, the n×C broadcast argmax would run twice
-    // (same cache discipline as MinHashLSH.repPipeline)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem).cache()
-    val a = assigned.select(col("list_id"), col("id").as("id_a"),
-      col("v").as("va"), col("n").as("na"))
-    val b = assigned.select(col("list_id"), col("id").as("id_b"),
-      col("v").as("vb"), col("n").as("nb"))
-    // shuffle-hash, not sort-merge: both sides shuffle on list_id
-    // anyway, and the hash build skips the per-partition sort of the
-    // (wide) vector payload rows
-    a.join(b.hint("shuffle_hash"), "list_id")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos_sim") >= threshold)
-      .groupBy(col("id_b"))
-      .agg(min(col("id_a")).as("keep_id"), max(col("cos_sim")).as("max_cos"))
-      .select(col("id_b").as("doc_id"), col("keep_id"), col("max_cos"))
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroidMod, centroidRem)
+      .filter(col("n") > 0)
+      .cache()
+    try {
+      val a = assigned.select(col("list_id"), col("id").as("id_a"),
+        col("v").as("va"), col("n").as("na"))
+      val b = assigned.select(col("list_id"), col("id").as("id_b"),
+        col("v").as("vb"), col("n").as("nb"))
+      // shuffle-hash, not sort-merge: both sides shuffle on list_id
+      // anyway, and the hash build skips the per-partition sort of the
+      // (wide) vector payload rows
+      val out = a.join(b.hint("shuffle_hash"), "list_id")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos_sim") >= threshold)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("keep_id"), max(col("cos_sim")).as("max_cos"))
+        .select(col("id_b").as("doc_id"), col("keep_id"), col("max_cos"))
+        .cache()
+      try out.count()
+      catch { case e: Throwable => out.unpersist(); throw e }
+      out
+    } finally assigned.unpersist()
   }
 
   /** K-means-refined coarse quantizer for IVF: seed centroids from the

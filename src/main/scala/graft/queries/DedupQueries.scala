@@ -114,8 +114,7 @@ object DedupQueries {
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" incremental drift probe")).as("text"))
       val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text", k = K, bands = Bands)
-      MinHashLSH.screenAgainst(batch, "doc_id", "text", idx,
-          MinhashThreshold, k = K, bands = Bands)
+      MinHashLSH.screenAgainst(batch, "doc_id", "text", idx, MinhashThreshold)
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
     "d7_semantic_dedup" -> ((s, dir) => {
@@ -290,8 +289,8 @@ object DedupQueries {
 
   /** DuckDB mirror of Similarity.semanticDedup on the d5 corpus: the
     * id-mod centroid family, the (cos DESC, cent_id ASC) assignment
-    * argmax, within-list pairs only, then per-doc lowest keeper /
-    * best cosine. */
+    * argmax, within-list pairs only (zero-norm vectors excluded, the
+    * NaN-capture guard), then per-doc lowest keeper / best cosine. */
   private val d7Oracle: String = {
     val nc = s"${dotSql("n", "c")} / (n.nrm * c.cnrm)"
     val ab = s"${dotSql("a", "b")} / (a.nrm * b.nrm)"
@@ -307,7 +306,7 @@ object DedupQueries {
        |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
        |   row_number() OVER (PARTITION BY n.vec_id
        |     ORDER BY $nc DESC, c.cent_id) AS rn
-       |  FROM n, cents c) WHERE rn = 1)
+       |  FROM n, cents c) WHERE rn = 1 AND nrm > 0)
        |SELECT doc_id, keep_id, max_cos FROM (
        | SELECT b.vec_id AS doc_id, MIN(a.vec_id) AS keep_id,
        |  MAX($ab) AS max_cos

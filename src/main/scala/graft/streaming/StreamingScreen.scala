@@ -27,27 +27,25 @@ object StreamingScreen {
 
   /** Wire a micro-batched screen onto `docs` (a STREAMING DataFrame
     * with `idCol`/`textCol`). `sink` receives (matches, batchId) per
-    * micro-batch; matches carry (batch_id, corpus_id, jaccard).
-    * Threshold/k/bands/shingleN must match the index build. Call
-    * `.start()` (optionally after `.trigger(...)`) on the result. */
+    * micro-batch; matches carry (batch_id, corpus_id, jaccard). The
+    * signature family (k/bands/shingleN/hashPair) comes from the index
+    * itself, so a stream can never silently screen against band keys
+    * cut from a different family. Call `.start()` (optionally after
+    * `.trigger(...)`) on the result. The screen caches nothing
+    * per-batch — a long-running stream holds index-sized cache only. */
   def screenStream(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       index: MinHashLSH.DedupIndex,
       threshold: Double,
-      sink: (DataFrame, Long) => Unit,
-      k: Int = 32,
-      bands: Int = 8,
-      shingleN: Int = 3): DataStreamWriter[Row] = {
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     require(docs.isStreaming, "screenStream expects a streaming DataFrame " +
       "(use MinHashLSH.screenAgainst for static batches)")
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val matches = MinHashLSH.screenAgainst(
-          batch.toDF(), idCol, textCol, index, threshold,
-          k = k, bands = bands, shingleN = shingleN)
-        sink(matches, batchId)
+        sink(MinHashLSH.screenAgainst(
+          batch.toDF(), idCol, textCol, index, threshold), batchId)
       }
   }
 

@@ -55,10 +55,25 @@ class IncrementalScreenSpec extends AnyFunSuite {
     assert(inc.filter(_._1 == 1001L).head._3 == 1.0)
   }
 
-  test("parameter mismatch with the index fails loudly") {
-    val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text", k = 32, bands = 8)
+  test("the screen derives the batch signatures from the INDEX's recorded family") {
+    // a non-default family: if screenAgainst hard-coded defaults, the
+    // batch band keys would be cut from k=32/b=8 signatures and would
+    // (essentially) never collide with this index — silent empty output
+    val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text", k = 16, bands = 4)
+    assert(idx.k == 16 && idx.bands == 4)
+    val inc = MinHashLSH.screenAgainst(batch, "doc_id", "text", idx, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = MinHashLSH.nearDuplicates(
+        corpus.unionByName(batch), "doc_id", "text", 0.7, k = 16, bands = 4)
+      .filter(col("id_b") >= 1000L && col("id_a") < 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.nonEmpty) // the family produced real collisions
+  }
+
+  test("a k that does not band evenly fails loudly at index build") {
     val e = intercept[IllegalArgumentException](
-      MinHashLSH.screenAgainst(batch, "doc_id", "text", idx, 0.7, k = 30, bands = 8))
+      MinHashLSH.buildIndex(corpus, "doc_id", "text", k = 30, bands = 8))
     assert(e.getMessage.contains("divide"))
   }
 }

@@ -84,5 +84,27 @@ class IvfSpec extends AnyFunSuite {
     val deduped = base.unionByName(dups)
       .join(dropped.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
     assert(deduped.count() == 40)
+    dropped.unpersist()
+  }
+
+  test("semanticDedup: a zero-norm vector cannot NaN-capture its list") {
+    import spark.implicits._
+    val base = (0 until 12).map { i =>
+      val a = Array.fill(8)(0.0f)
+      a(i % 4) = 1.0f
+      a(4 + i % 4) = (0.2 + 0.15 * (i / 4)).toFloat
+      (i.toLong + 10, a)
+    }.toDF("vec_id", "embedding")
+    // id 0 — the LOWEST id, so a NaN-passing pair would make it the
+    // keeper and drop every other vector in its list
+    val zero = Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val dropped = Similarity.semanticDedup(base.unionByName(zero),
+      "vec_id", "embedding", centroidMod = 5, centroidRem = 2, threshold = 0.9)
+    val rows = dropped.collect()
+    assert(!rows.exists(_.getLong(1) == 0L),
+      s"zero vector captured real docs: ${rows.mkString(", ")}")
+    assert(!rows.exists(_.getLong(0) == 0L))
+    assert(!rows.exists(r => r.getDouble(2).isNaN))
+    dropped.unpersist()
   }
 }

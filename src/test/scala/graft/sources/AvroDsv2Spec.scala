@@ -18,18 +18,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class AvroDsv2Spec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "avro-dsv2")
 
-  private def writeWide(dir: java.nio.file.Path): Unit = {
-    val s = SchemaBuilder.record("r").fields()
-      .requiredLong("id").requiredString("a").requiredString("b")
-      .requiredString("c").requiredDouble("x").endRecord()
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
-    w.setSyncInterval(64) // multi-block container
-    w.create(s, dir.resolve("wide.avro").toFile)
-    (1L to 200L).foreach(i => w.append(
-      new GenericRecordBuilder(s).set("id", i).set("a", "a" * 20)
-        .set("b", "b" * 20).set("c", "c" * 20).set("x", i * 0.5).build()))
-    w.close()
-  }
+  private def writeWide(dir: java.nio.file.Path): Unit =
+    AvroTestData.writeWide(dir, n = 200, xStep = 0.5)
 
   test("format(graft-avro) full scan matches AvroRead.read") {
     val dir = Files.createTempDirectory("dsv2-full")

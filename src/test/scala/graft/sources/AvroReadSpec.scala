@@ -293,16 +293,8 @@ class AvroReadSpec extends AnyFunSuite {
 
   test("column pruning skips conversion of unrequested fields (round 8)") {
     val dir = Files.createTempDirectory("avro-prune")
-    val s = SchemaBuilder.record("r").fields()
-      .requiredLong("id").requiredString("a").requiredString("b")
-      .requiredString("c").requiredDouble("x").endRecord()
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
-    w.setSyncInterval(64) // multi-block, so pruning is exercised across blocks
-    w.create(s, dir.resolve("wide.avro").toFile)
-    (1L to 300L).foreach(i => w.append(
-      new GenericRecordBuilder(s).set("id", i).set("a", "a" * 20)
-        .set("b", "b" * 20).set("c", "c" * 20).set("x", i * 0.25).build()))
-    w.close()
+    // multi-block (shared fixture), so pruning is exercised across blocks
+    AvroTestData.writeWide(dir, n = 300, xStep = 0.25)
 
     // baseline: an unpruned read converts every cell of every row
     AvroRead.convertedCells.reset()

@@ -19,8 +19,8 @@ class StreamingScreenSpec extends AnyFunSuite {
     import spark.implicits._
     val corpus = (0 until 20).map(i => (i.toLong, sentence(i)))
       .toDF("doc_id", "text")
+    // buildIndex returns the tables cached and materialized
     val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text")
-    idx.groups.cache(); idx.repGrams.cache(); idx.repBands.cache()
 
     val input = MemoryStream[(Long, String)](spark)
     val docs = input.toDF().toDF("doc_id", "text")
