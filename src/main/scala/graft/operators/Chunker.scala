@@ -28,6 +28,64 @@ import org.apache.spark.sql.functions._
   */
 object Chunker {
 
+  /** Content-defined chunking (CDC) over the token stream — the
+    * boundary discipline of rsync/LBFS (Muthitacharoen et al. 2001,
+    * "A Low-Bandwidth Network File System") applied at token
+    * granularity: a chunk boundary is cut BEFORE token p (p ≥ 2)
+    * whenever hexHash60(token_p) % divisor == 0, so the expected chunk
+    * length is `divisor` tokens and — the property fixed-size chunking
+    * lacks — an edit only reshapes the chunks it touches: boundaries
+    * derive from content, not offsets, so chunks after an insertion
+    * realign and downstream exact-dedup (d1) still collapses them.
+    * (Production CDC adds min/max chunk-size clamps; those make each
+    * boundary depend on the previous one — an inherently sequential
+    * scan per document, fine inside one row but deliberately omitted
+    * here to keep the chunk function a pure content map.)
+    *
+    * Output matches [[chunk]]: (id, chunk_idx, chunk_text, n_tokens),
+    * chunk_idx 0-based. Null text == empty text == one empty chunk,
+    * the same every-input-row-survives invariant as [[chunk]].
+    *
+    * Scale shape: boundary positions, chunk slicing, and token counts
+    * are all per-row array expressions (filter/slice/transform over the
+    * bound token array) — no shuffle, no UDF, document-length-bounded
+    * cost, same parallelism contract as [[chunk]]. */
+  def contentDefined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int): DataFrame = {
+    require(divisor >= 2, s"need divisor >= 2, got $divisor")
+    docs
+      .select(col(idCol).as("id"),
+        TextOps.words(coalesce(col(textCol), lit(""))).as("w"))
+      .withColumn("n", size(col("w")))
+      // cut points: token 1 always starts a chunk; token p >= 2 starts
+      // one iff its hash divides; sequence(2, n) must be guarded —
+      // Spark's sequence(2, 1) counts DOWN, it is not empty
+      .withColumn("starts",
+        concat(
+          array(lit(1)),
+          when(col("n") >= 2,
+            filter(sequence(lit(2), col("n")),
+              p => TextOps.hexHash60(element_at(col("w"), p)) % divisor === 0))
+            .otherwise(array().cast("array<int>"))))
+      // exclusive end of chunk i = start of chunk i+1, last ends at n+1;
+      // built as an aligned array so every element_at below is in-bounds
+      // (ANSI mode makes out-of-range element_at an error, not null)
+      .withColumn("ends",
+        concat(slice(col("starts"), lit(2), size(col("starts")) - 1),
+          array(col("n") + 1)))
+      .select(col("id"), col("w"),
+        posexplode(zip_with(col("starts"), col("ends"), (s, e) => struct(s.as("s"), e.as("e"))))
+          .as(Seq("chunk_idx", "se")))
+      .select(
+        col("id"),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("se.s"), col("se.e") - col("se.s"))).as("chunk_text"),
+        (col("se.e") - col("se.s")).as("n_tokens"))
+  }
+
   /** (id, chunk_idx, chunk_text, n_tokens), one row per window. */
   def chunk(
       docs: DataFrame,

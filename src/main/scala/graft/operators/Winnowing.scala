@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+  * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+  * consecutive gram-hashes, and keep the minimum hash of each window.
+  * The selected set is a position-robust fingerprint: any shared
+  * substring of at least k + w − 1 tokens between two documents is
+  * GUARANTEED to contribute at least one common fingerprint (the
+  * winnowing guarantee), while the expected fingerprint density is
+  * only 2/(w+1) of the grams — a tunable sketch that, unlike MinHash,
+  * localizes matches.
+  *
+  * Scale shape: fingerprint selection is a pure per-row expression
+  * chain (tokenize → gram-hash → windowed min → distinct) — no
+  * shuffle, no UDF, codegen'd; cost O(grams · w) per row. Candidate
+  * pairing joins documents through their fingerprint values —
+  * bucketed by construction (a fingerprint is a bucket), never
+  * all-pairs, the same discipline as the banded-LSH and IVF families.
+  */
+object Winnowing {
+
+  /** Distinct winnowing fingerprints of `text` as `array<bigint>`,
+    * portable [[TextOps.hexHash60]] gram hashes. Documents with fewer
+    * than k grams but at least one still yield one fingerprint (the
+    * global minimum — the w > m degenerate window); documents with no
+    * gram yield an empty array. Tie-break note: classic winnowing
+    * picks the RIGHTMOST minimal hash per window to thin repeats, but
+    * the selected VALUE is the same either way, and only values (not
+    * positions) are emitted here.
+    *
+    * The gram-hash array is bound once as a lambda variable (the
+    * single-element-transform idiom from [[TextOps.wordNGrams]]):
+    * subexpression elimination does not descend into lambdas, so
+    * referencing the hash chain inside the window lambda would re-hash
+    * every gram once per window. */
+  def fingerprintSet(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val hashes = transform(TextOps.wordNGrams(text, k), g => TextOps.hexHash60(g))
+    element_at(
+      transform(array(hashes), hs =>
+        when(size(hs) >= w,
+          array_distinct(transform(sequence(lit(1), size(hs) - w + 1),
+            i => array_min(slice(hs, i, lit(w))))))
+          .when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<bigint>"))),
+      1)
+  }
+
+  /** Exploded fingerprint table: one (id, fp) row per distinct
+    * fingerprint per document. */
+  def fingerprintTable(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(fingerprintSet(col(textCol), k, w)).as("fp"))
+
+  /** Candidate near-duplicate pairs: documents sharing at least
+    * `minShared` fingerprints, with the shared count. One shuffle on
+    * fingerprint value (the bucket join), one aggregation on the pair
+    * key; hot fingerprints (boilerplate shared by many documents)
+    * fan out quadratically WITHIN their bucket only — cap upstream by
+    * dropping fingerprints above a document-frequency bound if a
+    * corpus exhibits that (same remedy as a stop-gram list). */
+  def sharedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    val fp = fingerprintTable(docs, idCol, textCol, k, w)
+    val a = fp.select(col("id").as("id_a"), col("fp"))
+    val b = fp.select(col("id").as("id_b"), col("fp"))
+    a.join(b.hint("shuffle_hash"), a("fp") === b("fp") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -55,6 +55,10 @@ object DedupQueries {
   private val R = K / Bands
   private val MinhashThreshold = 0.8
 
+  // ---- d9/d10 constants (must match the Spark calls) -----------------
+  private val SpanL = 8
+  private val WinShared = 10
+
   /** The d6 clustering DataFrame — [[MinHashLSH.nearDupClusters]] runs
     * the iterative connected-components pass on the verified
     * representative-PAIR graph only (orders of magnitude below corpus
@@ -116,6 +120,25 @@ object DedupQueries {
       val idx = MinHashLSH.buildIndex(corpus, "doc_id", "text", k = K, bands = Bands)
       MinHashLSH.screenAgainst(batch, "doc_id", "text", idx, MinhashThreshold)
         .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+    "d9_substring_spans" -> ((s, dir) => {
+      // exact repeated-substring pass (Lee et al. 2022 shape): maximal
+      // token spans covered by 8-token windows occurring ≥ 2× anywhere
+      // in the corpus — the exact copies contribute full-doc spans,
+      // the near-copies their shared prefixes
+      graft.operators.SubstringDedup
+        .duplicateSpans(corpusDocs(s, dir), "doc_id", "text", windowLen = SpanL)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    "d10_winnowing_pairs" -> ((s, dir) => {
+      // MOSS-style candidate pairing through winnowing fingerprints:
+      // bucketed by fingerprint value, never all-pairs
+      graft.operators.Winnowing
+        .sharedPairs(corpusDocs(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = WinShared)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "d7_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: same injected near-dups as d5, but candidates come
@@ -317,7 +340,57 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** d9 mirror: zipped unnests give (pos, window-hash) per L-window;
+    * duplicated hashes (global count ≥ 2) back-join; island merge via
+    * lag + running sum, exactly [[graft.operators.SubstringDedup]]'s
+    * overlap-or-touch rule. */
+  private val d9Oracle: String = {
+    val win = (0 until SpanL).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $corpusSql,
+       |$wordsSql,
+       |gw AS (SELECT doc_id,
+       |  unnest(range(1, len(w) - ${SpanL - 2})) - 1 AS pos,
+       |  unnest(list_transform(range(1, len(w) - ${SpanL - 2}),
+       |    i -> ${hex60(s"$win")})) AS h
+       | FROM w WHERE len(w) >= $SpanL),
+       |dh AS (SELECT h FROM gw GROUP BY h HAVING COUNT(*) > 1),
+       |dw AS (SELECT gw.doc_id, gw.pos FROM gw JOIN dh USING (h)),
+       |m AS (SELECT doc_id, pos,
+       |  CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+       |    ${-SpanL - 1}) + $SpanL THEN 1 ELSE 0 END AS ns
+       | FROM dw),
+       |sp AS (SELECT doc_id, pos,
+       |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM m)
+       |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+       | CAST(MAX(pos) + $SpanL AS INTEGER) AS span_end,
+       | CAST(COUNT(*) AS BIGINT) AS n_windows
+       |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** d10 mirror: the t7 winnowing chain (k=3, w=4) over the dup corpus,
+    * then pairs through shared fingerprint values. */
+  private val d10Oracle: String =
+    s"""WITH $corpusSql,
+       |$wordsSql,
+       |hs AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |   i -> ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs
+       | FROM w WHERE len(w) >= 3),
+       |fps AS (SELECT doc_id,
+       |  CASE WHEN len(hs) >= 4 THEN
+       |    list_distinct(list_transform(range(1, len(hs) - 2),
+       |      i -> list_min(hs[i : i + 3])))
+       |   ELSE [list_min(hs)] END AS fps
+       | FROM hs),
+       |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $WinShared
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d9_substring_spans" -> d9Oracle,
+    "d10_winnowing_pairs" -> d10Oracle,
     "d7_semantic_dedup" -> d7Oracle,
     "d8_incremental_screen" -> d8Oracle,
     "d1_exact_dedup" ->

@@ -67,6 +67,17 @@ object TextQueries {
         .orderBy(col("df").desc, col("word"))
         .limit(20)
     }),
+    "t7_winnowing_fp" -> ((s, dir) => {
+      // MOSS winnowing fingerprints: per-row (tokenize → gram-hash →
+      // windowed min → distinct), k=3 w=4 so any shared run of ≥ 6
+      // tokens between two documents shares a fingerprint
+      val p = s.sessionState.conf.numShufflePartitions
+      graft.operators.Winnowing
+        .fingerprintTable(Tables(s, dir, "documents").repartition(p),
+          "doc_id", "text", k = 3, w = 4)
+        .select(col("id").as("doc_id"), col("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    }),
     "t4_fingerprint" -> ((s, dir) => {
       // rebalance BEFORE the per-row md5 sketch: a single-file corpus
       // scans as 1-3 partitions, which would pin the CPU-heavy gram
@@ -154,6 +165,19 @@ object TextQueries {
       s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM (
          | SELECT doc_id, unnest(list_distinct($wordsExpr)) AS word FROM documents)
          |GROUP BY word ORDER BY df DESC, word LIMIT 20""".stripMargin,
+    "t7_winnowing_fp" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |hs AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+         |   i -> ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs
+         | FROM ww WHERE len(w) >= 3),
+         |fps AS (SELECT doc_id,
+         |  CASE WHEN len(hs) >= 4 THEN
+         |    list_distinct(list_transform(range(1, len(hs) - 2),
+         |      i -> list_min(hs[i : i + 3])))
+         |   ELSE [list_min(hs)] END AS fps
+         | FROM hs)
+         |SELECT doc_id, unnest(fps) AS fp FROM fps
+         |ORDER BY doc_id, fp""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          | list_min($gramHashesSql) AS fingerprint,

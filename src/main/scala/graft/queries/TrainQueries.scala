@@ -23,6 +23,7 @@ object TrainQueries {
   private val ChunkOverlap = 16
   private val ChunkStep = ChunkSize - ChunkOverlap
   private val BloomM = 65536
+  private val CdcDivisor = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -88,6 +89,16 @@ object TrainQueries {
     "ch1_chunking" -> ((s, dir) => {
       Chunker.chunk(Tables(s, dir, "documents"), "doc_id", "text",
           ChunkSize, ChunkOverlap)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "cd1_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: boundaries from token-hash divisibility
+      // (expected chunk = CdcDivisor tokens), so edits only reshape the
+      // chunks they touch — ch1's fixed windows are the offset-based twin
+      Chunker.contentDefined(Tables(s, dir, "documents"), "doc_id", "text",
+          divisor = CdcDivisor)
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
@@ -203,6 +214,28 @@ object TrainQueries {
          |   ' ') AS chunk_text,
          | CAST(least($ChunkSize, n - chunk_idx * $ChunkStep) AS INTEGER) AS n_tokens
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cd1_cdc_chunks" ->
+      // coalesce mirrors contentDefined's null-text == empty-text contract;
+      // B holds 1-based chunk-start token positions, chunk i ends before
+      // the next start (or after the last token)
+      s"""WITH ww AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS w
+         | FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS n FROM ww),
+         |b AS (SELECT doc_id, w, n,
+         |  list_concat([CAST(1 AS BIGINT)],
+         |    list_filter(range(2, n + 1),
+         |      p -> CAST(concat('0x', substr(md5(w[p]), 1, 15)) AS BIGINT)
+         |        % $CdcDivisor = 0)) AS starts
+         | FROM c),
+         |e AS (SELECT doc_id, w, n, starts,
+         |  unnest(range(1, len(starts) + 1)) AS ci
+         | FROM b)
+         |SELECT doc_id, CAST(ci - 1 AS INTEGER) AS chunk_idx,
+         | array_to_string(w[starts[ci] : coalesce(starts[ci + 1], n + 1) - 1], ' ')
+         |  AS chunk_text,
+         | CAST(coalesce(starts[ci + 1], n + 1) - starts[ci] AS INTEGER) AS n_tokens
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "bf1_bloom_decontam" ->
       s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
          |g5 AS (SELECT doc_id, unnest(${shingleExpr(ContamN)}) AS gram

@@ -209,4 +209,34 @@ class PlanAuditSpec extends AnyFunSuite {
     // the band-bucket candidate join is keyed on (band, bkey)
     assert(p.contains("bkey"), p)
   }
+
+  test("d9 substring spans: dup-hash back-join is shuffle-hash on h, counts partial-aggregated") {
+    val p = planOf("d9_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the dup set is unbounded in a fully-templated corpus — a
+    // broadcast guess here dies at scale, shuffle-hash is pinned
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // window-hash counting must partial-aggregate map-side (two
+    // HashAggregates around the h exchange), not ship raw windows
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("d10 winnowing pairs: bucketed by fingerprint value — keyed hash join, no all-pairs") {
+    val p = planOf("d10_winnowing_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // fingerprint selection is per-row: no exchange may appear between
+    // the scan and the explode of the fingerprint set
+    assert(p.contains("fp"), p)
+  }
+
+  test("cd1 content-defined chunking: narrow per-row plan — no exchange before the final sort") {
+    val df = graft.operators.Chunker.contentDefined(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 16)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
