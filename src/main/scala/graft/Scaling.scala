@@ -128,8 +128,12 @@ object Scaling {
         k = 5, centroidMod = mod, centroidRem = 7, nProbe = 4)
     }
 
+    // d9/d10 ride the same replica-disjoint corpus: window hashes and
+    // winnowing fingerprints never collide across replicas (every word
+    // carries the replica suffix), so their duplicate structure per
+    // unit volume is preserved exactly like the shingle family's
     val fixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
-      "n3_ann_ivf")
+      "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf")
     // warm codegen on the tiny sibling so neither scale pays Janino
     val warmDir = Paths.get(base).getParent.resolve("sf0.001").toString
     fixed.foreach(q => try SparkEntry.queries(q)(spark, warmDir)
@@ -166,7 +170,14 @@ object Scaling {
          |
          || query | sf0.1 (s) | sf1 (s) | ratio | exponent |
          ||---|---|---|---|---|
-         |${lines.mkString("\n")}
+         |${lines.mkString("\n|")}
+         |
+         |`d6_dedup_clusters` builds its cluster map EAGERLY at DAG-build
+         |time (the exact-count-gated union-find over the tiny rep-pair
+         |graph), which the bind-once protocol deliberately excludes from
+         |the timed window — its row times the corpus-sized member-label
+         |join only; the build cost is d2's row (the pair pipeline is the
+         |same) plus a pair-graph pass that is sub-second at both scales.
          |
          |`n3_ann_ivf` pins `centroidMod = 23` (oracle stability), so
          |centroid count grows ∝ n and broadcast assignment does n·C ∝ n²

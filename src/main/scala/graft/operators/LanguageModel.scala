@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model quality scoring (LLM-pipeline op):
+  * the CCNet/KenLM-style filter — train a bigram model on a reference
+  * corpus, score each candidate document by its mean in-model bigram
+  * probability, and gate ingestion on the score (gibberish, boilerplate
+  * markup, and wrong-language text all score low against an in-domain
+  * model). Probabilities are add-one (Laplace) smoothed:
+  * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V), V the training vocabulary
+  * size — so out-of-model bigrams score small but non-zero and the mean
+  * stays defined for every document.
+  *
+  * Mean-of-probabilities rather than the classic mean-log-likelihood:
+  * ln() rounds differently across engines' libm (the [[TfIdf]]
+  * precedent), while each p here is ONE IEEE double division and the
+  * per-document sum is a FIXED left fold over the position-ordered
+  * probability array — bit-identical to DuckDB's `list_reduce`. The
+  * score orders documents by in-model mass either way; the contract is
+  * declared as the mean probability.
+  *
+  * Scale shape: counts are map-side-combinable aggregates keyed on the
+  * bigram/history (vocabulary-sized, not corpus-sized); the score pass
+  * joins the exploded candidate bigrams to both count tables
+  * shuffle-hash (a corpus-wide vocabulary must never be broadcast-
+  * guessed); V rides as a broadcast scalar. The per-document fold is
+  * one grouped collect of (pos, p) pairs — document-length bounded —
+  * sorted in-row, never a partition-wide window sort. Nothing is
+  * collected to the driver.
+  */
+object LanguageModel {
+
+  /** (id, pos, w1, w2) — one row per adjacent token pair, pos the
+    * 0-based bigram position. Documents with fewer than two tokens
+    * contribute nothing (and score as absent downstream). */
+  def bigramTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("id"),
+        posexplode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
+      .select(col("id"), col("pos"), col("bg.w1"), col("bg.w2"))
+
+  /** Score `docs` against a bigram model trained on `train`:
+    * (id, n_bigrams, sum_p, mean_p). Both passes shred text once via
+    * [[bigramTable]]; pass the same DataFrame for self-scoring. */
+  def bigramScore(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = train.sparkSession.sessionState.conf.numShufflePartitions
+    val tbg = bigramTable(train, idCol, textCol)
+    val c2 = tbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = tbg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = train
+      .select(explode(TextOps.words(col(textCol))).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    bigramTable(docs.repartition(p), idCol, textCol)
+      // left joins: a candidate bigram absent from the model must keep
+      // its row (c2 → 0), not silently shorten the document
+      .join(c2.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("p",
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("p"))).as("ps"))
+      // collect_list order is partition-dependent; the in-row sort on
+      // the unique pos restores the positional fold order
+      .select(col("id"),
+        transform(array_sort(col("ps")), s => s.getField("p")).as("ps"))
+      .select(col("id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        aggregate(col("ps"), lit(0.0), (acc, x) => acc + x).as("sum_p"))
+      .withColumn("mean_p", col("sum_p") / col("n_bigrams"))
+  }
+}

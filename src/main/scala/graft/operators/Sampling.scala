@@ -54,6 +54,42 @@ object Sampling {
     * with full reruns. Rates are a small when-chain literal (domain
     * weight tables are tens of entries); rate 1.0 keeps everything
     * (2⁶⁰ exceeds every 60-bit hash), rate 0.0 keeps nothing. */
+  /** Rate-based deterministic UPSAMPLING — the other half of the
+    * corpus-mixing contract: [[weightedMixture]] expresses rates in
+    * [0, 1] (drop-only); training mixes also repeat scarce domains
+    * (rate 2.5 = every row twice, plus a third copy for a
+    * deterministic 50% of rows). Row (s, id) yields
+    * `floor(rate(s))` copies plus one more iff the seeded portable
+    * id-hash falls under `frac(rate(s)) · 2⁶⁰` — so expected copies
+    * equal the rate exactly, the keep/repeat decision for a given
+    * (seed, id) never changes as the corpus grows (incremental-run
+    * consistent, same argument as weightedMixture), and rate ≤ 1
+    * degenerates to weightedMixture with a `copy_idx` 0 column.
+    * Pure per-row explode of a bounded sequence — no shuffle; output
+    * is input columns + `copy_idx` (0-based within the row's copies).
+    * Rows whose stratum rates 0 copies disappear before the explode. */
+  def weightedUpsample(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double, seed: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 100),
+      "rates must be in [0, 100]")
+    def base(r: Double) = lit(math.floor(r).toLong)
+    def thr(r: Double) = lit(((r - math.floor(r)) * (1L << 60).toDouble).toLong)
+    val baseC = rates.foldLeft(base(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, base(r)).otherwise(acc)
+    }
+    val thrC = rates.foldLeft(thr(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, thr(r)).otherwise(acc)
+    }
+    val h = TextOps.hexHash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    df.withColumn("n_copies", baseC + when(h < thrC, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      // sequence(0, n-1) is safe here: n_copies >= 1 is enforced by the
+      // filter above, so the sequence never runs backwards
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   def weightedMixture(
       df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double, seed: Int): DataFrame = {

@@ -76,4 +76,26 @@ object Winnowing {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[sharedPairs]] candidates VERIFIED by exact edit distance:
+    * (id_a, id_b, n_shared, dist) for candidates with
+    * levenshtein ≤ maxDist — the candidate-generate → exact-verify
+    * two-phase shape of every dedup family here (LSH verifies
+    * Jaccard, simhash verifies Hamming, winnowing verifies edit
+    * distance). The O(len²) Levenshtein runs ONLY on candidate
+    * pairs (bounded by fingerprint buckets), never corpus-wide; the
+    * two text lookups are keyed shuffle-hash joins. */
+  def editVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDist: Int): DataFrame = {
+    val pairs = sharedPairs(docs, idCol, textCol, k, w, minShared)
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    pairs
+      .join(ta.hint("shuffle_hash"), Seq("id_a"))
+      .join(tb.hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dist"))
+  }
 }

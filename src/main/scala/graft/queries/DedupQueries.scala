@@ -55,9 +55,10 @@ object DedupQueries {
   private val R = K / Bands
   private val MinhashThreshold = 0.8
 
-  // ---- d9/d10 constants (must match the Spark calls) -----------------
+  // ---- d9/d10/d11 constants (must match the Spark calls) -------------
   private val SpanL = 8
   private val WinShared = 10
+  private val EditMaxDist = 20
 
   /** The d6 clustering DataFrame — [[MinHashLSH.nearDupClusters]] runs
     * the iterative connected-components pass on the verified
@@ -138,6 +139,15 @@ object DedupQueries {
       graft.operators.Winnowing
         .sharedPairs(corpusDocs(s, dir), "doc_id", "text",
           k = 3, w = 4, minShared = WinShared)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d11_edit_verify" -> ((s, dir) => {
+      // candidate-generate → exact-verify: winnowing candidates
+      // confirmed by Levenshtein ≤ EditMaxDist — edit distance runs on
+      // candidates only, never corpus-wide
+      graft.operators.Winnowing
+        .editVerifiedPairs(corpusDocs(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = WinShared, maxDist = EditMaxDist)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d7_semantic_dedup" -> ((s, dir) => {
@@ -367,10 +377,11 @@ object DedupQueries {
        |FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start""".stripMargin
   }
 
-  /** d10 mirror: the t7 winnowing chain (k=3, w=4) over the dup corpus,
-    * then pairs through shared fingerprint values. */
-  private val d10Oracle: String =
-    s"""WITH $corpusSql,
+  /** Winnowing CTE chain over the dup corpus (k=3, w=4): corpus →
+    * gram hashes → fingerprints → exploded → candidate pairs with
+    * shared counts. Shared by d10 (pairs) and d11 (edit-verified). */
+  private val winnowCtes: String =
+    s"""$corpusSql,
        |$wordsSql,
        |hs AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
        |   i -> ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs
@@ -381,16 +392,33 @@ object DedupQueries {
        |      i -> list_min(hs[i : i + 3])))
        |   ELSE [list_min(hs)] END AS fps
        | FROM hs),
-       |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       | CAST(COUNT(*) AS BIGINT) AS n_shared
-       |FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $WinShared
+       |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+       |wpr AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       | FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $WinShared)""".stripMargin
+
+  /** d10 mirror: the t7 winnowing chain over the dup corpus, then
+    * pairs through shared fingerprint values. */
+  private val d10Oracle: String =
+    s"""WITH $winnowCtes
+       |SELECT id_a, id_b, n_shared FROM wpr ORDER BY id_a, id_b""".stripMargin
+
+  /** d11 mirror: d10's candidates verified by exact edit distance. */
+  private val d11Oracle: String =
+    s"""WITH $winnowCtes
+       |SELECT wpr.id_a, wpr.id_b, wpr.n_shared,
+       | CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS dist
+       |FROM wpr JOIN corpus ca ON ca.doc_id = wpr.id_a
+       | JOIN corpus cb ON cb.doc_id = wpr.id_b
+       |WHERE levenshtein(ca.text, cb.text) <= $EditMaxDist
        |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d9_substring_spans" -> d9Oracle,
     "d10_winnowing_pairs" -> d10Oracle,
+    "d11_edit_verify" -> d11Oracle,
     "d7_semantic_dedup" -> d7Oracle,
     "d8_incremental_screen" -> d8Oracle,
     "d1_exact_dedup" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{BloomContamination, Chunker, Contamination, QualityRules, Salt, SequencePacker, TextOps, TfIdf}
+import graft.operators.{BloomContamination, Chunker, Contamination, QualityRules, Salt, Sampling, SequencePacker, TextOps, TfIdf}
 
 /** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
   * term weighting, Gopher-style rule filters, intra-document repetition,
@@ -24,6 +24,8 @@ object TrainQueries {
   private val ChunkStep = ChunkSize - ChunkOverlap
   private val BloomM = 65536
   private val CdcDivisor = 16
+  private val UpRates = Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25)
+  private val UpSeed = 7
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -93,6 +95,25 @@ object TrainQueries {
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    "mix2_upsample" -> ((s, dir) => {
+      // domain upsampling (the rate > 1 half of corpus mixing): scarce
+      // languages repeat deterministically, the dominant one thins
+      Sampling.weightedUpsample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", UpRates, defaultRate = 1.0, seed = UpSeed)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+    "lm1_bigram_score" -> ((s, dir) => {
+      // CCNet/KenLM-style LM quality filter, self-scored: train the
+      // add-one-smoothed bigram model on the corpus and score each doc
+      // by mean in-model bigram probability (fixed-fold double sum)
+      val d = Tables(s, dir, "documents")
+      graft.operators.LanguageModel.bigramScore(d, d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_p"),
+          col("mean_p"))
+        .orderBy(col("doc_id"))
+    }),
     "cd1_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking: boundaries from token-hash divisibility
       // (expected chunk = CdcDivisor tokens), so edits only reshape the
@@ -133,7 +154,30 @@ object TrainQueries {
     s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $parts))"
   }
 
+  /** mix2 mirror: base copies + fractional top-up from the same seeded
+    * 60-bit hash and the same integer thresholds (generated from
+    * [[UpRates]], so a rate edit cannot desynchronize the engines). */
+  private val mix2Oracle: String = {
+    def thr(r: Double): Long = ((r - math.floor(r)) * (1L << 60).toDouble).toLong
+    def baseOf(r: Double): Long = math.floor(r).toLong
+    val baseCase = UpRates.map { case (l, r) => s"WHEN '$l' THEN ${baseOf(r)}" }
+      .mkString(" ")
+    val thrCase = UpRates.map { case (l, r) => s"WHEN '$l' THEN ${thr(r)}" }
+      .mkString(" ")
+    s"""WITH r AS (SELECT doc_id, lang,
+       |  CASE lang $baseCase ELSE ${baseOf(1.0)} END AS base,
+       |  CASE lang $thrCase ELSE ${thr(1.0)} END AS thr,
+       |  CAST(concat('0x', substr(md5('$UpSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       | FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |  base + CASE WHEN h < thr THEN 1 ELSE 0 END AS n FROM r)
+       |SELECT doc_id, lang, unnest(range(0, n)) AS copy_idx
+       |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "mix2_upsample" -> mix2Oracle,
     "tf1_tfidf_topk" ->
       s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
          |wv AS (SELECT doc_id, word FROM wx WHERE word <> ''),
@@ -214,6 +258,31 @@ object TrainQueries {
          |   ' ') AS chunk_text,
          | CAST(least($ChunkSize, n - chunk_idx * $ChunkStep) AS INTEGER) AS n_tokens
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "lm1_bigram_score" ->
+      // bigram LM mirror: history counts from the bigram table (GROUP BY
+      // w1), vocabulary from ALL corpus words; probabilities fold in
+      // position order — list_reduce's first-element seed matches
+      // Spark's 0.0 seed bit-exactly because 0.0 + p == p for p > 0
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |bg AS (SELECT doc_id, i AS pos, w[i] AS w1, w[i + 1] AS w2
+         | FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |        FROM ww WHERE len(w) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         | FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         | FROM bg GROUP BY w1),
+         |v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+         | FROM (SELECT unnest(w) AS word FROM ww)),
+         |pr AS (SELECT bg.doc_id, bg.pos,
+         |  CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+         |    / (coalesce(c1.c1, 0) + v.v) AS p
+         | FROM bg LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+         |  LEFT JOIN c1 ON bg.w1 = c1.w1, v),
+         |s AS (SELECT doc_id, list(p ORDER BY pos) AS ps FROM pr GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+         | list_reduce(ps, (a, x) -> a + x) AS sum_p,
+         | list_reduce(ps, (a, x) -> a + x) / len(ps) AS mean_p
+         |FROM s ORDER BY doc_id""".stripMargin,
     "cd1_cdc_chunks" ->
       // coalesce mirrors contentDefined's null-text == empty-text contract;
       // B holds 1-based chunk-start token positions, chunk i ends before

@@ -232,6 +232,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("fp"), p)
   }
 
+  test("lm1 bigram LM: model joins are shuffle-hash, V broadcast — no sort-merge, no corpus window") {
+    val p = planOf("lm1_bigram_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // the vocabulary-size scalar rides as a broadcast, nothing else does
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // per-doc prob fold is an in-row sort after a grouped collect —
+    // a partition-wide Window sort over the exploded bigrams must not appear
+    assert(!p.contains("Window"), p)
+  }
+
   test("cd1 content-defined chunking: narrow per-row plan — no exchange before the final sort") {
     val df = graft.operators.Chunker.contentDefined(
       graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 16)

@@ -32,6 +32,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.count(_._1 == "a") == 10 && s.count(_._1 == "b") == 10)
   }
 
+  test("weightedUpsample: expected copies per stratum, deterministic, incremental-consistent") {
+    import spark.implicits._
+    val rates = Map("a" -> 2.5, "b" -> 0.25)
+    def copies(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedUpsample(df, "g", "id", rates, defaultRate = 1.0, seed = 3)
+        .groupBy("g", "id").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = copies(data(4))
+    // stratum a: every row 2 or 3 copies; b: 0 or 1; fraction ≈ rate
+    val aCopies = m.collect { case (("a", _), c) => c }
+    assert(aCopies.forall(c => c == 2L || c == 3L))
+    assert(math.abs(aCopies.sum.toDouble / aCopies.size - 2.5) < 0.15)
+    val bIds = (1 to 1000).filter(_ % 3 != 0)
+    val bKept = m.collect { case (("b", _), c) => c }
+    assert(bKept.forall(_ == 1L)) // zero-copy rows are absent, not 0-counted
+    assert(math.abs(bKept.size.toDouble / bIds.size - 0.25) < 0.1)
+    // growing the corpus never changes an existing row's copy count
+    val half = copies(data(4).filter($"id" <= 500))
+    assert(half.forall { case (k, c) => m(k) == c })
+    // copy_idx is dense 0..n-1 per row
+    val idx = Sampling.weightedUpsample(data(2), "g", "id", rates, 1.0, seed = 3)
+      .filter($"g" === "a").groupBy("id")
+      .agg(sort_array(collect_list($"copy_idx")).as("is"))
+      .collect().map(_.getSeq[Long](1))
+    assert(idx.forall(is => is == (0L until is.size)))
+  }
+
   test("hash order is not id order (actually pseudo-random)") {
     val ids = Sampling.bottomK(data(4), "id", 20)
       .select("id").collect().map(_.getLong(0)).toSeq

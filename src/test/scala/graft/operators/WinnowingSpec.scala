@@ -79,6 +79,26 @@ class WinnowingSpec extends AnyFunSuite {
     assert(pairs.head._3 >= 1L)
   }
 
+  test("editVerifiedPairs: near-identical pair survives, high-distance candidate dies") {
+    import spark.implicits._
+    val shared = (0 until 14).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$shared tail one",          // vs 2: small suffix edit
+      2L -> s"$shared tail two",
+      3L -> s"$shared ${(0 until 12).map(i => s"x$i xx$i").mkString(" ")}", // shares fps, big distance
+      4L -> (0 until 25).map(i => s"z$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val verified = Winnowing.editVerifiedPairs(docs, "doc_id", "text",
+        K, W, minShared = 1, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(verified.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(verified.head._3 == 3) // "one" -> "two": o->t, n->w, e->o
+    // the (1,3)/(2,3) candidates existed but were distance-killed
+    val cand = Winnowing.sharedPairs(docs, "doc_id", "text", K, W, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+  }
+
   test("partitioning-invariant fingerprint sets") {
     import spark.implicits._
     val rows = (1 to 30).map(d =>
