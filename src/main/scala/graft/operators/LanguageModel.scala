@@ -52,9 +52,17 @@ object LanguageModel {
   def bigramScore(
       train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val p = train.sparkSession.sessionState.conf.numShufflePartitions
-    val tbg = bigramTable(train, idCol, textCol)
+    // rebalance BEFORE the CPU-heavy shred on BOTH sides (the
+    // shingleTable convention): a few-large-files corpus would
+    // otherwise tokenize on as many cores as it has files
+    val tbg = bigramTable(train.repartition(p), idCol, textCol)
     val c2 = tbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = tbg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // history counts are the per-w1 sums of c2 — derived, not
+    // re-aggregated from tbg, so the two model tables share one
+    // corpus-sized shred + exchange instead of shredding twice
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // V intentionally scans words (not c2's w1 ∪ w2): single-token
+    // documents contribute vocabulary but no bigram
     val v = train
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .agg(countDistinct(col("word")).as("v"))

@@ -54,6 +54,19 @@ object Sampling {
     * with full reruns. Rates are a small when-chain literal (domain
     * weight tables are tens of entries); rate 1.0 keeps everything
     * (2⁶⁰ exceeds every 60-bit hash), rate 0.0 keeps nothing. */
+  def weightedMixture(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double, seed: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    def threshold(r: Double) = lit((r * (1L << 60).toDouble).toLong)
+    val thr = rates.foldLeft(threshold(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, threshold(r)).otherwise(acc)
+    }
+    val h = TextOps.hexHash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    df.filter(h < thr)
+  }
+
   /** Rate-based deterministic UPSAMPLING — the other half of the
     * corpus-mixing contract: [[weightedMixture]] expresses rates in
     * [0, 1] (drop-only); training mixes also repeat scarce domains
@@ -88,18 +101,5 @@ object Sampling {
       // filter above, so the sequence never runs backwards
       .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
-  }
-
-  def weightedMixture(
-      df: DataFrame, strataCol: String, idCol: String,
-      rates: Map[String, Double], defaultRate: Double, seed: Int): DataFrame = {
-    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
-      "rates must be in [0, 1]")
-    def threshold(r: Double) = lit((r * (1L << 60).toDouble).toLong)
-    val thr = rates.foldLeft(threshold(defaultRate)) { case (acc, (s, r)) =>
-      when(col(strataCol) === s, threshold(r)).otherwise(acc)
-    }
-    val h = TextOps.hexHash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    df.filter(h < thr)
   }
 }

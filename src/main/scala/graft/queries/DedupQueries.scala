@@ -57,6 +57,8 @@ object DedupQueries {
 
   // ---- d9/d10/d11 constants (must match the Spark calls) -------------
   private val SpanL = 8
+  private val WinK = 3
+  private val WinW = 4
   private val WinShared = 10
   private val EditMaxDist = 20
 
@@ -138,7 +140,7 @@ object DedupQueries {
       // bucketed by fingerprint value, never all-pairs
       graft.operators.Winnowing
         .sharedPairs(corpusDocs(s, dir), "doc_id", "text",
-          k = 3, w = 4, minShared = WinShared)
+          k = WinK, w = WinW, minShared = WinShared)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d11_edit_verify" -> ((s, dir) => {
@@ -147,7 +149,7 @@ object DedupQueries {
       // candidates only, never corpus-wide
       graft.operators.Winnowing
         .editVerifiedPairs(corpusDocs(s, dir), "doc_id", "text",
-          k = 3, w = 4, minShared = WinShared, maxDist = EditMaxDist)
+          k = WinK, w = WinW, minShared = WinShared, maxDist = EditMaxDist)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "d7_semantic_dedup" -> ((s, dir) => {
@@ -380,16 +382,17 @@ object DedupQueries {
   /** Winnowing CTE chain over the dup corpus (k=3, w=4): corpus →
     * gram hashes → fingerprints → exploded → candidate pairs with
     * shared counts. Shared by d10 (pairs) and d11 (edit-verified). */
-  private val winnowCtes: String =
+  private val winnowCtes: String = {
+    val gram = (0 until WinK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"""$corpusSql,
        |$wordsSql,
-       |hs AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
-       |   i -> ${hex60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS hs
-       | FROM w WHERE len(w) >= 3),
+       |hs AS (SELECT doc_id, list_transform(range(1, len(w) - ${WinK - 2}),
+       |   i -> ${hex60(gram)}) AS hs
+       | FROM w WHERE len(w) >= $WinK),
        |fps AS (SELECT doc_id,
-       |  CASE WHEN len(hs) >= 4 THEN
-       |    list_distinct(list_transform(range(1, len(hs) - 2),
-       |      i -> list_min(hs[i : i + 3])))
+       |  CASE WHEN len(hs) >= $WinW THEN
+       |    list_distinct(list_transform(range(1, len(hs) - ${WinW - 2}),
+       |      i -> list_min(hs[i : i + ${WinW - 1}])))
        |   ELSE [list_min(hs)] END AS fps
        | FROM hs),
        |fpe AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
@@ -398,6 +401,7 @@ object DedupQueries {
        |  CAST(COUNT(*) AS BIGINT) AS n_shared
        | FROM fpe a JOIN fpe b ON a.fp = b.fp AND a.doc_id < b.doc_id
        | GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $WinShared)""".stripMargin
+  }
 
   /** d10 mirror: the t7 winnowing chain over the dup corpus, then
     * pairs through shared fingerprint values. */

@@ -232,6 +232,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("fp"), p)
   }
 
+  test("top-k windows carry WindowGroupLimit — rank filter prunes map-side, not post-sort") {
+    // Spark's InferWindowGroupLimit turns `row_number() <= k` into a
+    // partial per-partition top-k BEFORE the window shuffle; losing the
+    // pattern (e.g. a filter rewrite the rule can't match) silently
+    // re-sorts whole partitions at scale. Pin it on every top-k shape.
+    for (q <- Seq("tf1_tfidf_topk", "sm1_stratified_sample", "w1_rank_window")) {
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n$p")
+    }
+  }
+
   test("lm1 bigram LM: model joins are shuffle-hash, V broadcast — no sort-merge, no corpus window") {
     val p = planOf("lm1_bigram_score")
     assert(!p.contains("CartesianProduct"), p)
