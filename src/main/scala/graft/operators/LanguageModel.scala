@@ -46,15 +46,33 @@ object LanguageModel {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
       .select(col("id"), col("pos"), col("bg.w1"), col("bg.w2"))
 
-  /** Score `docs` against a bigram model trained on `train`:
-    * (id, n_bigrams, sum_p, mean_p). Both passes shred text once via
-    * [[bigramTable]]; pass the same DataFrame for self-scoring. */
-  def bigramScore(
-      train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** A frozen bigram model: the two count tables and the vocabulary
+    * scalar. [[trainModel]] returns them cached and materialized so N
+    * scoring passes (incremental batches, a long-running stream) cost
+    * batch-sized work only; the caller owns the lifetime —
+    * [[release]] when done. */
+  final case class BigramModel(c2: DataFrame, c1: DataFrame, v: DataFrame) {
+    def release(): Unit = { c2.unpersist(); c1.unpersist(); v.unpersist() }
+  }
+
+  /** One corpus-sized pass → cached model tables (the
+    * [[graft.operators.MinHashLSH.buildIndex]] discipline: eager
+    * materialize, unpersist everything on failure). */
+  def trainModel(train: DataFrame, idCol: String, textCol: String): BigramModel = {
+    val (c2, c1, v) = modelTables(train, idCol, textCol)
+    val m = BigramModel(c2.cache(), c1.cache(), v.cache())
+    try { m.c2.count(); m.c1.count(); m.v.count(); m }
+    catch { case t: Throwable => m.release(); throw t }
+  }
+
+  /** The model tables as a lazy plan (uncached — [[bigramScore]]'s
+    * one-shot path; [[trainModel]] adds the caching). */
+  private def modelTables(
+      train: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val p = train.sparkSession.sessionState.conf.numShufflePartitions
-    // rebalance BEFORE the CPU-heavy shred on BOTH sides (the
-    // shingleTable convention): a few-large-files corpus would
-    // otherwise tokenize on as many cores as it has files
+    // rebalance BEFORE the CPU-heavy shred (the shingleTable
+    // convention): a few-large-files corpus would otherwise tokenize
+    // on as many cores as it has files
     val tbg = bigramTable(train.repartition(p), idCol, textCol)
     val c2 = tbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // history counts are the per-w1 sums of c2 — derived, not
@@ -66,12 +84,20 @@ object LanguageModel {
     val v = train
       .select(explode(TextOps.words(col(textCol))).as("word"))
       .agg(countDistinct(col("word")).as("v"))
+    (c2, c1, v)
+  }
+
+  /** Score `docs` against a frozen [[BigramModel]]:
+    * (id, n_bigrams, sum_p, mean_p) — batch-sized work per call. */
+  def scoreWith(
+      model: BigramModel, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
     bigramTable(docs.repartition(p), idCol, textCol)
       // left joins: a candidate bigram absent from the model must keep
       // its row (c2 → 0), not silently shorten the document
-      .join(c2.hint("shuffle_hash"), Seq("w1", "w2"), "left")
-      .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
-      .crossJoin(broadcast(v))
+      .join(model.c2.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(model.c1.hint("shuffle_hash"), Seq("w1"), "left")
+      .crossJoin(broadcast(model.v))
       .withColumn("p",
         (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")))
@@ -85,5 +111,14 @@ object LanguageModel {
         size(col("ps")).cast("long").as("n_bigrams"),
         aggregate(col("ps"), lit(0.0), (acc, x) => acc + x).as("sum_p"))
       .withColumn("mean_p", col("sum_p") / col("n_bigrams"))
+  }
+
+  /** One-shot train + score as a single lazy plan (nothing cached —
+    * the oracle-friendly shape): (id, n_bigrams, sum_p, mean_p).
+    * Pass the same DataFrame for self-scoring. */
+  def bigramScore(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (c2, c1, v) = modelTables(train, idCol, textCol)
+    scoreWith(BigramModel(c2, c1, v), docs, idCol, textCol)
   }
 }

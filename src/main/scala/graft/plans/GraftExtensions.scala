@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{And, BitwiseAnd, Cast, Concat, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThanOrEqual, If, IsNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Not, Or, RaiseError, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{And, BitwiseAnd, Cast, Concat, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, IsNull, LambdaFunction, LessThan, LessThanOrEqual, Literal, Not, Or, RaiseError, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 /** Session-extension entry point (SURVEY §7.3): registers the engine's
   * native expressions into the SQL function registry so `spark.sql`
@@ -180,6 +180,77 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 Cast(fn("%", pos, Literal(32L)), IntegerType))
               Not(EqualTo(BitwiseAnd(Cast(word, LongType), mask), Literal(0L)))
             }.reduce[Expression](And(_, _))
+          }),
+          Literal(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fps(text, k, w) takes three arguments")
+        val k = intArg(args(1), "winnow_fps", "k")
+        val w = intArg(args(2), "winnow_fps", "w")
+        require(k >= 1 && w >= 1, s"winnow_fps: need k >= 1 and w >= 1, got k=$k w=$w")
+        // same trees as Winnowing.fingerprintSet: tokenize → k-gram →
+        // hex_hash60 → windowed min → distinct, each array bound once
+        // as a lambda variable (null text flows to an empty result
+        // through size(null)'s null condition, like the Column API)
+        val wordsE = fn("split",
+          fn("trim", fn("lower", args.head)), Literal("\\s+"))
+        val gramsE = fn("element_at",
+          fn("transform", fn("array", wordsE), lam("wf_w") { wv =>
+            If(GreaterThanOrEqual(fn("size", wv), Literal(k)),
+              fn("transform",
+                fn("sequence", Literal(0), fn("-", fn("size", wv), Literal(k))),
+                lam("wf_i") { i =>
+                  fn("concat_ws", (Literal(" ") +: (0 until k).map(j =>
+                    fn("element_at", wv, fn("+", i, Literal(j + 1))))): _*)
+                }),
+              Cast(fn("array"), ArrayType(StringType)))
+          }),
+          Literal(1))
+        val hashesE = fn("transform", gramsE, lam("wf_g") { g => HexHash60(g) })
+        fn("element_at",
+          fn("transform", fn("array", hashesE), lam("wf_hs") { hs =>
+            If(GreaterThanOrEqual(fn("size", hs), Literal(w)),
+              fn("array_distinct", fn("transform",
+                fn("sequence", Literal(1),
+                  fn("+", fn("-", fn("size", hs), Literal(w)), Literal(1))),
+                lam("wf_j") { j =>
+                  fn("array_min", fn("slice", hs, j, Literal(w))) })),
+              If(GreaterThan(fn("size", hs), Literal(0)),
+                fn("array", fn("array_min", hs)),
+                Cast(fn("array"), ArrayType(LongType))))
+          }),
+          Literal(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_starts"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "cdc_starts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cdc_starts(text, divisor) takes two arguments")
+        val divisor = intArg(args(1), "cdc_starts", "divisor")
+        require(divisor >= 2, s"cdc_starts: need divisor >= 2, got $divisor")
+        // Chunker.contentDefined's boundary rule as a scalar: 1-based
+        // chunk-start token positions (position 1 always; p >= 2 iff
+        // hex_hash60(token_p) % divisor == 0). Null text == empty text
+        // == single start [1], the every-row-survives contract.
+        val wordsE = fn("split",
+          fn("trim", fn("lower", fn("coalesce", args.head, Literal("")))),
+          Literal("\\s+"))
+        fn("element_at",
+          fn("transform", fn("array", wordsE), lam("cdc_w") { wv =>
+            fn("concat",
+              fn("array", Literal(1)),
+              If(GreaterThanOrEqual(fn("size", wv), Literal(2)),
+                fn("filter", fn("sequence", Literal(2), fn("size", wv)),
+                  lam("cdc_p") { p =>
+                    EqualTo(
+                      fn("%", HexHash60(fn("element_at", wv, p)),
+                        Literal(divisor.toLong)),
+                      Literal(0L))
+                  }),
+                Cast(fn("array"), ArrayType(IntegerType))))
           }),
           Literal(1))
       }))

@@ -132,6 +132,49 @@ class SqlParitySpec extends AnyFunSuite {
     assert(misses == 0)
   }
 
+  test("winnow_fps via spark.sql equals Winnowing.fingerprintSet") {
+    import graft.operators.Winnowing
+    docs.createOrReplaceTempView("parity_docs")
+    val sql = spark.sql(
+      """SELECT doc_id AS id, fp
+        |FROM parity_docs
+        |LATERAL VIEW explode(winnow_fps(text, 3, 4)) AS fp
+        |ORDER BY id, fp""".stripMargin)
+    val api = Winnowing.fingerprintTable(docs, "doc_id", "text", 3, 4)
+      .orderBy("id", "fp")
+    assert(sql.schema == api.schema, s"${sql.schema} vs ${api.schema}")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    assert(sql.count() > 0)
+    // degenerate windows: the two-token doc has no 3-gram → no row;
+    // null text → no row — both engines drop them identically
+    assert(sql.filter(col("id").isin(2L, 3L)).count() == 0)
+  }
+
+  test("cdc_starts via spark.sql rebuilds Chunker.contentDefined exactly") {
+    import graft.operators.Chunker
+    docs.createOrReplaceTempView("parity_docs")
+    // the primitive exposes boundary starts; ends derive in plain SQL
+    // (next start, else n+1) — a SQL user can chunk content-defined
+    // without the Scala API
+    val sql = spark.sql(
+      """WITH t AS (SELECT doc_id,
+        |    split(trim(lower(coalesce(text, ''))), '\\s+') AS w,
+        |    cdc_starts(text, 4) AS st
+        |  FROM parity_docs)
+        |SELECT doc_id AS id, pos AS chunk_idx,
+        |  concat_ws(' ', slice(w, s, coalesce(get(st, pos + 1), size(w) + 1) - s))
+        |    AS chunk_text,
+        |  coalesce(get(st, pos + 1), size(w) + 1) - s AS n_tokens
+        |FROM t LATERAL VIEW posexplode(st) AS pos, s
+        |ORDER BY id, chunk_idx""".stripMargin)
+    val api = Chunker.contentDefined(docs, "doc_id", "text", divisor = 4)
+      .orderBy("id", "chunk_idx")
+    assert(sql.schema == api.schema, s"${sql.schema} vs ${api.schema}")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // null-text row survives as one empty chunk in both forms
+    assert(sql.filter(col("id") === 3L).count() == 1)
+  }
+
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {
     docs.createOrReplaceTempView("parity_docs")
     val e1 = intercept[Exception](
