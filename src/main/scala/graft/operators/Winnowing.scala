@@ -94,8 +94,11 @@ object Winnowing {
     pairs
       .join(ta.hint("shuffle_hash"), Seq("id_a"))
       .join(tb.hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("dist") <= maxDist)
+      // thresholded form: O(len·maxDist) banded DP with early exit (-1
+      // past the bound) instead of the O(len²) full matrix — the exact
+      // distance is still returned for every pair within the bound
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("dist"))
   }
 }
