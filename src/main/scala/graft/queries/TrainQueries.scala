@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{BloomContamination, Chunker, Contamination, QualityRules, Salt, Sampling, SequencePacker, TextOps, TfIdf}
+import graft.operators.{BloomContamination, Chunker, Contamination, LinearClassifier, QualityRules, Salt, Sampling, SequencePacker, TextOps, TfIdf}
 
 /** Training-data curation corpus (LLM-pipeline ops, round 3): TF-IDF
   * term weighting, Gopher-style rule filters, intra-document repetition,
@@ -26,6 +26,8 @@ object TrainQueries {
   private val CdcDivisor = 16
   private val UpRates = Map("en" -> 0.5, "zh" -> 2.5, "fr" -> 1.25)
   private val UpSeed = 7
+  private val PtEpochs = 2
+  private val PtDim = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -124,6 +126,20 @@ object TrainQueries {
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    "pt1_perceptron" -> ((s, dir) => {
+      // integer-exact batch perceptron (lang='en' vs rest on
+      // [1, n_words, n_distinct]): the whole training trajectory is
+      // integer arithmetic, so DuckDB replays it epoch by epoch
+      val feat = LinearClassifier.featureTable(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang", "en")
+      LinearClassifier.trace(s,
+          LinearClassifier.trainPerceptron(feat, PtDim, PtEpochs))
+        .select(col("epoch"), col("n_miss"),
+          col("w").getItem(0).as("w_bias"),
+          col("w").getItem(1).as("w_words"),
+          col("w").getItem(2).as("w_distinct"))
+        .orderBy(col("epoch"))
+    }),
     "bf1_bloom_decontam" -> ((s, dir) => {
       // same benchmark/corpus split as c1; the filter build is an eager
       // filter-sized aggregate, then the probe plan carries the bits as
@@ -176,8 +192,41 @@ object TrainQueries {
        |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  /** pt1 mirror: the integer perceptron trajectory replayed as chained
+    * CTEs — e0 holds w = 0, each epoch CTE recomputes misses against
+    * the previous epoch's weights and folds the summed update in.
+    * Generated from [[PtEpochs]] so an epoch-count edit cannot
+    * desynchronize the engines. */
+  private val pt1Oracle: String = {
+    val dims = 0 until PtDim
+    def margin(p: String) =
+      s"y * (${dims.map(j => s"$p.w$j * x$j").mkString(" + ")}) <= 0"
+    val epochs = (1 to PtEpochs).map { e =>
+      val upd = dims.map(j =>
+        s"p.w$j + CAST(COALESCE(SUM(y * x$j) FILTER (WHERE ${margin("p")}), 0) AS BIGINT) AS w$j")
+        .mkString(",\n |  ")
+      s"""e$e AS (SELECT
+         |  CAST(COUNT(*) FILTER (WHERE ${margin("p")}) AS BIGINT) AS n_miss,
+         |  $upd
+         | FROM f CROSS JOIN e${e - 1} p
+         | GROUP BY ${dims.map(j => s"p.w$j").mkString(", ")})"""
+    }.mkString(",\n|")
+    val rows = (1 to PtEpochs).map(e =>
+      s"SELECT CAST($e AS INTEGER) AS epoch, n_miss, w0 AS w_bias, " +
+        s"w1 AS w_words, w2 AS w_distinct FROM e$e").mkString("\n|UNION ALL ")
+    s"""WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |  CAST(1 AS BIGINT) AS x0, CAST(len(w) AS BIGINT) AS x1,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS x2
+       | FROM (SELECT $wordsExpr AS w, lang FROM documents)),
+       |e0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+       |$epochs
+       |$rows
+       |ORDER BY epoch""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "mix2_upsample" -> mix2Oracle,
+    "pt1_perceptron" -> pt1Oracle,
     "tf1_tfidf_topk" ->
       s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
          |wv AS (SELECT doc_id, word FROM wx WHERE word <> ''),

@@ -262,4 +262,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("pt1 perceptron epoch pass: one map-side-combinable global aggregate, pruned scan") {
+    import graft.operators.LinearClassifier
+    val feat = LinearClassifier.featureTable(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", "lang", "en")
+    val p = LinearClassifier.epochUpdate(feat, Seq(1L, 2L, 3L))
+      .queryExecution.explainString(FormattedMode)
+    // partial + final HashAggregate, the only exchange the 1-row gather
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // epoch pass never reads the id column — pruning reaches the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("doc_id"), readSchema)
+  }
 }
