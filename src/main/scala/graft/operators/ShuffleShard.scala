@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic global shuffle + sharding — the last step of a
+  * training-data pipeline: examples must reach the trainer in a fixed
+  * pseudo-random order, split into a fixed number of shard files, and
+  * the (shard, position) of every example must be reproducible from
+  * the data alone (re-running the export, resuming a failed one, or
+  * appending a corpus increment must never silently reorder what a
+  * trainer already consumed — the same determinism contract as
+  * [[Sampling.weightedMixture]]).
+  *
+  * Order is the seeded portable hash of the id: shard = h % shards,
+  * position = rank of (h, id) within the shard. Ids, not row content,
+  * drive placement, so two exports of the same corpus agree row for
+  * row regardless of upstream partitioning.
+  *
+  * Scale shape: one exchange keyed by shard plus a per-shard sort —
+  * the unavoidable minimum, since a totally-ordered shard file IS a
+  * sorted partition. Parallelism equals `shards`: size it to the
+  * cluster (hundreds-to-thousands of shards at 100 TB, exactly how
+  * training shards are sized in practice — shard files are read by
+  * data loaders, so their count is a product requirement, not a tuning
+  * knob). The 60-bit hash balances shard populations to within
+  * multinomial noise; no key skew is possible because ids are unique.
+  */
+object ShuffleShard {
+
+  /** (id, shard, pos) assignment: pos is 0-based and dense within each
+    * shard, ordered by (hash, id) — a total order, so ties from hash
+    * collisions cannot reorder between runs. */
+  def assign(df: DataFrame, idCol: String, shards: Int, seed: Int): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    df.select(col(idCol).as("id"))
+      .withColumn("h", TextOps.hexHash60(seed, col("id").cast("string")))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
+  /** Export face: join the assignment back to the payload and write
+    * one directory per shard with rows in shard order (parquet
+    * preserves within-file row order, so a loader reading shard=k gets
+    * positions 0..n-1 in sequence). */
+  def writeShards(
+      df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Unit =
+    df.join(assign(df, idCol, shards, seed).withColumnRenamed("id", idCol)
+        .hint("shuffle_hash"), Seq(idCol))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+}

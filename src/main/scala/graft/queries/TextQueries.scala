@@ -14,7 +14,18 @@ import graft.functions.TextAnalysis.langProfiles
   */
 object TextQueries {
 
+  private val HDim = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "he1_hashed_embedding" -> ((s, dir) => {
+      // vocabulary-free text embedding (hashing trick): signed bucket
+      // counts l2-normalized — integer-exact until one sqrt + divide
+      graft.operators.FeatureHashing
+        .hashedTable(Tables(s, dir, "documents"), "doc_id", "text", HDim)
+        .select(col("id").as("doc_id"), col("bucket").cast("int").as("bucket"),
+          col("c"), col("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
     "t1_lang_id" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val scored = langProfiles.foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -126,6 +137,20 @@ object TextQueries {
     s"list_transform(range(1, greatest(1, length(text) - 7) + 1), i -> ${hex60("substr(text, i, 8)")})"
 
   val oracle: Map[String, String] = Map(
+    "he1_hashed_embedding" ->
+      s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
+         |hb AS (SELECT doc_id,
+         |  ${hex60("word")} % $HDim AS bucket,
+         |  CASE WHEN CAST(concat('0x', substr(md5(word), 17, 15)) AS BIGINT) % 2 = 0
+         |       THEN 1 ELSE -1 END AS s
+         | FROM wx),
+         |c AS (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS c
+         | FROM hb GROUP BY doc_id, bucket HAVING SUM(s) <> 0),
+         |n AS (SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+         | FROM c GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(bucket AS INTEGER) AS bucket, c.c AS c,
+         | c.c / n.nrm AS weight
+         |FROM c JOIN n USING (doc_id) ORDER BY doc_id, bucket""".stripMargin,
     "t1_lang_id" -> {
       val scoreCols = langProfiles
         .map { case (l, p) => s"${scoreSql(p)} AS score_$l" }.mkString(",\n  ")

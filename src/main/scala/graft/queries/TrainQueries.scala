@@ -28,6 +28,8 @@ object TrainQueries {
   private val UpSeed = 7
   private val PtEpochs = 2
   private val PtDim = 3
+  private val ShShards = 8
+  private val ShSeed = 11
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -126,6 +128,23 @@ object TrainQueries {
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
+    "sh1_shuffle_shards" -> ((s, dir) => {
+      // deterministic training-export shuffle: seeded-hash order,
+      // dense 0-based positions within each shard
+      graft.operators.ShuffleShard.assign(
+          Tables(s, dir, "documents"), "doc_id", ShShards, ShSeed)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+    "sd1_segment_dedup" -> ((s, dir) => {
+      // corpus-wide first-occurrence segment dedup over the cd1
+      // segments, documents reassembled from their surviving segments
+      graft.operators.SegmentDedup.dedupSegments(
+          Tables(s, dir, "documents"), "doc_id", "text", CdcDivisor)
+        .select(col("id").as("doc_id"), col("n_segments"), col("n_kept"),
+          col("new_text"))
+        .orderBy(col("doc_id"))
+    }),
     "pt1_perceptron" -> ((s, dir) => {
       // integer-exact batch perceptron (lang='en' vs rest on
       // [1, n_words, n_distinct]): the whole training trajectory is
@@ -192,6 +211,32 @@ object TrainQueries {
        |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  /** Shared CDC segmentation CTE chain, ending at
+    * `seg(doc_id, chunk_idx, chunk_text, n_tokens)` — the DuckDB twin
+    * of [[Chunker.contentDefined]] used by cd1 and sd1. coalesce
+    * mirrors contentDefined's null-text == empty-text contract; B
+    * holds 1-based chunk-start token positions, chunk i ends before
+    * the next start (or after the last token). */
+  private val CdcSegCtes: String =
+    s"""ww AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS w
+       | FROM documents),
+       |c AS (SELECT doc_id, w, len(w) AS n FROM ww),
+       |b AS (SELECT doc_id, w, n,
+       |  list_concat([CAST(1 AS BIGINT)],
+       |    list_filter(range(2, n + 1),
+       |      p -> CAST(concat('0x', substr(md5(w[p]), 1, 15)) AS BIGINT)
+       |        % $CdcDivisor = 0)) AS starts
+       | FROM c),
+       |e AS (SELECT doc_id, w, n, starts,
+       |  unnest(range(1, len(starts) + 1)) AS ci
+       | FROM b),
+       |seg AS (SELECT doc_id, CAST(ci - 1 AS INTEGER) AS chunk_idx,
+       | array_to_string(w[starts[ci] : coalesce(starts[ci + 1], n + 1) - 1], ' ')
+       |  AS chunk_text,
+       | CAST(coalesce(starts[ci + 1], n + 1) - starts[ci] AS INTEGER) AS n_tokens
+       | FROM e)""".stripMargin
+
   /** pt1 mirror: the integer perceptron trajectory replayed as chained
     * CTEs — e0 holds w = 0, each epoch CTE recomputes misses against
     * the previous epoch's weights and folds the summed update in.
@@ -227,6 +272,15 @@ object TrainQueries {
   val oracle: Map[String, String] = Map(
     "mix2_upsample" -> mix2Oracle,
     "pt1_perceptron" -> pt1Oracle,
+    "sh1_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5('$ShSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS h
+         | FROM documents)
+         |SELECT doc_id, CAST(h % $ShShards AS INTEGER) AS shard,
+         | CAST(row_number() OVER (PARTITION BY h % $ShShards ORDER BY h, doc_id) - 1
+         |   AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
     "tf1_tfidf_topk" ->
       s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
          |wv AS (SELECT doc_id, word FROM wx WHERE word <> ''),
@@ -333,27 +387,24 @@ object TrainQueries {
          | list_reduce(ps, (a, x) -> a + x) / len(ps) AS mean_p
          |FROM s ORDER BY doc_id""".stripMargin,
     "cd1_cdc_chunks" ->
-      // coalesce mirrors contentDefined's null-text == empty-text contract;
-      // B holds 1-based chunk-start token positions, chunk i ends before
-      // the next start (or after the last token)
-      s"""WITH ww AS (SELECT doc_id,
-         |  string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS w
-         | FROM documents),
-         |c AS (SELECT doc_id, w, len(w) AS n FROM ww),
-         |b AS (SELECT doc_id, w, n,
-         |  list_concat([CAST(1 AS BIGINT)],
-         |    list_filter(range(2, n + 1),
-         |      p -> CAST(concat('0x', substr(md5(w[p]), 1, 15)) AS BIGINT)
-         |        % $CdcDivisor = 0)) AS starts
-         | FROM c),
-         |e AS (SELECT doc_id, w, n, starts,
-         |  unnest(range(1, len(starts) + 1)) AS ci
-         | FROM b)
-         |SELECT doc_id, CAST(ci - 1 AS INTEGER) AS chunk_idx,
-         | array_to_string(w[starts[ci] : coalesce(starts[ci + 1], n + 1) - 1], ' ')
-         |  AS chunk_text,
-         | CAST(coalesce(starts[ci + 1], n + 1) - starts[ci] AS INTEGER) AS n_tokens
-         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH $CdcSegCtes
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+         |FROM seg ORDER BY doc_id, chunk_idx""".stripMargin,
+    "sd1_segment_dedup" ->
+      // first-occurrence-per-content keep rule over the same CDC
+      // segments, then per-doc reassembly in original segment order
+      s"""WITH $CdcSegCtes,
+         |sh AS (SELECT doc_id, chunk_idx, chunk_text,
+         |  CAST(concat('0x', substr(md5(chunk_text), 1, 15)) AS BIGINT) AS h
+         | FROM seg),
+         |r AS (SELECT doc_id, chunk_idx, chunk_text,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         | FROM sh)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         | CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         | coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+         |   FILTER (WHERE rn = 1), '') AS new_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bf1_bloom_decontam" ->
       s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
          |g5 AS (SELECT doc_id, unnest(${shingleExpr(ContamN)}) AS gram

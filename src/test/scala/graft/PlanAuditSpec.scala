@@ -263,6 +263,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("sd1 segment dedup: firsts via combinable min-agg (no content window), back-join shuffle-hash") {
+    val p = graft.operators.SegmentDedup.dedupSegments(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 16)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), p)          // skew-prone rank shape banned
+    assert(!p.contains("SortMergeJoin"), p)   // no sort of text payload rows
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial+final min-agg
+  }
+
+  test("he1 feature hashing: no vocabulary join — keyed aggregate plus a per-doc window") {
+    val p = graft.operators.FeatureHashing.hashedTable(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 16)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final counts
+  }
+
   test("pt1 perceptron epoch pass: one map-side-combinable global aggregate, pruned scan") {
     import graft.operators.LinearClassifier
     val feat = LinearClassifier.featureTable(
