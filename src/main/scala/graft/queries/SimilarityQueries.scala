@@ -25,6 +25,8 @@ object SimilarityQueries {
   // n5: Lloyd rounds refining the id-mod seed family (fixed, so the
   // iterative operator is oracle-graded end-to-end, not just quality-spec'd)
   private val KmIters = 2
+  // pc1: power-iteration rounds on the quantized covariance
+  private val PcIters = 2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_knn_bruteforce" -> ((s, dir) => {
@@ -52,6 +54,14 @@ object SimilarityQueries {
       Similarity.ivfTopKWith(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, cents, NProbe)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "pc1_pca_power" -> ((s, dir) => {
+      // top principal component of the quantized embedding corpus:
+      // one exact distributed moment pass + driver power iteration,
+      // bit-replayed by DuckDB round for round
+      graft.operators.Pca.topComponentDF(
+          s, Tables(s, dir, "embeddings"), "embedding", Dim, PcIters)
+        .orderBy(col("dim_idx"))
     }),
     "e1_embed_quantize" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -214,7 +224,44 @@ object SimilarityQueries {
        |FROM ex GROUP BY list_id, pos ORDER BY list_id, pos""".stripMargin
   }
 
+  /** pc1 mirror: exact integer moments, covariance as the same
+    * fixed-order division/multiply sequence, then [[PcIters]] power
+    * rounds as chained CTEs — each round a j-ordered list fold (DuckDB
+    * list_reduce seeds with the first element; the driver's 0.0 seed
+    * is bit-identical because 0.0 + x == x for every product here). */
+  private val pc1Oracle: String = {
+    val d1 = Dim + 1
+    val rounds = (1 to PcIters).map { k =>
+      s"""r$k AS (SELECT i, list_reduce(list_transform(range(1, $d1),
+         |   j -> arow[j] * v${k - 1}.v[j]), (x, y) -> x + y) AS u
+         | FROM ar, v${k - 1}),
+         |n$k AS (SELECT sqrt(list_reduce(list_transform(list(u ORDER BY i), x -> x * x),
+         |   (x, y) -> x + y)) AS nrm FROM r$k),
+         |v$k AS (SELECT list_transform(list(u ORDER BY i), x -> x / n$k.nrm) AS v
+         | FROM r$k, n$k GROUP BY n$k.nrm)"""
+    }.mkString(",\n|")
+    s"""WITH nv AS (SELECT vec_id, embedding, sqrt(${dot("e", "e")}) AS nrm
+       | FROM embeddings e WHERE len(embedding) = $Dim),
+       |q AS (SELECT ${quantizeExpr("embedding", "nrm")} AS q FROM nv),
+       |S AS (SELECT t.i AS i, u.j AS j, CAST(SUM(q.q[t.i] * q.q[u.j]) AS BIGINT) AS s
+       | FROM q, range(1, $d1) t(i), range(1, $d1) u(j) GROUP BY t.i, u.j),
+       |m AS (SELECT t.i AS i, CAST(SUM(q.q[t.i]) AS BIGINT) AS m
+       | FROM q, range(1, $d1) t(i) GROUP BY t.i),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+       |A AS (SELECT S.i, S.j,
+       |  CAST(S.s AS DOUBLE) / CAST(n.n AS DOUBLE)
+       |   - (CAST(m1.m AS DOUBLE) / CAST(n.n AS DOUBLE))
+       |     * (CAST(m2.m AS DOUBLE) / CAST(n.n AS DOUBLE)) AS a
+       | FROM S JOIN m m1 ON S.i = m1.i JOIN m m2 ON S.j = m2.i, n),
+       |ar AS (SELECT i, list(a ORDER BY j) AS arow FROM A GROUP BY i),
+       |v0 AS (SELECT list_transform(range(1, $d1), x -> 1.0) AS v),
+       |$rounds
+       |SELECT CAST(t.j - 1 AS INTEGER) AS dim_idx, v.v[t.j] AS component
+       |FROM v$PcIters v, range(1, $d1) t(j) ORDER BY dim_idx""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "pc1_pca_power" -> pc1Oracle,
     "n3_ann_ivf" -> n3Oracle,
     "n5_ann_ivf_kmeans" -> n5Oracle,
     "e1_embed_quantize" -> e1Oracle,

@@ -273,6 +273,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial+final min-agg
   }
 
+  test("pc1 moments pass: one combinable aggregate over d² partial sums — no join, no vector shuffle") {
+    val p = graft.operators.Pca.momentsTable(
+      graft.core.Tables(spark, dir, "embeddings"), "embedding", 64)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("vec_id") && !readSchema.contains("label"), readSchema)
+  }
+
   test("he1 feature hashing: no vocabulary join — keyed aggregate plus a per-doc window") {
     val p = graft.operators.FeatureHashing.hashedTable(
       graft.core.Tables(spark, dir, "documents"), "doc_id", "text", 16)
