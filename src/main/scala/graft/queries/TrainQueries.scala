@@ -30,6 +30,7 @@ object TrainQueries {
   private val PtDim = 3
   private val ShShards = 8
   private val ShSeed = 11
+  private val BpeRounds = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -127,6 +128,27 @@ object TrainQueries {
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "bpe1_merges" -> ((s, dir) => {
+      // tokenizer training: the merge table learned by three corpus-
+      // weighted BPE rounds (count desc / lexicographic tie-break)
+      import s.implicits._
+      val (ms, st) = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordTable(Tables(s, dir, "documents"), "text"),
+        BpeRounds)
+      st.unpersist()
+      ms.map(m => (m.round, m.a, m.b, m.cnt))
+        .toDF("round", "sym_a", "sym_b", "cnt").orderBy(col("round"))
+    }),
+    "bpe2_tokenized" -> ((s, dir) => {
+      // the vocabulary after those merges: every distinct word's
+      // symbol sequence (space-joined), the deployed tokenizer state
+      val (_, st) = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordTable(Tables(s, dir, "documents"), "text"),
+        BpeRounds)
+      st.select(col("word"), col("freq"),
+          concat_ws(" ", col("syms")).as("syms"))
+        .orderBy(col("word"))
     }),
     "sh1_shuffle_shards" -> ((s, dir) => {
       // deterministic training-export shuffle: seeded-hash order,
@@ -237,6 +259,76 @@ object TrainQueries {
        | CAST(coalesce(starts[ci + 1], n + 1) - starts[ci] AS INTEGER) AS n_tokens
        | FROM e)""".stripMargin
 
+  /** One BPE round as chained CTEs, from state s{k-1}(word, freq,
+    * syms): p = corpus-weighted pair counts, t = the selected pair
+    * (count desc, lexicographic tie-break), then the leftmost-greedy
+    * merge as the equivalent chain-parity window rule — candidates
+    * (sym=a, next=b) in consecutive runs merge at EVEN offsets from
+    * the run start (for a≠b runs are singletons and every candidate
+    * merges; for a=b this is exactly floor(run/2) leftmost merges —
+    * the same result as BpeTrainer.applyMerge's fold, pinned by
+    * BpeTrainerSpec). Rows whose previous position merged are
+    * absorbed; surviving rows re-list in position order. */
+  private def bpeRoundCtes(k: Int): String = {
+    val p = k - 1
+    s"""p$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       | FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+       |        FROM s$p WHERE len(syms) >= 2)
+       | GROUP BY a, b),
+       |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |tok$k AS (SELECT word, freq, i AS pos, syms[i] AS sym
+       | FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+       |        FROM s$p)),
+       |cn$k AS (SELECT word, freq, pos, sym,
+       |  CASE WHEN sym = t.a
+       |        AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = t.b
+       |       THEN 1 ELSE 0 END AS cand
+       | FROM tok$k, t$k t),
+       |gr$k AS (SELECT *, CASE WHEN cand = 1 THEN
+       |    pos - row_number() OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+       | FROM cn$k),
+       |sl$k AS (SELECT *, CASE WHEN cand = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY word, cand, grp)) % 2 = 0
+       |   THEN 1 ELSE 0 END AS sel
+       | FROM gr$k),
+       |mg$k AS (SELECT word, freq, pos, sym, sel,
+       |  lag(sel, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS prev_sel,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       | FROM sl$k),
+       |s$k AS (SELECT word, freq,
+       |  list(CASE WHEN sel = 1 THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+       | FROM mg$k WHERE prev_sel = 0 GROUP BY word, freq)"""
+  }
+
+  /** The shared WITH-chain for both BPE oracles: word counts, char
+    * split, then [[BpeRounds]] rounds. */
+  private val bpeCtes: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n|")
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       | FROM (SELECT unnest($wordsExpr) AS word FROM documents)
+       | GROUP BY word),
+       |s0 AS (SELECT word, freq,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+       | FROM w0),
+       |$rounds"""
+  }
+
+  private val bpe1Oracle: String = {
+    val rows = (1 to BpeRounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS round, a AS sym_a, b AS sym_b, cnt FROM t$k")
+      .mkString("\n|UNION ALL ")
+    s"""WITH $bpeCtes
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
+  private val bpe2Oracle: String =
+    s"""WITH $bpeCtes
+       |SELECT w0.word, w0.freq,
+       | coalesce(array_to_string(s$BpeRounds.syms, ' '), '') AS syms
+       |FROM w0 LEFT JOIN s$BpeRounds USING (word) ORDER BY word""".stripMargin
+
   /** pt1 mirror: the integer perceptron trajectory replayed as chained
     * CTEs — e0 holds w = 0, each epoch CTE recomputes misses against
     * the previous epoch's weights and folds the summed update in.
@@ -272,6 +364,8 @@ object TrainQueries {
   val oracle: Map[String, String] = Map(
     "mix2_upsample" -> mix2Oracle,
     "pt1_perceptron" -> pt1Oracle,
+    "bpe1_merges" -> bpe1Oracle,
+    "bpe2_tokenized" -> bpe2Oracle,
     "sh1_shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
          |  CAST(concat('0x', substr(md5('$ShSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))

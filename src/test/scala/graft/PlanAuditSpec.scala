@@ -273,6 +273,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial+final min-agg
   }
 
+  test("bpe pair counting: keyed combinable aggregates only — no join, no window, no text-keyed sort") {
+    import graft.operators.BpeTrainer
+    val p = BpeTrainer.pairCounts(BpeTrainer.charTable(BpeTrainer.wordTable(
+      graft.core.Tables(spark, dir, "documents"), "text")))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Sort"), p)
+    assert(p.split("HashAggregate").length >= 5, p) // word-count + pair-count, each partial+final
+  }
+
   test("pc1 moments pass: one combinable aggregate over d² partial sums — no join, no vector shuffle") {
     val p = graft.operators.Pca.momentsTable(
       graft.core.Tables(spark, dir, "embeddings"), "embedding", 64)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE learning: hand-computed merge trajectory, leftmost-greedy fold
+  * vs a reference implementation (incl. the run cases the chain-parity
+  * oracle must match), determinism, loud exhaustion. */
+class BpeTrainerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "bpe-test")
+  import spark.implicits._
+
+  def words(rows: (String, Long)*) = rows.toDF("word", "freq")
+
+  test("hand-computed 3-round trajectory with tie-break") {
+    val w = words("abab" -> 3L, "ab" -> 2L, "aaab" -> 1L)
+    val (ms, st) = BpeTrainer.train(w, 3)
+    // r1: (a,b) 3·2+2·1+1·1 = 9 beats (b,a) 3 and (a,a) 2
+    // r2: (ab,ab) 3 from "abab"
+    // r3: (a,a) and (a,ab) tie at 1 → lexicographic picks (a,a)
+    assert(ms == Seq(
+      BpeTrainer.Merge(1, "a", "b", 9L),
+      BpeTrainer.Merge(2, "ab", "ab", 3L),
+      BpeTrainer.Merge(3, "a", "a", 1L)))
+    val fin = st.select(col("word"), concat_ws(" ", col("syms")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    st.unpersist()
+    assert(fin == Map("abab" -> "abab", "ab" -> "ab", "aaab" -> "aa ab"))
+  }
+
+  /** Reference leftmost-greedy merge (plain Scala). */
+  def greedy(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("applyMerge == leftmost greedy on adversarial runs and random strings") {
+    val fixed = Seq("aaaa", "aaa", "abab", "aab", "abb", "ababa", "bbbb", "a", "")
+    val rnd = new scala.util.Random(7)
+    val randoms = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(10)).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val cases = (fixed ++ randoms).distinct
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("b", "a"), ("b", "b"))) {
+      val got = cases.toDF("word")
+        .select(col("word"),
+          BpeTrainer.applyMerge(BpeTrainer.chars(col("word")), a, b).as("m"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { w =>
+        val exp = greedy(w.map(_.toString), a, b)
+        assert(got(w) == exp, s"word=$w pair=($a,$b): got ${got(w)}, want $exp")
+      }
+    }
+  }
+
+  test("merges are partition-invariant") {
+    val w = (1 to 100).map(i => (s"w${i % 17}x${i % 5}", (i % 7 + 1).toLong))
+      .toDF("word", "freq")
+    def run(parts: Int) = {
+      val (ms, st) = BpeTrainer.train(w.repartition(parts), 2)
+      st.unpersist(); ms
+    }
+    assert(run(1) == run(9))
+  }
+
+  test("exhausted corpus fails loudly; rounds guard") {
+    val (ms, st) = BpeTrainer.train(words("ab" -> 1L), 1)
+    st.unpersist()
+    assert(ms.head.a == "a" && ms.head.b == "b")
+    val e = intercept[IllegalArgumentException] {
+      val (_, st2) = BpeTrainer.train(words("ab" -> 1L), 2)
+      st2.unpersist()
+    }
+    assert(e.getMessage.contains("no adjacent pairs"))
+    intercept[IllegalArgumentException] { BpeTrainer.train(words("ab" -> 1L), 0) }
+  }
+}
