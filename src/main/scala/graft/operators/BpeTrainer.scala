@@ -85,6 +85,26 @@ object BpeTrainer {
     * round deep; the RETURNED state is cached — `unpersist()` when
     * consumed. Fails loudly if the corpus has no adjacent pairs left
     * (vocabulary exhausted before `rounds`). */
+  /** Deploy a learned merge list corpus-wide: per-document token
+    * accounting under the trained tokenizer — (id, n_words, n_base,
+    * n_syms) with n_base the character count and n_syms the symbol
+    * count after all merges. The merge list rides as plan literals
+    * (it is `rounds` pairs, not a table), so this is a pure per-row
+    * expression over the raw corpus: tokenize, char-split each word,
+    * fold each learned merge through it, count — no join against the
+    * vocabulary, no shuffle. */
+  def compressionStats(
+      docs: DataFrame, idCol: String, textCol: String, merges: Seq[Merge]): DataFrame = {
+    def symsOf(w: Column): Column =
+      merges.foldLeft(chars(w))((acc, m) => applyMerge(acc, m.a, m.b))
+    docs
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_base"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + size(symsOf(w))).as("n_syms"))
+  }
+
   def train(words: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     var state = charTable(words).cache()

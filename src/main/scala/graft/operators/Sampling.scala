@@ -102,4 +102,36 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** Integer 60-bit thresholds for an ordered fraction list — the
+    * first split claims h < thr(f₁), the next h < thr(f₁+f₂), …; the
+    * LAST split is the unconditional remainder, so floating-point
+    * rounding of the cumulative sums can never open an unassigned gap.
+    * Shared with the DuckDB oracle generator so an edit to the
+    * fractions cannot desynchronize the engines. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => (c * (1L << 60).toDouble).toLong)
+
+  /** Deterministic k-way corpus split (train/val/test): each row's
+    * seeded portable id-hash picks the first split whose cumulative
+    * threshold exceeds it. Membership depends only on (seed, id) —
+    * growing the corpus never reassigns an existing row (the same
+    * incremental-consistency contract as [[weightedMixture]]), which
+    * is what keeps a held-out set held out across pipeline re-runs.
+    * Pure per-row filter expression: no shuffle, no state. Adds a
+    * `split` column. */
+  def splitAssign(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)], seed: Int): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = TextOps.hexHash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val expr = splits.init.zip(splitThresholds(splits))
+      .foldRight(lit(splits.last._1)) { case (((name, _), t), acc) =>
+        when(h < t, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
 }

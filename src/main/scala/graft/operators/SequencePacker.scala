@@ -72,4 +72,31 @@ object SequencePacker {
   def binStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("bin_weight"))
+
+  /** Length-bucketed batch assignment — dynamic batching for training:
+    * rows with similar weights (token counts) group into width-
+    * `bucketWidth` buckets, and each bucket fills fixed-size batches
+    * in id order, so a batch pads to its longest member instead of the
+    * corpus maximum. Output adds (bucket, batch_idx, pos_in_batch),
+    * all 0-based and deterministic.
+    *
+    * Scale shape: one exchange keyed by bucket plus a per-bucket rank.
+    * Parallelism equals the number of occupied buckets — fine when
+    * lengths spread (context-window corpora have hundreds of buckets);
+    * a corpus concentrated in ONE bucket degenerates to a single-task
+    * sort, in which case the block-window + broadcast-offset pattern
+    * of [[pack]] is the drop-in global variant. */
+  def lengthBatches(
+      df: DataFrame, idCol: String, weightCol: String,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    df.select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
+      .withColumn("bucket", expr(s"weight div ${bucketWidth}L"))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_idx", expr(s"rn div $batchSize"))
+      .withColumn("pos_in_batch", expr(s"rn % $batchSize"))
+      .drop("rn")
+  }
 }

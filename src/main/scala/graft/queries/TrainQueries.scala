@@ -31,6 +31,10 @@ object TrainQueries {
   private val ShShards = 8
   private val ShSeed = 11
   private val BpeRounds = 3
+  private val SpSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val SpSeed = 13
+  private val BbWidth = 32L
+  private val BbBatch = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tf1_tfidf_topk" -> ((s, dir) => {
@@ -128,6 +132,41 @@ object TrainQueries {
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_text"), col("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "sp1_train_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment with per-source
+      // accounting: membership is a pure (seed, id) function, so a
+      // held-out set stays held out as the corpus grows
+      Sampling.splitAssign(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", SpSplits, SpSeed)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))
+    }),
+    "bb1_length_batches" -> ((s, dir) => {
+      // dynamic batching: similar-length docs bucket together and fill
+      // fixed-size batches, so padding goes to the bucket max, not the
+      // corpus max
+      val toks = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCountWs(col("text")).as("toks"))
+      SequencePacker.lengthBatches(toks, "doc_id", "toks", BbWidth, BbBatch)
+        .select(col("id").as("doc_id"), col("weight").as("toks"),
+          col("bucket"), col("batch_idx"), col("pos_in_batch"))
+        .orderBy(col("doc_id"))
+    }),
+    "bpe3_compression" -> ((s, dir) => {
+      // the trained tokenizer deployed corpus-wide: per-document
+      // char/symbol accounting under the learned merges (merges ride
+      // as plan literals — no vocabulary join)
+      val docs = Tables(s, dir, "documents")
+      val (ms, st) = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordTable(docs, "text"), BpeRounds)
+      st.unpersist()
+      graft.operators.BpeTrainer.compressionStats(docs, "doc_id", "text", ms)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_base"),
+          col("n_syms"))
+        .orderBy(col("doc_id"))
     }),
     "bpe1_merges" -> ((s, dir) => {
       // tokenizer training: the merge table learned by three corpus-
@@ -366,6 +405,36 @@ object TrainQueries {
     "pt1_perceptron" -> pt1Oracle,
     "bpe1_merges" -> bpe1Oracle,
     "bpe2_tokenized" -> bpe2Oracle,
+    "bpe3_compression" ->
+      s"""WITH $bpeCtes,
+         |wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         | CAST(SUM(length(wx.word)) AS BIGINT) AS n_base,
+         | CAST(SUM(coalesce(len(sb.syms), 0)) AS BIGINT) AS n_syms
+         |FROM wx LEFT JOIN s$BpeRounds sb ON wx.word = sb.word
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sp1_train_split" -> {
+      val thrs = Sampling.splitThresholds(SpSplits)
+      val cases = SpSplits.init.zip(thrs)
+        .map { case ((n, _), t) => s"WHEN h < $t THEN '$n'" }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  CAST(concat('0x', substr(md5('$SpSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS h
+         | FROM documents)
+         |SELECT source, CASE $cases ELSE '${SpSplits.last._1}' END AS split,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM h GROUP BY source, split ORDER BY source, split""".stripMargin
+    },
+    "bb1_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsExpr) AS BIGINT) AS toks
+         | FROM documents),
+         |r AS (SELECT doc_id, toks, toks // $BbWidth AS bucket,
+         |  row_number() OVER (PARTITION BY toks // $BbWidth ORDER BY doc_id) - 1 AS rn
+         | FROM t)
+         |SELECT doc_id, toks, CAST(bucket AS BIGINT) AS bucket,
+         | CAST(rn // $BbBatch AS BIGINT) AS batch_idx,
+         | CAST(rn % $BbBatch AS BIGINT) AS pos_in_batch
+         |FROM r ORDER BY doc_id""".stripMargin,
     "sh1_shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
          |  CAST(concat('0x', substr(md5('$ShSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))

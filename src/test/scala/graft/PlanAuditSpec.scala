@@ -273,6 +273,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial+final min-agg
   }
 
+  test("bpe3 deployment: merges ride as plan literals — no vocabulary join, no exchange") {
+    import graft.operators.BpeTrainer
+    val ms = Seq(BpeTrainer.Merge(1, "a", "b", 0L), BpeTrainer.Merge(2, "ab", "c", 0L))
+    val p = BpeTrainer.compressionStats(
+      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", ms)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange") && !p.contains("Window"), p)
+  }
+
   test("bpe pair counting: keyed combinable aggregates only — no join, no window, no text-keyed sort") {
     import graft.operators.BpeTrainer
     val p = BpeTrainer.pairCounts(BpeTrainer.charTable(BpeTrainer.wordTable(

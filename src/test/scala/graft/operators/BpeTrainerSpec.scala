@@ -68,6 +68,19 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(run(1) == run(9))
   }
 
+  test("compressionStats: deployed merges count chars vs symbols per document") {
+    val docs = Seq((1L, "abab ab"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
+    // merges (a,b) then (ab,ab): "abab"→1 sym, "ab"→1, "cc"→2, ""→0
+    val ms = Seq(BpeTrainer.Merge(1, "a", "b", 0L), BpeTrainer.Merge(2, "ab", "ab", 0L))
+    val got = BpeTrainer.compressionStats(docs, "doc_id", "text", ms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 6L, 2L),  // 2 words, 6 chars, syms: abab + ab
+      (2L, 1L, 2L, 2L),  // cc: no merge applies
+      (3L, 1L, 0L, 0L))) // empty text → the single empty token
+  }
+
   test("exhausted corpus fails loudly; rounds guard") {
     val (ms, st) = BpeTrainer.train(words("ab" -> 1L), 1)
     st.unpersist()

@@ -32,6 +32,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.count(_._1 == "a") == 10 && s.count(_._1 == "b") == 10)
   }
 
+  test("splitAssign: total coverage, expected proportions, incremental-consistent") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.splitAssign(df, "id", splits, seed = 5)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = assign(data(4))
+    // every row assigned, proportions within multinomial noise
+    assert(m.size == 1000)
+    val frac = m.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac.toString)
+    // growing the corpus never reassigns an existing row
+    val half = assign(data(4).filter($"id" <= 500))
+    assert(half.forall { case (id, s) => m(id) == s })
+    // partition-invariant
+    assert(assign(data(16)) == m)
+    // guards: fractions must sum to 1 and be positive
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(data(2), "id", Seq("a" -> 0.5, "b" -> 0.4), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(data(2), "id", Seq("a" -> 1.0), 1)
+    }
+  }
+
   test("weightedUpsample: expected copies per stratum, deterministic, incremental-consistent") {
     import spark.implicits._
     val rates = Map("a" -> 2.5, "b" -> 0.25)

@@ -163,6 +163,27 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBatches: bucket by width, fill batches in id order, dense positions") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (2L, 37L), (3L, 8L), (4L, 40L), (5L, 31L), (6L, 33L))
+      .toDF("doc_id", "toks")
+    val got = SequencePacker.lengthBatches(rows, "doc_id", "toks",
+        bucketWidth = 32L, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // bucket 0: ids 1,3,5 → batches (1,3),(5); bucket 1: ids 2,4,6 → (2,4),(6)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 1L, 0L, 0L), (3L, 0L, 0L, 1L),
+      (4L, 1L, 0L, 1L), (5L, 0L, 1L, 0L), (6L, 1L, 1L, 0L)))
+    // partition invariance
+    val again = SequencePacker.lengthBatches(rows.repartition(7), "doc_id", "toks", 32L, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(again == got.toSet)
+    intercept[IllegalArgumentException] {
+      SequencePacker.lengthBatches(rows, "doc_id", "toks", 0L, 2)
+    }
+  }
+
   test("TfIdf ranks a document's distinctive term above ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(
