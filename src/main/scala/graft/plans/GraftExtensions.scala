@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * [[graft.operators.BloomContamination]] per-gram membership probe
   * against a filter-word array — the corpus-side decontamination
   * pipeline in pure SQL: `word_shingles` → explode →
-  * `bloom_might_contain` filter → count per doc). All are emitted as
+  * `bloom_might_contain` filter → count per doc), and `bpe_merge`
+  * (the [[graft.operators.BpeTrainer.applyMerge]] leftmost-greedy
+  * fold, so a learned merge list applies from SQL by chaining
+  * `bpe_merge(bpe_merge(syms, 'a', 'b'), 'ab', 'c')`). All are emitted as
   * the same parser-shaped trees (`UnresolvedFunction` + lambda
   * variables) SQL text would produce, so the analyzer resolves them
   * exactly like handwritten SQL; value-parity with the Scala APIs is
@@ -58,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def lam(name: String)(body: Expression => Expression): LambdaFunction = {
     val v = UnresolvedNamedLambdaVariable(Seq(name))
     LambdaFunction(body(v), Seq(v))
+  }
+
+  /** Two-variable SQL lambda `(n1, n2) -> body(n1, n2)` (aggregate's
+    * merge function). */
+  private def lam2(n1: String, n2: String)(
+      body: (Expression, Expression) => Expression): LambdaFunction = {
+    val v1 = UnresolvedNamedLambdaVariable(Seq(n1))
+    val v2 = UnresolvedNamedLambdaVariable(Seq(n2))
+    LambdaFunction(body(v1, v2), Seq(v1, v2))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -290,6 +302,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           fn("*", checkedRate, Literal((1L << 60).toDouble)),
           LongType)
         LessThan(h, thr)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "bpe_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bpe_merge(syms, a, b) takes three arguments")
+        def strArg(e: Expression, name: String): String = e match {
+          case x if x.foldable && x.dataType == StringType &&
+              x.eval() != null => x.eval().toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_merge $name must be a non-null string literal, got $other")
+        }
+        val a = strArg(args(1), "a")
+        val b = strArg(args(2), "b")
+        // BpeTrainer.applyMerge's leftmost-greedy fold as the same
+        // parser-shaped tree: append each symbol, but when the
+        // accumulator ends with `a` and the symbol is `b`, replace the
+        // tail with the merged symbol
+        fn("aggregate", args.head,
+          Cast(fn("array"), ArrayType(StringType)),
+          lam2("bpe_acc", "bpe_x") { (acc, x) =>
+            If(
+              And(And(
+                GreaterThan(fn("size", acc), Literal(0)),
+                EqualTo(fn("element_at", acc, Literal(-1)), Literal(a))),
+                EqualTo(x, Literal(b))),
+              fn("concat",
+                fn("slice", acc, Literal(1), fn("-", fn("size", acc), Literal(1))),
+                fn("array", Literal(a + b))),
+              fn("concat", acc, fn("array", x)))
+          })
       }))
   }
 }

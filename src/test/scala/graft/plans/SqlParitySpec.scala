@@ -175,6 +175,33 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.filter(col("id") === 3L).count() == 1)
   }
 
+  test("bpe_merge via spark.sql equals BpeTrainer.applyMerge, chained") {
+    import graft.operators.BpeTrainer
+    import spark.implicits._
+    val words = Seq("abab", "aaab", "aaaa", "cab", "a", "")
+      .toDF("word").as("w")
+    words.createOrReplaceTempView("parity_words")
+    // two chained merges: (a,b) then (ab,ab)
+    val sql = spark.sql(
+      """SELECT word, bpe_merge(bpe_merge(
+        |  CASE WHEN length(word) = 0 THEN CAST(array() AS ARRAY<STRING>)
+        |       ELSE split(word, '(?!^)(?=.)') END,
+        |  'a', 'b'), 'ab', 'ab') AS syms
+        |FROM parity_words ORDER BY word""".stripMargin)
+    val api = words.select(col("word"),
+      BpeTrainer.applyMerge(
+        BpeTrainer.applyMerge(BpeTrainer.chars(col("word")), "a", "b"),
+        "ab", "ab").as("syms"))
+      .orderBy("word")
+    assert(sql.schema == api.schema, s"${sql.schema} vs ${api.schema}")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // non-literal pair rejected loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT bpe_merge(array('a'), word, 'b') FROM parity_words")
+        .collect())
+    assert(e.getMessage.contains("string literal"), e.getMessage)
+  }
+
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {
     docs.createOrReplaceTempView("parity_docs")
     val e1 = intercept[Exception](
