@@ -85,24 +85,32 @@ object BpeTrainer {
     * round deep; the RETURNED state is cached — `unpersist()` when
     * consumed. Fails loudly if the corpus has no adjacent pairs left
     * (vocabulary exhausted before `rounds`). */
-  /** Deploy a learned merge list corpus-wide: per-document token
-    * accounting under the trained tokenizer — (id, n_words, n_base,
-    * n_syms) with n_base the character count and n_syms the symbol
-    * count after all merges. The merge list rides as plan literals
-    * (it is `rounds` pairs, not a table), so this is a pure per-row
-    * expression over the raw corpus: tokenize, char-split each word,
-    * fold each learned merge through it, count — no join against the
-    * vocabulary, no shuffle. */
+  /** Deploy the trained tokenizer corpus-wide: per-document token
+    * accounting — (id, n_words, n_base, n_syms) with n_base the
+    * character count and n_syms the symbol count after all merges.
+    *
+    * Tokenization happened ONCE, at training: the (word, syms) state
+    * is the compiled tokenizer, so deployment is a vocabulary-sized
+    * shuffle-hash join of exploded corpus words against per-word
+    * symbol counts plus one per-doc aggregate — never a re-fold of
+    * the merge list over every corpus occurrence (the fold is
+    * higher-order-function work outside whole-stage codegen; re-doing
+    * it per occurrence measured ~6× the whole train cost at sf0.1).
+    * Words absent from the training vocabulary count 0 symbols (the
+    * frozen-model convention, mirrored by the oracle's left join) —
+    * re-tokenizing unseen words would need [[applyMerge]] over the
+    * merge list, the SQL-face `bpe_merge` chain. */
   def compressionStats(
-      docs: DataFrame, idCol: String, textCol: String, merges: Seq[Merge]): DataFrame = {
-    def symsOf(w: Column): Column =
-      merges.foldLeft(chars(w))((acc, m) => applyMerge(acc, m.a, m.b))
+      docs: DataFrame, idCol: String, textCol: String, state: DataFrame): DataFrame = {
+    val sizes = state.select(col("word"),
+      size(col("syms")).cast("long").as("w_syms"))
     docs
-      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
-      .select(col("id"),
-        size(col("ws")).cast("long").as("n_words"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("n_base"),
-        aggregate(col("ws"), lit(0L), (a, w) => a + size(symsOf(w))).as("n_syms"))
+      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
+      .join(sizes.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_base"),
+        sum(coalesce(col("w_syms"), lit(0L))).as("n_syms"))
   }
 
   def train(words: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {

@@ -134,4 +134,31 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Proportional interleave key — weighted-fair-queueing order for
+    * curriculum mixing: stratum s with integer weight w(s) should
+    * contribute every w(s)-th row of the merged stream, so row k
+    * (0-based within its stratum, id order) gets virtual finish time
+    * `(k+1) / w(s)`; sorting by (ikey, stratum, pos) yields the
+    * proportional round-robin schedule. The key is one exact integer
+    * division per row (correctly-rounded IEEE — portable), so the
+    * schedule is deterministic and any consumer can materialize it
+    * with a plain sort. Adds (pos, ikey); the only shuffle is the
+    * per-stratum rank — the GLOBAL sort is deliberately left to the
+    * consumer (a range-partitioned write, a pk1-style block rank),
+    * because emitting a global position here would hide a
+    * single-partition window inside an operator. */
+  def proportionalInterleave(
+      df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Int], defaultWeight: Int): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 1),
+      "interleave weights must be >= 1")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, x)) =>
+      when(col(strataCol) === s, lit(x)).otherwise(acc)
+    }
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+    df.withColumn("pos", (row_number().over(rank) - 1).cast("long"))
+      .withColumn("ikey", (col("pos") + 1).cast("double") / w.cast("double"))
+  }
 }

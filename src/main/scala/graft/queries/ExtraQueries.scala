@@ -30,7 +30,76 @@ object ExtraQueries {
             when(col("o_orderkey") % 7 === 0, "FAILED").otherwise("SUCCEEDED"))))
         .as("value"))
 
+  private val QtPs = Seq(0.5, 0.9, 0.99)
+  private val HhK = 10
+  private val DdK = 20
+  private val RkK = 50
+  private val MixWeights = Map("src0" -> 3, "src1" -> 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt1_rank_quantiles" -> ((s, dir) => {
+      // exact rank-defined quantiles (value at ceil(p·n), 1-based) of
+      // per-doc token counts, per language — the percentile view a
+      // curation dashboard needs, with no interpolation ambiguity
+      val t = T(s, dir, "documents").select(col("lang"), col("doc_id"),
+        graft.functions.TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("toks"), col("doc_id"))
+      t.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("lang"))).cast("long"))
+        .withColumn("p", explode(array(QtPs.map(lit): _*)))
+        .filter(col("rn") === ceil(col("p") * col("n")))
+        .select(col("lang"), col("p"), col("toks").as("value"))
+        .orderBy(col("lang"), col("p"))
+    }),
+    "hh1_heavy_hitters" -> ((s, dir) => {
+      // exact per-source heavy hitters (top-K words by count) — the
+      // WindowGroupLimit top-k shape, map-side pruned
+      val counts = T(s, dir, "documents")
+        .select(col("source"), explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("word"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= HhK)
+        .orderBy(col("source"), col("rank"))
+    }),
+    "mix3_interleave" -> ((s, dir) => {
+      // proportional round-robin schedule keys for curriculum mixing
+      graft.operators.Sampling.proportionalInterleave(
+          T(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", MixWeights, defaultWeight = 1)
+        .select(col("doc_id"), col("source"), col("pos"), col("ikey"))
+        .orderBy(col("source"), col("pos"))
+    }),
+    "dd1_token_drift" -> ((s, dir) => {
+      // corpus-drift monitor: the most divergent tokens between two
+      // corpus halves by the integer cross statistic |cntA·Nb − cntB·Na|
+      // (exact — no ratios, no logs)
+      val wx = T(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("isa"),
+          explode(TextOps.words(col("text"))).as("word"))
+      val c = wx.groupBy(col("word")).agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("cnt_b"))
+      val tot = c.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+      c.crossJoin(broadcast(tot))
+        .withColumn("drift",
+          abs(col("cnt_a") * col("nb") - col("cnt_b") * col("na")))
+        .orderBy(col("drift").desc, col("word")).limit(DdK)
+        .select(col("word"), col("cnt_a"), col("cnt_b"), col("drift"))
+        .orderBy(col("drift").desc, col("word"))
+    }),
+    "rk1_quality_topk" -> ((s, dir) => {
+      // exact global top-K — orderBy+limit, which Spark plans as
+      // TakeOrderedAndProject (per-partition heaps, no global sort)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCountWs(col("text"))
+            .cast("long").as("toks"))
+        .orderBy(col("toks").desc, col("doc_id")).limit(RkK)
+    }),
     "j7_log_fold" -> ((s, dir) => {
       LogStats.tableStats(LogStats.parse(logLines(s, dir)))
         .orderBy(col("table_name"))
@@ -282,7 +351,54 @@ object ExtraQueries {
       |  ELSE ' status ' || (CASE WHEN o_orderkey % 7 = 0 THEN 'FAILED' ELSE 'SUCCEEDED' END)
       | END""".stripMargin
 
+  private val docWordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+
   val oracle: Map[String, String] = Map(
+    "qt1_rank_quantiles" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len($docWordsExpr) AS BIGINT) AS toks FROM documents),
+         |r AS (SELECT lang, toks,
+         |  row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
+         |p AS (SELECT unnest([${QtPs.mkString(", ")}]) AS p)
+         |SELECT lang, p.p AS p, toks AS value
+         |FROM r, p WHERE rn = CAST(ceil(p.p * n) AS BIGINT)
+         |ORDER BY lang, p""".stripMargin,
+    "hh1_heavy_hitters" ->
+      s"""WITH wx AS (SELECT source, unnest($docWordsExpr) AS word FROM documents),
+         |c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM wx GROUP BY source, word),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY cnt DESC, word) AS INTEGER) AS rank FROM c)
+         |SELECT source, word, cnt, rank FROM r WHERE rank <= $HhK
+         |ORDER BY source, rank""".stripMargin,
+    "mix3_interleave" -> {
+      val cases = MixWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      s"""WITH r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+         |    AS BIGINT) AS pos
+         | FROM documents)
+         |SELECT doc_id, source, pos,
+         | CAST(pos + 1 AS DOUBLE)
+         |  / CAST(CASE source $cases ELSE 1 END AS DOUBLE) AS ikey
+         |FROM r ORDER BY source, pos""".stripMargin
+    },
+    "dd1_token_drift" ->
+      s"""WITH wx AS (SELECT doc_id % 2 = 0 AS isa,
+         |  unnest($docWordsExpr) AS word FROM documents),
+         |c AS (SELECT word,
+         |  CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         |  CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+         | FROM wx GROUP BY word),
+         |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+         |  CAST(SUM(cnt_b) AS BIGINT) AS nb FROM c)
+         |SELECT word, cnt_a, cnt_b,
+         | abs(cnt_a * t.nb - cnt_b * t.na) AS drift
+         |FROM c, t ORDER BY drift DESC, word LIMIT $DdK""".stripMargin,
+    "rk1_quality_topk" ->
+      s"""SELECT doc_id, CAST(len($docWordsExpr) AS BIGINT) AS toks
+         |FROM documents ORDER BY toks DESC, doc_id LIMIT $RkK""".stripMargin,
     "w4_window_frames" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,

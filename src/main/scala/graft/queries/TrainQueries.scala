@@ -157,13 +157,12 @@ object TrainQueries {
     }),
     "bpe3_compression" -> ((s, dir) => {
       // the trained tokenizer deployed corpus-wide: per-document
-      // char/symbol accounting under the learned merges (merges ride
-      // as plan literals — no vocabulary join)
+      // char/symbol accounting via a vocabulary-sized join against
+      // the compiled (word, syms) state — tokenize once, at training
       val docs = Tables(s, dir, "documents")
-      val (ms, st) = graft.operators.BpeTrainer.train(
+      val (_, st) = graft.operators.BpeTrainer.train(
         graft.operators.BpeTrainer.wordTable(docs, "text"), BpeRounds)
-      st.unpersist()
-      graft.operators.BpeTrainer.compressionStats(docs, "doc_id", "text", ms)
+      graft.operators.BpeTrainer.compressionStats(docs, "doc_id", "text", st)
         .select(col("id").as("doc_id"), col("n_words"), col("n_base"),
           col("n_syms"))
         .orderBy(col("doc_id"))

@@ -237,10 +237,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial per-partition top-k BEFORE the window shuffle; losing the
     // pattern (e.g. a filter rewrite the rule can't match) silently
     // re-sorts whole partitions at scale. Pin it on every top-k shape.
-    for (q <- Seq("tf1_tfidf_topk", "sm1_stratified_sample", "w1_rank_window")) {
+    for (q <- Seq("tf1_tfidf_topk", "sm1_stratified_sample", "w1_rank_window",
+        "hh1_heavy_hitters")) {
       val p = planOf(q)
       assert(p.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n$p")
     }
+  }
+
+  test("rk1 global top-k: TakeOrderedAndProject — per-partition heaps, never a global sort") {
+    val p = planOf("rk1_quality_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
   test("lm1 bigram LM: model joins are shuffle-hash, V broadcast — no sort-merge, no corpus window") {
@@ -273,13 +280,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // partial+final min-agg
   }
 
-  test("bpe3 deployment: merges ride as plan literals — no vocabulary join, no exchange") {
+  test("bpe3 deployment: one vocabulary-sized shuffle-hash join + per-doc agg — no re-fold, no sort-merge") {
     import graft.operators.BpeTrainer
-    val ms = Seq(BpeTrainer.Merge(1, "a", "b", 0L), BpeTrainer.Merge(2, "ab", "c", 0L))
-    val p = BpeTrainer.compressionStats(
-      graft.core.Tables(spark, dir, "documents"), "doc_id", "text", ms)
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val state = BpeTrainer.charTable(BpeTrainer.wordTable(docs, "text"))
+    val p = BpeTrainer.compressionStats(docs, "doc_id", "text", state)
       .queryExecution.explainString(FormattedMode)
-    assert(!p.contains("Join") && !p.contains("Exchange") && !p.contains("Window"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // per-doc partial+final
   }
 
   test("bpe pair counting: keyed combinable aggregates only — no join, no window, no text-keyed sort") {

@@ -68,17 +68,26 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(run(1) == run(9))
   }
 
-  test("compressionStats: deployed merges count chars vs symbols per document") {
+  test("compressionStats: trained-state join counts chars vs symbols per document") {
     val docs = Seq((1L, "abab ab"), (2L, "cc"), (3L, "")).toDF("doc_id", "text")
-    // merges (a,b) then (ab,ab): "abab"→1 sym, "ab"→1, "cc"→2, ""→0
-    val ms = Seq(BpeTrainer.Merge(1, "a", "b", 0L), BpeTrainer.Merge(2, "ab", "ab", 0L))
-    val got = BpeTrainer.compressionStats(docs, "doc_id", "text", ms)
+    // train on the same corpus: (a,b) merges first, then (ab,ab)
+    val (ms, st) = BpeTrainer.train(BpeTrainer.wordTable(docs, "text"), 2)
+    assert(ms.map(m => (m.a, m.b)) == Seq(("a", "b"), ("ab", "ab")))
+    val got = BpeTrainer.compressionStats(docs, "doc_id", "text", st)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    st.unpersist()
     assert(got.toSeq == Seq(
-      (1L, 2L, 6L, 2L),  // 2 words, 6 chars, syms: abab + ab
+      (1L, 2L, 6L, 2L),  // 2 words, 6 chars, syms: abab + ab → 1 each
       (2L, 1L, 2L, 2L),  // cc: no merge applies
       (3L, 1L, 0L, 0L))) // empty text → the single empty token
+    // frozen-model convention: unseen words count 0 symbols
+    val other = Seq((9L, "zz abab")).toDF("doc_id", "text")
+    val (_, st2) = BpeTrainer.train(BpeTrainer.wordTable(docs, "text"), 2)
+    val unseen = BpeTrainer.compressionStats(other, "doc_id", "text", st2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    st2.unpersist()
+    assert(unseen.toSeq == Seq((9L, 2L, 6L, 1L))) // zz unseen → 0 syms
   }
 
   test("exhausted corpus fails loudly; rounds guard") {

@@ -60,6 +60,27 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("proportionalInterleave: sorting by (ikey, stratum, pos) yields the weighted schedule") {
+    import spark.implicits._
+    val df = ((1L to 30L).map(i => ("a", i)) ++ (31L to 40L).map(i => ("b", i)))
+      .toDF("g", "id")
+    val keyed = Sampling.proportionalInterleave(df.repartition(5), "g", "id",
+        Map("a" -> 3), defaultWeight = 1)
+      .select("g", "id", "pos", "ikey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val schedule = keyed.sortBy(t => (t._4, t._1, t._3))
+    // every prefix of length 4k holds 3k a's and k b's (weights 3:1)
+    for (k <- 1 to 10) {
+      val prefix = schedule.take(4 * k)
+      assert(prefix.count(_._1 == "a") == 3 * k, s"k=$k: $prefix")
+    }
+    // ids appear in order within each stratum
+    assert(schedule.filter(_._1 == "a").map(_._2).toSeq == (1L to 30L))
+    intercept[IllegalArgumentException] {
+      Sampling.proportionalInterleave(df, "g", "id", Map("a" -> 0), 1)
+    }
+  }
+
   test("weightedUpsample: expected copies per stratum, deterministic, incremental-consistent") {
     import spark.implicits._
     val rates = Map("a" -> 2.5, "b" -> 0.25)
