@@ -185,12 +185,42 @@ object Bench {
           } catch { case _: Exception => () }
         }
       }
+    // training-data curation flow (quality → dedup ×2 → decontam →
+    // split → shard export), the LLM-pipeline twin of the migration
+    // e2e. Same env gate; wall time + the attrition funnel.
+    val trainJson =
+      if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
+      else {
+        val root = java.nio.file.Files.createTempDirectory("graft-e2e-train")
+        try {
+          val r = graft.pipeline.TrainPipeline.run(spark, sfDir, root.toString)
+          def s3(d: Double) = math.rint(d * 1000) / 1000
+          s""","e2e_train":{"sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
+            s""""after_quality":${r.afterQuality},"after_exact":${r.afterExact},""" +
+            s""""after_near_dup":${r.afterNearDup},"after_decontam":${r.afterDecontam},""" +
+            s""""train_rows":${r.trainRows},"shards":${r.shards}}"""
+        } catch {
+          case e: Throwable =>
+            s""","e2e_train":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(160))}"}"""
+        } finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(root)
+            val entries =
+              try walk.iterator().asScala.toSeq finally walk.close()
+            entries.reverse.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p) catch {
+                case _: Exception => () })
+          } catch { case _: Exception => () }
+        }
+      }
     val loadEnd = osBean.getSystemLoadAverage
     val calEnd = calibrationSec()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir",""" +
         loadJson(loadStart, loadEnd, calStart, calEnd) +
-        s""","errors":$es,"queries":$qs$e2eJson}"""
+        s""","errors":$es,"queries":$qs$e2eJson$trainJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

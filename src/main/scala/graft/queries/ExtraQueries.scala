@@ -31,6 +31,9 @@ object ExtraQueries {
         .as("value"))
 
   private val QtPs = Seq(0.5, 0.9, 0.99)
+  private val PrScale = 1000000L
+  private val PrIters = 2
+  private val PrSuppOffset = 1000000L
   private val HhK = 10
   private val DdK = 20
   private val RkK = 50
@@ -90,6 +93,19 @@ object ExtraQueries {
         .orderBy(col("drift").desc, col("word")).limit(DdK)
         .select(col("word"), col("cnt_a"), col("cnt_b"), col("drift"))
         .orderBy(col("drift").desc, col("word"))
+    }),
+    "pr1_purchase_rank" -> ((s, dir) => {
+      // fixed-point PageRank over the customer→supplier purchase graph
+      // (supplier ids offset out of the customer id space); integer
+      // rounds, so the whole trajectory hash-matches the oracle replay
+      val edges = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + PrSuppOffset).as("dst"))
+      graft.operators.RankPropagation.fixedPointPageRank(edges, PrIters, PrScale)
+        .orderBy(col("node"))
     }),
     "rk1_quality_topk" -> ((s, dir) => {
       // exact global top-K — orderBy+limit, which Spark plans as
@@ -353,7 +369,31 @@ object ExtraQueries {
 
   private val docWordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
 
+  /** pr1 mirror: the fixed-point rounds as chained CTEs — floor
+    * division at the same two points (all values non-negative, so
+    * DuckDB's floor `//` equals Spark's truncating `div`). */
+  private val pr1Oracle: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+         |  CAST(SUM(r.rank // d.deg) AS BIGINT) AS inr
+         | FROM e JOIN r${k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         | GROUP BY e.dst),
+         |r$k AS (SELECT n.node,
+         |  CAST(${PrScale * 3 / 20} + (17 * coalesce(c$k.inr, 0)) // 20 AS BIGINT) AS rank
+         | FROM n LEFT JOIN c$k ON n.node = c$k.node)"""
+    }.mkString(",\n|")
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS src,
+       |  l.l_suppkey + $PrSuppOffset AS dst
+       | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+       |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM n),
+       |$rounds
+       |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "pr1_purchase_rank" -> pr1Oracle,
     "qt1_rank_quantiles" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |  CAST(len($docWordsExpr) AS BIGINT) AS toks FROM documents),

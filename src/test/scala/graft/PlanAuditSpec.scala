@@ -244,6 +244,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pr1 rank rounds: shuffle-hash joins keyed on node ids — no sort-merge, no cartesian, no window") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val edges = (1L to 100L).map(i => (i, 1000L + i % 7)).toDF("src", "dst")
+    val r = graft.operators.RankPropagation.fixedPointPageRank(edges, 2, 1000000L)
+    val p = r.queryExecution.explainString(FormattedMode)
+    r.unpersist()
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian")
+      && !p.contains("Window"), p)
+    assert(p.contains("InMemoryTableScan"), p) // one round deep, not full lineage
+  }
+
   test("rk1 global top-k: TakeOrderedAndProject — per-partition heaps, never a global sort") {
     val p = planOf("rk1_quality_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
