@@ -93,6 +93,33 @@ object Pca {
     v.toIndexedSeq
   }
 
+  /** Integer centroid-distance outlier scores: (id, dist2) with
+    * dist2 = ‖n·qᵢ − m‖² — the squared distance to the corpus mean
+    * scaled by n² so it stays EXACT integer arithmetic (m = Σq is the
+    * mean times n). Monotone in the true distance, so thresholding /
+    * ranking for embedding-outlier screening is unaffected by the
+    * scaling. One moments pass (n, m collected — d+1 longs), then a
+    * map-only per-row fold against the mean literal. Exact while
+    * 64·(2·127·n)² < 2⁶³, i.e. n ≲ 1.4×10⁶ rows per shard — enforced
+    * loudly (shard the corpus or extend to decimal beyond). */
+  def centroidDistances(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val s = Array.ofDim[Long](dim + 1, dim + 1)
+    momentsTable(df, vecCol, dim).collect().foreach { r =>
+      s(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+    }
+    val n = s(0)(0)
+    require(n > 0, s"centroid distances need at least one $dim-length vector, found none")
+    require(n <= math.sqrt((Long.MaxValue / dim).toDouble).toLong / 254,
+      s"n=$n exceeds the exact integer range (~1.4e6 rows at d=64) — shard the corpus or extend to decimal")
+    val mLit = array((1 to dim).map(j => lit(s(0)(j))): _*)
+    val q = transform(Embeddings.quantize(col(vecCol)), _.cast("long"))
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        aggregate(
+          zip_with(q, mLit, (qv, mv) => (lit(n) * qv - mv) * (lit(n) * qv - mv)),
+          lit(0L), (acc, v) => acc + v).as("dist2"))
+  }
+
   /** DataFrame face: (dim_idx, component), dim_idx 0-based. */
   def topComponentDF(
       spark: SparkSession, df: DataFrame, vecCol: String, dim: Int, iters: Int): DataFrame = {

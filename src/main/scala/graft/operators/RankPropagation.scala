@@ -43,8 +43,10 @@ object RankPropagation {
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
+      // the seed is NOT counted: its lineage is one projection over
+      // the cached edge set, so materializing it would only add a job
+      // — round 1 reads it straight off the cache
       var ranks = nodes.withColumn("rank", lit(scale)).cache()
-      ranks.count()
       val base = scale * 3 / 20
       for (_ <- 1 to iters) {
         val contrib = e

@@ -36,6 +36,27 @@ object TfIdf {
   def documentFrequencies(tf: DataFrame): DataFrame =
     tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
 
+  /** Rare-token novelty stats — the "does this document contain
+    * vocabulary nothing else has" screening signal (crawl-dedup
+    * triage, contamination triage, glossary/code detection):
+    * per document over its DISTINCT words, (id, n_distinct, min_df,
+    * n_hapax) where min_df is the rarest word's document frequency
+    * and n_hapax counts words appearing in NO other document. All
+    * integers — no ratios, no logs. Documents with no non-empty
+    * words have no row (they have no vocabulary to be novel in).
+    *
+    * Scale shape: the tf/df machinery above plus one vocabulary-keyed
+    * shuffle-hash join and a per-doc combinable aggregate — the bpe3
+    * deployment shape. */
+  def rarityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    tf.join(documentFrequencies(tf).hint("shuffle_hash"), "word")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        min(col("df")).as("min_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   /** Per-document top-k terms by tf·N/df (ties broken on the word):
     * (id, word, tf, df, score, rank). */
   def topTerms(

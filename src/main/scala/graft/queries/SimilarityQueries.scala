@@ -55,6 +55,15 @@ object SimilarityQueries {
         "vec_id", "embedding", K, cents, NProbe)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "em1_centroid_dist" -> ((s, dir) => {
+      // embedding-outlier screening: exact integer n²-scaled squared
+      // distance to the corpus centroid (one moments pass, then a
+      // map-only fold against the mean literal)
+      graft.operators.Pca.centroidDistances(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", Dim)
+        .select(col("id").as("vec_id"), col("dist2"))
+        .orderBy(col("vec_id"))
+    }),
     "pc1_pca_power" -> ((s, dir) => {
       // top principal component of the quantized embedding corpus:
       // one exact distributed moment pass + driver power iteration,
@@ -260,7 +269,24 @@ object SimilarityQueries {
        |FROM v$PcIters v, range(1, $d1) t(j) ORDER BY dim_idx""".stripMargin
   }
 
+  private val em1Oracle: String = {
+    val d1 = Dim + 1
+    s"""WITH nv AS (SELECT vec_id, embedding, sqrt(${dot("e", "e")}) AS nrm
+       | FROM embeddings e WHERE len(embedding) = $Dim),
+       |q AS (SELECT vec_id, ${quantizeExpr("embedding", "nrm")} AS q FROM nv),
+       |m AS (SELECT t.i AS i, CAST(SUM(q.q[t.i]) AS BIGINT) AS m
+       | FROM q, range(1, $d1) t(i) GROUP BY t.i),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+       |ex AS (SELECT vec_id, t.i AS i, q.q[t.i] AS qv
+       | FROM q, range(1, $d1) t(i))
+       |SELECT vec_id,
+       | CAST(SUM((n.n * qv - m.m) * (n.n * qv - m.m)) AS BIGINT) AS dist2
+       |FROM ex JOIN m ON ex.i = m.i, n
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "em1_centroid_dist" -> em1Oracle,
     "pc1_pca_power" -> pc1Oracle,
     "n3_ann_ivf" -> n3Oracle,
     "n5_ann_ivf_kmeans" -> n5Oracle,

@@ -26,6 +26,15 @@ object TextQueries {
           col("c"), col("weight"))
         .orderBy(col("doc_id"), col("bucket"))
     }),
+    "t8_rarity" -> ((s, dir) => {
+      // rare-token novelty screening: distinct-word count, rarest
+      // word's document frequency, and hapax count per document
+      graft.operators.TfIdf
+        .rarityStats(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_distinct"), col("min_df"),
+          col("n_hapax"))
+        .orderBy(col("doc_id"))
+    }),
     "t1_lang_id" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val scored = langProfiles.foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -137,6 +146,18 @@ object TextQueries {
     s"list_transform(range(1, greatest(1, length(text) - 7) + 1), i -> ${hex60("substr(text, i, 8)")})"
 
   val oracle: Map[String, String] = Map(
+    "t8_rarity" ->
+      s"""WITH wv AS (SELECT doc_id, word FROM
+         |  (SELECT doc_id, unnest($wordsExpr) AS word FROM documents)
+         | WHERE word <> ''),
+         |tf AS (SELECT doc_id, word FROM wv GROUP BY doc_id, word),
+         |dfx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+         | FROM tf GROUP BY word)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         | MIN(df) AS min_df,
+         | CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_hapax
+         |FROM tf JOIN dfx USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "he1_hashed_embedding" ->
       s"""WITH wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM documents),
          |hb AS (SELECT doc_id,

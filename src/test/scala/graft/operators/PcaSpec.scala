@@ -42,6 +42,22 @@ class PcaSpec extends AnyFunSuite {
     assert(a == b) // exact equality, not tolerance
   }
 
+  test("centroidDistances: hand-computed n²-scaled squared distances, partition-invariant") {
+    val d = vecs(Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f)))
+    // quantized: (127,0), (−127,0), (0,127) → n=3, m=(0,127)
+    val got = Pca.centroidDistances(d, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      0L -> (381L * 381 + 127L * 127),
+      1L -> (381L * 381 + 127L * 127),
+      2L -> (254L * 254)))
+    val again = Pca.centroidDistances(
+      vecs(Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f)), parts = 7),
+      "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("ragged vectors are excluded; empty corpus and degenerate covariance fail loudly") {
     val ragged = vecs(Seq(Array(1f, 0f), Array(1f, 0f, 3f)))
     val s = Pca.momentsTable(ragged, "embedding", 2).collect()

@@ -184,6 +184,19 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rarityStats: distinct counts, rarest df, hapax words; wordless docs absent") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "bb"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TfIdf.rarityStats(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1L),  // aa is hapax (df 1), bb df 3
+      (2L, 2L, 1L, 1L),  // cc is hapax
+      (3L, 1L, 3L, 0L))) // only the ubiquitous bb; doc 4 wordless → no row
+  }
+
   test("TfIdf ranks a document's distinctive term above ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(
