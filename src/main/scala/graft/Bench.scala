@@ -154,6 +154,19 @@ object Bench {
     // only absolute numbers BASELINE.md publishes. One run, timed
     // drains only (fixture staging is untimed); not part of "value",
     // which stays comparable across rounds. SPARK_GRAFT_E2E=0 skips.
+    // staging roots hold full copies of the bench tables — delete or
+    // repeated runs fill /tmp. The walk stream owns directory handles
+    // (close it), and a cleanup failure must never mask the outcome.
+    def deleteRecursively(root: java.nio.file.Path): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        val entries =
+          try walk.iterator().asScala.toSeq finally walk.close()
+        entries.reverse.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: Exception => () })
+      } catch { case _: Exception => () }
     val e2eJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
       else {
@@ -169,21 +182,7 @@ object Bench {
           case e: Throwable =>
             s""","e2e":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(160))}"}"""
-        } finally {
-          // the root holds full staging copies of the bench tables —
-          // delete or repeated runs fill /tmp. The walk stream owns
-          // directory handles (close it), and a cleanup failure must
-          // never mask the e2e outcome
-          try {
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(root)
-            val entries =
-              try walk.iterator().asScala.toSeq finally walk.close()
-            entries.reverse.foreach(p =>
-              try java.nio.file.Files.deleteIfExists(p) catch {
-                case _: Exception => () })
-          } catch { case _: Exception => () }
-        }
+        } finally deleteRecursively(root)
       }
     // training-data curation flow (quality → dedup ×2 → decontam →
     // split → shard export), the LLM-pipeline twin of the migration
@@ -203,17 +202,7 @@ object Bench {
           case e: Throwable =>
             s""","e2e_train":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(160))}"}"""
-        } finally {
-          try {
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(root)
-            val entries =
-              try walk.iterator().asScala.toSeq finally walk.close()
-            entries.reverse.foreach(p =>
-              try java.nio.file.Files.deleteIfExists(p) catch {
-                case _: Exception => () })
-          } catch { case _: Exception => () }
-        }
+        } finally deleteRecursively(root)
       }
     val loadEnd = osBean.getSystemLoadAverage
     val calEnd = calibrationSec()

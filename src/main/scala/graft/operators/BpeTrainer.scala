@@ -79,12 +79,6 @@ object BpeTrainer {
     * selection time. */
   final case class Merge(round: Int, a: String, b: String, cnt: Long)
 
-  /** Learn `rounds` merges from a word-frequency table. Returns the
-    * merge list and the final (word, freq, syms) state. The state is
-    * cached per round and materialized so iterative lineage stays one
-    * round deep; the RETURNED state is cached — `unpersist()` when
-    * consumed. Fails loudly if the corpus has no adjacent pairs left
-    * (vocabulary exhausted before `rounds`). */
   /** Deploy the trained tokenizer corpus-wide: per-document token
     * accounting — (id, n_words, n_base, n_syms) with n_base the
     * character count and n_syms the symbol count after all merges.
@@ -113,24 +107,33 @@ object BpeTrainer {
         sum(coalesce(col("w_syms"), lit(0L))).as("n_syms"))
   }
 
+  /** Learn `rounds` merges from a word-frequency table. Returns the
+    * merge list and the final (word, freq, syms) state. The state is
+    * cached per round and materialized so iterative lineage stays one
+    * round deep; the RETURNED state is cached — `unpersist()` when
+    * consumed. Fails loudly if the corpus has no adjacent pairs left
+    * (vocabulary exhausted before `rounds`); on ANY failure the
+    * in-flight cached round is released before the throw escapes. */
   def train(words: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     var state = charTable(words).cache()
-    state.count()
-    val merges = (1 to rounds).map { r =>
-      val top = pairCounts(state)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      require(top.nonEmpty,
-        s"no adjacent pairs left at round $r — corpus exhausted, lower `rounds`")
-      val m = Merge(r, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      val next = state.withColumn("syms", applyMerge(col("syms"), m.a, m.b)).cache()
-      try next.count()
-      catch { case e: Throwable => next.unpersist(); throw e }
-      state.unpersist()
-      state = next
-      m
-    }
-    (merges, state)
+    try {
+      state.count()
+      val merges = (1 to rounds).map { r =>
+        val top = pairCounts(state)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"no adjacent pairs left at round $r — corpus exhausted, lower `rounds`")
+        val m = Merge(r, top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = state.withColumn("syms", applyMerge(col("syms"), m.a, m.b)).cache()
+        try next.count()
+        catch { case e: Throwable => next.unpersist(); throw e }
+        state.unpersist()
+        state = next
+        m
+      }
+      (merges, state)
+    } catch { case e: Throwable => state.unpersist(); throw e }
   }
 }

@@ -56,6 +56,22 @@ object Pca {
       .agg(sum(col("p")).as("s"))
   }
 
+  /** Linear first-moment pass over the augmented quantized vector:
+    * (n, s) with s(0) = n and s(j) = Σq_j — the d+1-per-row sibling
+    * of [[momentsTable]] for consumers that never read the d²
+    * products. Same combinable-aggregate shape, ~d× cheaper. */
+  def firstMoments(df: DataFrame, vecCol: String, dim: Int): (Long, Array[Long]) = {
+    val qa = concat(array(lit(1L)),
+      transform(Embeddings.quantize(col(vecCol)), _.cast("long")))
+    val s = Array.ofDim[Long](dim + 1)
+    df.filter(size(col(vecCol)) === dim)
+      .select(posexplode(qa).as(Seq("i", "q")))
+      .groupBy(col("i")).agg(sum(col("q")).as("s"))
+      .collect()
+      .foreach(r => s(r.getInt(0)) = r.getLong(1))
+    (s(0), s)
+  }
+
   /** Top principal direction after `iters` power-iteration rounds from
     * the all-ones start, unit-normalized each round. Deterministic to
     * the bit: exact integer moments, then fixed-order double folds. */
@@ -98,20 +114,18 @@ object Pca {
     * scaled by n² so it stays EXACT integer arithmetic (m = Σq is the
     * mean times n). Monotone in the true distance, so thresholding /
     * ranking for embedding-outlier screening is unaffected by the
-    * scaling. One moments pass (n, m collected — d+1 longs), then a
+    * scaling. One LINEAR moments pass ([[firstMoments]] — d+1
+    * partials per row, not momentsTable's d² products, which this
+    * operator never reads), then a
     * map-only per-row fold against the mean literal. Exact while
     * 64·(2·127·n)² < 2⁶³, i.e. n ≲ 1.4×10⁶ rows per shard — enforced
     * loudly (shard the corpus or extend to decimal beyond). */
   def centroidDistances(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
-    val s = Array.ofDim[Long](dim + 1, dim + 1)
-    momentsTable(df, vecCol, dim).collect().foreach { r =>
-      s(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-    }
-    val n = s(0)(0)
+    val (n, m) = firstMoments(df, vecCol, dim)
     require(n > 0, s"centroid distances need at least one $dim-length vector, found none")
     require(n <= math.sqrt((Long.MaxValue / dim).toDouble).toLong / 254,
       s"n=$n exceeds the exact integer range (~1.4e6 rows at d=64) — shard the corpus or extend to decimal")
-    val mLit = array((1 to dim).map(j => lit(s(0)(j))): _*)
+    val mLit = array((1 to dim).map(j => lit(m(j))): _*)
     val q = transform(Embeddings.quantize(col(vecCol)), _.cast("long"))
     df.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("id"),

@@ -48,24 +48,30 @@ object RankPropagation {
       // — round 1 reads it straight off the cache
       var ranks = nodes.withColumn("rank", lit(scale)).cache()
       val base = scale * 3 / 20
-      for (_ <- 1 to iters) {
-        val contrib = e
-          .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"),
-            Seq("src"))
-          .join(outdeg.hint("shuffle_hash"), Seq("src"))
-          .select(col("dst").as("node"), expr("rank div deg").as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("inr"))
-        val next = nodes
-          .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(17 * coalesce(inr, 0L)) div 20")).as("rank"))
-          .cache()
-        try next.count()
-        catch { case t: Throwable => next.unpersist(); throw t }
-        ranks.unpersist()
-        ranks = next
+      try {
+        for (_ <- 1 to iters) {
+          val contrib = e
+            .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"),
+              Seq("src"))
+            .join(outdeg.hint("shuffle_hash"), Seq("src"))
+            .select(col("dst").as("node"), expr("rank div deg").as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("inr"))
+          val next = nodes
+            .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + expr("(17 * coalesce(inr, 0L)) div 20")).as("rank"))
+            .cache()
+          try next.count()
+          catch { case t: Throwable => next.unpersist(); throw t }
+          ranks.unpersist()
+          ranks = next
+        }
+        ranks
+      } catch {
+        // the current round's cache must not outlive a failed call —
+        // the caller gets no handle to release it
+        case t: Throwable => ranks.unpersist(); throw t
       }
-      ranks
     } finally e.unpersist()
   }
 }

@@ -39,7 +39,7 @@ object DedupQueries {
 
   /** DuckDB mirrors of TextOps: words / distinct 3-gram shingles. */
   private val wordsSql =
-    """w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus)"""
+    s"""w AS (SELECT doc_id, ${OracleText.words} AS w FROM corpus)"""
   private val gramsSql =
     """g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams

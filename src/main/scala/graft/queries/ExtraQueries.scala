@@ -367,7 +367,7 @@ object ExtraQueries {
       |  ELSE ' status ' || (CASE WHEN o_orderkey % 7 = 0 THEN 'FAILED' ELSE 'SUCCEEDED' END)
       | END""".stripMargin
 
-  private val docWordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val docWordsExpr = OracleText.words
 
   /** pr1 mirror: the fixed-point rounds as chained CTEs — floor
     * division at the same two points (all values non-negative, so
@@ -590,8 +590,8 @@ object ExtraQueries {
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "f5_higher_order" ->
-      """WITH w AS (
-        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents)
+      s"""WITH w AS (
+        | SELECT doc_id, ${OracleText.words} AS w FROM documents)
         |SELECT doc_id,
         | CAST(len(list_filter(w, t -> length(t) > 4)) AS INTEGER) AS long_tokens,
         | CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS char_sum,

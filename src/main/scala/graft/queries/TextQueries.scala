@@ -112,7 +112,7 @@ object TextQueries {
 
   // ---- DuckDB mirrors -------------------------------------------------
 
-  private val wordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val wordsExpr = OracleText.words
 
   private def scoreSql(profile: Seq[String]): String = {
     val arr = profile.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -242,7 +242,7 @@ object TrainQueries {
 
   // ---- DuckDB mirrors -------------------------------------------------
 
-  private val wordsExpr = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val wordsExpr = OracleText.words
 
   private def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
