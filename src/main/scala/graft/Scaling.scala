@@ -102,6 +102,28 @@ object Scaling {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // purchase graph (pr1): key-offset replicas — each replica is a
+    // disjoint customer→supplier subgraph, so nodes AND edges grow ∝
+    // factor while per-replica degree structure is preserved exactly
+    def bump(df: DataFrame, k: Int, strides: Map[String, Long]): DataFrame =
+      strides.foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(c, (col(c) + lit(k * s)).cast(d.schema(c).dataType))
+      }
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
+    val oStride = maxOf(orders, "o_orderkey")
+    val cStride = maxOf(orders, "o_custkey")
+    val sStride = maxOf(lineitem, "l_suppkey")
+    (0 until factor).map(k =>
+      bump(orders, k, Map("o_orderkey" -> oStride, "o_custkey" -> cStride)))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    (0 until factor).map(k =>
+      bump(lineitem, k, Map("l_orderkey" -> oStride, "l_suppkey" -> sStride)))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,7 +150,9 @@ object Scaling {
       Files.readString(marker).trim != s"$base@$factor"
     if (stale ||
         !Files.exists(Paths.get(out, "documents.parquet")) ||
-        !Files.exists(Paths.get(out, "embeddings.parquet"))) {
+        !Files.exists(Paths.get(out, "embeddings.parquet")) ||
+        !Files.exists(Paths.get(out, "orders.parquet")) ||
+        !Files.exists(Paths.get(out, "lineitem.parquet"))) {
       generate(spark, base, out, factor)
       Files.writeString(marker, s"$base@$factor")
     }
@@ -151,7 +175,8 @@ object Scaling {
       "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
       "sd1_segment_dedup", "he1_hashed_embedding")
     // driver-round ops: timed inclusive of DAG build (see timeEager)
-    val eager = Seq("bpe1_merges", "pc1_pca_power")
+    val eager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
+      "bpe3_compression", "em1_centroid_dist")
     // warm codegen on the tiny sibling so neither scale pays Janino
     val warmDir = Paths.get(base).getParent.resolve("sf0.001").toString
     (fixed ++ eager).foreach(q => try SparkEntry.queries(q)(spark, warmDir)
@@ -209,12 +234,19 @@ object Scaling {
          |pinned parameter, not the plan shape.
          |
          |Rows marked `(incl. build)` are driver-round operators (BPE
-         |training rounds, the PCA moment collect) whose distributed work
-         |runs at DAG-BUILD time — their timed window starts before the
-         |builder, the opposite of d6's bind-once exclusion. bpe1 scales
-         |with DISTINCT vocabulary (replica word-suffixing grows it ∝
-         |factor here — a worst case; natural corpora grow vocabulary
-         |sublinearly), pc1 with corpus rows at fixed d².
+         |training rounds, PCA/centroid moment collects, PageRank
+         |rounds) whose distributed work runs at DAG-BUILD time — their
+         |timed window starts before the builder, the opposite of d6's
+         |bind-once exclusion. bpe1/bpe3 scale with DISTINCT vocabulary
+         |(replica word-suffixing grows it ∝ factor here — a worst
+         |case; natural corpora grow vocabulary sublinearly), pc1/em1
+         |with corpus rows at fixed d², pr1 with the key-offset replica
+         |purchase graph (nodes and edges both ∝ factor). A flat-or-
+         |negative pr1 exponent is a LAYOUT artifact, not operator
+         |magic: the base orders/lineitem are single parquet files, so
+         |the base-scale edge build is scan-parallelism-bound, while
+         |the blown-up tables are written 32-way — the graph rounds
+         |themselves are far from the bottleneck at either scale.
          |
          |Reproduce: `sbt "runMain graft.Scaling /root/testdata/sf0.1 /tmp/graft_sf1"`.
          |""".stripMargin
