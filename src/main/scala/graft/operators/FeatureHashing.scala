@@ -37,8 +37,10 @@ object FeatureHashing {
   /** Signed bucket counts: (id, bucket, c) with c = Σ ±1 over the
     * document's tokens landing in the bucket; exact-zero buckets
     * (fully cancelled) are dropped — they are true zero components.
-    * Empty/null text tokenizes to the single empty token, mirroring
-    * the corpus-wide `words` convention. */
+    * Empty text tokenizes to the single empty token (one bucket);
+    * NULL text explodes to no tokens at all, so a null-text document
+    * has no rows here — callers needing the null == empty convention
+    * coalesce upstream. */
   def signedCounts(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     require(dim >= 2, s"need dim >= 2, got $dim")
     val p = docs.sparkSession.sessionState.conf.numShufflePartitions

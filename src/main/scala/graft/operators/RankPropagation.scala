@@ -38,8 +38,8 @@ object RankPropagation {
     require(scale >= 20 && scale % 20 == 0,
       s"scale must be a positive multiple of 20 (0.15·scale and the 17/20 damping must be exact), got $scale")
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    e.count()
     try {
+      e.count()
       val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()

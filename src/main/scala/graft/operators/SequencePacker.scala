@@ -93,7 +93,11 @@ object SequencePacker {
     require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
     df.select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"))
-      .withColumn("bucket", expr(s"weight div ${bucketWidth}L"))
+      // FLOOR division (pmod keeps the remainder non-negative), not
+      // Spark's truncate-toward-zero `div`: a negative weight must
+      // land in bucket -1, matching the engine-portable `//` semantics
+      .withColumn("bucket",
+        expr(s"(weight - pmod(weight, ${bucketWidth}L)) div ${bucketWidth}L"))
       .withColumn("rn", (row_number().over(w) - 1).cast("long"))
       .withColumn("batch_idx", expr(s"rn div $batchSize"))
       .withColumn("pos_in_batch", expr(s"rn % $batchSize"))

@@ -42,15 +42,26 @@ object ShuffleShard {
       .select(col("id"), col("shard"), col("pos"))
   }
 
-  /** Export face: join the assignment back to the payload and write
-    * one directory per shard with rows in shard order (parquet
-    * preserves within-file row order, so a loader reading shard=k gets
-    * positions 0..n-1 in sequence). */
+  /** Export face: write one directory per shard with rows in shard
+    * order (parquet preserves within-file row order, so a loader
+    * reading shard=k gets positions 0..n-1 in sequence). The
+    * assignment columns are computed INLINE on the payload rows — one
+    * scan, no self-join — and the pre-write exchange is RANGE
+    * partitioning on the shard id: ranges keep equal shard values
+    * together (≤ 1 file per shard directory, preserving the ordered-
+    * read contract) and assign shard ids to tasks near-1:1, where a
+    * hash exchange would collide ~37% of shard ids into shared tasks
+    * and leave as many write slots empty. */
   def writeShards(
-      df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Unit =
-    df.join(assign(df, idCol, shards, seed).withColumnRenamed("id", idCol)
-        .hint("shuffle_hash"), Seq(idCol))
-      .repartition(shards, col("shard"))
+      df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Unit = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.withColumn("h", TextOps.hexHash60(seed, col(idCol).cast("string")))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("h")
+      .repartitionByRange(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

@@ -59,16 +59,20 @@ object TrainPipeline {
     val docs = Tables(spark, sfDir, "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
     var stage = docs.filter(col("doc_id") % 97 =!= 0).cache()
-    val rowsIn = stage.count()
 
     def advance(next: DataFrame): Long = {
       val cached = next.cache()
-      val n = cached.count()
+      val n = try cached.count()
+        catch { case t: Throwable => cached.unpersist(); throw t }
       stage.unpersist()
       stage = cached
       n
     }
 
+    // any stage failure must release the current corpus-scale cache
+    // before the throw escapes — Bench catches and keeps running
+    try {
+    val rowsIn = stage.count()
     val afterQuality = advance(stage.filter(
       QualityRules.gopherPass(TextOps.words(col("text")), Stops, minWords = minWords)))
     val afterExact = advance(ExactDedup.dedup(stage, "doc_id", Seq("text")))
@@ -91,10 +95,10 @@ object TrainPipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     ShuffleShard.writeShards(train, "doc_id", shards, seed, outDir)
     val trainRows = splitCounts.getOrElse("train", 0L)
-    stage.unpersist()
     require(split == afterDecontam, "split stage must preserve rows")
     Report(rowsIn, afterQuality, afterExact, afterNearDup, afterDecontam,
       splitCounts, trainRows, shards,
       (System.nanoTime() - t0) / 1e9)
+    } finally stage.unpersist()
   }
 }

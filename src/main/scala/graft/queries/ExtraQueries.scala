@@ -45,7 +45,8 @@ object ExtraQueries {
       // per-doc token counts, per language — the percentile view a
       // curation dashboard needs, with no interpolation ambiguity
       val t = T(s, dir, "documents").select(col("lang"), col("doc_id"),
-        graft.functions.TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("toks"))
       val w = Window.partitionBy(col("lang")).orderBy(col("toks"), col("doc_id"))
       t.withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("n", count(lit(1))
@@ -104,15 +105,22 @@ object ExtraQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + PrSuppOffset).as("dst"))
-      graft.operators.RankPropagation.fixedPointPageRank(edges, PrIters, PrScale)
-        .orderBy(col("node"))
+      val ranks = graft.operators.RankPropagation
+        .fixedPointPageRank(edges, PrIters, PrScale)
+      val out = ranks.orderBy(col("node"))
+      // release the iteration cache: the plan recomputes through the
+      // InMemoryRelation lineage if evicted (non-harness consumers
+      // must not accumulate pinned state per call)
+      ranks.unpersist()
+      out
     }),
     "rk1_quality_topk" -> ((s, dir) => {
       // exact global top-K — orderBy+limit, which Spark plans as
       // TakeOrderedAndProject (per-partition heaps, no global sort)
       T(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.TextAnalysis.tokenCountWs(col("text"))
+          graft.functions.TextAnalysis
+            .tokenCountWs(coalesce(col("text"), lit("")))
             .cast("long").as("toks"))
         .orderBy(col("toks").desc, col("doc_id")).limit(RkK)
     }),
@@ -368,6 +376,7 @@ object ExtraQueries {
       | END""".stripMargin
 
   private val docWordsExpr = OracleText.words
+  private val docWordsCoalescedExpr = OracleText.wordsCoalesced
 
   /** pr1 mirror: the fixed-point rounds as chained CTEs — floor
     * division at the same two points (all values non-negative, so
@@ -396,7 +405,7 @@ object ExtraQueries {
     "pr1_purchase_rank" -> pr1Oracle,
     "qt1_rank_quantiles" ->
       s"""WITH t AS (SELECT lang, doc_id,
-         |  CAST(len($docWordsExpr) AS BIGINT) AS toks FROM documents),
+         |  CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks FROM documents),
          |r AS (SELECT lang, toks,
          |  row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
          |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
@@ -437,7 +446,7 @@ object ExtraQueries {
          | abs(cnt_a * t.nb - cnt_b * t.na) AS drift
          |FROM c, t ORDER BY drift DESC, word LIMIT $DdK""".stripMargin,
     "rk1_quality_topk" ->
-      s"""SELECT doc_id, CAST(len($docWordsExpr) AS BIGINT) AS toks
+      s"""SELECT doc_id, CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks
          |FROM documents ORDER BY toks DESC, doc_id LIMIT $RkK""".stripMargin,
     "w4_window_frames" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -7,4 +7,12 @@ package graft.queries
 private[queries] object OracleText {
   /** DuckDB twin of TextOps.words over a `text` column. */
   val words = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** Null-tolerant variant (null text == empty text == the single
+    * empty token) — pair it with `coalesce(col("text"), lit(""))` on
+    * the Spark side: a bare size(words(NULL)) is -1 under Spark while
+    * len(NULL) is NULL in DuckDB, so any count-of-tokens oracle must
+    * use this form or silently diverge on a null-text row. */
+  val wordsCoalesced =
+    """string_split_regex(trim(lower(coalesce(text, ''))), '\s+')"""
 }

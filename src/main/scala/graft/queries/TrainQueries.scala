@@ -91,7 +91,8 @@ object TrainQueries {
     }),
     "pk1_sequence_pack" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents").select(col("doc_id"),
-        graft.functions.TextAnalysis.tokenCountWs(col("text")).as("toks"))
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).as("toks"))
       SequencePacker.pack(toks, "doc_id", "toks", PackBudget, PackBlock)
         .select(col("id").as("doc_id"), col("weight").as("toks"),
           col("cum"), col("bin"))
@@ -149,7 +150,8 @@ object TrainQueries {
       // fixed-size batches, so padding goes to the bucket max, not the
       // corpus max
       val toks = Tables(s, dir, "documents").select(col("doc_id"),
-        graft.functions.TextAnalysis.tokenCountWs(col("text")).as("toks"))
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).as("toks"))
       SequencePacker.lengthBatches(toks, "doc_id", "toks", BbWidth, BbBatch)
         .select(col("id").as("doc_id"), col("weight").as("toks"),
           col("bucket"), col("batch_idx"), col("pos_in_batch"))
@@ -162,10 +164,13 @@ object TrainQueries {
       val docs = Tables(s, dir, "documents")
       val (_, st) = graft.operators.BpeTrainer.train(
         graft.operators.BpeTrainer.wordTable(docs, "text"), BpeRounds)
-      graft.operators.BpeTrainer.compressionStats(docs, "doc_id", "text", st)
+      val out = graft.operators.BpeTrainer
+        .compressionStats(docs, "doc_id", "text", st)
         .select(col("id").as("doc_id"), col("n_words"), col("n_base"),
           col("n_syms"))
         .orderBy(col("doc_id"))
+      st.unpersist() // see bpe2_tokenized — lineage recomputes if evicted
+      out
     }),
     "bpe1_merges" -> ((s, dir) => {
       // tokenizer training: the merge table learned by three corpus-
@@ -184,9 +189,14 @@ object TrainQueries {
       val (_, st) = graft.operators.BpeTrainer.train(
         graft.operators.BpeTrainer.wordTable(Tables(s, dir, "documents"), "text"),
         BpeRounds)
-      st.select(col("word"), col("freq"),
+      val out = st.select(col("word"), col("freq"),
           concat_ws(" ", col("syms")).as("syms"))
         .orderBy(col("word"))
+      // release the training cache now: the returned plan recomputes
+      // through the InMemoryRelation's lineage if evicted, so a
+      // non-harness consumer doesn't accumulate pinned state per call
+      st.unpersist()
+      out
     }),
     "sh1_shuffle_shards" -> ((s, dir) => {
       // deterministic training-export shuffle: seeded-hash order,
@@ -243,6 +253,7 @@ object TrainQueries {
   // ---- DuckDB mirrors -------------------------------------------------
 
   private val wordsExpr = OracleText.words
+  private val wordsCoalescedExpr = OracleText.wordsCoalesced
 
   private def shingleExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
@@ -425,7 +436,7 @@ object TrainQueries {
          |FROM h GROUP BY source, split ORDER BY source, split""".stripMargin
     },
     "bb1_length_batches" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($wordsExpr) AS BIGINT) AS toks
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsCoalescedExpr) AS BIGINT) AS toks
          | FROM documents),
          |r AS (SELECT doc_id, toks, toks // $BbWidth AS bucket,
          |  row_number() OVER (PARTITION BY toks // $BbWidth ORDER BY doc_id) - 1 AS rn
@@ -499,7 +510,7 @@ object TrainQueries {
         | CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pk1_sequence_pack" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($wordsExpr) AS BIGINT) AS toks
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsCoalescedExpr) AS BIGINT) AS toks
          | FROM documents),
          |c AS (SELECT doc_id, toks,
          |  CAST(SUM(toks) OVER (ORDER BY doc_id

@@ -29,16 +29,9 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(fin == Map("abab" -> "abab", "ab" -> "ab", "aaab" -> "aa ab"))
   }
 
-  /** Reference leftmost-greedy merge (plain Scala). */
-  def greedy(s: Seq[String], a: String, b: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < s.length) {
-      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
-      else { out += s(i); i += 1 }
-    }
-    out.toSeq
-  }
+  /** Reference leftmost-greedy merge — shared single definition. */
+  def greedy(s: Seq[String], a: String, b: String): Seq[String] =
+    BpeTestRef.greedy(s, a, b)
 
   test("applyMerge == leftmost greedy on adversarial runs and random strings") {
     val fixed = Seq("aaaa", "aaa", "abab", "aab", "abb", "ababa", "bbbb", "a", "")

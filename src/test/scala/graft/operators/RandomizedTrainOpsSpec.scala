@@ -26,15 +26,8 @@ class RandomizedTrainOpsSpec extends AnyFunSuite {
 
   // ---- BPE vs reference ---------------------------------------------
 
-  private def refGreedy(s: Seq[String], a: String, b: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < s.length) {
-      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
-      else { out += s(i); i += 1 }
-    }
-    out.toSeq
-  }
+  private def refGreedy(s: Seq[String], a: String, b: String): Seq[String] =
+    BpeTestRef.greedy(s, a, b)
 
   private def refBpe(words: Map[String, Long], rounds: Int)
       : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {

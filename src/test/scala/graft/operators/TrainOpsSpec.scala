@@ -182,6 +182,12 @@ class TrainOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SequencePacker.lengthBatches(rows, "doc_id", "toks", 0L, 2)
     }
+    // floor semantics: a negative weight lands in bucket -1, matching
+    // the engine-portable `//` the oracle uses (truncation would say 0)
+    val neg = SequencePacker.lengthBatches(
+      Seq((1L, -5L), (2L, 5L)).toDF("doc_id", "toks"), "doc_id", "toks", 32L, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(neg == Map(1L -> -1L, 2L -> 0L))
   }
 
   test("rarityStats: distinct counts, rarest df, hapax words; wordless docs absent") {
