@@ -105,14 +105,15 @@ object ExtraQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + PrSuppOffset).as("dst"))
-      val ranks = graft.operators.RankPropagation
+      // the returned plan reads the operator's cached rank table —
+      // deliberately NOT unpersisted here: releasing it would force
+      // the consumer's first action to recompute the whole iterative
+      // chain (measured ~2× the build). Ownership follows the
+      // operator contract ("the RETURNED table is cached —
+      // unpersist() when consumed"); Verify/Bench clear per query.
+      graft.operators.RankPropagation
         .fixedPointPageRank(edges, PrIters, PrScale)
-      val out = ranks.orderBy(col("node"))
-      // release the iteration cache: the plan recomputes through the
-      // InMemoryRelation lineage if evicted (non-harness consumers
-      // must not accumulate pinned state per call)
-      ranks.unpersist()
-      out
+        .orderBy(col("node"))
     }),
     "rk1_quality_topk" -> ((s, dir) => {
       // exact global top-K — orderBy+limit, which Spark plans as
