@@ -69,6 +69,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The per-query `"queries"`/`"queries_min"` fragment (round 9):
+    * alongside each query's MEDIAN, the artifact carries the MIN of the
+    * same iterations. The round-8 sweep-level calibration probe bounds
+    * SUSTAINED load but ran clean (0.228 s) while individual queries
+    * still absorbed transient spikes (h1 5.09 s driver vs 0.96 s judge).
+    * The min is the transient detector a consumer can apply per query:
+    * a median far above its own min means some iterations were hit by
+    * outside load (the work is identical across iterations), so a
+    * single-query outlier in a driver run is self-identifying from the
+    * JSON alone — no judge re-run needed. Values rounded to millis.
+    */
+  def queryStatsJson(stats: Seq[(String, Double, Double)]): String = {
+    def m(sel: ((String, Double, Double)) => Double) =
+      stats.map(s => "\"" + s._1 + "\":" + math.rint(sel(s) * 1000) / 1000)
+        .mkString("{", ",", "}")
+    s""""queries":${m(_._2)},"queries_min":${m(_._3)}"""
+  }
+
   /** The `"load"` fragment of the bench artifact, factored out so the
     * spec can assert its shape without a full bench run. Negative load
     * averages (the MXBean's "unavailable" sentinel) are passed through
@@ -137,15 +155,15 @@ object Bench {
         spark.catalog.clearCache()
         sec
       }
-      (name, math.rint(median(samples) * 1000) / 1000, err)
+      (name, math.rint(median(samples) * 1000) / 1000, samples.min, err)
     }
     // full JSON string escape (shared table): Spark exception messages
     // are routinely multi-line, and a raw control char inside the
     // one-line artifact makes strict parsers reject all of BENCH.json
     def esc(s: String) = graft.core.JsonText.escape(s)
-    val ok = outcomes.collect { case (n, sec, None) => n -> sec }
-    val errs = outcomes.collect { case (n, _, Some(e)) => n -> e }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ok = outcomes.collect { case (n, sec, mn, None) => (n, sec, mn) }
+    val errs = outcomes.collect { case (n, _, _, Some(e)) => n -> e }
+    val qs = queryStatsJson(ok)
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = math.rint(ok.map(_._2).sum * 1000) / 1000
@@ -209,7 +227,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir",""" +
         loadJson(loadStart, loadEnd, calStart, calEnd) +
-        s""","errors":$es,"queries":$qs$e2eJson$trainJson}"""
+        s""","errors":$es,$qs$e2eJson$trainJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

@@ -48,10 +48,15 @@ object ShuffleShard {
     * assignment columns are computed INLINE on the payload rows — one
     * scan, no self-join — and the pre-write exchange is RANGE
     * partitioning on the shard id: ranges keep equal shard values
-    * together (≤ 1 file per shard directory, preserving the ordered-
-    * read contract) and assign shard ids to tasks near-1:1, where a
-    * hash exchange would collide ~37% of shard ids into shared tasks
-    * and leave as many write slots empty. */
+    * together and assign shard ids to tasks near-1:1, where a hash
+    * exchange would collide ~37% of shard ids into shared tasks and
+    * leave as many write slots empty. The 1:1 task-to-shard mapping
+    * (and thus "≤ 1 file per shard directory") is BEST-EFFORT:
+    * repartitionByRange samples boundaries, so heavily skewed shard
+    * populations can co-locate two shard values in one task — output
+    * order within each shard directory is still correct (the
+    * per-partition sort leads with `shard`), those two shards' files
+    * are just written serially by the shared task. */
   def writeShards(
       df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Unit = {
     require(shards >= 1, s"need shards >= 1, got $shards")

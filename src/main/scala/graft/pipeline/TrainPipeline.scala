@@ -91,11 +91,13 @@ object TrainPipeline {
     val split = advance(Sampling.splitAssign(stage, "doc_id", Splits, seed))
     val splitCounts = stage.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // invariant gate BEFORE the expensive shard export: a breach must
+    // abort without leaving a full output directory behind
+    require(split == afterDecontam, "split stage must preserve rows")
     val train = stage.filter(col("split") === "train")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     ShuffleShard.writeShards(train, "doc_id", shards, seed, outDir)
     val trainRows = splitCounts.getOrElse("train", 0L)
-    require(split == afterDecontam, "split stage must preserve rows")
     Report(rowsIn, afterQuality, afterExact, afterNearDup, afterDecontam,
       splitCounts, trainRows, shards,
       (System.nanoTime() - t0) / 1e9)

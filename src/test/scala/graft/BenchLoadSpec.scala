@@ -44,6 +44,20 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(node.get("load").get("cal_start_sec").asDouble() === 0.19)
   }
 
+  test("queryStatsJson carries median AND per-iteration min for every query") {
+    val j = Bench.queryStatsJson(Seq(
+      ("h1_hll_distinct", 5.0915, 0.9614), ("d1_exact_dedup", 0.2342, 0.2301)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(s"{$j}")
+    // the min is the per-query transient-load detector: identical work
+    // per iteration means median >> min identifies outside interference
+    assert(node.get("queries").get("h1_hll_distinct").asDouble() === 5.092)
+    assert(node.get("queries_min").get("h1_hll_distinct").asDouble() === 0.961)
+    assert(node.get("queries").get("d1_exact_dedup").asDouble() === 0.234)
+    assert(node.get("queries_min").get("d1_exact_dedup").asDouble() === 0.23)
+    assert(node.get("queries").size() === node.get("queries_min").size())
+  }
+
   test("calibrationSec does fixed work and returns a positive wall time") {
     Bench.calibrationSec() // JIT warm
     val s = Bench.calibrationSec()

@@ -29,6 +29,11 @@ class RandomizedTrainOpsSpec extends AnyFunSuite {
   private def refGreedy(s: Seq[String], a: String, b: String): Seq[String] =
     BpeTestRef.greedy(s, a, b)
 
+  /** BMP-only reference: the tie-break below orders strings by Scala
+    * tuple minBy (Java UTF-16 code units), while BpeTrainer/DuckDB
+    * order by UTF-8 bytes (code points) — the two diverge only for
+    * supplementary (non-BMP) symbols, which the 'ab' corpora here
+    * never produce. */
   private def refBpe(words: Map[String, Long], rounds: Int)
       : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
     var st: Map[String, Seq[String]] =
