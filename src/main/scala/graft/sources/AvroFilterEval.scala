@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Compiler from Catalyst's stable source-filter API
+  * (`org.apache.spark.sql.sources.Filter`) to a row-skip predicate the
+  * avro decode loop evaluates BEFORE building a row — the filter half
+  * of the DSv2 face's pushdown ([[AvroTableProvider]]).
+  *
+  * Avro container blocks carry no min/max statistics, so this is
+  * ROW-skip, not block-skip: every block in the scan range is still
+  * decoded record-by-record, but a record failing a pushed predicate
+  * converts only the predicate's own columns (cheap boxed compares)
+  * and never materializes the rest — the same spirit as the projected
+  * reader schema's byte-wise field skip, applied row-wise. All pushed
+  * filters are ALSO left residual (Spark re-evaluates them above the
+  * scan), so the evaluator only ever needs to be conservative in one
+  * direction: it must never DROP a row Spark would keep; keeping an
+  * extra row is free.
+  *
+  * Supported (everything else stays residual-only and is reported
+  * un-pushed): Equal/ordering comparisons, In, IsNull/IsNotNull,
+  * And/Or/Not over int/long/float/double/string/boolean TOP-LEVEL
+  * columns. Logical-typed columns (date/timestamp/decimal) and nested
+  * fields are deliberately unsupported — their Catalyst literal
+  * encodings have more invariants than a byte-skip is worth.
+  * Comparisons follow SQL three-valued logic with unknown → keep
+  * (null never satisfies a comparison, so a null cell fails the
+  * conjunct; a Not over an unknown child keeps the row for the
+  * residual filter to decide).
+  */
+object AvroFilterEval {
+
+  /** Compiled conjunction: `cols` the distinct name-indexes the
+    * predicate reads (convert these first), `eval` over the partially
+    * converted row array (unread positions may be null). */
+  final case class Pred(cols: Array[Int], eval: Array[Any] => Boolean)
+      extends Serializable
+
+  /** Can `f` be evaluated by [[compile]] against `schema`? */
+  def supports(f: Filter, schema: StructType): Boolean =
+    one(f, schema.fieldNames, schema.fields.map(_.dataType)).isDefined
+
+  /** Compile the supported subset of `filters` into one conjunction;
+    * None when nothing is evaluable (the scan then skips nothing). */
+  def compile(filters: Seq[Filter], names: Array[String],
+      types: Array[DataType]): Option[Pred] = {
+    val compiled = filters.flatMap(f => one(f, names, types).map(fn => (f, fn)))
+    if (compiled.isEmpty) None
+    else {
+      val fns = compiled.map(_._2)
+      // only the EVALUATED filters' columns need early conversion
+      val cols = compiled.flatMap(_._1.references).distinct
+        .flatMap(r => names.indexOf(r) match { case -1 => None; case i => Some(i) })
+      Some(Pred(cols.toArray, arr => fns.forall(_(arr))))
+    }
+  }
+
+  private def one(f: Filter, names: Array[String],
+      types: Array[DataType]): Option[Array[Any] => Boolean] = {
+    def idx(a: String): Option[Int] =
+      names.indexOf(a) match { case -1 => None; case i => Some(i) }
+    def cmp(a: String, v: Any, test: Int => Boolean): Option[Array[Any] => Boolean] =
+      idx(a).flatMap(i => comparator(types(i), v)
+        .map(c => arr => arr(i) != null && test(c(arr(i)))))
+    f match {
+      case EqualTo(a, v) => cmp(a, v, _ == 0)
+      case GreaterThan(a, v) => cmp(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= 0)
+      case LessThan(a, v) => cmp(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v, _ <= 0)
+      case IsNull(a) => idx(a).map(i => arr => arr(i) == null)
+      case IsNotNull(a) => idx(a).map(i => arr => arr(i) != null)
+      case In(a, vs) =>
+        idx(a).flatMap { i =>
+          val cs = vs.toSeq.map(v => comparator(types(i), v))
+          if (cs.exists(_.isEmpty)) None
+          else {
+            val fns = cs.flatten
+            Some(arr => arr(i) != null && fns.exists(_(arr(i)) == 0))
+          }
+        }
+      case And(l, r) =>
+        for { lf <- one(l, names, types); rf <- one(r, names, types) }
+          yield (arr: Array[Any]) => lf(arr) && rf(arr)
+      case Or(l, r) =>
+        for { lf <- one(l, names, types); rf <- one(r, names, types) }
+          yield (arr: Array[Any]) => lf(arr) || rf(arr)
+      // safe under three-valued logic: the child returns false on
+      // unknown (null), so Not keeps those rows — the residual filter
+      // above the scan makes the final call
+      case Not(c) => one(c, names, types).map(cf => arr => !cf(arr))
+      case _ => None
+    }
+  }
+
+  /** `value → compare(value, literal)` for a supported (type, literal)
+    * pairing; None keeps the filter residual-only. Values are the
+    * boxed-JVM shapes the avro `convert` emits for these types. */
+  private def comparator(t: DataType, v: Any): Option[Any => Int] = (t, v) match {
+    case (IntegerType | LongType, n: Number) =>
+      Some(x => java.lang.Long.compare(x.asInstanceOf[Number].longValue, n.longValue))
+    case (FloatType | DoubleType, n: Number) =>
+      Some(x => java.lang.Double.compare(x.asInstanceOf[Number].doubleValue, n.doubleValue))
+    case (StringType, s: String) => Some(x => x.asInstanceOf[String].compareTo(s))
+    case (BooleanType, b: java.lang.Boolean) =>
+      Some(x => java.lang.Boolean.compare(x.asInstanceOf[java.lang.Boolean], b))
+    case _ => None
+  }
+}

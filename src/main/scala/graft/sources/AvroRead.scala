@@ -327,13 +327,18 @@ object AvroRead {
     * to the first block at or after the range start, decodes until
     * `pastSync(end)`. With `prune`, a projected reader schema makes
     * Avro's resolving decoder skip unrequested writer fields byte-wise.
-    * Registers a task-completion listener for early-stop consumers and
-    * also returns the idempotent closer for callers with their own
-    * close contract (DSv2 `PartitionReader.close`). */
+    * With `pred` (a compiled [[AvroFilterEval.Pred]], DSv2 filter
+    * pushdown), each record first converts ONLY the predicate's
+    * columns; non-matching records never convert the rest — row-skip,
+    * not block-skip, since avro blocks carry no stats. Registers a
+    * task-completion listener for early-stop consumers and also
+    * returns the idempotent closer for callers with their own close
+    * contract (DSv2 `PartitionReader.close`). */
   private[sources] def splitIterator(
       p: String, len: Long, start: Long, end: Long, hconf: Configuration,
       names: Array[String], types: Array[DataType],
-      prune: Boolean): (Iterator[Row], () => Unit) = {
+      prune: Boolean,
+      pred: Option[AvroFilterEval.Pred] = None): (Iterator[Row], () => Unit) = {
     val hp = new HPath(p)
     val in = hp.getFileSystem(hconf).open(hp)
     // a truncated/non-avro file makes the constructor throw BEFORE the
@@ -404,25 +409,51 @@ object AvroRead {
       i += 1
     }
     val livePerRow = pos.count(_ >= 0)
+    val predCols = pred.map(_.cols).getOrElse(Array.emptyIntArray)
+    val isPredCol = {
+      val b = new Array[Boolean](names.length)
+      predCols.foreach(b(_) = true)
+      b
+    }
+    val predLive = predCols.count(pos(_) >= 0)
+    def cell(rec: GenericRecord, j: Int): Any =
+      if (pos(j) < 0) null else upcast(j)(convert(rec.get(pos(j)), fieldSchema(j)))
     val it = new Iterator[Row] {
-      def hasNext: Boolean = !closed && {
-        // stop at the first block past this split's range — the task
-        // owning that range decodes it
-        val h = reader.hasNext && !reader.pastSync(end)
-        if (!h) closeOnce()
-        h
-      }
-      def next(): Row = {
-        val rec = reader.next()
-        cellsConverted += livePerRow
-        val vals = new Array[Any](names.length)
-        var j = 0
-        while (j < names.length) {
-          vals(j) = if (pos(j) < 0) null
-                    else upcast(j)(convert(rec.get(pos(j)), fieldSchema(j)))
-          j += 1
+      private var pending: Row = null
+      private def advance(): Unit = {
+        while (pending == null && !closed) {
+          // stop at the first block past this split's range — the task
+          // owning that range decodes it
+          if (!(reader.hasNext && !reader.pastSync(end))) { closeOnce(); return }
+          val rec = reader.next()
+          val vals = new Array[Any](names.length)
+          val pass = pred match {
+            case None => true
+            case Some(q) =>
+              // convert ONLY the predicate's columns; a failing record
+              // never materializes the rest (the row-skip win)
+              var k = 0
+              while (k < predCols.length) {
+                vals(predCols(k)) = cell(rec, predCols(k)); k += 1
+              }
+              cellsConverted += predLive
+              q.eval(vals)
+          }
+          if (pass) {
+            var j = 0
+            while (j < names.length) {
+              if (!isPredCol(j)) vals(j) = cell(rec, j)
+              j += 1
+            }
+            cellsConverted += livePerRow - predLive
+            pending = Row.fromSeq(vals.toIndexedSeq)
+          }
         }
-        Row.fromSeq(vals.toIndexedSeq)
+      }
+      def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+      def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException(s"avro: exhausted split of $p")
+        val r = pending; pending = null; r
       }
     }
     (it, closeOnce _)

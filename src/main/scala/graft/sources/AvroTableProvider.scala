@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,6 +26,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `columns` argument needed (`AvroRead.read(spark, path, columns, …)`
   * remains for direct programmatic use). A `count()` prunes to ZERO
   * fields: each record is skipped byte-wise and never materialized.
+  *
+  * Round 9 adds `SupportsPushDownFilters`: supported predicates
+  * evaluate inside the decode loop BEFORE row conversion, so a
+  * `.filter` over a wide corpus converts only the predicate columns of
+  * non-matching records. Avro blocks carry no min/max statistics, so
+  * this is row-skip, not block-skip — decode work is saved per record,
+  * never per block (see [[AvroFilterEval]] for the supported set and
+  * the keep-it-residual safety argument).
   *
   * Everything behind the interface is the same machinery as the RDD
   * path — union-widest schema across files, sync-marker byte-range
@@ -65,19 +73,34 @@ private[sources] class AvroDsvTable(path: String, tableSchema: StructType)
 }
 
 private[sources] class AvroScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(path, full, required)
+  /** Filter pushdown is ROW-skip, not block-skip (avro blocks carry no
+    * min/max stats): supported predicates evaluate inside the decode
+    * loop before row conversion. EVERY filter — including the accepted
+    * ones — is returned as residual, so Spark re-evaluates above the
+    * scan and the evaluator only needs to be conservative one way
+    * (never drop a row Spark would keep); see [[AvroFilterEval]]. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(AvroFilterEval.supports(_, full))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new AvroScan(path, full, required, pushed)
 }
 
-private[sources] class AvroScan(path: String, full: StructType, required: StructType)
+private[sources] class AvroScan(path: String, full: StructType, required: StructType,
+    pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro $path ReadSchema: ${required.simpleString}"
+    s"graft-avro $path ReadSchema: ${required.simpleString} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -94,10 +117,16 @@ private[sources] class AvroScan(path: String, full: StructType, required: Struct
     val conf = new SerializableWritable(
       new Configuration(spark.sessionState.newHadoopConf()))
     // prune only when Catalyst actually narrowed the schema — a full
-    // scan then skips the ResolvingDecoder indirection entirely
+    // scan then skips the ResolvingDecoder indirection entirely.
+    // The pushed filters compile against the REQUIRED schema (their
+    // columns are always in it, because every filter stays residual
+    // and Catalyst keeps residual-referenced columns); compiled once
+    // on the driver, the closure ships to every partition reader.
     new AvroReaderFactory(conf, required.fields.map(_.name),
       required.fields.map(_.dataType),
-      prune = required.fieldNames.toSeq != full.fieldNames.toSeq)
+      prune = required.fieldNames.toSeq != full.fieldNames.toSeq,
+      pred = AvroFilterEval.compile(pushed.toSeq,
+        required.fields.map(_.name), required.fields.map(_.dataType)))
   }
 }
 
@@ -106,12 +135,13 @@ private[sources] case class AvroSplit(path: String, len: Long, start: Long, end:
 
 private[sources] class AvroReaderFactory(
     conf: SerializableWritable[Configuration],
-    names: Array[String], types: Array[DataType], prune: Boolean)
+    names: Array[String], types: Array[DataType], prune: Boolean,
+    pred: Option[AvroFilterEval.Pred] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val s = partition.asInstanceOf[AvroSplit]
     val (rows, closeFn) = AvroRead.splitIterator(
-      s.path, s.len, s.start, s.end, conf.value, names, types, prune)
+      s.path, s.len, s.start, s.end, conf.value, names, types, prune, pred)
     val struct = StructType(
       names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
     val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters

@@ -84,6 +84,74 @@ class AvroDsv2Spec extends AnyFunSuite {
     assert(n.toSeq == Seq(7L, 9000000000L))
   }
 
+  test("supported filters push into the scan and skip row conversion") {
+    val dir = Files.createTempDirectory("dsv2-filter")
+    writeWide(dir)
+    val df = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+      .filter(col("id") > 190)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,190"), plan)
+    AvroRead.convertedCells.reset()
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (191L to 200L))
+    // 190 non-matching rows convert ONLY the predicate column (id);
+    // the 10 matching rows convert all five cells (id once, reused)
+    assert(AvroRead.convertedCells.sum() == 190L * 1 + 10L * 5)
+  }
+
+  test("filter + projection compose: predicate column converts for all, payload only for matches") {
+    val dir = Files.createTempDirectory("dsv2-filter-prune")
+    writeWide(dir)
+    val df = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+      .filter(col("id") > 190).select("x")
+    AvroRead.convertedCells.reset()
+    val xs = df.collect().map(_.getDouble(0)).sorted
+    assert(xs.toSeq == (191 to 200).map(_ * 0.5))
+    // required schema is {x, id} (id kept for the residual filter):
+    // id converts on every row, x only on the 10 matches
+    assert(AvroRead.convertedCells.sum() == 200L * 1 + 10L * 1)
+  }
+
+  test("IsNull pushdown respects schema evolution (absent field reads as null)") {
+    val dir = Files.createTempDirectory("dsv2-filter-null")
+    val v1 = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").endRecord()
+    val v2s = SchemaBuilder.record("doc").fields()
+      .requiredLong("id").optionalDouble("score").endRecord()
+    def write(name: String, s: org.apache.avro.Schema, recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+      w.create(s, dir.resolve(name).toFile)
+      recs.foreach(w.append)
+      w.close()
+    }
+    write("a-v1.avro", v1, Seq(new GenericRecordBuilder(v1).set("id", 1L).build()))
+    write("b-v2.avro", v2s, Seq(
+      new GenericRecordBuilder(v2s).set("id", 2L).set("score", 0.5).build()))
+    val df = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+    assert(df.filter(col("score").isNull).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(df.filter(col("score").isNotNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("unsupported predicates stay residual-only — empty PushedFilters, correct result") {
+    val dir = Files.createTempDirectory("dsv2-filter-resid")
+    writeWide(dir)
+    val df = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+      .filter(length(col("a")) > 50) // no source-filter form of its own
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst derives a pushable IsNotNull(a); the length predicate
+    // itself has no source-filter form and must stay in the residual
+    // Filter node above the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(a)]"), plan)
+    assert(plan.contains("length("), plan)
+    assert(df.count() == 0)
+    // and a mixed case: the convertible conjunct pushes, the rest stays
+    val mixed = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+      .filter(col("id") <= 5 && length(col("b")) === 20)
+    val mplan = mixed.queryExecution.executedPlan.toString
+    assert(mplan.contains("LessThanOrEqual(id,5"), mplan)
+    assert(mixed.collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+  }
+
   test("early-terminating consumers close streams (limit over DSv2)") {
     val dir = Files.createTempDirectory("dsv2-limit")
     writeWide(dir)
