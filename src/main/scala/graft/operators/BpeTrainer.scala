@@ -91,9 +91,9 @@ object BpeTrainer {
     * higher-order-function work outside whole-stage codegen; re-doing
     * it per occurrence measured ~6× the whole train cost at sf0.1).
     * Words absent from the training vocabulary count 0 symbols (the
-    * frozen-model convention, mirrored by the oracle's left join) —
-    * re-tokenizing unseen words would need [[applyMerge]] over the
-    * merge list, the SQL-face `bpe_merge` chain. */
+    * frozen-model convention, mirrored by the oracle's left join);
+    * [[compressionStatsExact]] is the opt-in path that re-folds unseen
+    * words through the learned merge chain instead. */
   def compressionStats(
       docs: DataFrame, idCol: String, textCol: String, state: DataFrame): DataFrame = {
     val sizes = state.select(col("word"),
@@ -101,6 +101,44 @@ object BpeTrainer {
     docs
       .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
       .join(sizes.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_base"),
+        sum(coalesce(col("w_syms"), lit(0L))).as("n_syms"))
+  }
+
+  /** The learned tokenizer as a column expression: fold the merge list
+    * in training order over a word's character split — exactly what
+    * training did, so any word (seen or not) tokenizes to the symbols
+    * training would have produced for it. The chain is one nested
+    * [[applyMerge]] per learned merge, so expression depth grows with
+    * the merge-list length — fine for the bounded merge lists trained
+    * here; a 32k-merge production vocabulary wants the precompiled
+    * (word → syms) state table instead ([[compressionStats]]). */
+  def tokenizeExact(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(chars(word))((acc, m) => applyMerge(acc, m.a, m.b))
+
+  /** Opt-in EXACT deployment: like [[compressionStats]] but
+    * out-of-vocabulary words re-fold through the learned merge chain
+    * instead of counting 0 symbols (the frozen-model default). The
+    * fold runs ONCE PER DISTINCT unseen word — never per occurrence
+    * (the 6×-measured anti-shape): distinct corpus words anti-join the
+    * training vocabulary, the survivors tokenize via
+    * [[tokenizeExact]], and the union of both symbol-count tables
+    * joins back vocabulary-keyed exactly as the frozen path does. */
+  def compressionStatsExact(
+      docs: DataFrame, idCol: String, textCol: String, state: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    val known = state.select(col("word"),
+      size(col("syms")).cast("long").as("w_syms"))
+    val corpus = docs.select(
+      col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
+    val unseen = corpus.select(col("word")).distinct()
+      .join(known.select(col("word")), Seq("word"), "left_anti")
+      .select(col("word"),
+        size(tokenizeExact(col("word"), merges)).cast("long").as("w_syms"))
+    corpus
+      .join(known.unionByName(unseen).hint("shuffle_hash"), Seq("word"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_base"),

@@ -83,6 +83,34 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(unseen.toSeq == Seq((9L, 2L, 6L, 1L))) // zz unseen → 0 syms
   }
 
+  test("compressionStatsExact: unseen words re-fold through the merge chain") {
+    val docs = Seq((1L, "abab ab"), (2L, "cc")).toDF("doc_id", "text")
+    val (ms, st) = BpeTrainer.train(BpeTrainer.wordTable(docs, "text"), 2)
+    // the opt-in path must tokenize the unseen word exactly as TRAINING
+    // would have: fold the learned merges greedily, in order (reference
+    // = the shared pure-Scala greedy chain)
+    val unseenWords = Seq("ababab", "ba", "zz", "aabb")
+    val expect = unseenWords.map { w =>
+      w -> ms.foldLeft(w.map(_.toString): Seq[String])((s, m) =>
+        BpeTestRef.greedy(s, m.a, m.b)).length.toLong
+    }.toMap
+    val other = unseenWords.zipWithIndex
+      .map { case (w, i) => (100L + i, w) }.toDF("doc_id", "text")
+    val got = BpeTrainer.compressionStatsExact(other, "doc_id", "text", st, ms)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == unseenWords.zipWithIndex
+      .map { case (w, i) => (100L + i) -> expect(w) }.toMap)
+    // seen words still come from the precompiled state (frozen path
+    // agreement), and a mixed doc sums both
+    val mixed = Seq((9L, "zz abab")).toDF("doc_id", "text")
+    val gotMixed = BpeTrainer.compressionStatsExact(mixed, "doc_id", "text", st, ms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    st.unpersist()
+    // zz re-folds to 2 symbols (no merge applies), abab to 1 (trained)
+    assert(gotMixed.toSeq == Seq((9L, 2L, 6L, 3L)))
+    assert(expect("ababab") == 2L) // abab + ab: leftmost-greedy chain, not 3×ab
+  }
+
   test("exhausted corpus fails loudly; rounds guard") {
     val (ms, st) = BpeTrainer.train(words("ab" -> 1L), 1)
     st.unpersist()
