@@ -113,6 +113,25 @@ object Multimodal {
     }
   }
 
+  /** Per-asset 64-bit perceptual hash — the fingerprint half of
+    * image-content near-dup dedup: REAL dHash over the ImageIO-decoded
+    * pixels for decodable mimes ([[ImageCodec.dHash]] — a re-encoded
+    * or slightly-retouched copy lands within a few Hamming bits),
+    * deterministic md5-derived stub hash otherwise (same plumbing,
+    * oracle-mirrorable). Output columns are (id, simhash) — exactly
+    * the shape [[graft.operators.SimHash.nearPairs]] /
+    * [[graft.operators.SimHash.nearDupClusters]] consume, so the
+    * Hamming-bucketed candidate machinery (16-bit chunk pigeonhole,
+    * value-grouped pair expansion, audited bucket caps) is shared with
+    * text simhash rather than re-derived. */
+  def perceptualHashes(ds: Dataset[ImageAsset]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new ImageCodec // per-partition init, amortized
+      it.map(a => (a.asset_id, codec.perceptualHash(a.mime, a.data)))
+    }.toDF("id", "simhash")
+  }
+
   /** Repartition so each task handles ~`targetBytesPerTask` of payload
     * (decode cost tracks bytes, not rows — uniform tasks at any scale). */
   def repartitionBySize(
@@ -234,6 +253,74 @@ final class ImageCodec {
     }
     Array.tabulate(dim)(b =>
       if (counts(b) == 0) 0f else (sums(b) / counts(b) / 255.0).toFloat)
+  }
+
+  /** Perceptual-hash dispatch: real [[dHash]] for decodable mimes,
+    * md5-derived stub otherwise. */
+  def perceptualHash(mime: String, data: Array[Byte]): Long =
+    if (ImageCodec.RealMimes(mime)) dHash(decodeReal(data)) else stubHash64(data)
+
+  /** REAL 64-bit difference hash (dHash, the classic perceptual
+    * fingerprint): integer Rec.601 luminance (299r + 587g + 114b, no
+    * division — comparisons are scale-invariant) average-pooled onto a
+    * 9×8 grid, bit (r, c) set iff cell (r, c+1) is strictly brighter
+    * than cell (r, c). Averages compare exactly via cross-
+    * multiplication (sumR·cntL > sumL·cntR) — no floating point
+    * anywhere, so the hash is bit-reproducible across JVMs and
+    * partitionings. Brightness/contrast shifts and small retouches
+    * move few gradient signs, so perturbed copies land within a small
+    * Hamming distance; images narrower/shorter than the grid leave
+    * the empty cells' bits 0 (deterministic; comparisons against an
+    * empty cell are false). */
+  def dHash(img: Multimodal.DecodedImage): Long = {
+    require(img.pixels.nonEmpty,
+      "dHash needs decoded pixels — stub-decoded payloads have none " +
+        "(use perceptualHash, which dispatches stubs to stubHash64)")
+    val (w, h) = (img.width, img.height)
+    val sums = new Array[Long](8 * 9)
+    val counts = new Array[Long](8 * 9)
+    var y = 0
+    while (y < h) {
+      val r = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val c = math.min(8, x * 9 / w)
+        val o = (y * w + x) * 3
+        val lum = 299L * (img.pixels(o) & 0xff) +
+          587L * (img.pixels(o + 1) & 0xff) + 114L * (img.pixels(o + 2) & 0xff)
+        sums(r * 9 + c) += lum; counts(r * 9 + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c
+        val rt = l + 1
+        if (counts(l) > 0 && counts(rt) > 0 &&
+            sums(rt) * counts(l) > sums(l) * counts(rt))
+          bits |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** STUB perceptual hash: first 8 md5 bytes of the payload, big-endian
+    * signed — the binary-payload twin of
+    * [[graft.plans.HexHash60.hash64]], so when the payload is UTF-8
+    * text the DuckDB mirror is the documented two-halves md5(text)
+    * formula and an m-series oracle can grade the whole near-dup
+    * pipeline. */
+  def stubHash64(data: Array[Byte]): Long = {
+    val d = md.digest(data)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   /** 60-bit integer from the md5 of `bytes` (matches the engine's

@@ -34,6 +34,18 @@ object MultimodalQueries {
         .toDF()
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
+    "m4_image_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val assets = Multimodal.assetsFrom(s, docs, "doc_id", "text", "image/fake")
+      // perceptual hashes (stub path on this corpus: md5-derived, so
+      // DuckDB replays it exactly) through the SHARED Hamming-bucketed
+      // pair machinery — 16-bit chunk pigeonhole, value-grouped
+      // candidates, never the O(n²) pair space
+      graft.operators.SimHash.nearPairs(
+        Multimodal.perceptualHashes(assets), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "m3_audio_energy" -> ((s, dir) => {
       import s.implicits._
       val audio = Tables(s, dir, "documents").select(
@@ -48,7 +60,34 @@ object MultimodalQueries {
         .orderBy(col("asset_id"), col("window_idx"))
     }))
 
+  import graft.operators.SimHash
+
+  /** hexHash64 mirror over the fake-image payload (= UTF-8 of text):
+    * signed 64-bit from two 32-bit md5 halves, pure BIGINT arithmetic
+    * (DuckDB `<<` raises on 64-bit shift overflow) — the documented
+    * [[graft.plans.HexHash60.hash64]] formula. */
+  private val m4Oracle: String =
+    s"""WITH hx AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) AS lo
+       | FROM documents),
+       |sh AS (SELECT doc_id,
+       |  (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS simhash
+       | FROM hx),
+       |chunks AS (
+       | SELECT doc_id, simhash, c.c, (simhash >> (c.c * ${SimHash.ChunkBits})) & ${(1 << SimHash.ChunkBits) - 1} AS ck
+       | FROM sh, (SELECT unnest(range(0, ${SimHash.Chunks})) AS c) c),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.simhash AS sh_a, b.simhash AS sh_b
+       | FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+       |  AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "m4_image_neardup" -> m4Oracle,
     "m1_image_features" ->
       """SELECT doc_id AS asset_id,
         | CAST(16 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 64) AS INTEGER) AS width,

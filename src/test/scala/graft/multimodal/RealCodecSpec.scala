@@ -91,6 +91,67 @@ class RealCodecSpec extends AnyFunSuite {
     assert(f.width == stub.width && f.height == stub.height)
   }
 
+  /** wXh gradient image (brightness rises left→right), optionally
+    * perturbed: every pixel's channels shifted by `delta`. */
+  private def gradient(w: Int, h: Int, delta: Int, fmt: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, x * 255 / (w - 1) + delta))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no $fmt writer in this JDK")
+    out.toByteArray
+  }
+
+  test("dHash: perturbed copy lands within Hamming 3 and buckets as a near-dup pair") {
+    import spark.implicits._
+    val codec = new ImageCodec()
+    val a = gradient(90, 48, delta = 0)
+    val b = gradient(90, 48, delta = 6) // retouched copy: +6 brightness
+    // an inverted gradient: every horizontal luminance comparison flips
+    val c = {
+      val img = new BufferedImage(90, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 90) {
+        val v = 255 - x * 255 / 89
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val ha = codec.perceptualHash("image/png", a)
+    val hb = codec.perceptualHash("image/png", b)
+    val hc = codec.perceptualHash("image/png", c)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // a uniform brightness shift preserves every left<right comparison
+    assert(ham(ha, hb) <= 3, s"perturbed copy drifted ${ham(ha, hb)} bits")
+    assert(ham(ha, hc) > 3, s"inverted image too close: ${ham(ha, hc)} bits")
+    // end-to-end: the shared Hamming-bucketed pair machinery finds
+    // exactly the planted pair
+    val ds = Seq(
+      Multimodal.ImageAsset(1L, "mem://a", "image/png", a),
+      Multimodal.ImageAsset(2L, "mem://b", "image/png", b),
+      Multimodal.ImageAsset(3L, "mem://c", "image/png", c)).toDS()
+    val pairs = graft.operators.SimHash
+      .nearPairs(Multimodal.perceptualHashes(ds), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq.toString)
+  }
+
+  test("dHash is deterministic integer arithmetic; stub hash mirrors hexHash64") {
+    val codec = new ImageCodec()
+    val png = gradient(45, 24, 0)
+    assert(codec.perceptualHash("image/png", png) ==
+      codec.perceptualHash("image/png", png))
+    // stub path: first 8 md5 bytes big-endian signed — identical to the
+    // engine's portable string hash on UTF-8 payloads
+    val text = "stub payload body"
+    val got = codec.stubHash64(text.getBytes("UTF-8"))
+    val expect = graft.plans.HexHash60.hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    assert(got == expect)
+  }
+
   test("WAV decodes for real: per-window energies match the generated waveform") {
     import spark.implicits._
     // 512 samples of constant amplitude 100 → two 256-sample windows,
