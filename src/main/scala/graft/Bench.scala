@@ -202,9 +202,11 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(160))}"}"""
         } finally deleteRecursively(root)
       }
-    // training-data curation flow (quality → dedup ×2 → decontam →
-    // split → shard export), the LLM-pipeline twin of the migration
-    // e2e. Same env gate; wall time + the attrition funnel.
+    // training-data curation flow (quality → segment dedup → exact +
+    // near dedup → decontam → split → LM gate → perceptron gate →
+    // upsample → interleave → length batches → shard export), the
+    // LLM-pipeline twin of the migration e2e. Same env gate; wall
+    // time + the full attrition funnel.
     val trainJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
       else {
@@ -213,9 +215,12 @@ object Bench {
           val r = graft.pipeline.TrainPipeline.run(spark, sfDir, root.toString)
           def s3(d: Double) = math.rint(d * 1000) / 1000
           s""","e2e_train":{"sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
-            s""""after_quality":${r.afterQuality},"after_exact":${r.afterExact},""" +
+            s""""after_quality":${r.afterQuality},"segments_in":${r.segmentsIn},""" +
+            s""""segments_kept":${r.segmentsKept},"after_exact":${r.afterExact},""" +
             s""""after_near_dup":${r.afterNearDup},"after_decontam":${r.afterDecontam},""" +
-            s""""train_rows":${r.trainRows},"shards":${r.shards}}"""
+            s""""after_lm_gate":${r.afterLmGate},"after_pt_gate":${r.afterPtGate},""" +
+            s""""train_rows":${r.trainRows},"upsampled_rows":${r.upsampledRows},""" +
+            s""""batches":${r.batches},"shards":${r.shards}}"""
         } catch {
           case e: Throwable =>
             s""","e2e_train":{"error":"${esc(s"${e.getClass.getSimpleName}: " +

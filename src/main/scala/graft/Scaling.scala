@@ -74,62 +74,98 @@ object Scaling {
       s
     })
 
-  private def generate(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** Which blown-up tables each measurable query reads — selective
+    * generation keeps a restricted run (e.g. the 100× d4/d9 point)
+    * from paying for tables it never scans. */
+  private val TableNeeds: Map[String, Set[String]] = Map(
+    "d2_minhash_lsh" -> Set("documents"),
+    "d4_ngram_jaccard" -> Set("documents"),
+    "d6_dedup_clusters" -> Set("documents"),
+    "d9_substring_spans" -> Set("documents"),
+    "d10_winnowing_pairs" -> Set("documents"),
+    "sd1_segment_dedup" -> Set("documents"),
+    "he1_hashed_embedding" -> Set("documents"),
+    "n3_ann_ivf" -> Set("embeddings"),
+    "bpe1_merges" -> Set("documents"),
+    "bpe3_compression" -> Set("documents"),
+    "pc1_pca_power" -> Set("embeddings"),
+    "em1_centroid_dist" -> Set("embeddings"),
+    "pr1_purchase_rank" -> Set("orders", "lineitem"))
+
+  private def generate(spark: SparkSession, base: String, out: String,
+      factor: Int, tables: Set[String]): Unit = {
     Files.createDirectories(Paths.get(out))
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    val dStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until factor).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * dStride)).as("doc_id"),
-        array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
-          " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    val eStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    (0 until factor).map { k =>
-      if (k == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(k * eStride)).as("vec_id"),
-        concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k)).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val dStride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      (0 until factor).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * dStride)).as("doc_id"),
+          array_join(
+            transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))),
+            " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val eStride = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // replica k rotates by k positions — distinct AND norm-preserving
+      // only while k < dim; past that the construction would repeat
+      require(factor <= dim,
+        s"embeddings blow-up supports factor <= dim ($dim), got $factor — " +
+          "restrict SPARK_GRAFT_SCALE_QUERIES to document-table queries")
+      (0 until factor).map { k =>
+        if (k == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(k * eStride)).as("vec_id"),
+          concat(slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), 1, k)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
     // purchase graph (pr1): key-offset replicas — each replica is a
     // disjoint customer→supplier subgraph, so nodes AND edges grow ∝
     // factor while per-replica degree structure is preserved exactly
-    def bump(df: DataFrame, k: Int, strides: Map[String, Long]): DataFrame =
-      strides.foldLeft(df) { case (d, (c, s)) =>
-        d.withColumn(c, (col(c) + lit(k * s)).cast(d.schema(c).dataType))
-      }
-    val orders = spark.read.parquet(s"$base/orders.parquet")
-    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
-    val oStride = maxOf(orders, "o_orderkey")
-    val cStride = maxOf(orders, "o_custkey")
-    val sStride = maxOf(lineitem, "l_suppkey")
-    (0 until factor).map(k =>
-      bump(orders, k, Map("o_orderkey" -> oStride, "o_custkey" -> cStride)))
-      .reduce(_ unionByName _).repartition(32)
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    (0 until factor).map(k =>
-      bump(lineitem, k, Map("l_orderkey" -> oStride, "l_suppkey" -> sStride)))
-      .reduce(_ unionByName _).repartition(32)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (tables("orders") || tables("lineitem")) {
+      def bump(df: DataFrame, k: Int, strides: Map[String, Long]): DataFrame =
+        strides.foldLeft(df) { case (d, (c, s)) =>
+          d.withColumn(c, (col(c) + lit(k * s)).cast(d.schema(c).dataType))
+        }
+      val orders = spark.read.parquet(s"$base/orders.parquet")
+      val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+      def maxOf(df: DataFrame, c: String): Long =
+        df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
+      val oStride = maxOf(orders, "o_orderkey")
+      val cStride = maxOf(orders, "o_custkey")
+      val sStride = maxOf(lineitem, "l_suppkey")
+      (0 until factor).map(k =>
+        bump(orders, k, Map("o_orderkey" -> oStride, "o_custkey" -> cStride)))
+        .reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      (0 until factor).map(k =>
+        bump(lineitem, k, Map("l_orderkey" -> oStride, "l_suppkey" -> sStride)))
+        .reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // restrict to a comma-separated query subset (budget-bounded deep
+    // points, e.g. the 100× d4/d9 decade check): the run then appends
+    // a subset section to SCALING.md instead of rewriting the table
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -141,20 +177,32 @@ object Scaling {
     Bench.calibrationSec()
     val cal = Bench.calibrationSec()
 
-    // the marker records which factor built the data: re-running with a
-    // different SPARK_GRAFT_SCALE_FACTOR against a warm out dir must
-    // regenerate, or the exponent would divide stale growth by the new
-    // factor's log and silently understate it
+    val allFixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
+      "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
+      "sd1_segment_dedup", "he1_hashed_embedding")
+    val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
+      "bpe3_compression", "em1_centroid_dist")
+    val fixed = only.fold(allFixed)(s => allFixed.filter(s))
+    val eager = only.fold(allEager)(s => allEager.filter(s))
+    require(fixed.nonEmpty || eager.nonEmpty,
+      s"SPARK_GRAFT_SCALE_QUERIES matched nothing measurable " +
+        s"(known: ${(allFixed ++ allEager).mkString(", ")})")
+    // n3's √C companion rides along only when n3 itself is selected
+    val withSqrtC = fixed.contains("n3_ann_ivf")
+    val tables = (fixed ++ eager).flatMap(TableNeeds).toSet
+
+    // the marker records which factor built the data (and which tables):
+    // re-running with a different SPARK_GRAFT_SCALE_FACTOR against a
+    // warm out dir must regenerate, or the exponent would divide stale
+    // growth by the new factor's log and silently understate it
     val marker = Paths.get(out, "_scale_factor")
+    val markerVal = s"$base@$factor@${tables.toSeq.sorted.mkString("+")}"
     val stale = !Files.exists(marker) ||
-      Files.readString(marker).trim != s"$base@$factor"
+      Files.readString(marker).trim != markerVal
     if (stale ||
-        !Files.exists(Paths.get(out, "documents.parquet")) ||
-        !Files.exists(Paths.get(out, "embeddings.parquet")) ||
-        !Files.exists(Paths.get(out, "orders.parquet")) ||
-        !Files.exists(Paths.get(out, "lineitem.parquet"))) {
-      generate(spark, base, out, factor)
-      Files.writeString(marker, s"$base@$factor")
+        tables.exists(t => !Files.exists(Paths.get(out, s"$t.parquet")))) {
+      generate(spark, base, out, factor, tables)
+      Files.writeString(marker, markerVal)
     }
 
     // √factor-scaled IVF quantizer: centroidMod grows so C stays ≈ √n
@@ -170,13 +218,8 @@ object Scaling {
     // d9/d10 ride the same replica-disjoint corpus: window hashes and
     // winnowing fingerprints never collide across replicas (every word
     // carries the replica suffix), so their duplicate structure per
-    // unit volume is preserved exactly like the shingle family's
-    val fixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
-      "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
-      "sd1_segment_dedup", "he1_hashed_embedding")
-    // driver-round ops: timed inclusive of DAG build (see timeEager)
-    val eager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
-      "bpe3_compression", "em1_centroid_dist")
+    // unit volume is preserved exactly like the shingle family's.
+    // (eager = driver-round ops, timed inclusive of DAG build.)
     // warm codegen on the tiny sibling so neither scale pays Janino
     val warmDir = Paths.get(base).getParent.resolve("sf0.001").toString
     (fixed ++ eager).foreach(q => try SparkEntry.queries(q)(spark, warmDir)
@@ -187,11 +230,11 @@ object Scaling {
       val tBase = timeOne(SparkEntry.queries(q)(spark, base), iters)
       val tBig = timeOne(SparkEntry.queries(q)(spark, out), iters)
       (q, tBase, tBig)
-    } :+ {
+    } ++ (if (withSqrtC) Seq {
       val tBase = timeOne(ivfSqrt(base, 23), iters)
       val tBig = timeOne(ivfSqrt(out, sqrtMod(23, factor)), iters)
       ("n3_ann_ivf_sqrtC", tBase, tBig)
-    }) ++ eager.map { q =>
+    } else Nil)) ++ eager.map { q =>
       val tBase = timeEager(SparkEntry.queries(q)(spark, base), iters)
       val tBig = timeEager(SparkEntry.queries(q)(spark, out), iters)
       (s"$q (incl. build)", tBase, tBig)
@@ -250,8 +293,34 @@ object Scaling {
          |
          |Reproduce: `sbt "runMain graft.Scaling /root/testdata/sf0.1 /tmp/graft_sf1"`.
          |""".stripMargin
-    Files.writeString(Paths.get("SCALING.md"), md)
-    println(md)
+    only match {
+      case None =>
+        Files.writeString(Paths.get("SCALING.md"), md)
+        println(md)
+      case Some(qs) =>
+        // subset run: append a deep-point section under the full table
+        // instead of replacing it
+        val section =
+          s"""
+             |## ${factor}× deep point — ${qs.toSeq.sorted.mkString(", ")}
+             |
+             |Same construction and protocol as above at factor $factor
+             |(median of $iters, calibration probe ${cal}s; subset run —
+             |`SPARK_GRAFT_SCALE_QUERIES=${qs.toSeq.sorted.mkString(",")}`).
+             |
+             || query | sf0.1 (s) | ×$factor (s) | ratio | exponent |
+             ||---|---|---|---|---|
+             |${lines.mkString("\n|")}
+             |
+             |Reproduce: `SPARK_GRAFT_SCALE_FACTOR=$factor SPARK_GRAFT_SCALE_QUERIES=${qs.toSeq.sorted.mkString(",")} sbt "runMain graft.Scaling /root/testdata/sf0.1 /tmp/graft_sf${factor}x"`.
+             |""".stripMargin
+        val existing =
+          if (Files.exists(Paths.get("SCALING.md")))
+            Files.readString(Paths.get("SCALING.md"))
+          else ""
+        Files.writeString(Paths.get("SCALING.md"), existing + section)
+        println(section)
+    }
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Deterministic global shuffle + sharding — the last step of a
   * training-data pipeline: examples must reach the trainer in a fixed
@@ -68,5 +69,70 @@ object ShuffleShard {
       .repartitionByRange(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** APPEND-mode export — the incremental half of the scaladoc's
+    * determinism contract: rows already exported NEVER move (their
+    * (shard, pos) is immutable) and never duplicate; new rows land in
+    * their deterministic shard (same seeded hash as [[writeShards]])
+    * at positions following the shard's existing tail, ordered by
+    * (hash, id) within the increment. Equivalently: appending batch B
+    * to an export of batch A yields, per shard, A's one-shot layout as
+    * the position prefix and B's one-shot layout (offset by the prefix
+    * length) as the suffix.
+    *
+    * Replay safety (the audit anti-join): the increment is anti-joined
+    * against the ids already exported, so an at-least-once upstream
+    * (a restarted stream re-delivering a micro-batch) appends each row
+    * exactly once — the same idempotence discipline as the incremental
+    * loader's audit table. Here the export itself IS the audit source:
+    * the anti-join and the per-shard tails read only (id, shard, pos)
+    * — parquet prunes the payload columns — and at very large exports
+    * a deployment would keep those three columns as a dedicated audit
+    * table updated per append (the IncrementalLoader shape) rather
+    * than re-scanning the export's key columns.
+    *
+    * A missing `outDir` degrades to [[writeShards]] (first batch of a
+    * stream). Returns the number of rows actually appended.
+    *
+    * Ordered-read note: each append adds new parquet files to a shard
+    * directory; WITHIN each file rows are position-ordered, but a
+    * multi-file shard must be read ordered by `pos` (or file-by-file
+    * in append order) — Spark's scan does not promise cross-file
+    * order. One-shot [[writeShards]] exports keep the ≤-1-file-per-
+    * shard fast path. */
+  def appendShards(
+      df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Long = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val spark = df.sparkSession
+    val p = new HPath(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val n = df.count()
+      writeShards(df, idCol, shards, seed, outDir)
+      return n
+    }
+    val prior = spark.read.parquet(outDir)
+      .select(col(idCol), col("shard"), col("pos"))
+    // per-shard tails: ≤ `shards` rows — always broadcastable
+    val tails = prior.groupBy(col("shard")).agg((max(col("pos")) + 1).as("base"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    val fresh = df
+      .join(prior.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("h", TextOps.hexHash60(seed, col(idCol).cast("string")))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(tails), Seq("shard"), "left")
+      .withColumn("pos", coalesce(col("base"), lit(0L)) + col("rk"))
+      .drop("h", "rk", "base")
+      .cache()
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.repartitionByRange(shards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("pos"))
+          .write.mode("append").partitionBy("shard").parquet(outDir)
+      n
+    } finally fresh.unpersist()
   }
 }

@@ -4,30 +4,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{BloomContamination, ExactDedup, MinHashLSH, QualityRules, Sampling, ShuffleShard, TextOps}
+import graft.functions.TextAnalysis
+import graft.operators.{BloomContamination, ExactDedup, LanguageModel, LinearClassifier, MinHashLSH, QualityRules, Sampling, SegmentDedup, SequencePacker, ShuffleShard, TextOps}
 
 /** The full training-data curation flow, end to end — the LLM-pipeline
   * counterpart of [[E2ePipeline]]'s migration flow, composed entirely
-  * from the operator library:
+  * from the operator library (round 9 extends the chain to the whole
+  * round-8 curation surface):
   *
-  *   corpus → Gopher quality gate → exact dedup → near-dup drop
-  *   (MinHash+LSH clusters, keep lowest id) → Bloom decontamination
-  *   against the held-out benchmark set → train/val/test split →
+  *   corpus → Gopher quality gate → corpus-wide segment dedup
+  *   (documents shrink, boilerplate survives once) → exact dedup →
+  *   near-dup drop (MinHash+LSH clusters, keep lowest id) → Bloom
+  *   decontamination against the held-out benchmark set →
+  *   deterministic train/val/test split → bigram-LM quality gate
+  *   (model frozen on the TRAIN split only — val/test never touch
+  *   model fitting) → perceptron gate (distilled from the LM labels,
+  *   CCNet-style) → scarce-language upsampling of the train split →
+  *   curriculum interleave keys → length-bucketed batch assignment →
   *   shuffle-sharded train export.
   *
   * Every stage is the library operator a user would call; the report
   * carries per-stage surviving-row counts (the attrition funnel every
-  * curation run is judged by) and the total wall time, which
+  * curation run is judged by), the trained perceptron weights (an
+  * integer determinism pin), and the total wall time, which
   * [[graft.Bench]] publishes as `e2e_train` next to the migration e2e.
   *
-  * Stage discipline: each stage is cached and materialized before the
-  * next reads it (count doubles as the materializer), and released as
-  * soon as its consumer materializes — so the funnel costs one pass
-  * per stage, not a re-execution of the whole prefix per count, and
-  * peak cache holds two stages. Determinism: every stage is either
-  * exact (hash dedup, integer rules) or seeded-hash based, so two runs
-  * over the same corpus produce identical reports and identical shard
-  * files.
+  * Stage discipline: each stage is locally checkpointed and
+  * materialized before the next reads it (count doubles as the
+  * materializer — one fused job), and its blocks are released as soon
+  * as its consumer materializes — so the funnel costs one pass per
+  * stage, peak storage holds two corpus-scale stages (plus the
+  * vocabulary-sized LM model tables during the gate), and the logical
+  * plan is CUT at every stage boundary: a dozen chained stages with
+  * self-referencing joins would otherwise grow the un-truncated plan
+  * multiplicatively. Determinism: every stage is
+  * either exact (hash dedup, integer rules, integer perceptron) or
+  * seeded-hash based, so two runs over the same corpus produce
+  * identical reports and identical shard files.
+  *
+  * Model-gate composition notes (the contracts composition exposed):
+  *  - the SPLIT is assigned before the model gates, so the LM trains
+  *    on exactly the rows that will export as `train` — held-out rows
+  *    are scored and gated but never fitted on;
+  *  - the LM gate normalizes by vocabulary: a doc passes when its mean
+  *    bigram probability is at least [[LmAlpha]]× the out-of-model
+  *    floor 1/V, so the threshold survives corpus growth (an absolute
+  *    probability cutoff would tighten as V grows);
+  *  - docs with fewer than two tokens have no bigrams and pass the LM
+  *    gate by convention (nothing to judge — the quality gate already
+  *    bounded degenerate docs);
+  *  - the perceptron distills the LM verdict (trained on pre-gate rows
+  *    labeled by LM pass/fail), then gates the LM survivors — the
+  *    classic train-a-cheap-classifier-on-the-expensive-signal shape.
   */
 object TrainPipeline {
 
@@ -37,15 +65,48 @@ object TrainPipeline {
   val ContamN = 5
   val BloomBits = 65536
   val NearDupThreshold = 0.8
+  /** CDC divisor for segment dedup (expected segment ≈ 16 tokens). */
+  val SegDivisor = 16
+  /** LM gate: keep docs whose mean bigram probability ≥ LmAlpha / V
+    * (V-normalized so the threshold survives corpus growth). The
+    * driver corpus has a deliberately tiny vocabulary (V = 31), which
+    * compresses mean_p·V toward 1 (large history counts c1 ≈ V-scale
+    * make every smoothed probability hover near the floor): measured
+    * doc-level distributions are p05 ≈ 1.01 / median ≈ 1.07 at
+    * sf0.001 and p05 ≈ 1.02 / median ≈ 1.04 at sf0.1, so 1.02 gates
+    * the genuine low-coherence tail at both scales without starving
+    * the funnel. A natural-language corpus (V ≫ 10⁴) spreads the
+    * ratio over decades and tolerates a much larger α. */
+  val LmAlpha = 1.02
+  val PtDim = 3
+  val PtEpochs = 2
+  /** Scarce-language upsampling rates for the train split (≥ 1 only —
+    * upsampling repeats scarce domains; thinning dominant ones is
+    * [[Sampling.weightedMixture]]'s job upstream if wanted). */
+  val UpRates: Map[String, Double] = Map("zh" -> 2.5, "fr" -> 1.5)
+  /** Curriculum interleave weights by source. */
+  val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2)
+  val BatchWidth = 32L
+  val BatchSize = 16
+  /** uid = doc_id · UidStride + copy_idx — unique because copy counts
+    * are bounded by the max rate (≤ 100 < UidStride). */
+  val UidStride = 128L
 
   final case class Report(
       rowsIn: Long,
       afterQuality: Long,
+      segmentsIn: Long,
+      segmentsKept: Long,
       afterExact: Long,
       afterNearDup: Long,
       afterDecontam: Long,
+      afterLmGate: Long,
+      afterPtGate: Long,
+      ptWeights: Seq[Long],
       splitCounts: Map[String, Long],
       trainRows: Long,
+      upsampledRows: Long,
+      batches: Long,
       shards: Int,
       totalSec: Double)
 
@@ -58,14 +119,34 @@ object TrainPipeline {
     val t0 = System.nanoTime()
     val docs = Tables(spark, sfDir, "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
-    var stage = docs.filter(col("doc_id") % 97 =!= 0).cache()
+    var stage = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("lang"), col("source"))
+      .localCheckpoint(false)
 
+    // release a superseded stage's checkpoint blocks eagerly — GC-driven
+    // cleanup would let every stage's corpus copy pile up in the block
+    // manager for the run's duration (fallback: no-op, the cleaner gets
+    // it when the Dataset is unreachable)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+
+    // stage materialization is localCheckpoint, NOT cache: the funnel
+    // chains a dozen stages, several of which reference their input
+    // more than once (near-dup losers, LM labels, gate anti-joins), so
+    // an un-truncated logical plan grows multiplicatively per stage —
+    // round 9's extended chain OOM'd building plan strings before any
+    // data moved. Checkpoints cut the plan at each stage while keeping
+    // the one-pass-per-stage guarantee (lazy checkpoint + count fuse
+    // into a single job, the ConnectedComponents discipline).
     def advance(next: DataFrame): Long = {
-      val cached = next.cache()
-      val n = try cached.count()
-        catch { case t: Throwable => cached.unpersist(); throw t }
-      stage.unpersist()
-      stage = cached
+      val cp = next.localCheckpoint(false)
+      val n = try cp.count()
+        catch { case t: Throwable => release(cp); throw t }
+      release(stage)
+      stage = cp
       n
     }
 
@@ -75,6 +156,22 @@ object TrainPipeline {
     val rowsIn = stage.count()
     val afterQuality = advance(stage.filter(
       QualityRules.gopherPass(TextOps.words(col("text")), Stops, minWords = minWords)))
+
+    // corpus-wide segment dedup: docs shrink (never drop); the
+    // reassembled text is the working text from here on
+    val seg = SegmentDedup.dedupSegments(stage, "doc_id", "text", SegDivisor)
+      .withColumnRenamed("id", "doc_id")
+    advance(stage.select(col("doc_id"), col("lang"), col("source"))
+      .join(seg, Seq("doc_id"))
+      .select(col("doc_id"), col("new_text").as("text"), col("lang"),
+        col("source"), col("n_segments"), col("n_kept")))
+    // one cheap agg over the cached stage — the boilerplate-removal story
+    val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
+    val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
+    val afterSegment = advance(stage.drop("n_segments", "n_kept"))
+    require(afterSegment == afterQuality,
+      "segment dedup must shrink documents, never drop them")
+
     val afterExact = advance(ExactDedup.dedup(stage, "doc_id", Seq("text")))
     val clusters = MinHashLSH.nearDupClusters(
       stage, "doc_id", "text", NearDupThreshold)
@@ -88,19 +185,78 @@ object TrainPipeline {
       .flagged(stage, "doc_id", "text", ContamN, bits)
       .select(col("id").as("doc_id"))
     val afterDecontam = advance(stage.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // split BEFORE the model gates: models fit on train rows only
     val split = advance(Sampling.splitAssign(stage, "doc_id", Splits, seed))
+    require(split == afterDecontam, "split stage must preserve rows")
+
+    // ---- bigram-LM gate (frozen model, train split only) ----------
+    val model = LanguageModel.trainModel(
+      stage.filter(col("split") === "train"), "doc_id", "text")
+    val lmFailed =
+      try LanguageModel.scoreWith(model, stage, "doc_id", "text")
+        .crossJoin(broadcast(model.v))
+        .filter(col("mean_p") * col("v") < LmAlpha)
+        .select(col("id").as("doc_id"))
+        .cache()
+      catch { case t: Throwable => model.release(); throw t }
+    try lmFailed.count() finally model.release() // batch-sized from here
+
+    // ---- perceptron distilled from the LM verdict -----------------
+    // trained on the PRE-gate corpus (more supervision), gates the
+    // survivors; integer trajectory → ptWeights pin determinism
+    val ptWeights =
+      try {
+        val labeled = stage
+          .join(lmFailed.withColumn("lm_fail", lit(1)), Seq("doc_id"), "left")
+          .withColumn("lm_label",
+            when(col("lm_fail").isNotNull, "fail").otherwise("pass"))
+        LinearClassifier.trainPerceptron(
+          LinearClassifier.featureTable(labeled, "doc_id", "text", "lm_label", "pass"),
+          PtDim, PtEpochs).last.after
+      } catch { case t: Throwable => lmFailed.unpersist(); throw t }
+
+    val afterLmGate =
+      try advance(stage.join(lmFailed, Seq("doc_id"), "left_anti"))
+      finally lmFailed.unpersist()
+    val ptPassed = LinearClassifier.scoreWith(
+      LinearClassifier.featureTable(stage, "doc_id", "text", "lang", "en"),
+      ptWeights)
+      .filter(col("score") > 0)
+      .select(col("id").as("doc_id"))
+    val afterPtGate = advance(stage.join(ptPassed, Seq("doc_id"), "left_semi"))
+
     val splitCounts = stage.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // invariant gate BEFORE the expensive shard export: a breach must
-    // abort without leaving a full output directory behind
-    require(split == afterDecontam, "split stage must preserve rows")
+    val trainRows = splitCounts.getOrElse("train", 0L)
+
+    // ---- train export: upsample → interleave → batch → shard ------
     val train = stage.filter(col("split") === "train")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    ShuffleShard.writeShards(train, "doc_id", shards, seed, outDir)
-    val trainRows = splitCounts.getOrElse("train", 0L)
-    Report(rowsIn, afterQuality, afterExact, afterNearDup, afterDecontam,
-      splitCounts, trainRows, shards,
-      (System.nanoTime() - t0) / 1e9)
-    } finally stage.unpersist()
+    val up = Sampling.weightedUpsample(
+        train, "lang", "doc_id", UpRates, defaultRate = 1.0, seed = seed)
+      .withColumn("uid", col("doc_id") * UidStride + col("copy_idx"))
+    val inter = Sampling.proportionalInterleave(
+        up, "source", "uid", MixWeights, defaultWeight = 1)
+      .withColumn("toks", TextAnalysis.tokenCountWs(col("text")).cast("long"))
+    val batched = SequencePacker.lengthBatches(
+      inter.select(col("uid"), col("toks")), "uid", "toks", BatchWidth, BatchSize)
+      .select(col("id").as("uid"), col("bucket"), col("batch_idx"),
+        col("pos_in_batch"))
+    val export = inter.join(batched, Seq("uid"))
+      .select(col("uid"), col("doc_id"), col("copy_idx"), col("text"),
+        col("lang"), col("source"), col("pos"), col("ikey"), col("toks"),
+        col("bucket"), col("batch_idx"), col("pos_in_batch"))
+      .cache()
+    try {
+      val upsampledRows = export.count()
+      val batches = export.select(col("bucket"), col("batch_idx")).distinct().count()
+      ShuffleShard.writeShards(export, "uid", shards, seed, outDir)
+      Report(rowsIn, afterQuality, segmentsIn, segmentsKept, afterExact,
+        afterNearDup, afterDecontam, afterLmGate, afterPtGate, ptWeights,
+        splitCounts, trainRows, upsampledRows, batches, shards,
+        (System.nanoTime() - t0) / 1e9)
+    } finally export.unpersist()
+    } finally release(stage)
   }
 }

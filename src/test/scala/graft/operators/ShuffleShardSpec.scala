@@ -47,6 +47,35 @@ class ShuffleShardSpec extends AnyFunSuite {
     assert(adjacentKept < 20, s"order too correlated: $adjacentKept")
   }
 
+  test("appendShards: existing positions immutable, increment lands as the per-shard suffix") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-app").toString
+    val a = (1L to 120L).map(i => (i, s"payload$i")).toDF("id", "text")
+    val b = (121L to 200L).map(i => (i, s"payload$i")).toDF("id", "text")
+    ShuffleShard.writeShards(a, "id", 4, seed = 5, dir)
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 80L)
+    def layout(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) = df
+      .collect().map(r => (r.getInt(r.fieldIndex("shard")),
+        r.getLong(r.fieldIndex("pos")), r.getLong(r.fieldIndex("id"))))
+      .sortBy(t => (t._1, t._2))
+    val got = layout(spark.read.parquet(dir).select($"id", $"pos", $"shard"))
+    // prefix per shard == A's one-shot layout; suffix == B's one-shot
+    // layout offset by the shard's prefix length
+    val oneA = ShuffleShard.assign(a, "id", 4, seed = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+    val aCount = oneA.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val oneB = ShuffleShard.assign(b, "id", 4, seed = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2) + aCount.getOrElse(r.getInt(1), 0L), r.getLong(0)))
+    assert(got.toSeq == (oneA ++ oneB).sortBy(t => (t._1, t._2)).toSeq)
+    // replay safety: re-offering already-exported rows appends nothing
+    assert(ShuffleShard.appendShards(a.unionByName(b), "id", 4, seed = 5, dir) == 0L)
+    assert(spark.read.parquet(dir).count() == 200L)
+    // missing dir degrades to a first-batch writeShards
+    val dir2 = java.nio.file.Files.createTempDirectory("shards-app2").toString + "/fresh"
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir2) == 120L)
+    assert(layout(spark.read.parquet(dir2).select($"id", $"pos", $"shard")).toSeq ==
+      oneA.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("writeShards: one directory per shard, rows in position order") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val df = (1L to 200L).map(i => (i, s"payload$i")).toDF("id", "text")

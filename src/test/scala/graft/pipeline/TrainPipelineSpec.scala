@@ -3,17 +3,21 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The curation funnel: monotone attrition, each stage doing real
-  * work on the sf0.001 corpus, split accounting exact, deterministic
-  * re-runs, ordered shard files. */
+/** The extended curation funnel (round 9): monotone attrition through
+  * every gate, segment dedup shrinking but never dropping, model gates
+  * fitted on the train split only, exact split accounting, upsampling
+  * ≥ 1, deterministic re-runs bit-for-bit (report AND shard files),
+  * ordered shard positions, and batch assignment consistency — all on
+  * the sf0.001 corpus. */
 class TrainPipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "train-pipeline")
   val sfDir = "/root/testdata/sf0.001"
 
   def freshDir() = java.nio.file.Files.createTempDirectory("train-pipe").toString
 
+  lazy val shardDir1: String = freshDir()
   lazy val report: TrainPipeline.Report =
-    TrainPipeline.run(spark, sfDir, freshDir(), shards = 4, seed = 17)
+    TrainPipeline.run(spark, sfDir, shardDir1, shards = 4, seed = 17)
 
   test("attrition is monotone and every stage survives rows") {
     val r = report
@@ -21,15 +25,42 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(r.afterQuality >= r.afterExact)
     assert(r.afterExact >= r.afterNearDup)
     assert(r.afterNearDup >= r.afterDecontam)
-    assert(r.afterDecontam > 0, r.toString)
+    assert(r.afterDecontam >= r.afterLmGate)
+    assert(r.afterLmGate >= r.afterPtGate)
+    assert(r.afterPtGate > 0, r.toString)
     assert(r.totalSec > 0)
+  }
+
+  test("segment dedup shrinks segments but never drops documents") {
+    val r = report
+    assert(r.segmentsIn >= r.segmentsKept, r.toString)
+    assert(r.segmentsKept > 0)
+    // cross-document boilerplate exists in the corpus → some segment
+    // actually deduplicated (the stage did real work)
+    assert(r.segmentsKept < r.segmentsIn, r.toString)
+  }
+
+  test("model gates do real, bounded work") {
+    val r = report
+    // the LM gate drops SOME rows but never most of the corpus
+    assert(r.afterLmGate < r.afterDecontam, r.toString)
+    assert(r.afterLmGate * 2 > r.afterDecontam, r.toString)
+    // the integer perceptron trained to a non-trivial weight vector
+    assert(r.ptWeights.length == TrainPipeline.PtDim)
+    assert(r.ptWeights.exists(_ != 0L), r.ptWeights.toString)
   }
 
   test("split accounting is exact and train dominates") {
     val r = report
-    assert(r.splitCounts.values.sum == r.afterDecontam, r.splitCounts.toString)
+    assert(r.splitCounts.values.sum == r.afterPtGate, r.splitCounts.toString)
     assert(r.trainRows == r.splitCounts.getOrElse("train", 0L))
-    assert(r.trainRows >= r.afterDecontam / 2, r.splitCounts.toString)
+    assert(r.trainRows >= r.afterPtGate / 2, r.splitCounts.toString)
+  }
+
+  test("upsampling repeats scarce languages (rates >= 1 ⇒ never shrinks)") {
+    val r = report
+    assert(r.upsampledRows >= r.trainRows, r.toString)
+    assert(r.batches > 0 && r.batches <= r.upsampledRows)
   }
 
   test("deterministic: a re-run reproduces the report and the shard placement") {
@@ -40,5 +71,26 @@ class TrainPipelineSpec extends AnyFunSuite {
     val rows = spark.read.parquet(s"$dir2/shard=1").select("pos").collect()
       .map(_.getLong(0))
     assert(rows.toSeq == (0L until rows.length))
+    // and the shard FILES are bit-for-bit reproducible: same uids at
+    // the same (shard, pos) across independent runs
+    def placement(dir: String) = spark.read.parquet(dir)
+      .select("shard", "pos", "uid", "bucket", "batch_idx", "pos_in_batch")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2))
+    assert(placement(dir2).toSeq == placement(shardDir1).toSeq)
+  }
+
+  test("batch assignment in the export is internally consistent") {
+    val ex = spark.read.parquet(shardDir1)
+    import org.apache.spark.sql.functions._
+    // every (bucket, batch) holds at most BatchSize rows with dense pos
+    val bad = ex.groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n"), max(col("pos_in_batch")).as("mx"))
+      .filter(col("n") > TrainPipeline.BatchSize || col("mx") =!= col("n") - 1)
+    assert(bad.count() == 0)
+    // uid encodes (doc_id, copy_idx) losslessly
+    val broken = ex.filter(
+      col("uid") =!= col("doc_id") * TrainPipeline.UidStride + col("copy_idx"))
+    assert(broken.count() == 0)
   }
 }
