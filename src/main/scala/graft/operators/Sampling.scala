@@ -22,12 +22,17 @@ object Sampling {
   def bottomK(df: DataFrame, idCol: String, k: Int): DataFrame = {
     val h = TextOps.hexHash60(col(idCol).cast("string"))
     // window over a single ordered partition would serialize; orderBy +
-    // limit lets Spark take per-partition top-k and merge k·P rows
+    // limit lets Spark take per-partition top-k and merge k·P rows.
+    // The post-limit rank window runs over ≤ k rows — partitionBy a
+    // constant (one explicit partition) rather than an empty spec, so
+    // the bounded window doesn't trip WindowExec's move-everything-to-
+    // one-partition warning on every run
     df.withColumn("sample_h", h)
       .orderBy(col("sample_h"), col(idCol))
       .limit(k)
       .withColumn("sample_rank",
-        row_number().over(Window.orderBy(col("sample_h"), col(idCol))))
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("sample_h"), col(idCol))))
       .drop("sample_h")
   }
 

@@ -198,6 +198,25 @@ object TrainQueries {
       st.unpersist()
       out
     }),
+    "bpe4_exact_oov" -> ((s, dir) => {
+      // the round-9 opt-in: train on 2/3 of the corpus, deploy on the
+      // other third carrying deterministic NOVEL words — out-of-vocab
+      // words re-fold through the learned merge chain (once per
+      // distinct unseen word) instead of the frozen-model 0
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val deploy = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" zqnovel"),
+            (col("doc_id") % 7).cast("string"), lit(" zqzq")).as("text"))
+      val (ms, st) = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordTable(train, "text"), BpeRounds)
+      graft.operators.BpeTrainer
+        .compressionStatsExact(deploy, "doc_id", "text", st, ms)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_base"),
+          col("n_syms"))
+        .orderBy(col("doc_id"))
+    }),
     "sh1_shuffle_shards" -> ((s, dir) => {
       // deterministic training-export shuffle: seeded-hash order,
       // dense 0-based positions within each shard
@@ -318,11 +337,14 @@ object TrainQueries {
     * the same result as BpeTrainer.applyMerge's fold, pinned by
     * BpeTrainerSpec). Rows whose previous position merged are
     * absorbed; surviving rows re-list in position order. */
-  private def bpeRoundCtes(k: Int): String = {
+  /** `sel` restricts MERGE SELECTION to a word subset (bpe4's
+    * train-only vocabulary) while the rewrite still applies to every
+    * state word — exactly how a frozen tokenizer meets unseen text. */
+  private def bpeRoundCtes(k: Int, sel: String = ""): String = {
     val p = k - 1
     s"""p$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
        | FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-       |        FROM s$p WHERE len(syms) >= 2)
+       |        FROM s$p WHERE len(syms) >= 2$sel)
        | GROUP BY a, b),
        |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
        |tok$k AS (SELECT word, freq, i AS pos, syms[i] AS sym
@@ -352,7 +374,7 @@ object TrainQueries {
   /** The shared WITH-chain for both BPE oracles: word counts, char
     * split, then [[BpeRounds]] rounds. */
   private val bpeCtes: String = {
-    val rounds = (1 to BpeRounds).map(bpeRoundCtes).mkString(",\n|")
+    val rounds = (1 to BpeRounds).map(k => bpeRoundCtes(k)).mkString(",\n|")
     s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        | FROM (SELECT unnest($wordsExpr) AS word FROM documents)
        | GROUP BY word),
@@ -410,7 +432,41 @@ object TrainQueries {
        |ORDER BY epoch""".stripMargin
   }
 
+  /** bpe4 mirror: one state over train ∪ deploy words, merge SELECTION
+    * restricted to the train vocabulary (frequencies from train docs
+    * only), the rewrite applied to every word — so unseen deploy words
+    * replay the learned merge chain exactly as
+    * `BpeTrainer.compressionStatsExact` folds it. */
+  private val bpe4Oracle: String = {
+    val rounds = (1 to BpeRounds)
+      .map(k => bpeRoundCtes(k, " AND word IN (SELECT word FROM tw)"))
+      .mkString(",\n|")
+    s"""WITH tdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |ddoc AS (SELECT doc_id,
+       |  coalesce(text, '') || ' zqnovel' || CAST(doc_id % 7 AS VARCHAR) || ' zqzq' AS text
+       | FROM documents WHERE doc_id % 3 = 0),
+       |tw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       | FROM (SELECT unnest($wordsExpr) AS word FROM tdoc) GROUP BY word),
+       |dw AS (SELECT DISTINCT word
+       | FROM (SELECT unnest($wordsExpr) AS word FROM ddoc)),
+       |w0 AS (SELECT COALESCE(tw.word, dw.word) AS word,
+       |  COALESCE(tw.freq, CAST(0 AS BIGINT)) AS freq
+       | FROM tw FULL OUTER JOIN dw ON tw.word = dw.word),
+       |s0 AS (SELECT word, freq,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+       | FROM w0),
+       |$rounds,
+       |wx AS (SELECT doc_id, unnest($wordsExpr) AS word FROM ddoc)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(length(wx.word)) AS BIGINT) AS n_base,
+       | CAST(SUM(len(sb.syms)) AS BIGINT) AS n_syms
+       |FROM wx JOIN s$BpeRounds sb ON wx.word = sb.word
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe4_exact_oov" -> bpe4Oracle,
     "mix2_upsample" -> mix2Oracle,
     "pt1_perceptron" -> pt1Oracle,
     "bpe1_merges" -> bpe1Oracle,

@@ -345,4 +345,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("doc_id"), readSchema)
   }
+
+  test("m4 image near-dup: Hamming buckets keyed on (chunk, key) — no cartesian, no sort-merge") {
+    val p = planOf("m4_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // candidate join is the keyed chunk-bucket join (hash-partitioned)
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bpe4 exact OOV: merge-chain fold per DISTINCT unseen word (anti-join + union), deploy join shuffle-hash") {
+    val p = planOf("bpe4_exact_oov")
+    // unseen vocabulary isolated by anti-join, folded once, unioned
+    // with the precompiled state — never a per-occurrence re-fold
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -76,6 +76,32 @@ class ShuffleShardSpec extends AnyFunSuite {
       oneA.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("appendShards property: any random batch partition yields the concatenated per-batch layouts") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 2) {
+      val dir = java.nio.file.Files.createTempDirectory(s"shards-prop$trial").toString + "/out"
+      val all = rnd.shuffle((1L to 150L).toList)
+      val cuts = (1 to 2).map(_ => 1 + rnd.nextInt(149)).sorted.distinct
+      val batches = (Seq(0) ++ cuts ++ Seq(150)).sliding(2)
+        .map { case Seq(a, b) => all.slice(a, b) }.filter(_.nonEmpty).toSeq
+      // expected: per shard, batch layouts concatenated with running offsets
+      val offsets = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val expect = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      batches.foreach { b =>
+        val layout = ShuffleShard.assign(b.toDF("id"), "id", 3, seed = 7)
+          .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+        layout.foreach { case (s, p, id) => expect += ((s, p + offsets(s), id)) }
+        layout.groupBy(_._1).foreach { case (s, rs) => offsets(s) += rs.size }
+        ShuffleShard.appendShards(
+          b.map(i => (i, s"t$i")).toDF("id", "text"), "id", 3, seed = 7, dir)
+      }
+      val got = spark.read.parquet(dir).select($"id", $"pos", $"shard")
+        .collect().map(r => (r.getInt(2), r.getLong(1), r.getLong(0)))
+      assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+        expect.sortBy(t => (t._1, t._2)).toSeq, s"trial $trial: ${batches.map(_.size)}")
+    }
+  }
+
   test("writeShards: one directory per shard, rows in position order") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val df = (1L to 200L).map(i => (i, s"payload$i")).toDF("id", "text")
