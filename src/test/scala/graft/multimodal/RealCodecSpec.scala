@@ -138,6 +138,35 @@ class RealCodecSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)), pairs.toSeq.toString)
   }
 
+  test("dHash property: uniform brightness shift below saturation preserves the hash exactly") {
+    val rnd = new scala.util.Random(53)
+    val codec = new ImageCodec()
+    for (trial <- 1 to 3) {
+      val (w, h) = (18 + rnd.nextInt(60), 16 + rnd.nextInt(40))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // values in [10, 200] so a +40 shift can never saturate
+        val v = 10 + rnd.nextInt(191)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      def png(delta: Int): Array[Byte] = {
+        val out = new ByteArrayOutputStream()
+        val shifted = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = ((img.getRGB(x, y) & 0xff) + delta) & 0xff
+          shifted.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        ImageIO.write(shifted, "png", out); out.toByteArray
+      }
+      val base = codec.perceptualHash("image/png", png(0))
+      // strict comparisons on cross-multiplied cell sums: adding the
+      // same constant to every pixel adds it to every cell mean, so
+      // every left<right verdict is unchanged — hash is bit-identical
+      val shifted = codec.perceptualHash("image/png", png(40))
+      assert(base == shifted, s"trial $trial ($w x $h)")
+    }
+  }
+
   test("dHash is deterministic integer arithmetic; stub hash mirrors hexHash64") {
     val codec = new ImageCodec()
     val png = gradient(45, 24, 0)

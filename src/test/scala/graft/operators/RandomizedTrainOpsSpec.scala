@@ -70,6 +70,34 @@ class RandomizedTrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact OOV deployment == reference merge-chain fold on random unseen words") {
+    val rnd = new Random(43)
+    for (trial <- 1 to 3) {
+      // train on a random 'ab' corpus; deploy docs built from words the
+      // trainer never saw (longer 'ab' strings + a 'c' alphabet mix)
+      val trainWords = (1 to 12 + rnd.nextInt(10)).map(_ =>
+        (1 to 1 + rnd.nextInt(5)).map(_ => "ab" (rnd.nextInt(2))).mkString)
+        .distinct.map(w => w -> (1L + rnd.nextInt(4))).toMap
+      val (ms, st) = BpeTrainer.train(trainWords.toSeq.toDF("word", "freq"), 2)
+      val deployWords = (1 to 6).map(_ =>
+        (6 to 8 + rnd.nextInt(3)).map(_ => "abc" (rnd.nextInt(3))).mkString)
+        .distinct
+      val docs = deployWords.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = BpeTrainer.compressionStatsExact(docs, "doc_id", "text", st, ms)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      st.unpersist()
+      // seen or unseen, the contract is ONE function: fold the learned
+      // merges greedily in order (the precompiled state for seen words
+      // equals that fold by construction)
+      val expect = deployWords.zipWithIndex.map { case (w, i) =>
+        i.toLong -> ms.foldLeft(w.map(_.toString): Seq[String])(
+          (s, m) => refGreedy(s, m.a, m.b)).length.toLong
+      }.toMap
+      assert(got == expect, s"trial $trial: merges=$ms deploy=$deployWords")
+    }
+  }
+
   // ---- segment dedup vs reference -----------------------------------
 
   test("segment dedup reassembly == first-occurrence reference on random corpora") {

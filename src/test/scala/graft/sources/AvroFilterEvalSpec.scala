@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The filter-pushdown evaluator's decision table: SQL three-valued
+  * logic with unknown → keep, the conservative direction that makes
+  * double evaluation (scan row-skip + residual Spark filter) safe. */
+class AvroFilterEvalSpec extends AnyFunSuite {
+
+  private val names = Array("id", "x", "s", "flag")
+  private val types: Array[DataType] =
+    Array(LongType, DoubleType, StringType, BooleanType)
+  private def row(id: Any, x: Any, s: Any, flag: Any): Array[Any] =
+    Array(id, x, s, flag)
+
+  private def eval(f: Filter, r: Array[Any]): Boolean =
+    AvroFilterEval.compile(Seq(f), names, types).get.eval(r)
+
+  test("comparisons follow SQL semantics; null never satisfies them") {
+    assert(eval(GreaterThan("id", 5L), row(6L, null, null, null)))
+    assert(!eval(GreaterThan("id", 5L), row(5L, null, null, null)))
+    assert(!eval(GreaterThan("id", 5L), row(null, null, null, null)))
+    assert(eval(LessThanOrEqual("x", 1.5), row(null, 1.5, null, null)))
+    assert(eval(EqualTo("s", "abc"), row(null, null, "abc", null)))
+    assert(!eval(EqualTo("s", "abc"), row(null, null, null, null)))
+    assert(eval(EqualTo("flag", java.lang.Boolean.TRUE), row(null, null, null, java.lang.Boolean.TRUE)))
+    // int literal against a long column compares numerically
+    assert(eval(EqualTo("id", 7), row(7L, null, null, null)))
+  }
+
+  test("In / IsNull / IsNotNull / And / Or") {
+    assert(eval(In("id", Array(1L, 3L, 5L)), row(3L, null, null, null)))
+    assert(!eval(In("id", Array(1L, 3L, 5L)), row(2L, null, null, null)))
+    assert(!eval(In("id", Array(1L, 3L, 5L)), row(null, null, null, null)))
+    assert(eval(IsNull("s"), row(1L, null, null, null)))
+    assert(eval(IsNotNull("id"), row(1L, null, null, null)))
+    assert(eval(And(GreaterThan("id", 1L), LessThan("id", 3L)), row(2L, null, null, null)))
+    assert(eval(Or(EqualTo("id", 9L), EqualTo("s", "z")), row(1L, null, "z", null)))
+  }
+
+  test("Not over an unknown child KEEPS the row — the residual filter decides") {
+    // child EqualTo(null-cell) is unknown → child false → Not true →
+    // we keep; Spark's residual filter drops it (NOT unknown = unknown)
+    assert(eval(Not(EqualTo("s", "abc")), row(null, null, null, null)))
+    assert(!eval(Not(EqualTo("s", "abc")), row(null, null, "abc", null)))
+    assert(eval(Not(EqualTo("s", "abc")), row(null, null, "xyz", null)))
+  }
+
+  test("unsupported shapes stay residual-only and never force conversion") {
+    val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) })
+    assert(!AvroFilterEval.supports(StringContains("s", "a"), schema))
+    assert(!AvroFilterEval.supports(EqualTo("missing", 1L), schema))
+    // a decimal-typed column is out of the supported set
+    val dec = StructType(Seq(StructField("d", DecimalType(10, 2))))
+    assert(!AvroFilterEval.supports(EqualTo("d", BigDecimal(1)), dec))
+    // mixed batch: only the supported conjunct is compiled, and its
+    // column list contains just that conjunct's reference
+    val pred = AvroFilterEval.compile(
+      Seq(GreaterThan("id", 1L), StringContains("s", "a")), names, types).get
+    assert(pred.cols.toSeq == Seq(0))
+    assert(pred.eval(row(2L, null, null, null)))
+  }
+
+  test("compile returns None when nothing is evaluable") {
+    assert(AvroFilterEval.compile(
+      Seq(StringContains("s", "a")), names, types).isEmpty)
+  }
+}
