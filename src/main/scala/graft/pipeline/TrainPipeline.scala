@@ -243,7 +243,10 @@ object TrainPipeline {
       inter.select(col("uid"), col("toks")), "uid", "toks", BatchWidth, BatchSize)
       .select(col("id").as("uid"), col("bucket"), col("batch_idx"),
         col("pos_in_batch"))
-    val export = inter.join(batched, Seq("uid"))
+    // shuffle-hash, not sort-merge: both sides are the same train
+    // stream keyed by the unique uid — a merge join would sort both
+    // for no benefit (the export re-sorts by (shard, pos) anyway)
+    val export = inter.join(batched.hint("shuffle_hash"), Seq("uid"))
       .select(col("uid"), col("doc_id"), col("copy_idx"), col("text"),
         col("lang"), col("source"), col("pos"), col("ikey"), col("toks"),
         col("bucket"), col("batch_idx"), col("pos_in_batch"))

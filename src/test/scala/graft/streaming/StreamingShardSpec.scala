@@ -56,4 +56,44 @@ class StreamingShardSpec extends AnyFunSuite {
       assert(s.map(_._2).sorted.toSeq == (0L until s.size))
     }
   }
+
+  test("streaming micro-curation: gate -> split -> upsample -> shard append runs unchanged on a stream") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("stream-cur").toString + "/out"
+    val input = MemoryStream[(Long, String, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "lang")
+    // the per-row curation prefix: every operator here is a pure
+    // (seed, id)-deterministic expression, so the same plan runs on a
+    // stream and on a batch with identical row-level outcomes
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val gated = df.filter(length(col("text")) >= 10)
+      val split = Sampling.splitAssign(gated, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.2), seed = 3)
+      Sampling.weightedUpsample(split.filter(col("split") === "train"),
+          "lang", "doc_id", Map("zh" -> 2.0), defaultRate = 1.0, seed = 3)
+        .withColumn("uid", col("doc_id") * 8 + col("copy_idx"))
+    }
+    val writer = StreamingShard.appendStream(
+      curate(docs), "uid", shards = 2, seed = 5, dir)
+    val rows = (1L to 120L).map(i =>
+      (i, s"document body number $i", if (i % 3 == 0) "zh" else "en"))
+    val q = writer.start()
+    try {
+      input.addData(rows.take(70))
+      q.processAllAvailable()
+      input.addData(rows.drop(70))
+      q.processAllAvailable()
+    } finally q.stop()
+    // row set equals the batch curation of the full corpus; every zh
+    // train row appears exactly twice (rate 2.0), others once
+    val streamed = spark.read.parquet(dir)
+      .select(col("uid"), col("doc_id"), col("copy_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = curate(rows.toDF("doc_id", "text", "lang"))
+      .select(col("uid"), col("doc_id"), col("copy_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
