@@ -182,6 +182,14 @@ object Scaling {
       "sd1_segment_dedup", "he1_hashed_embedding")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist")
+    // a typo'd name must fail LOUDLY — silently measuring a subset of
+    // the requested subset would report a deep point that never ran
+    only.foreach { s =>
+      val unknown = s -- (allFixed ++ allEager).toSet
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_SCALE_QUERIES: ${unknown.mkString(", ")} " +
+          s"(known: ${(allFixed ++ allEager).mkString(", ")})")
+    }
     val fixed = only.fold(allFixed)(s => allFixed.filter(s))
     val eager = only.fold(allEager)(s => allEager.filter(s))
     require(fixed.nonEmpty || eager.nonEmpty,
@@ -191,18 +199,24 @@ object Scaling {
     val withSqrtC = fixed.contains("n3_ann_ivf")
     val tables = (fixed ++ eager).flatMap(TableNeeds).toSet
 
-    // the marker records which factor built the data (and which tables):
-    // re-running with a different SPARK_GRAFT_SCALE_FACTOR against a
-    // warm out dir must regenerate, or the exponent would divide stale
-    // growth by the new factor's log and silently understate it
-    val marker = Paths.get(out, "_scale_factor")
-    val markerVal = s"$base@$factor@${tables.toSeq.sorted.mkString("+")}"
-    val stale = !Files.exists(marker) ||
-      Files.readString(marker).trim != markerVal
-    if (stale ||
-        tables.exists(t => !Files.exists(Paths.get(out, s"$t.parquet")))) {
-      generate(spark, base, out, factor, tables)
-      Files.writeString(marker, markerVal)
+    // PER-TABLE markers record which base@factor built each table:
+    // re-running with a different SPARK_GRAFT_SCALE_FACTOR must
+    // regenerate (a stale table would divide old growth by the new
+    // factor's log and silently understate the exponent), while
+    // alternating SUBSET runs at the same factor must NOT re-blow-up
+    // tables that are already valid on disk
+    def markerOf(t: String) = Paths.get(out, s"_scale_$t")
+    val need = tables.filter(t =>
+      !Files.exists(markerOf(t)) ||
+        Files.readString(markerOf(t)).trim != s"$base@$factor" ||
+        !Files.exists(Paths.get(out, s"$t.parquet")))
+    if (need.nonEmpty) {
+      generate(spark, base, out, factor, need)
+      // the purchase-graph branch writes orders AND lineitem together
+      val written =
+        if (need("orders") || need("lineitem")) need ++ Set("orders", "lineitem")
+        else need
+      written.foreach(t => Files.writeString(markerOf(t), s"$base@$factor"))
     }
 
     // √factor-scaled IVF quantizer: centroidMod grows so C stays ≈ √n

@@ -256,9 +256,13 @@ final class ImageCodec {
   }
 
   /** Perceptual-hash dispatch: real [[dHash]] for decodable mimes,
-    * md5-derived stub otherwise. */
-  def perceptualHash(mime: String, data: Array[Byte]): Long =
-    if (ImageCodec.RealMimes(mime)) dHash(decodeReal(data)) else stubHash64(data)
+    * md5-derived stub otherwise. A null payload hashes as the empty
+    * payload (the repo-wide null == empty coalesce contract) rather
+    * than NPE-ing a corpus pass on one null row. */
+  def perceptualHash(mime: String, data: Array[Byte]): Long = {
+    val d = if (data == null) Array.emptyByteArray else data
+    if (ImageCodec.RealMimes(mime)) dHash(decodeReal(d)) else stubHash64(d)
+  }
 
   /** REAL 64-bit difference hash (dHash, the classic perceptual
     * fingerprint): integer Rec.601 luminance (299r + 587g + 114b, no

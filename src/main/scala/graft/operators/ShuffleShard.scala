@@ -109,7 +109,12 @@ object ShuffleShard {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) {
       val n = df.count()
-      writeShards(df, idCol, shards, seed, outDir)
+      // an EMPTY first batch must not create the directory: a 0-row
+      // partitioned write emits no parquet files, and the schema-less
+      // dir would poison every later append's read-back (routine on
+      // stream start when the whole first micro-batch fails upstream
+      // gates)
+      if (n > 0) writeShards(df, idCol, shards, seed, outDir)
       return n
     }
     val prior = spark.read.parquet(outDir)

@@ -161,18 +161,20 @@ object TrainPipeline {
     // reassembled text is the working text from here on
     val seg = SegmentDedup.dedupSegments(stage, "doc_id", "text", SegDivisor)
       .withColumnRenamed("id", "doc_id")
-    advance(stage.select(col("doc_id"), col("lang"), col("source"))
+    val afterSegment = advance(stage.select(col("doc_id"), col("lang"), col("source"))
       .join(seg, Seq("doc_id"))
       .select(col("doc_id"), col("new_text").as("text"), col("lang"),
         col("source"), col("n_segments"), col("n_kept")))
-    // one cheap agg over the cached stage — the boilerplate-removal story
-    val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
-    val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
-    val afterSegment = advance(stage.drop("n_segments", "n_kept"))
     require(afterSegment == afterQuality,
       "segment dedup must shrink documents, never drop them")
+    // one cheap agg over the checkpointed stage — the boilerplate-
+    // removal story; the two count columns ride into the next stage's
+    // input projection instead of paying a whole extra checkpoint pass
+    val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
+    val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
 
-    val afterExact = advance(ExactDedup.dedup(stage, "doc_id", Seq("text")))
+    val afterExact = advance(ExactDedup.dedup(
+      stage.drop("n_segments", "n_kept"), "doc_id", Seq("text")))
     val clusters = MinHashLSH.nearDupClusters(
       stage, "doc_id", "text", NearDupThreshold)
     val losers = clusters
@@ -246,10 +248,13 @@ object TrainPipeline {
     // shuffle-hash, not sort-merge: both sides are the same train
     // stream keyed by the unique uid — a merge join would sort both
     // for no benefit (the export re-sorts by (shard, pos) anyway)
+    // the interleave's per-stratum position exports as `ipos` — the
+    // shard writer adds its own `pos` column, and the curriculum
+    // contract (ikey = (ipos+1)/weight) must survive the export
     val export = inter.join(batched.hint("shuffle_hash"), Seq("uid"))
       .select(col("uid"), col("doc_id"), col("copy_idx"), col("text"),
-        col("lang"), col("source"), col("pos"), col("ikey"), col("toks"),
-        col("bucket"), col("batch_idx"), col("pos_in_batch"))
+        col("lang"), col("source"), col("pos").as("ipos"), col("ikey"),
+        col("toks"), col("bucket"), col("batch_idx"), col("pos_in_batch"))
       .cache()
     try {
       val upsampledRows = export.count()

@@ -35,7 +35,10 @@ object MultimodalQueries {
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
     "m4_image_neardup" -> ((s, dir) => {
+      // null text == empty payload (the repo-wide coalesce contract —
+      // the oracle mirrors with md5(coalesce(text, '')))
       val docs = Tables(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
       val assets = Multimodal.assetsFrom(s, docs, "doc_id", "text", "image/fake")
       // perceptual hashes (stub path on this corpus: md5-derived, so
       // DuckDB replays it exactly) through the SHARED Hamming-bucketed
@@ -68,8 +71,8 @@ object MultimodalQueries {
     * [[graft.plans.HexHash60.hash64]] formula. */
   private val m4Oracle: String =
     s"""WITH hx AS (SELECT doc_id,
-       |  CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hi,
-       |  CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) AS lo
+       |  CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT) AS hi,
+       |  CAST(concat('0x', substr(md5(coalesce(text, '')), 9, 8)) AS BIGINT) AS lo
        | FROM documents),
        |sh AS (SELECT doc_id,
        |  (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + lo AS simhash

@@ -97,13 +97,29 @@ object AvroFilterEval {
 
   /** `value → compare(value, literal)` for a supported (type, literal)
     * pairing; None keeps the filter residual-only. Values are the
-    * boxed-JVM shapes the avro `convert` emits for these types. */
+    * boxed-JVM shapes the avro `convert` emits for these types.
+    *
+    * Two semantics traps the evaluator must match Spark on exactly
+    * (the never-drop-a-kept-row contract):
+    *  - floating point: Spark's comparison treats -0.0 = 0.0 (while
+    *    `Double.compare` orders them) — adding 0.0 to both operands
+    *    normalizes the negative zero away; NaN needs no fixup
+    *    (`Double.compare` already sorts NaN greatest and equal to
+    *    itself, Spark's convention);
+    *  - strings: Spark orders `UTF8String`s by UTF-8 BYTES (code
+    *    points), Java `String.compareTo` by UTF-16 code units — the
+    *    two diverge for supplementary characters, so ordering goes
+    *    through `UTF8String` on both sides. */
   private def comparator(t: DataType, v: Any): Option[Any => Int] = (t, v) match {
     case (IntegerType | LongType, n: Number) =>
       Some(x => java.lang.Long.compare(x.asInstanceOf[Number].longValue, n.longValue))
     case (FloatType | DoubleType, n: Number) =>
-      Some(x => java.lang.Double.compare(x.asInstanceOf[Number].doubleValue, n.doubleValue))
-    case (StringType, s: String) => Some(x => x.asInstanceOf[String].compareTo(s))
+      val lit = n.doubleValue + 0.0
+      Some(x => java.lang.Double.compare(x.asInstanceOf[Number].doubleValue + 0.0, lit))
+    case (StringType, s: String) =>
+      val lit = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      Some(x => org.apache.spark.unsafe.types.UTF8String
+        .fromString(x.asInstanceOf[String]).compareTo(lit))
     case (BooleanType, b: java.lang.Boolean) =>
       Some(x => java.lang.Boolean.compare(x.asInstanceOf[java.lang.Boolean], b))
     case _ => None

@@ -74,6 +74,13 @@ class ShuffleShardSpec extends AnyFunSuite {
     assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir2) == 120L)
     assert(layout(spark.read.parquet(dir2).select($"id", $"pos", $"shard")).toSeq ==
       oneA.sortBy(t => (t._1, t._2)).toSeq)
+    // an EMPTY first batch must not create (and poison) the directory —
+    // the next real batch still lands as the first export
+    val dir3 = java.nio.file.Files.createTempDirectory("shards-app3").toString + "/fresh"
+    assert(ShuffleShard.appendShards(a.limit(0), "id", 4, seed = 5, dir3) == 0L)
+    assert(!new java.io.File(dir3).exists())
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir3) == 120L)
+    assert(spark.read.parquet(dir3).count() == 120L)
   }
 
   test("appendShards property: any random batch partition yields the concatenated per-batch layouts") {

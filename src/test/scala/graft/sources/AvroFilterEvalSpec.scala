@@ -63,6 +63,26 @@ class AvroFilterEvalSpec extends AnyFunSuite {
     assert(pred.eval(row(2L, null, null, null)))
   }
 
+  test("float -0.0 equals 0.0 and NaN sorts greatest — Spark's comparison semantics") {
+    assert(eval(EqualTo("x", 0.0), row(null, -0.0d, null, null)))
+    assert(eval(EqualTo("x", -0.0d), row(null, 0.0d, null, null)))
+    assert(eval(GreaterThanOrEqual("x", 0.0), row(null, -0.0d, null, null)))
+    // NaN: greater than everything, equal to itself (Spark convention)
+    assert(eval(GreaterThan("x", 1e300), row(null, Double.NaN, null, null)))
+    assert(eval(EqualTo("x", Double.NaN), row(null, Double.NaN, null, null)))
+  }
+
+  test("string ordering is UTF-8 byte order, not UTF-16 code units") {
+    // U+1F600 (surrogate pair D83D DE00; UTF-8 F0 9F 98 80) vs U+EE00
+    // (UTF-8 EE B8 80): byte order says the emoji is GREATER, UTF-16
+    // code-unit order says smaller — Spark compares bytes, so the
+    // evaluator must keep this row
+    val emoji = new String(Character.toChars(0x1F600))
+    val pivot = "\uEE00"
+    assert(eval(GreaterThan("s", pivot), row(null, null, emoji, null)))
+    assert(!eval(LessThan("s", pivot), row(null, null, emoji, null)))
+  }
+
   test("compile returns None when nothing is evaluable") {
     assert(AvroFilterEval.compile(
       Seq(StringContains("s", "a")), names, types).isEmpty)
