@@ -49,6 +49,18 @@ object MultimodalQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "m5_image_dedup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTERS over the perceptual hashes — the d6 shape on
+      // the multimodal side: CC runs on the tiny verified rep-pair
+      // graph, members label through one join
+      val docs = Tables(s, dir, "documents")
+        .withColumn("text", coalesce(col("text"), lit("")))
+      val assets = Multimodal.assetsFrom(s, docs, "doc_id", "text", "image/fake")
+      graft.operators.SimHash.nearDupClusters(
+        Multimodal.perceptualHashes(assets), maxDist = 3)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     "m3_audio_energy" -> ((s, dir) => {
       import s.implicits._
       val audio = Tables(s, dir, "documents").select(
@@ -68,9 +80,10 @@ object MultimodalQueries {
   /** hexHash64 mirror over the fake-image payload (= UTF-8 of text):
     * signed 64-bit from two 32-bit md5 halves, pure BIGINT arithmetic
     * (DuckDB `<<` raises on 64-bit shift overflow) — the documented
-    * [[graft.plans.HexHash60.hash64]] formula. */
-  private val m4Oracle: String =
-    s"""WITH hx AS (SELECT doc_id,
+    * [[graft.plans.HexHash60.hash64]] formula. Shared hash + chunk +
+    * candidate CTEs for the m4 pair and m5 cluster oracles. */
+  private val m4Ctes: String =
+    s"""hx AS (SELECT doc_id,
        |  CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT) AS hi,
        |  CAST(concat('0x', substr(md5(coalesce(text, '')), 9, 8)) AS BIGINT) AS lo
        | FROM documents),
@@ -84,13 +97,33 @@ object MultimodalQueries {
        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  a.simhash AS sh_a, b.simhash AS sh_b
        | FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
-       |  AND a.doc_id < b.doc_id)
+       |  AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val m4Oracle: String =
+    s"""WITH $m4Ctes
        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components over the verified pair list, min-id labels —
+    * the d6 oracle's recursive-reach construction on m4's edges. */
+  private val m5Oracle: String =
+    s"""WITH RECURSIVE $m4Ctes,
+       |edges AS (SELECT id_a, id_b FROM cand
+       | WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+       |sym AS (
+       | SELECT id_a AS a, id_b AS b FROM edges
+       | UNION SELECT id_b AS a, id_a AS b FROM edges),
+       |reach(id, r) AS (
+       | SELECT DISTINCT a, a FROM sym
+       | UNION
+       | SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m4_image_neardup" -> m4Oracle,
+    "m5_image_dedup_clusters" -> m5Oracle,
     "m1_image_features" ->
       """SELECT doc_id AS asset_id,
         | CAST(16 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 64) AS INTEGER) AS width,
