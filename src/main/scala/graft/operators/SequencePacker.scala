@@ -67,6 +67,41 @@ object SequencePacker {
         expr(s"(cum - weight) div ${budget}L").as("bin"))
   }
 
+  /** Packing WITH overflow splitting — the production variant [[pack]]
+    * defers: a document whose tokens cross one or more budget
+    * boundaries is split into per-bin slices, so every bin holds
+    * EXACTLY `budget` tokens (except the final one) and no context
+    * window is padded short because a long document started late.
+    * Output: (id, weight, bin, slice_idx, start_tok, n_tokens) — one
+    * row per (document, bin) it occupies; `start_tok` is the slice's
+    * 0-based token offset within the document, `slice_idx` the
+    * 0-based slice number, and Σ n_tokens over a document's slices
+    * equals its weight. Zero-weight documents occupy no tokens and
+    * emit no slices.
+    *
+    * Scale shape: [[pack]]'s two-phase distributed prefix sum plus a
+    * pure per-row bounded explode (a document spans at most
+    * weight/budget + 1 bins) — no additional shuffle, everything
+    * integral (`div`/`greatest`/`least` on longs, exact at any
+    * corpus size). */
+  def packSplit(
+      df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, blockSize: Long = 1 << 20): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val packed = pack(df, idCol, weightCol, budget, blockSize).drop("bin")
+    packed.filter(col("weight") > 0)
+      .withColumn("p", expr(s"(cum - weight) div ${budget}L"))
+      .withColumn("q", expr(s"(cum - 1) div ${budget}L"))
+      .withColumn("bin", explode(sequence(col("p"), col("q"))))
+      .withColumn("slice_idx", (col("bin") - col("p")).cast("long"))
+      .withColumn("bin_lo", greatest(col("cum") - col("weight"), col("bin") * budget))
+      .withColumn("start_tok", col("bin_lo") - (col("cum") - col("weight")))
+      .withColumn("n_tokens",
+        least(col("cum"), (col("bin") + 1) * budget) - col("bin_lo"))
+      .select(col("id"), col("weight"), col("bin"), col("slice_idx"),
+        col("start_tok"), col("n_tokens"))
+  }
+
   /** Bin summary: documents and total weight per bin (the packing
     * efficiency view: bins at ~budget are well-packed). */
   def binStats(packed: DataFrame): DataFrame =

@@ -98,6 +98,18 @@ object TrainQueries {
           col("cum"), col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "pk2_pack_split" -> ((s, dir) => {
+      // packing WITH overflow splitting: every bin holds exactly
+      // PackBudget tokens (except the last), boundary-crossing docs
+      // split into per-bin slices
+      val toks = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).as("toks"))
+      SequencePacker.packSplit(toks, "doc_id", "toks", PackBudget, PackBlock)
+        .select(col("id").as("doc_id"), col("weight").as("toks"),
+          col("bin"), col("slice_idx"), col("start_tok"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("bin"))
+    }),
     "ch1_chunking" -> ((s, dir) => {
       Chunker.chunk(Tables(s, dir, "documents"), "doc_id", "text",
           ChunkSize, ChunkOverlap)
@@ -574,6 +586,24 @@ object TrainQueries {
          | FROM t)
          |SELECT doc_id, toks, cum, (cum - toks) // $PackBudget AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+    "pk2_pack_split" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($wordsCoalescedExpr) AS BIGINT) AS toks
+         | FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  CAST(SUM(toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         | FROM t),
+         |e AS (SELECT doc_id, toks, cum,
+         |  (cum - toks) // $PackBudget AS p, (cum - 1) // $PackBudget AS q
+         | FROM c WHERE toks > 0),
+         |s AS (SELECT doc_id, toks, cum, p,
+         |  unnest(generate_series(p, q)) AS bin FROM e)
+         |SELECT doc_id, toks, CAST(bin AS BIGINT) AS bin,
+         | CAST(bin - p AS BIGINT) AS slice_idx,
+         | CAST(greatest(cum - toks, bin * $PackBudget) - (cum - toks) AS BIGINT) AS start_tok,
+         | CAST(least(cum, (bin + 1) * $PackBudget)
+         |   - greatest(cum - toks, bin * $PackBudget) AS BIGINT) AS n_tokens
+         |FROM s ORDER BY doc_id, bin""".stripMargin,
     "ch1_chunking" ->
       // coalesce mirrors Chunker's null-text == empty-text contract
       s"""WITH ww AS (SELECT doc_id,

@@ -138,6 +138,39 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(0)).toSeq == stats.indices.map(_.toLong))
   }
 
+  test("packSplit: slices reassemble exactly, every bin holds budget tokens except the last") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 80L).map(i => (i, 1L + rnd.nextInt(50))) :+ (81L, 0L)
+    val df = rows.toDF("doc_id", "toks").repartition(5)
+    val B = 64L
+    val split = SequencePacker.packSplit(df, "doc_id", "toks", B, blockSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // zero-weight docs emit no slices
+    assert(!split.exists(_._1 == 81L))
+    // per-doc: slices dense from 0, token ranges tile [0, weight)
+    split.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until ss.size), s"doc $id")
+      assert(sorted.map(_._6).sum == ss.head._2, s"doc $id")
+      var off = 0L
+      sorted.foreach { s => assert(s._5 == off, s"doc $id"); off += s._6 }
+    }
+    // per-bin: exactly B tokens in every bin except the last
+    val byBin = split.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+    val lastBin = byBin.keys.max
+    assert(byBin.keys.toSeq.sorted == (0L to lastBin))
+    byBin.foreach { case (b, n) =>
+      if (b < lastBin) assert(n == B, s"bin $b holds $n") else assert(n <= B)
+    }
+    // slice 0's bin equals pack()'s start-where-it-begins bin
+    val packBins = SequencePacker.pack(df, "doc_id", "toks", B, 16)
+      .filter(col("weight") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    split.filter(_._4 == 0L).foreach { s => assert(s._3 == packBins(s._1)) }
+  }
+
   test("SequencePacker: integral div survives ids/cums beyond 2^53; negative ids throw") {
     import spark.implicits._
     // cums reach ~100 * 2^52 ≈ 4.5e17: above 2^53 a double round-trip
