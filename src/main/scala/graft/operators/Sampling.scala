@@ -108,6 +108,44 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Temperature-rebalancing keep rates (the multilingual α-sampling
+    * of XLM-R/mBERT): expected kept count per stratum ∝ count^α, so
+    * dominant languages thin toward the scarce ones as α → 0 and
+    * nothing changes at α = 1. Normalized downsample-only (the
+    * smallest stratum keeps rate 1): r_s = (c_min / c_s)^(1−α).
+    * α = 0.5 computes via `sqrt` — correctly rounded IEEE, so the
+    * rates (and the integer thresholds derived from them) are
+    * bit-identical on any engine; other α use `pow`, whose libm
+    * rounding is NOT portable — fine for production use, excluded
+    * from the oracle contract. */
+  def temperatureRates(counts: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"need alpha in [0, 1], got $alpha")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "temperatureRates needs positive per-stratum counts")
+    val cmin = counts.values.min.toDouble
+    counts.map { case (s, c) =>
+      val ratio = cmin / c
+      s -> (if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1 - alpha))
+    }
+  }
+
+  /** Temperature-rebalanced corpus sampling: one tiny per-stratum
+    * count aggregate (#strata rows to the driver — the BPE/perceptron
+    * driver-round shape), rates derived by [[temperatureRates]], then
+    * the pure per-row seeded-hash filter of [[weightedMixture]] — no
+    * corpus shuffle, incremental-run consistent for fixed rates. Note
+    * the rates themselves shift as the corpus grows (they depend on
+    * the counts); pin them explicitly via weightedMixture when
+    * incremental stability across ingestion batches matters. */
+  def temperatureSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double, seed: Int): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weightedMixture(df, strataCol, idCol,
+      temperatureRates(counts, alpha), defaultRate = 1.0, seed = seed)
+  }
+
   /** Integer 60-bit thresholds for an ordered fraction list — the
     * first split claims h < thr(f₁), the next h < thr(f₁+f₂), …; the
     * LAST split is the unconditional remainder, so floating-point

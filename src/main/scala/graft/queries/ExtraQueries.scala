@@ -324,6 +324,17 @@ object ExtraQueries {
           Seq("l_returnflag"), "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
     }),
+    "mix4_temperature" -> ((s, dir) => {
+      // XLM-R-style temperature rebalancing at α = 0.5: dominant
+      // languages thin toward the scarcest (rate (cmin/c)^0.5, sqrt —
+      // correctly-rounded IEEE, so DuckDB derives identical integer
+      // thresholds from its own counts); one tiny count aggregate to
+      // the driver, then a pure per-row hash filter
+      graft.operators.Sampling.temperatureSample(
+          T(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", alpha = 0.5, seed = 7)
+        .orderBy(col("doc_id"))
+    }),
     "mix1_weighted_mixture" -> ((s, dir) => {
       // corpus mixing by domain weight: rate-based deterministic keep,
       // pure per-row filter (no shuffle; sm1 is the fixed-count twin)
@@ -468,6 +479,22 @@ object ExtraQueries {
       (graft.operators.Stats.momentsOracleSql("lineitem",
         Seq("l_returnflag"), "l_quantity", "l_extendedprice") +
         "\nORDER BY l_returnflag"),
+    "mix4_temperature" ->
+      // rates derived IN SQL from DuckDB's own counts: sqrt and the
+      // 2⁶⁰ multiply are correctly-rounded IEEE ops, so the truncated
+      // integer thresholds match the engine's bit-for-bit
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        | FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(c) AS cmin FROM c),
+        |t AS (SELECT lang,
+        |  CAST(trunc(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))
+        |    * 1152921504606846976.0) AS BIGINT) AS thr
+        | FROM c, m),
+        |h AS (SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM documents)
+        |SELECT h.doc_id, h.lang FROM h JOIN t USING (lang)
+        |WHERE h.h < t.thr ORDER BY doc_id""".stripMargin,
     "mix1_weighted_mixture" -> {
       // thresholds are exact longs (r · 2⁶⁰) computed once here so both
       // engines compare the same integers

@@ -108,6 +108,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(idx.forall(is => is == (0L until is.size)))
   }
 
+  test("temperatureRates: α=1 keeps everything, α=0 levels to the scarcest, α=0.5 is sqrt") {
+    val counts = Map("en" -> 400L, "fr" -> 100L, "zh" -> 25L)
+    assert(Sampling.temperatureRates(counts, 1.0) ==
+      Map("en" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+    assert(Sampling.temperatureRates(counts, 0.0) ==
+      Map("en" -> 25.0 / 400, "fr" -> 0.25, "zh" -> 1.0))
+    val half = Sampling.temperatureRates(counts, 0.5)
+    assert(half("zh") == 1.0 && half("fr") == 0.5 && half("en") == 0.25)
+    intercept[IllegalArgumentException](Sampling.temperatureRates(counts, 1.5))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureRates(Map("x" -> 0L), 0.5))
+  }
+
+  test("temperatureSample: kept sets match the independent rate-threshold reference") {
+    import spark.implicits._
+    val rows = (1L to 900L).map(i =>
+      (i, if (i % 9 == 0) "zh" else if (i % 3 == 0) "fr" else "en"))
+    val df = rows.toDF("id", "lang").repartition(5)
+    val kept = Sampling.temperatureSample(df, "lang", "id", alpha = 0.5, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    // independent reference: recompute rates and thresholds by hand
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cmin = counts.values.min.toDouble
+    def refHash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expect = rows.filter { case (i, l) =>
+      refHash(s"11:$i") <
+        (math.sqrt(cmin / counts(l)) * (1L << 60).toDouble).toLong
+    }.map(_._1).toSet
+    assert(kept == expect)
+    // the dominant language thins hardest; the scarcest keeps all
+    val keptByLang = rows.filter(r => kept(r._1)).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptByLang("zh") == counts("zh"))
+    assert(keptByLang("en") < counts("en").toInt / 2)
+  }
+
   test("hash order is not id order (actually pseudo-random)") {
     val ids = Sampling.bottomK(data(4), "id", 20)
       .select("id").collect().map(_.getLong(0)).toSeq
