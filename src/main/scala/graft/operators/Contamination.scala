@@ -33,4 +33,41 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Fraction-based contamination report — the GPT-3/PaLM rule gates
+    * on the SHARE of a document's n-grams that appear in the
+    * benchmark, not the raw count (a long document trivially shares a
+    * few grams; a short one sharing most of itself IS the benchmark
+    * leak): (id, n_grams, n_overlap, frac) with both counts over the
+    * document's DISTINCT grams and frac their single IEEE division
+    * (engine-portable). Documents with fewer than `n` words carry no
+    * grams and emit no row. Same broadcast-semi scale shape as
+    * [[overlap]]: one corpus explode, bench grams broadcast, one
+    * doc-keyed combinable aggregate. */
+  def overlapFraction(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val cg = grams.select(col("id"),
+      size(col("grams")).cast("long").as("n_grams"),
+      explode(col("grams")).as("gram"))
+    val bg = bench.select(explode(TextOps.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    cg.join(broadcast(bg), Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(first(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
+      .withColumn("frac", col("n_overlap").cast("double") / col("n_grams"))
+  }
+
+  /** The decontamination gate over [[overlapFraction]]: documents whose
+    * benchmark-overlap share reaches `minFrac`. */
+  def flaggedByFraction(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int, minFrac: Double): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"need minFrac in (0, 1], got $minFrac")
+    overlapFraction(corpus, bench, idCol, textCol, n)
+      .filter(col("frac") >= minFrac)
+  }
 }

@@ -77,6 +77,18 @@ object TrainQueries {
         .select(col("id").as("doc_id"), col("n_overlap"))
         .orderBy(col("doc_id"))
     }),
+    "c2_contamination_frac" -> ((s, dir) => {
+      // the GPT-3/PaLM fraction rule: flag docs whose DISTINCT-gram
+      // benchmark-overlap share reaches 10% (c1 is the raw-count twin)
+      val d = Tables(s, dir, "documents")
+      Contamination.flaggedByFraction(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", ContamN, minFrac = 0.1)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_overlap"),
+          col("frac"))
+        .orderBy(col("doc_id"))
+    }),
     "sk1_salted_agg" -> ((s, dir) => {
       // skew-safe two-phase aggregation; decimal accumulation makes the
       // result independent of how the salt splits the partial groups,
@@ -572,6 +584,22 @@ object TrainQueries {
          |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
          |FROM corpus c JOIN bench b ON c.gram = b.gram
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "c2_contamination_frac" ->
+      s"""WITH ww AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+         |g5 AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(${shingleExpr(ContamN)}) AS gram
+         |  FROM ww WHERE len(w) >= $ContamN)),
+         |bench AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, gram FROM g5 WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         | FROM corpus GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         | FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+         |SELECT tot.doc_id, tot.n_grams, ov.n_overlap,
+         | CAST(ov.n_overlap AS DOUBLE) / tot.n_grams AS frac
+         |FROM tot JOIN ov ON tot.doc_id = ov.doc_id
+         |WHERE CAST(ov.n_overlap AS DOUBLE) / tot.n_grams >= 0.1
+         |ORDER BY tot.doc_id""".stripMargin,
     "sk1_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,

@@ -138,6 +138,26 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(0)).toSeq == stats.indices.map(_.toLong))
   }
 
+  test("overlapFraction: share of DISTINCT grams, gate flags the leak not the long doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "q r s t u v w x")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 10 words → 6 distinct 5-grams, 4 of them benchmark grams → 2/3
+      (1L, "q r s t u v w x y z"),
+      // long doc sharing ONE benchmark gram among many of its own
+      (2L, "q r s t u " + (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (3L, "nothing shared here at all with anything")).toDF("doc_id", "text")
+    val frac = Contamination.overlapFraction(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(frac(1L) == ((6L, 4L, 4.0 / 6)))
+    assert(frac(2L)._2 == 1L && frac(2L)._3 < 0.1)
+    assert(!frac.contains(3L))
+    val flagged = Contamination.flaggedByFraction(
+        corpus, bench, "doc_id", "text", 5, minFrac = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L)) // the leak, not the long doc
+  }
+
   test("packSplit: slices reassemble exactly, every bin holds budget tokens except the last") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
