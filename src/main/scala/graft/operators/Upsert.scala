@@ -21,6 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** Slowly-Changing-Dimension Type-2 history from a keyed change log
+    * (Kimball's SCD2 — the warehouse twin of [[upsert]]'s
+    * replace-in-place Type 1): each key's changes, totally ordered by
+    * `orderCols`, collapse into VERSIONS — a new version opens only
+    * where the tracked attributes actually differ from the previous
+    * version (no-op updates collapse, the standard SCD2 rule) — and
+    * each version carries `valid_from` (its first order value),
+    * `valid_to` (the NEXT version's `valid_from`; null on the open
+    * version), and `is_current`. Attribute comparison is null-SAFE
+    * (`<=>` on the attr struct): a change TO null from non-null (or
+    * back) is a real version boundary, not a dropped row.
+    *
+    * Scale shape: one exchange on the keys; both windows (the
+    * version-boundary lag and the valid_to lead) share that
+    * partitioning and sort, so Catalyst plans a single shuffle + sort
+    * for the whole operator. Per-key change lists are date-bounded —
+    * no corpus-wide window anywhere. */
+  def scd2History(
+      changes: DataFrame, keys: Seq[String], attrs: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty && orderCols.nonEmpty,
+      "scd2History needs keys, tracked attrs, and a total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val a = struct(attrs.map(col): _*)
+    changes
+      .withColumn("__prev", lag(a, 1).over(w))
+      .filter(col("__prev").isNull || !(a <=> col("__prev")))
+      .drop("__prev")
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Target's columns; `source` must provide the same names. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq

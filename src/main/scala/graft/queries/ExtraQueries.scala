@@ -353,6 +353,18 @@ object ExtraQueries {
           col("sample_rank").cast("int").as("sample_rank"))
         .orderBy(col("o_orderstatus"), col("sample_rank"))
     }),
+    "u2_scd2_history" -> ((s, dir) => {
+      // Kimball SCD2 over the order-status change log: per customer,
+      // status runs collapse into versions with validity intervals
+      graft.operators.Upsert.scd2History(
+          T(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey")),
+          keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
     "u1_merge_upsert" -> ((s, dir) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val ord = T(s, dir, "orders").select(cols.map(col): _*)
@@ -517,6 +529,20 @@ object ExtraQueries {
         |SELECT o_orderstatus, o_orderkey, sample_rank
         |FROM r WHERE sample_rank <= 15
         |ORDER BY o_orderstatus, sample_rank""".stripMargin,
+    "u2_scd2_history" ->
+      """WITH b AS (
+        | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders),
+        |v AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        | FROM b WHERE prev IS NULL OR o_orderstatus <> prev),
+        |h AS (SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        | FROM v)
+        |SELECT o_custkey, o_orderstatus, o_orderkey,
+        | o_orderdate AS valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM h ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "u1_merge_upsert" ->
       """WITH t AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -34,4 +34,27 @@ class UpsertSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(out.toSeq == Seq((1L, 5), (2L, 60), (3L, 70)))
   }
+
+  test("scd2History: no-op changes collapse, null-safe boundaries, intervals tile") {
+    import spark.implicits._
+    val log = Seq(
+      (7L, 1, Some("A")), (7L, 2, Some("A")), // no-op collapses
+      (7L, 3, Some("B")),
+      (7L, 4, None), (7L, 5, None),           // change TO null is a boundary
+      (7L, 6, Some("A")),
+      (9L, 1, Some("X")))                     // second key independent
+      .toDF("k", "seq", "status")
+    val h = Upsert.scd2History(log, Seq("k"), Seq("status"), Seq("seq"))
+      .select("k", "seq", "status", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getString(2)), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(h.toSeq == Seq(
+      (7L, 1, Some("A"), 1, Some(3), false),
+      (7L, 3, Some("B"), 3, Some(4), false),
+      (7L, 4, None, 4, Some(6), false),
+      (7L, 6, Some("A"), 6, None, true),
+      (9L, 1, Some("X"), 1, None, true)))
+  }
 }
