@@ -353,6 +353,27 @@ object ExtraQueries {
           col("sample_rank").cast("int").as("sample_rank"))
         .orderBy(col("o_orderstatus"), col("sample_rank"))
     }),
+    "h2_hierarchy_flatten" -> ((s, dir) => {
+      // CONNECT-BY surface: the customer/supplier → nation → region
+      // forest flattened to the full ancestor closure via iterative
+      // one-hop joins (the recursive-CTE unroll; prefix-typed node ids
+      // keep the integer key spaces disjoint)
+      def node(p: String, c: org.apache.spark.sql.Column) =
+        concat(lit(p), c.cast("string"))
+      val cust = T(s, dir, "customer").select(
+        node("c", col("c_custkey")).as("child"),
+        node("n", col("c_nationkey")).as("parent"))
+      val supp = T(s, dir, "supplier").select(
+        node("s", col("s_suppkey")).as("child"),
+        node("n", col("s_nationkey")).as("parent"))
+      val nat = T(s, dir, "nation").select(
+        node("n", col("n_nationkey")).as("child"),
+        node("r", col("n_regionkey")).as("parent"))
+      graft.operators.Hierarchy.ancestors(
+          cust.unionByName(supp).unionByName(nat), "child", "parent")
+        .select(col("node"), col("ancestor"), col("depth").cast("int").as("depth"))
+        .orderBy(col("node"), col("depth"), col("ancestor"))
+    }),
     "u2_scd2_history" -> ((s, dir) => {
       // Kimball SCD2 over the order-status change log: per customer,
       // status runs collapse into versions with validity intervals
@@ -529,6 +550,25 @@ object ExtraQueries {
         |SELECT o_orderstatus, o_orderkey, sample_rank
         |FROM r WHERE sample_rank <= 15
         |ORDER BY o_orderstatus, sample_rank""".stripMargin,
+    "h2_hierarchy_flatten" ->
+      // the genuine recursive CTE — UNION (not ALL) matches the
+      // operator's distinct-per-depth closure semantics
+      """WITH RECURSIVE e AS (
+        | SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+        |        'n' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+        | UNION ALL
+        | SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |        'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        | UNION ALL
+        | SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR),
+        |        'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |cl(node, ancestor, depth) AS (
+        | SELECT child, parent, 1 FROM e
+        | UNION
+        | SELECT cl.node, e.parent, cl.depth + 1
+        | FROM cl JOIN e ON cl.ancestor = e.child)
+        |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
+        |FROM cl ORDER BY node, depth, ancestor""".stripMargin,
     "u2_scd2_history" ->
       """WITH b AS (
         | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
