@@ -354,6 +354,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("u2 SCD2: one key exchange serves both windows — no second shuffle, no join") {
+    val p = planOf("u2_scd2_history")
+    assert(!p.contains("Join"), p)
+    // boundary-lag and valid_to-lead share partitioning AND sort: one
+    // hashpartitioning exchange total (plus the output order's range —
+    // formatted mode puts the partitioning on the Arguments line)
+    assert(p.split("hashpartitioning\\(").length == 2, p)
+    assert(p.split("Window").length >= 3, p) // both windows present
+  }
+
+  test("c2 fraction decontamination: bench grams broadcast — no gram-keyed corpus shuffle") {
+    val p = planOf("c2_contamination_frac")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mix4 temperature sampling: the corpus pass is a pure per-row filter — no exchange") {
+    val spark2 = spark
+    val df = graft.core.Tables(spark2, dir, "documents").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"))
+    val p = graft.operators.Sampling
+      .temperatureSample(df, "lang", "doc_id", alpha = 0.5, seed = 7)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("h2 hierarchy closure: keyed hash joins only — no cartesian, no sort-merge, no broadcast-guessing the frontier") {
+    val p = planOf("h2_hierarchy_flatten")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("bpe4 exact OOV: merge-chain fold per DISTINCT unseen word (anti-join + union), deploy join shuffle-hash") {
     val p = planOf("bpe4_exact_oov")
     // unseen vocabulary isolated by anti-join, folded once, unioned
