@@ -98,6 +98,66 @@ class RandomizedTrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2History == reference fold on random change logs (runs, nulls, multi-key)") {
+    val rnd = new Random(61)
+    for (trial <- 1 to 3) {
+      val statuses = Seq(Some("A"), Some("B"), Some("C"), None)
+      val log = for {
+        k <- 1L to (3 + rnd.nextInt(4)).toLong
+        s <- 1 to 5 + rnd.nextInt(12)
+      } yield (k, s, statuses(rnd.nextInt(statuses.size)))
+      val got = Upsert.scd2History(
+          log.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)),
+          r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          r.getBoolean(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // reference: per key in seq order, keep rows where the tracked
+      // value changed; valid_to = next kept row's seq
+      val expect = log.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val kept = rows.sortBy(_._2).foldLeft(Vector.empty[(Long, Int, Option[String])]) {
+          case (acc, (_, s, v)) =>
+            if (acc.nonEmpty && acc.last._3 == v) acc else acc :+ ((k, s, v))
+        }
+        kept.zipWithIndex.map { case ((_, s, v), i) =>
+          val to = if (i + 1 < kept.size) Some(kept(i + 1)._2) else None
+          (k, s, v, s, to, to.isEmpty)
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("Hierarchy.ancestors == BFS closure on random DAGs") {
+    val rnd = new Random(67)
+    for (trial <- 1 to 3) {
+      // random DAG: edges only from lower to higher node ids (acyclic)
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextInt(100) < 22
+      } yield (s"v$a", s"v$b")).distinct
+      if (edges.nonEmpty) {
+        val got = Hierarchy.ancestors(
+            edges.toDF("child", "parent"), "child", "parent")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        // reference: depth-k reachability = k-step products, deduped
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var frontier: Set[(String, String)] =
+          edges.map { case (c, p) => (c, p) }.toSet
+        val expect = scala.collection.mutable.Set[(String, String, Int)]()
+        var d = 1
+        while (frontier.nonEmpty) {
+          frontier.foreach { case (c, p) => expect += ((c, p, d)) }
+          frontier = frontier.flatMap { case (c, p) =>
+            adj.getOrElse(p, Set.empty).map(pp => (c, pp)) }
+          d += 1
+        }
+        assert(got == expect.toSet, s"trial $trial (${edges.size} edges)")
+      }
+    }
+  }
+
   // ---- segment dedup vs reference -----------------------------------
 
   test("segment dedup reassembly == first-occurrence reference on random corpora") {
