@@ -297,6 +297,17 @@ final class ImageCodec {
       }
       y += 1
     }
+    // cross-multiplied averages compare in 128 bits: sums reach
+    // cellPixels·255000 and multiply by another cell's count, which
+    // overflows a Long for multi-gigapixel inputs (cell counts beyond
+    // ~3.5e7) and would silently flip gradient bits. 64 exact compares
+    // per image — noise next to the decode. Operands are nonnegative,
+    // so (multiplyHigh, low) compares as (signed hi, unsigned lo).
+    def gtExact(a: Long, b: Long, c: Long, d: Long): Boolean = {
+      val hi1 = java.lang.Math.multiplyHigh(a, b); val lo1 = a * b
+      val hi2 = java.lang.Math.multiplyHigh(c, d); val lo2 = c * d
+      hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+    }
     var bits = 0L
     var r = 0
     while (r < 8) {
@@ -305,7 +316,7 @@ final class ImageCodec {
         val l = r * 9 + c
         val rt = l + 1
         if (counts(l) > 0 && counts(rt) > 0 &&
-            sums(rt) * counts(l) > sums(l) * counts(rt))
+            gtExact(sums(rt), counts(l), sums(l), counts(rt)))
           bits |= (1L << (r * 8 + c))
         c += 1
       }

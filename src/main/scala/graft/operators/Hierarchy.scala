@@ -25,21 +25,32 @@ object Hierarchy {
 
   /** (node, ancestor, depth) for every ancestor reachable from each
     * node through the (child, parent) edges; depth 1 = direct parent.
-    * Fails loudly if the closure is still growing at `maxDepth` —
-    * either a cycle (every reachable depth would repeat forever) or a
-    * hierarchy deeper than the caller's bound. */
+    * Depths up to and INCLUDING `maxDepth` are in-bounds: the loop runs
+    * one probe round past the deepest non-empty frontier, so a
+    * hierarchy whose height equals `maxDepth` exactly succeeds, and
+    * only a frontier at depth `maxDepth + 1` — a cycle (every reachable
+    * depth would repeat forever) or a hierarchy deeper than the
+    * caller's bound — fails loudly.
+    *
+    * Each round's frontier is materialized once (`localCheckpoint`
+    * cuts lineage, the ConnectedComponents/PageRank discipline) and the
+    * closure is ONE union of the per-depth frontiers at the end — the
+    * accumulated closure is never re-materialized per round, so total
+    * materialization is O(closure), not O(depth × closure). The union
+    * needs no distinct: each frontier is distinct within its own depth
+    * and frontiers carry disjoint depth values. */
   def ancestors(
       edges: DataFrame, childCol: String, parentCol: String,
       maxDepth: Int = 30): DataFrame = {
     require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
     val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
       .distinct().localCheckpoint(false)
-    var closure = e.select(col("child").as("node"), col("parent").as("ancestor"),
+    var frontier = e.select(col("child").as("node"), col("parent").as("ancestor"),
       lit(1).as("depth")).localCheckpoint(false)
-    var frontier = closure
+    val frontiers = scala.collection.mutable.ListBuffer(frontier)
     var depth = 1
     var n = frontier.count()
-    while (n > 0 && depth < maxDepth) {
+    while (n > 0 && depth <= maxDepth) {
       depth += 1
       frontier = frontier
         .join(e.hint("shuffle_hash"), frontier("ancestor") === e("child"))
@@ -47,10 +58,12 @@ object Hierarchy {
         .distinct()
         .localCheckpoint(false)
       n = frontier.count()
-      if (n > 0) closure = closure.unionByName(frontier).localCheckpoint(false)
+      if (n > 0) {
+        require(depth <= maxDepth,
+          s"hierarchy still growing past depth $maxDepth — cycle, or raise maxDepth")
+        frontiers += frontier
+      }
     }
-    require(n == 0,
-      s"hierarchy still growing at depth $maxDepth — cycle, or raise maxDepth")
-    closure
+    frontiers.reduce(_ unionByName _)
   }
 }

@@ -140,8 +140,14 @@ object Sampling {
   def temperatureSample(
       df: DataFrame, strataCol: String, idCol: String,
       alpha: Double, seed: Int): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = df.groupBy(col(strataCol)).count().collect()
+    // a null stratum would become a map key no when(col === s) chain can
+    // ever match (null === never matches), silently falling through to
+    // defaultRate — fail loudly instead; callers coalesce to a sentinel
+    require(rows.forall(!_.isNullAt(0)),
+      s"temperatureSample: stratum column '$strataCol' carries nulls — " +
+        "coalesce them to a sentinel stratum before sampling")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     weightedMixture(df, strataCol, idCol,
       temperatureRates(counts, alpha), defaultRate = 1.0, seed = seed)
   }

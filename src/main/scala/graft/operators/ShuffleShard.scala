@@ -104,6 +104,17 @@ object ShuffleShard {
   def appendShards(
       df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Long = {
     require(shards >= 1, s"need shards >= 1, got $shards")
+    // within-batch id uniqueness is part of the never-duplicate
+    // contract: the replay anti-join screens against PRIOR exports
+    // only, so two rows sharing an id inside ONE batch would both land
+    // (at distinct positions). Refuse the batch loudly — silently
+    // picking a survivor would make the export depend on partition
+    // order. One batch-sized aggregate; the export is never touched.
+    val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dups == 0,
+      s"appendShards: duplicate '$idCol' values within one batch — " +
+        "dedup upstream (ids must be unique per batch)")
     val spark = df.sparkSession
     val p = new HPath(outDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -39,4 +39,15 @@ class HierarchySpec extends AnyFunSuite {
       closure(Seq("a" -> "b", "b" -> "a"), maxDepth = 5))
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("height exactly maxDepth is in-bounds (one probe round past it)") {
+    // chain a→b→c→d has height 3: depth-3 closure row must be reachable
+    // with maxDepth = 3 (the pre-fix loop rejected it as still-growing)
+    val got = closure(Seq("a" -> "b", "b" -> "c", "c" -> "d"), maxDepth = 3)
+    assert(got.contains(("a", "d", 3)))
+    // one deeper than the bound still fails loudly
+    val e = intercept[IllegalArgumentException](
+      closure(Seq("a" -> "b", "b" -> "c", "c" -> "d"), maxDepth = 2))
+    assert(e.getMessage.contains("raise maxDepth"))
+  }
 }

@@ -147,6 +147,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(keptByLang("en") < counts("en").toInt / 2)
   }
 
+  test("temperatureSample: null strata fail loudly (defaultRate fallthrough trap)") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, null.asInstanceOf[String]), (3L, "en"))
+      .toDF("id", "lang")
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureSample(df, "lang", "id", alpha = 0.5, seed = 1))
+    assert(e.getMessage.contains("null"))
+  }
+
   test("hash order is not id order (actually pseudo-random)") {
     val ids = Sampling.bottomK(data(4), "id", 20)
       .select("id").collect().map(_.getLong(0)).toSeq

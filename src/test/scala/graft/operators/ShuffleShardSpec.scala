@@ -83,6 +83,16 @@ class ShuffleShardSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir3).count() == 120L)
   }
 
+  test("appendShards: duplicate ids within one batch are refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-dup").toString + "/out"
+    val dup = Seq((1L, "a"), (2L, "b"), (1L, "a2")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      ShuffleShard.appendShards(dup, "id", 3, seed = 5, dir))
+    assert(e.getMessage.contains("duplicate"))
+    // the refused batch must not have created the export
+    assert(!new java.io.File(dir).exists())
+  }
+
   test("appendShards property: any random batch partition yields the concatenated per-batch layouts") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 2) {
