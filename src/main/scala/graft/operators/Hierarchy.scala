@@ -66,4 +66,56 @@ object Hierarchy {
     }
     frontiers.reduce(_ unionByName _)
   }
+
+  /** (node, descendant, depth) — the transpose of [[ancestors]]: every
+    * node reachable DOWNWARD from each node, depth 1 = direct child.
+    * Same iterative frontier-join machinery, same distinct-per-depth
+    * UNION semantics, same loud failure past `maxDepth`. */
+  def descendants(
+      edges: DataFrame, childCol: String, parentCol: String,
+      maxDepth: Int = 30): DataFrame =
+    ancestors(edges, childCol, parentCol, maxDepth)
+      .select(col("ancestor").as("node"), col("node").as("descendant"),
+        col("depth"))
+
+  /** Hierarchical subtree aggregate — the account-rollup query every
+    * warehouse migration carries (`CONNECT BY` + `SUM` over the
+    * subtree): for EVERY hierarchy node, the count and exact sum of
+    * `valueCol` over all facts attached to the node itself or any of
+    * its descendants. Output: (node, subtree_count, subtree_value),
+    * one row per hierarchy node — nodes with an empty fact subtree
+    * report (0, 0.0), they are not dropped.
+    *
+    * Scale shape, in order: (1) facts pre-aggregate to ONE partial row
+    * per fact node (map-side combinable; decimal partials keep the sum
+    * exact and partition-order independent, the [[graft.core.Exact]]
+    * discipline) — the closure fan-out below multiplies node partials
+    * × depth, never raw facts × depth; (2) the descendant closure
+    * collapses to DISTINCT (node, descendant) pairs — in a DAG a
+    * descendant reachable at two depths must contribute its facts
+    * ONCE — plus a depth-0 self pair per node; (3) one keyed join of
+    * pairs against the partials and one re-aggregate by node. Every
+    * exchange is keyed (descendant, then node); nothing is
+    * corpus-wide. */
+  def subtreeRollup(
+      edges: DataFrame, childCol: String, parentCol: String,
+      facts: DataFrame, factNodeCol: String, valueCol: String,
+      maxDepth: Int = 30): DataFrame = {
+    val partials = facts
+      .groupBy(col(factNodeCol).as("descendant"))
+      .agg(count(lit(1)).as("__cnt"), sum(graft.core.Exact.dec(col(valueCol))).as("__val"))
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+    val selfPairs = e.select(col("child").as("node"))
+      .unionByName(e.select(col("parent").as("node")))
+      .distinct()
+      .withColumn("descendant", col("node"))
+    val pairs = descendants(edges, childCol, parentCol, maxDepth)
+      .select(col("node"), col("descendant")).distinct()
+      .unionByName(selfPairs)
+    pairs
+      .join(partials.hint("shuffle_hash"), Seq("descendant"), "left")
+      .groupBy(col("node"))
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).as("subtree_count"),
+        coalesce(sum(col("__val")).cast("double"), lit(0.0)).as("subtree_value"))
+  }
 }

@@ -55,6 +55,72 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** INCREMENTAL SCD2 apply — the daily-warehouse face of
+    * [[scd2History]]: merge a NEW batch of change rows into an
+    * EXISTING Type-2 dimension instead of rebuilding from the full
+    * change log (which is O(history) per refresh). Per batch key: the
+    * key's open (`is_current`) version seeds the no-op collapse, so a
+    * batch change equal to the open version's attrs is dropped, the
+    * open version closes at the first genuinely-new version's
+    * `valid_from`, and new versions tile exactly as a full rebuild
+    * would; keys absent from the batch pass through untouched, and
+    * batch-only keys build their history from scratch.
+    *
+    * Equivalence contract: `scd2Apply(scd2History(log), batch) ==
+    * scd2History(log ∪ batch)` PROVIDED each batch row's order comes
+    * after every previously-applied change row for its key — the
+    * natural append-only change-stream contract. The checkable part
+    * (batch order at-or-before the OPEN version's order) fails loudly;
+    * orders between the open version and its later dropped no-ops are
+    * unobservable from the dimension alone and stay the caller's
+    * responsibility (documented, not silently wrong: such a batch
+    * still applies deterministically, it just differs from a full
+    * rebuild that interleaved the late row).
+    *
+    * Scale shape (touched-keys-only): closed versions pass through
+    * with NO join at all (they are immutable by construction); the
+    * open set — one row per dimension key, far smaller than history —
+    * splits touched/untouched via a broadcast semi/anti join on the
+    * batch's distinct keys; the only exchange is [[scd2History]]'s
+    * single key-partitioned window over (touched opens ∪ batch) —
+    * batch-sized, not history-sized. At extreme batch widths where the
+    * key set outgrows a broadcast, store the dimension bucketed by
+    * `keys` so the semi/anti joins co-locate instead.
+    *
+    * `dim` must carry the batch's columns plus `valid_from`,
+    * `valid_to`, `is_current` (the [[scd2History]] output shape). */
+  def scd2Apply(
+      dim: DataFrame, batch: DataFrame, keys: Seq[String], attrs: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty && orderCols.nonEmpty,
+      "scd2Apply needs keys, tracked attrs, and a total order")
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    require(scdCols.forall(dim.columns.contains),
+      s"dim must be an scd2History output (missing one of $scdCols)")
+    val batchKeys = broadcast(batch.select(keys.map(col): _*).distinct())
+    val open = dim.filter(col("is_current"))
+    val closed = dim.filter(!col("is_current"))
+    val seed = open.join(batchKeys, keys, "left_semi")
+      .drop(scdCols: _*)
+    val untouched = open.join(batchKeys, keys, "left_anti")
+    val log = seed.withColumn("__seed", lit(true))
+      .unionByName(batch.withColumn("__seed", lit(false)))
+    // the open version must sort strictly first in its key's batch-
+    // extended log; ties order the seed LAST so an at-or-before batch
+    // row is always caught, not masked by row_number tie-breaking
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col) :+ col("__seed").asc: _*)
+    val lateRows = log.withColumn("__rn", row_number().over(wv))
+      .filter(col("__seed") && col("__rn") > 1).limit(1).count()
+    require(lateRows == 0,
+      "scd2Apply: batch carries order values at or before a key's open " +
+        "version — apply change batches in order")
+    closed
+      .unionByName(untouched)
+      .unionByName(scd2History(log.drop("__seed"), keys, attrs, orderCols))
+  }
+
   /** Target's columns; `source` must provide the same names. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq

@@ -374,12 +374,54 @@ object ExtraQueries {
         .select(col("node"), col("ancestor"), col("depth").cast("int").as("depth"))
         .orderBy(col("node"), col("depth"), col("ancestor"))
     }),
+    "h3_subtree_rollup" -> ((s, dir) => {
+      // the other half of CONNECT BY: descendant closure feeding a
+      // hierarchical aggregate — order value rolled up through
+      // customer → nation → region, every node reporting its subtree
+      def node(p: String, c: org.apache.spark.sql.Column) =
+        concat(lit(p), c.cast("string"))
+      val cust = T(s, dir, "customer").select(
+        node("c", col("c_custkey")).as("child"),
+        node("n", col("c_nationkey")).as("parent"))
+      val supp = T(s, dir, "supplier").select(
+        node("s", col("s_suppkey")).as("child"),
+        node("n", col("s_nationkey")).as("parent"))
+      val nat = T(s, dir, "nation").select(
+        node("n", col("n_nationkey")).as("child"),
+        node("r", col("n_regionkey")).as("parent"))
+      val facts = T(s, dir, "orders").select(
+        node("c", col("o_custkey")).as("fnode"), col("o_totalprice"))
+      graft.operators.Hierarchy.subtreeRollup(
+          cust.unionByName(supp).unionByName(nat), "child", "parent",
+          facts, "fnode", "o_totalprice")
+        .orderBy(col("node"))
+    }),
     "u2_scd2_history" -> ((s, dir) => {
       // Kimball SCD2 over the order-status change log: per customer,
       // status runs collapse into versions with validity intervals
       graft.operators.Upsert.scd2History(
           T(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
             col("o_orderdate"), col("o_orderkey")),
+          keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
+          orderCols = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+    "u3_scd2_apply" -> ((s, dir) => {
+      // incremental SCD2: the pre-1996 change log builds the existing
+      // dimension, the 1996+ changes arrive as the daily batch and
+      // merge in touched-keys-only — the oracle rebuilds from the FULL
+      // log, so the key proves incremental ≡ rebuild hash-for-hash
+      val log = T(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      val cut = lit("1996-01-01").cast("date")
+      val dim = graft.operators.Upsert.scd2History(
+        log.filter(col("o_orderdate") < cut),
+        keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+      graft.operators.Upsert.scd2Apply(
+          dim, log.filter(col("o_orderdate") >= cut),
           keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
           orderCols = Seq("o_orderdate", "o_orderkey"))
         .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
@@ -569,7 +611,52 @@ object ExtraQueries {
         | FROM cl JOIN e ON cl.ancestor = e.child)
         |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
         |FROM cl ORDER BY node, depth, ancestor""".stripMargin,
+    "h3_subtree_rollup" ->
+      // genuine recursive CTE over the transposed closure; DISTINCT
+      // (node, descendant) pairs so a DAG could never double-count a
+      // descendant's facts; LEFT JOIN keeps empty-subtree nodes at 0
+      """WITH RECURSIVE e AS (
+        | SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+        |        'n' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+        | UNION ALL
+        | SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |        'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        | UNION ALL
+        | SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR),
+        |        'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |cl(node, descendant) AS (
+        | SELECT parent, child FROM e
+        | UNION
+        | SELECT cl.node, e.child FROM cl JOIN e ON e.parent = cl.descendant),
+        |nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+        |pairs AS (SELECT DISTINCT node, descendant FROM cl
+        | UNION SELECT node, node FROM nodes),
+        |f AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS descendant,
+        | o_totalprice FROM orders)
+        |SELECT p.node AS node,
+        | COUNT(f.o_totalprice) AS subtree_count,
+        | COALESCE(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+        |   AS subtree_value
+        |FROM pairs p LEFT JOIN f ON f.descendant = p.descendant
+        |GROUP BY p.node ORDER BY node""".stripMargin,
     "u2_scd2_history" ->
+      """WITH b AS (
+        | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders),
+        |v AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        | FROM b WHERE prev IS NULL OR o_orderstatus <> prev),
+        |h AS (SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        | FROM v)
+        |SELECT o_custkey, o_orderstatus, o_orderkey,
+        | o_orderdate AS valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM h ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "u3_scd2_apply" ->
+      // deliberately the FULL-log rebuild (u2's construction): the
+      // engine side applies only the 1996+ batch incrementally, so a
+      // hash match IS the incremental ≡ rebuild equivalence proof
       """WITH b AS (
         | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
         |  lag(o_orderstatus) OVER (PARTITION BY o_custkey

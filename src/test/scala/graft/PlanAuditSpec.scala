@@ -386,6 +386,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("h3 subtree rollup: facts pre-aggregate BEFORE the closure fan-out join; keyed joins only") {
+    val p = planOf("h3_subtree_rollup")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the fan-out join's build side is the per-node partial aggregate,
+    // so a HashAggregate must sit below the join that feeds the final
+    // node re-aggregate — raw facts never multiply by depth
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.split("HashAggregate").length >= 5, p) // partials + final, each split partial/merge
+  }
+
+  test("u3 incremental SCD2 apply: touched keys split by broadcast semi/anti — no SMJ, no cartesian") {
+    val p = planOf("u3_scd2_apply")
+    // batch keys broadcast against the open set: no history-sized shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("u3 apply over a STORED dimension: batch-sized exchanges only — the dimension parquet never shuffles") {
+    // the deployment shape: dim lives in storage; only the apply's
+    // (seed ∪ batch) window and the batch-keys distinct may exchange
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("u3-plan").toString
+    val log = graft.core.Tables(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+    val cut = lit("1996-01-01").cast("date")
+    graft.operators.Upsert.scd2History(log.filter(col("o_orderdate") < cut),
+      Seq("o_custkey"), Seq("o_orderstatus"), Seq("o_orderdate", "o_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    val p = graft.operators.Upsert.scd2Apply(
+        spark.read.parquet(tmp), log.filter(col("o_orderdate") >= cut),
+        Seq("o_custkey"), Seq("o_orderstatus"), Seq("o_orderdate", "o_orderkey"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // every hashpartitioning exchange is batch-sized: the batch-keys
+    // distinct (statically printed twice — semi and anti branch — and
+    // runtime-reused under AQE) and the apply window over
+    // (touched ∪ batch); the dimension parquet itself never shuffles
+    assert(p.split("hashpartitioning\\(").length == 4, p)
+    assert(p.split("Window").length >= 3, p) // lag + lead share the one window exchange
+  }
+
   test("bpe4 exact OOV: merge-chain fold per DISTINCT unseen word (anti-join + union), deploy join shuffle-hash") {
     val p = planOf("bpe4_exact_oov")
     // unseen vocabulary isolated by anti-join, folded once, unioned

@@ -57,4 +57,80 @@ class UpsertSpec extends AnyFunSuite {
       (7L, 6, Some("A"), 6, None, true),
       (9L, 1, Some("X"), 1, None, true)))
   }
+
+  private def snap(df: org.apache.spark.sql.DataFrame) = df
+    .select("k", "seq", "status", "valid_from", "valid_to", "is_current")
+    .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)),
+      r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getBoolean(5)))
+    .sortBy(t => (t._1, t._2)).toSeq
+
+  test("scd2Apply: closes the open version, collapses no-ops against it, inserts new keys") {
+    import spark.implicits._
+    val hist = Seq((7L, 1, Some("A")), (7L, 2, Some("B")), (9L, 1, Some("X")))
+      .toDF("k", "seq", "status")
+    val dim = Upsert.scd2History(hist, Seq("k"), Seq("status"), Seq("seq"))
+    val batch = Seq(
+      (7L, 3, Some("B")), // no-op vs the open B version — must collapse
+      (7L, 4, Some("C")), // real change — closes B at 4, opens C
+      (5L, 3, Some("N"))) // brand-new key — history from scratch
+      .toDF("k", "seq", "status")
+    val out = Upsert.scd2Apply(dim, batch, Seq("k"), Seq("status"), Seq("seq"))
+    assert(snap(out) == Seq(
+      (5L, 3, Some("N"), 3, None, true),
+      (7L, 1, Some("A"), 1, Some(2), false),
+      (7L, 2, Some("B"), 2, Some(4), false),
+      (7L, 4, Some("C"), 4, None, true),
+      (9L, 1, Some("X"), 1, None, true)))
+  }
+
+  test("scd2Apply: no-op-only and empty batches leave the dimension bit-identical") {
+    import spark.implicits._
+    val hist = Seq((7L, 1, Some("A")), (9L, 1, Some("X"))).toDF("k", "seq", "status")
+    val dim = Upsert.scd2History(hist, Seq("k"), Seq("status"), Seq("seq"))
+    val noop = Seq((7L, 5, Some("A"))).toDF("k", "seq", "status")
+    assert(snap(Upsert.scd2Apply(dim, noop, Seq("k"), Seq("status"), Seq("seq")))
+      == snap(dim))
+    assert(snap(Upsert.scd2Apply(dim, noop.limit(0), Seq("k"), Seq("status"), Seq("seq")))
+      == snap(dim))
+  }
+
+  test("scd2Apply: a batch row at or before the open version fails loudly") {
+    import spark.implicits._
+    val hist = Seq((7L, 1, Some("A")), (7L, 4, Some("B"))).toDF("k", "seq", "status")
+    val dim = Upsert.scd2History(hist, Seq("k"), Seq("status"), Seq("seq"))
+    // seq 3 predates the open version's seq 4; seq 4 ties it — both refuse
+    for (badSeq <- Seq(3, 4)) {
+      val e = intercept[IllegalArgumentException](Upsert.scd2Apply(dim,
+        Seq((7L, badSeq, Some("C"))).toDF("k", "seq", "status"),
+        Seq("k"), Seq("status"), Seq("seq")))
+      assert(e.getMessage.contains("in order"), s"seq=$badSeq")
+    }
+  }
+
+  test("scd2Apply: incremental ≡ full rebuild on random multi-batch change logs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(60)
+      // seq is globally increasing, so range cuts respect per-key order
+      val rows = (1 to n).map { i =>
+        val k = 1L + rnd.nextInt(7)
+        val st = if (rnd.nextInt(6) == 0) None
+          else Some(Seq("A", "B", "C")(rnd.nextInt(3)))
+        (k, i, st)
+      }
+      val cuts = Seq(0, n / 3, 2 * n / 3, n)
+      val batches = cuts.sliding(2).toSeq
+        .map { case Seq(a, b) => rows.filter(r => r._2 > a && r._2 <= b) }
+      var dim = Upsert.scd2History(
+        batches.head.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))
+      batches.tail.foreach { b =>
+        dim = Upsert.scd2Apply(dim, b.toDF("k", "seq", "status"),
+          Seq("k"), Seq("status"), Seq("seq"))
+      }
+      val full = Upsert.scd2History(
+        rows.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))
+      assert(snap(dim) == snap(full), s"trial $trial (n=$n)")
+    }
+  }
 }
