@@ -81,16 +81,33 @@ object ShuffleShard {
     * the position prefix and B's one-shot layout (offset by the prefix
     * length) as the suffix.
     *
-    * Replay safety (the audit anti-join): the increment is anti-joined
-    * against the ids already exported, so an at-least-once upstream
-    * (a restarted stream re-delivering a micro-batch) appends each row
-    * exactly once — the same idempotence discipline as the incremental
-    * loader's audit table. Here the export itself IS the audit source:
-    * the anti-join and the per-shard tails read only (id, shard, pos)
-    * — parquet prunes the payload columns — and at very large exports
-    * a deployment would keep those three columns as a dedicated audit
-    * table updated per append (the IncrementalLoader shape) rather
-    * than re-scanning the export's key columns.
+    * Replay safety at BATCH-PROPORTIONAL cost (the append manifest):
+    * an at-least-once upstream (a restarted stream re-delivering a
+    * micro-batch) appends each row exactly once, and the screen no
+    * longer re-scans the prior export per batch. A manifest beside the
+    * payload (`_graft_manifest/`) carries (a) the per-shard tail
+    * positions, (b) a serialized Bloom filter over every exported id,
+    * and (c) an append-only id-column table. A steady-state append
+    * reads O(batch + manifest): tails and Bloom words are
+    * filter-sized, the batch probes the Bloom as a plan-literal
+    * bit-array (no join), and only the Bloom-POSITIVE candidates —
+    * empty on a clean batch, redelivered/false-positive ids otherwise
+    * — are exactly confirmed against the id table (no false positive
+    * ever drops a genuinely-new row; no set id ever sneaks past). The
+    * payload parquet is never read on the append path. The Bloom
+    * doubles and rebuilds from the id table whenever the id count
+    * outgrows ~1% false-positive capacity (amortized O(1) per id,
+    * capped at 32 MB stored — past that the filter saturates
+    * gracefully into more exact confirms, never incorrectness).
+    *
+    * Torn-append safety: each append writes a WAL-style intent marker
+    * first and clears it only after payload, ids, Bloom, and state all
+    * commit (state last, via temp + rename). A crash in between leaves
+    * the marker, and the next append REBUILDS the manifest from the
+    * payload — the single source of truth — in one loud O(export)
+    * repair scan. A missing manifest (pre-manifest exports, or a
+    * directory produced by bare [[writeShards]]) takes the same repair
+    * path, so old exports upgrade in place.
     *
     * A missing `outDir` degrades to [[writeShards]] (first batch of a
     * stream). Returns the number of rows actually appended.
@@ -105,11 +122,11 @@ object ShuffleShard {
       df: DataFrame, idCol: String, shards: Int, seed: Int, outDir: String): Long = {
     require(shards >= 1, s"need shards >= 1, got $shards")
     // within-batch id uniqueness is part of the never-duplicate
-    // contract: the replay anti-join screens against PRIOR exports
-    // only, so two rows sharing an id inside ONE batch would both land
-    // (at distinct positions). Refuse the batch loudly — silently
-    // picking a survivor would make the export depend on partition
-    // order. One batch-sized aggregate; the export is never touched.
+    // contract: the replay screen dedups against PRIOR exports only,
+    // so two rows sharing an id inside ONE batch would both land (at
+    // distinct positions). Refuse the batch loudly — silently picking
+    // a survivor would make the export depend on partition order. One
+    // batch-sized aggregate; the export is never touched.
     val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     require(dups == 0,
@@ -125,29 +142,33 @@ object ShuffleShard {
       // dir would poison every later append's read-back (routine on
       // stream start when the whole first micro-batch fails upstream
       // gates)
-      if (n > 0) writeShards(df, idCol, shards, seed, outDir)
+      if (n > 0) {
+        writeShards(df, idCol, shards, seed, outDir)
+        ShardManifest.rebuild(spark, outDir, idCol)
+      }
       return n
     }
-    val prior = spark.read.parquet(outDir)
-      .select(col(idCol), col("shard"), col("pos"))
-    // per-shard tails: ≤ `shards` rows — always broadcastable
-    val tails = prior.groupBy(col("shard")).agg((max(col("pos")) + 1).as("base"))
+    val st = ShardManifest.open(spark, outDir, idCol)
+    val screened = ShardManifest.screen(st, df, idCol)
+    val tailsLit = typedlit(st.tails)
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
-    val fresh = df
-      .join(prior.select(col(idCol)), Seq(idCol), "left_anti")
+    val fresh = screened
       .withColumn("h", TextOps.hexHash60(seed, col(idCol).cast("string")))
       .withColumn("shard", (col("h") % shards).cast("int"))
       .withColumn("rk", (row_number().over(w) - 1).cast("long"))
-      .join(broadcast(tails), Seq("shard"), "left")
-      .withColumn("pos", coalesce(col("base"), lit(0L)) + col("rk"))
-      .drop("h", "rk", "base")
+      .withColumn("pos",
+        coalesce(element_at(tailsLit, col("shard")), lit(0L)) + col("rk"))
+      .drop("h", "rk")
       .cache()
     try {
       val n = fresh.count()
-      if (n > 0)
+      if (n > 0) {
+        ShardManifest.writeIntent(st)
         fresh.repartitionByRange(shards, col("shard"))
           .sortWithinPartitions(col("shard"), col("pos"))
           .write.mode("append").partitionBy("shard").parquet(outDir)
+        ShardManifest.commit(st, fresh, idCol)
+      }
       n
     } finally fresh.unpersist()
   }

@@ -119,6 +119,85 @@ class ShuffleShardSpec extends AnyFunSuite {
     }
   }
 
+  private def payloadFiles(dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.iterator().asScala.filter(p =>
+      p.toString.contains("shard=") && p.toString.endsWith(".parquet")).toSeq
+    finally walk.close()
+  }
+
+  private def fullLayout(dir: String) =
+    spark.read.parquet(dir).select($"id", $"pos", $"shard")
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getLong(0)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("append manifest: the append path never reads prior payload parquet (file audit by corruption)") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-man").toString + "/out"
+    val a = (1L to 80L).map(i => (i, s"p$i")).toDF("id", "text")
+    val b = (81L to 140L).map(i => (i, s"p$i")).toDF("id", "text")
+    val c = (141L to 200L).map(i => (i, s"p$i")).toDF("id", "text")
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir) == 80L)
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 60L)
+    // truncate every existing payload file to zero bytes: ANY read of
+    // prior payload now throws (no parquet footer), so a successful
+    // append PROVES the path touches only the manifest
+    val prior = payloadFiles(dir)
+    assert(prior.nonEmpty)
+    val backup = prior.map(p => p -> java.nio.file.Files.readAllBytes(p)).toMap
+    prior.foreach(p => java.nio.file.Files.write(p, Array.emptyByteArray))
+    assert(ShuffleShard.appendShards(c, "id", 4, seed = 5, dir) == 60L)
+    // replay screen also stays payload-blind: re-offering b appends 0
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 0L)
+    backup.foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    // restored export equals the reference concatenated layout
+    val offsets = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    Seq(a, b, c).foreach { batch =>
+      val l = ShuffleShard.assign(batch, "id", 4, seed = 5)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+      l.foreach { case (s, p, id) => expect += ((s, p + offsets(s), id)) }
+      l.groupBy(_._1).foreach { case (s, rs) => offsets(s) += rs.size }
+    }
+    assert(fullLayout(dir) == expect.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("append manifest: a stale intent marker (torn append) triggers rebuild from payload; replay safety holds") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-torn").toString + "/out"
+    val a = (1L to 90L).map(i => (i, s"p$i")).toDF("id", "text")
+    val b = (91L to 150L).map(i => (i, s"p$i")).toDF("id", "text")
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir) == 90L)
+    // simulate a crash between payload commit and manifest commit
+    val intent = java.nio.file.Paths.get(dir, "_graft_manifest", "intent")
+    java.nio.file.Files.createFile(intent)
+    // next append repairs from the payload: no duplicates, correct tails
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir) == 0L)
+    assert(!java.nio.file.Files.exists(intent))
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 60L)
+    assert(spark.read.parquet(dir).count() == 150L)
+    // a wiped manifest (state gone entirely) also self-repairs
+    locally {
+      import scala.jdk.CollectionConverters._
+      val rootP = java.nio.file.Paths.get(dir, "_graft_manifest")
+      val walk = java.nio.file.Files.walk(rootP)
+      val entries = try walk.iterator().asScala.toSeq finally walk.close()
+      entries.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 0L)
+  }
+
+  test("append manifest: a bare writeShards export upgrades in place on first append") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-up").toString + "/out"
+    val a = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "text")
+    val b = (101L to 160L).map(i => (i, s"p$i")).toDF("id", "text")
+    ShuffleShard.writeShards(a, "id", 4, seed = 5, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_manifest", "state")))
+    assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 60L)
+    assert(ShuffleShard.appendShards(a, "id", 4, seed = 5, dir) == 0L)
+    assert(spark.read.parquet(dir).count() == 160L)
+  }
+
   test("writeShards: one directory per shard, rows in position order") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val df = (1L to 200L).map(i => (i, s"payload$i")).toDF("id", "text")
