@@ -20,9 +20,8 @@ import graft.operators.ShuffleShard
   * in the export and [[ShuffleShard.appendShards]] drops them — so the
   * sink is idempotent under any redelivery, not just same-batchId
   * redelivery. Per micro-batch cost: batch-sized assignment work plus
-  * a key-columns-only scan of the standing export (see the
-  * appendShards scaladoc for the audit-table variant at very large
-  * exports). */
+  * the append manifest's Bloom screen — O(batch + manifest), never a
+  * re-scan of the standing export (see [[graft.operators.ShardManifest]]). */
 object StreamingShard {
 
   /** Wire a micro-batched shard append onto `rows` (a STREAMING
