@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * shared descendants yields one row per DISTINCT (node, ancestor,
   * depth) path class, exactly the recursive-CTE `UNION` (not `UNION
   * ALL`) semantics; path multiplicity is a different query.
+  *
+  * SQL face: Spark 4.1 ships native `WITH RECURSIVE` (`UnionLoop`), so
+  * warehouse SQL arriving from CONNECT BY / recursive CTEs runs as-is
+  * through `spark.sql` — SqlParitySpec pins that a `UNION ALL`
+  * recursion + outer `SELECT DISTINCT` equals [[ancestors]] exactly.
+  * This operator remains the SCALE face: Spark's loop supports `UNION
+  * ALL` only, so path multiplicity compounds inside the recursion on
+  * shared-ancestry DAGs, while the per-depth `distinct` here bounds
+  * every frontier by the true closure slice. No separate
+  * GraftExtensions table function is registered — a whole-relation
+  * iterative plan is the [[SequencePacker]] exclusion class, and the
+  * native CTE already covers the SQL entry point.
   */
 object Hierarchy {
 

@@ -202,6 +202,35 @@ class SqlParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("string literal"), e.getMessage)
   }
 
+  test("SQL face of the recursion surface: native WITH RECURSIVE equals Hierarchy.ancestors") {
+    // warehouse users arriving from CONNECT BY / recursive CTEs reach
+    // for SQL first — Spark 4.1's native recursive CTE (UnionLoop) IS
+    // that face, and its UNION semantics must agree with the
+    // operator's distinct-per-depth closure on a shared-path DAG
+    import spark.implicits._
+    val edges = Seq(("a", "l"), ("a", "r"), ("l", "t"), ("r", "t"), ("t", "z"))
+      .toDF("child", "parent")
+    edges.createOrReplaceTempView("parity_edges")
+    // Spark 4.1 recursion accepts UNION ALL only (UNION dedup inside
+    // the loop is not yet supported) — the closure dedups at the outer
+    // SELECT DISTINCT instead. Note the operator's per-depth distinct
+    // ALSO bounds frontier growth during the recursion, which UNION
+    // ALL cannot (path multiplicity explodes on dense DAGs) — the
+    // reason Hierarchy.ancestors stays the scale face.
+    val sql = spark.sql(
+      """WITH RECURSIVE cl(node, ancestor, depth) AS (
+        | SELECT child, parent, 1 FROM parity_edges
+        | UNION ALL
+        | SELECT cl.node, e.parent, cl.depth + 1
+        | FROM cl JOIN parity_edges e ON cl.ancestor = e.child)
+        |SELECT DISTINCT node, ancestor, depth FROM cl""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val api = graft.operators.Hierarchy.ancestors(edges, "child", "parent")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(sql == api)
+    assert(api.contains(("a", "z", 3))) // the shared-path DAG really recursed
+  }
+
   test("chunk_spans rejects non-literal sizes and bad windows loudly") {
     docs.createOrReplaceTempView("parity_docs")
     val e1 = intercept[Exception](
