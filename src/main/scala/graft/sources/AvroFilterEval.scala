@@ -22,9 +22,14 @@ import org.apache.spark.sql.types._
   * Supported (everything else stays residual-only and is reported
   * un-pushed): Equal/ordering comparisons, In, IsNull/IsNotNull,
   * And/Or/Not over int/long/float/double/string/boolean TOP-LEVEL
-  * columns. Logical-typed columns (date/timestamp/decimal) and nested
-  * fields are deliberately unsupported — their Catalyst literal
-  * encodings have more invariants than a byte-skip is worth.
+  * columns, plus the logical-typed column family the reference's
+  * type-stress fixture (`ppl_data_types.sql`) makes the common case
+  * for migrated tables — date, timestamp, local timestamp (NTZ), and
+  * decimal — each compared through its exact integer/BigDecimal form
+  * (epoch days / epoch micros / scale-blind compareTo), never through
+  * doubles. Nested fields stay deliberately unsupported. The
+  * keep-it-residual contract makes every extension safe: an
+  * unrecognized literal shape simply leaves the filter un-pushed.
   * Comparisons follow SQL three-valued logic with unknown → keep
   * (null never satisfies a comparison, so a null cell fails the
   * conjunct; a Not over an unknown child keeps the row for the
@@ -122,6 +127,55 @@ object AvroFilterEval {
         .fromString(x.asInstanceOf[String]).compareTo(lit))
     case (BooleanType, b: java.lang.Boolean) =>
       Some(x => java.lang.Boolean.compare(x.asInstanceOf[java.lang.Boolean], b))
+    // logical types: the row side is the exact boxed shape the avro
+    // `convert` emits (LocalDate / Instant / LocalDateTime /
+    // java.math.BigDecimal); the literal side accepts both the legacy
+    // java.sql shapes and the java8 ones (spark.sql.datetime.java8API
+    // flips which Catalyst hands to source filters)
+    case (DateType, v) =>
+      epochDayOf(v).map(lit => x => java.lang.Long.compare(
+        x.asInstanceOf[java.time.LocalDate].toEpochDay, lit))
+    case (TimestampType, v) =>
+      instantMicrosOf(v).map(lit => x => java.lang.Long.compare(
+        instantMicros(x.asInstanceOf[java.time.Instant]), lit))
+    case (TimestampNTZType, v) =>
+      ldtMicrosOf(v).map(lit => x => java.lang.Long.compare(
+        ldtMicros(x.asInstanceOf[java.time.LocalDateTime]), lit))
+    case (_: DecimalType, v) =>
+      bigDecOf(v).map(lit =>
+        x => x.asInstanceOf[java.math.BigDecimal].compareTo(lit))
+    case _ => None
+  }
+
+  /** Epoch micros — getEpochSecond floors and getNano is always in
+    * [0, 1e9), so the formula is exact for pre-1970 instants too. */
+  private def instantMicros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+
+  private def ldtMicros(l: java.time.LocalDateTime): Long =
+    l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000
+
+  private def epochDayOf(v: Any): Option[Long] = v match {
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case _ => None
+  }
+
+  private def instantMicrosOf(v: Any): Option[Long] = v match {
+    case i: java.time.Instant => Some(instantMicros(i))
+    case t: java.sql.Timestamp => Some(instantMicros(t.toInstant))
+    case _ => None
+  }
+
+  private def ldtMicrosOf(v: Any): Option[Long] = v match {
+    case l: java.time.LocalDateTime => Some(ldtMicros(l))
+    case _ => None
+  }
+
+  private def bigDecOf(v: Any): Option[java.math.BigDecimal] = v match {
+    case b: java.math.BigDecimal => Some(b)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     case _ => None
   }
 }

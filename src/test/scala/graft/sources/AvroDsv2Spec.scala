@@ -132,6 +132,69 @@ class AvroDsv2Spec extends AnyFunSuite {
     assert(df.filter(col("score").isNotNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("logical-type pushdown: date/timestamp/NTZ/decimal predicates push into the scan and skip row conversion") {
+    import org.apache.avro.LogicalTypes
+    import org.apache.avro.Schema
+    val dir = Files.createTempDirectory("dsv2-logical")
+    val dateT = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val tsT = LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val ltsT = LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val decT = LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))
+    val s = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("d").`type`(dateT).noDefault()
+      .name("ts").`type`(tsT).noDefault()
+      .name("lts").`type`(ltsT).noDefault()
+      .name("amt").`type`(decT).noDefault()
+      .requiredString("pay")
+      .endRecord()
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val d0 = java.time.LocalDate.of(2026, 1, 1)
+    def amt(cents: Long) = java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(cents).toByteArray)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](s))
+    w.setSyncInterval(64)
+    w.create(s, dir.resolve("lt.avro").toFile)
+    (1 to 100).foreach { i =>
+      w.append(new GenericRecordBuilder(s)
+        .set("id", i.toLong)
+        .set("d", d0.plusDays(i).toEpochDay.toInt)
+        .set("ts", base.plusSeconds(i * 3600L).getEpochSecond * 1000000L)
+        .set("lts", base.plusSeconds(i * 60L).getEpochSecond * 1000000L)
+        .set("amt", amt(i * 100L + 25))
+        .set("pay", "p" * 20).build())
+    }
+    w.close()
+    def load = spark.read.format("graft-avro").load(dir.toString + "/*.avro")
+    // date range: matches days 91..100; every row converts only (id?,d)
+    val dq = load.filter(col("d") > java.sql.Date.valueOf("2026-04-01"))
+      .select("id", "d")
+    assert(dq.queryExecution.executedPlan.toString.contains("GreaterThan(d,"),
+      dq.queryExecution.executedPlan.toString)
+    AvroRead.convertedCells.reset()
+    assert(dq.collect().map(_.getLong(0)).sorted.toSeq == (91L to 100L))
+    // 90 non-matching rows convert only d; 10 matches also convert id
+    assert(AvroRead.convertedCells.sum() == 100L * 1 + 10L * 1)
+    // timestamp equality + range
+    val cut = java.sql.Timestamp.from(base.plusSeconds(97 * 3600L))
+    val tq = load.filter(col("ts") >= cut).select("id")
+    assert(tq.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(ts,"),
+      tq.queryExecution.executedPlan.toString)
+    assert(tq.collect().map(_.getLong(0)).sorted.toSeq == (97L to 100L))
+    val te = load.filter(col("ts") === java.sql.Timestamp.from(base.plusSeconds(3600L)))
+    assert(te.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // NTZ + decimal compose in one conjunction
+    val mq = load.filter(
+        col("lts") > java.time.LocalDateTime.ofInstant(
+          base.plusSeconds(95 * 60L), java.time.ZoneOffset.UTC) &&
+        col("amt") <= new java.math.BigDecimal("99.25"))
+      .select("id", "amt")
+    val mplan = mq.queryExecution.executedPlan.toString
+    assert(mplan.contains("GreaterThan(lts,") && mplan.contains("LessThanOrEqual(amt,"),
+      mplan)
+    assert(mq.collect().map(_.getLong(0)).sorted.toSeq == (96L to 99L))
+  }
+
   test("unsupported predicates stay residual-only — empty PushedFilters, correct result") {
     val dir = Files.createTempDirectory("dsv2-filter-resid")
     writeWide(dir)

@@ -52,9 +52,13 @@ class AvroFilterEvalSpec extends AnyFunSuite {
     val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) })
     assert(!AvroFilterEval.supports(StringContains("s", "a"), schema))
     assert(!AvroFilterEval.supports(EqualTo("missing", 1L), schema))
-    // a decimal-typed column is out of the supported set
-    val dec = StructType(Seq(StructField("d", DecimalType(10, 2))))
-    assert(!AvroFilterEval.supports(EqualTo("d", BigDecimal(1)), dec))
+    // a binary-typed column is out of the supported set; so is a
+    // literal shape the comparator does not recognize (string for a
+    // date column) — keep-it-residual either way
+    val bin = StructType(Seq(StructField("b", BinaryType)))
+    assert(!AvroFilterEval.supports(EqualTo("b", Array[Byte](1)), bin))
+    val dt = StructType(Seq(StructField("d", DateType)))
+    assert(!AvroFilterEval.supports(EqualTo("d", "2026-01-01"), dt))
     // mixed batch: only the supported conjunct is compiled, and its
     // column list contains just that conjunct's reference
     val pred = AvroFilterEval.compile(
@@ -86,5 +90,47 @@ class AvroFilterEvalSpec extends AnyFunSuite {
   test("compile returns None when nothing is evaluable") {
     assert(AvroFilterEval.compile(
       Seq(StringContains("s", "a")), names, types).isEmpty)
+  }
+
+  private def eval1(t: DataType, f: Filter, v: Any): Boolean = {
+    val p = AvroFilterEval.compile(Seq(f), Array("c"), Array(t))
+    assert(p.isDefined, s"$f over $t did not compile")
+    p.get.eval(Array[Any](v))
+  }
+
+  test("date comparisons: LocalDate rows vs both java.sql.Date and LocalDate literals") {
+    val d = java.time.LocalDate.of(2026, 2, 15)
+    assert(eval1(DateType, EqualTo("c", java.sql.Date.valueOf("2026-02-15")), d))
+    assert(eval1(DateType, GreaterThan("c", java.sql.Date.valueOf("2026-02-14")), d))
+    assert(!eval1(DateType, LessThan("c", java.time.LocalDate.of(2026, 2, 15)), d))
+    assert(eval1(DateType, LessThanOrEqual("c", java.time.LocalDate.of(2026, 2, 15)), d))
+  }
+
+  test("timestamp comparisons: Instant rows, Timestamp/Instant literals, pre-1970 exactness") {
+    val i = java.time.Instant.parse("2026-03-01T12:00:00.000123Z")
+    assert(eval1(TimestampType, EqualTo("c", java.sql.Timestamp.from(i)), i))
+    assert(eval1(TimestampType,
+      GreaterThan("c", java.time.Instant.parse("2026-03-01T11:59:59Z")), i))
+    // pre-1970: epochSecond floors, nanos adjust upward — micros exact
+    val old = java.time.Instant.parse("1969-12-31T23:59:59.999999Z")
+    assert(eval1(TimestampType, LessThan("c", java.time.Instant.EPOCH), old))
+    assert(!eval1(TimestampType, EqualTo("c", java.time.Instant.EPOCH), old))
+  }
+
+  test("local timestamp (NTZ) comparisons over LocalDateTime") {
+    val l = java.time.LocalDateTime.of(2026, 5, 1, 9, 30, 0, 123000)
+    assert(eval1(TimestampNTZType, EqualTo("c", l), l))
+    assert(eval1(TimestampNTZType, GreaterThanOrEqual("c", l.minusNanos(1000)), l))
+    assert(!eval1(TimestampNTZType, GreaterThan("c", l), l))
+  }
+
+  test("decimal comparisons are scale-blind and exact") {
+    val v = new java.math.BigDecimal("1.50")
+    assert(eval1(DecimalType(10, 2), EqualTo("c", new java.math.BigDecimal("1.5")), v))
+    assert(eval1(DecimalType(10, 2), EqualTo("c", BigDecimal("1.500")), v))
+    assert(eval1(DecimalType(10, 2),
+      GreaterThan("c", new java.math.BigDecimal("1.49")), v))
+    assert(!eval1(DecimalType(10, 2),
+      GreaterThan("c", new java.math.BigDecimal("1.50")), v))
   }
 }
