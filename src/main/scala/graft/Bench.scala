@@ -55,6 +55,35 @@ object Bench {
     */
   val CalibrationBoundSec = 0.5
 
+  /** Post-sweep retry pass (round 10): three rounds running, a
+    * SUSTAINED load window inflated individual queries while both
+    * min-of-3 and the sweep-level calibration probe stayed clean (the
+    * load spanned all iterations of the affected queries but not the
+    * probes). The bench now self-defends: any query whose median
+    * exceeds [[RetryFactor]]× its own min by more than
+    * [[RetryFloorSec]] gets ONE quiet re-run after the sweep, published
+    * under `"queries_retry"`; if a retry lands back near the min (the
+    * original median was load, not work), the artifact's `degraded`
+    * flag upgrades to true. The retry happens minutes after the
+    * original samples — a transient window has usually passed — so
+    * consumers get both numbers and a verdict instead of a
+    * load-artifact masquerading as a regression. */
+  val RetryFactor = 2.0
+
+  /** Absolute slack below which a median/min (or median/retry) gap is
+    * noise, not load: sub-0.2 s queries jitter at 2× routinely. */
+  val RetryFloorSec = 0.2
+
+  /** Is this (median, min) pair suspicious enough to earn a re-run? */
+  def retrySuspect(median: Double, min: Double): Boolean =
+    median > RetryFactor * min && median - min > RetryFloorSec
+
+  /** Does the retry CONFIRM the median was load-inflated? True when the
+    * quiet re-run lands a factor below the recorded median — the work
+    * is identical, so the difference was outside interference. */
+  def retryDisagrees(median: Double, retry: Double): Boolean =
+    median > RetryFactor * retry && median - retry > RetryFloorSec
+
   /** Fixed-work single-thread CPU probe: 10^8 iterations of an FNV-style
     * 64-bit mixing loop, timed. Pure ALU work, no allocation — measures
     * available CPU, not memory bandwidth. The fold on `h` keeps the loop
@@ -93,12 +122,15 @@ object Bench {
     * as-is — a consumer can distinguish "idle" from "unknown".
     */
   def loadJson(avgStart: Double, avgEnd: Double,
-               calStart: Double, calEnd: Double): String = {
+               calStart: Double, calEnd: Double,
+               retryDegraded: Boolean = false): String = {
     def s3(d: Double) = math.rint(d * 1000) / 1000
-    val degraded = calStart > CalibrationBoundSec || calEnd > CalibrationBoundSec
+    val degraded = calStart > CalibrationBoundSec ||
+      calEnd > CalibrationBoundSec || retryDegraded
     s""""load":{"avg_start":${s3(avgStart)},"avg_end":${s3(avgEnd)},""" +
       s""""cal_start_sec":${s3(calStart)},"cal_end_sec":${s3(calEnd)},""" +
-      s""""cal_bound_sec":$CalibrationBoundSec,"degraded":$degraded}"""
+      s""""cal_bound_sec":$CalibrationBoundSec,""" +
+      s""""retry_degraded":$retryDegraded,"degraded":$degraded}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,6 +195,21 @@ object Bench {
     def esc(s: String) = graft.core.JsonText.escape(s)
     val ok = outcomes.collect { case (n, sec, mn, None) => (n, sec, mn) }
     val errs = outcomes.collect { case (n, _, _, Some(e)) => n -> e }
+    // post-sweep retry: queries whose median blew past their own min
+    // get one quiet re-measure now that the sweep (and any transient
+    // load window riding it) is over — see RetryFactor's scaladoc
+    val retries = ok.collect { case (name, med, mn) if retrySuspect(med, mn) =>
+      val t0 = System.nanoTime()
+      try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, med, math.rint(sec * 1000) / 1000)
+    }
+    val retryDegraded = retries.exists { case (_, med, r) => retryDisagrees(med, r) }
+    val retryJson =
+      if (retries.isEmpty) ""
+      else retries.map { case (n, _, r) => "\"" + n + "\":" + r }
+        .mkString(""","queries_retry":{""", ",", "}")
     val qs = queryStatsJson(ok)
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
@@ -231,8 +278,8 @@ object Bench {
     val calEnd = calibrationSec()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir",""" +
-        loadJson(loadStart, loadEnd, calStart, calEnd) +
-        s""","errors":$es,$qs$e2eJson$trainJson}"""
+        loadJson(loadStart, loadEnd, calStart, calEnd, retryDegraded) +
+        s""","errors":$es,$qs$retryJson$e2eJson$trainJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

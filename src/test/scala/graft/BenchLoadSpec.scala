@@ -63,4 +63,31 @@ class BenchLoadSpec extends AnyFunSuite {
     val s = Bench.calibrationSec()
     assert(s > 0.0 && s < 60.0)
   }
+
+  test("retry suspects: median far above its own min AND past the absolute floor") {
+    // the r9 pattern: cd1 median 2.31 s vs min ~0.5 s → suspect
+    assert(Bench.retrySuspect(median = 2.31, min = 0.50))
+    // sub-floor gaps are jitter, not load, even at 2×+
+    assert(!Bench.retrySuspect(median = 0.30, min = 0.12))
+    // big but sub-factor gap: heavy queries legitimately vary some
+    assert(!Bench.retrySuspect(median = 3.0, min = 2.0))
+    assert(!Bench.retrySuspect(median = 0.25, min = 0.24))
+  }
+
+  test("retry disagreement confirms load: quiet re-run lands a factor below the median") {
+    assert(Bench.retryDisagrees(median = 2.31, retry = 0.52))
+    // retry reproduces the median → genuine cost, not load
+    assert(!Bench.retryDisagrees(median = 2.31, retry = 2.2))
+    // tiny absolute gaps never upgrade the flag
+    assert(!Bench.retryDisagrees(median = 0.3, retry = 0.1))
+  }
+
+  test("retry disagreement upgrades the degraded flag even with clean probes") {
+    val clean = Bench.loadJson(0.1, 0.1, 0.19, 0.19, retryDegraded = false)
+    assert(clean.contains("\"retry_degraded\":false") &&
+      clean.contains("\"degraded\":false"))
+    val upgraded = Bench.loadJson(0.1, 0.1, 0.19, 0.19, retryDegraded = true)
+    assert(upgraded.contains("\"retry_degraded\":true") &&
+      upgraded.contains("\"degraded\":true"))
+  }
 }
