@@ -90,7 +90,19 @@ object Scaling {
     "bpe3_compression" -> Set("documents"),
     "pc1_pca_power" -> Set("embeddings"),
     "em1_centroid_dist" -> Set("embeddings"),
-    "pr1_purchase_rank" -> Set("orders", "lineitem"))
+    "pr1_purchase_rank" -> Set("orders", "lineitem"),
+    // round-10 family: u2 rides the key-offset orders replicas (change
+    // lists per key preserved, key count ∝ factor — exactly what the
+    // single-exchange window must absorb); m4/m5 ride the suffixed
+    // documents corpus (distinct payloads per replica → distinct stub
+    // hashes, same near-dup density per unit volume); h2 scales the
+    // hierarchy's LEAVES (customers/suppliers offset per replica,
+    // nations/regions shared) at fixed height — corpus growth never
+    // deepens an org chart
+    "u2_scd2_history" -> Set("orders"),
+    "m4_image_neardup" -> Set("documents"),
+    "m5_image_dedup_clusters" -> Set("documents"),
+    "h2_hierarchy_flatten" -> Set("customer", "supplier", "nation"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -156,6 +168,30 @@ object Scaling {
     }
   }
 
+  /** Hierarchy blow-up: leaf replicas (customers/suppliers key-offset)
+    * under the SHARED nation→region forest — closure rows grow ∝
+    * factor while depth stays the org-chart constant, the shape a
+    * corpus-scale hierarchy actually has. */
+  private def generateHierarchy(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val supp = spark.read.parquet(s"$base/supplier.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
+    val cStride = maxOf(cust, "c_custkey")
+    val sStride = maxOf(supp, "s_suppkey")
+    def bump(df: DataFrame, c: String, stride: Long, k: Int): DataFrame =
+      df.withColumn(c, (col(c) + lit(k * stride)).cast(df.schema(c).dataType))
+    (0 until factor).map(k => bump(cust, "c_custkey", cStride, k))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    (0 until factor).map(k => bump(supp, "s_suppkey", sStride, k))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    spark.read.parquet(s"$base/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -179,9 +215,10 @@ object Scaling {
 
     val allFixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
       "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
-      "sd1_segment_dedup", "he1_hashed_embedding")
+      "sd1_segment_dedup", "he1_hashed_embedding",
+      "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
-      "bpe3_compression", "em1_centroid_dist")
+      "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten")
     // a typo'd name must fail LOUDLY — silently measuring a subset of
     // the requested subset would report a deep point that never ran
     only.foreach { s =>
@@ -211,11 +248,14 @@ object Scaling {
         Files.readString(markerOf(t)).trim != s"$base@$factor" ||
         !Files.exists(Paths.get(out, s"$t.parquet")))
     if (need.nonEmpty) {
-      generate(spark, base, out, factor, need)
-      // the purchase-graph branch writes orders AND lineitem together
-      val written =
-        if (need("orders") || need("lineitem")) need ++ Set("orders", "lineitem")
-        else need
+      generate(spark, base, out, factor,
+        need -- Set("customer", "supplier", "nation"))
+      val hier = Set("customer", "supplier", "nation")
+      if ((need & hier).nonEmpty) generateHierarchy(spark, base, out, factor)
+      // joint-table branches write their whole family together
+      val written = need ++
+        (if (need("orders") || need("lineitem")) Set("orders", "lineitem") else Set.empty) ++
+        (if ((need & hier).nonEmpty) hier else Set.empty)
       written.foreach(t => Files.writeString(markerOf(t), s"$base@$factor"))
     }
 

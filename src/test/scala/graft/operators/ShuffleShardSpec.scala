@@ -186,6 +186,23 @@ class ShuffleShardSpec extends AnyFunSuite {
     assert(ShuffleShard.appendShards(b, "id", 4, seed = 5, dir) == 0L)
   }
 
+  test("append manifest: the Bloom filter regrows past capacity and still screens replays") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-grow").toString + "/out"
+    def batch(lo: Long, hi: Long) = (lo to hi).toDF("id")
+    def mBits = spark.read.parquet(dir + "/_graft_manifest/state")
+      .collect().head.getAs[Int]("m_bits")
+    // 80k ids fit the 2^20-bit floor (12 bits/id target)
+    assert(ShuffleShard.appendShards(batch(1L, 80000L), "id", 4, seed = 5, dir) == 80000L)
+    assert(mBits == (1 << 20))
+    // +20k pushes past capacity → one doubling, rebuilt from the id table
+    assert(ShuffleShard.appendShards(batch(80001L, 100000L), "id", 4, seed = 5, dir) == 20000L)
+    assert(mBits == (1 << 21))
+    // the regrown filter still contains EVERY exported id (no false
+    // negatives across the rebuild): full replay appends nothing
+    assert(ShuffleShard.appendShards(batch(1L, 100000L), "id", 4, seed = 5, dir) == 0L)
+    assert(spark.read.parquet(dir).count() == 100000L)
+  }
+
   test("append manifest: a bare writeShards export upgrades in place on first append") {
     val dir = java.nio.file.Files.createTempDirectory("shards-up").toString + "/out"
     val a = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "text")
