@@ -121,6 +121,44 @@ object Upsert {
       .unionByName(scd2History(log.drop("__seed"), keys, attrs, orderCols))
   }
 
+  /** Point-in-time SCD2 lookup — the CONSUMPTION face of the Type-2
+    * family (build [[scd2History]] → refresh [[scd2Apply]] → query
+    * this): each fact row joins to the dimension VERSION that was
+    * valid at the fact's timestamp, i.e. the version with
+    * `valid_from <= ts < valid_to` (open version: `valid_to` null).
+    * Facts before the key's first version — or with no dimension key
+    * at all — keep a null version (left join), the warehouse
+    * convention for late-registered dimensions.
+    *
+    * Spark-first shape: because versions TILE per key (scd2History's
+    * invariant), the temporal match needs NO range-join machinery —
+    * one keyed equi-join (dimension versions per key are few) followed
+    * by the interval filter, so the plan is an ordinary shuffle/
+    * broadcast hash join that AQE can size, never an
+    * O(facts × versions) interval product. Dimension columns arrive
+    * prefixed `dim_`-less but minus the key columns (already on the
+    * fact side); `valid_from`/`valid_to`/`is_current` ride along for
+    * auditability. */
+  def scd2Lookup(
+      dim: DataFrame, facts: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2Lookup needs join keys")
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    require(scdCols.forall(dim.columns.contains),
+      s"dim must be an scd2History output (missing one of $scdCols)")
+    require(facts.columns.contains(tsCol), s"facts lack ts column '$tsCol'")
+    // rename EVERY dim column (keys included): dim and facts routinely
+    // share lineage (both derive from the change log), and dataframe-
+    // indexed references across a self-join mis-resolve to trivially
+    // true predicates — name-disjoint sides make every ref unambiguous
+    val d = dim.columns.foldLeft(dim)((df, c) =>
+      df.withColumnRenamed(c, s"v_$c"))
+    val cond = keys.map(k => col(k) <=> col(s"v_$k")).reduce(_ && _) &&
+      col("v_valid_from") <= col(tsCol) &&
+      (col("v_valid_to").isNull || col(tsCol) < col("v_valid_to"))
+    facts.join(d, cond, "left").drop(keys.map(k => s"v_$k"): _*)
+  }
+
   /** Target's columns; `source` must provide the same names. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq

@@ -428,6 +428,26 @@ object ExtraQueries {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     }),
+    "u4_scd2_lookup" -> ((s, dir) => {
+      // the consumption face of SCD2: every order (fact) joins to the
+      // status version valid AT its order date — keyed equi-join +
+      // tiling-interval filter, no range-join machinery; facts before
+      // a customer's first version keep a null version (left join)
+      val log = T(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+      val cut = lit("1996-01-01").cast("date")
+      val dim = graft.operators.Upsert.scd2History(
+        log.filter(col("o_orderdate") < cut),
+        keys = Seq("o_custkey"), attrs = Seq("o_orderstatus"),
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+      graft.operators.Upsert.scd2Lookup(
+          dim, log.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+          keys = Seq("o_custkey"), tsCol = "o_orderdate")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("v_o_orderstatus").as("status_then"),
+          col("v_valid_from").as("version_from"))
+        .orderBy(col("o_orderkey"))
+    }),
     "u1_merge_upsert" -> ((s, dir) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val ord = T(s, dir, "orders").select(cols.map(col): _*)
@@ -670,6 +690,25 @@ object ExtraQueries {
         |SELECT o_custkey, o_orderstatus, o_orderkey,
         | o_orderdate AS valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM h ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "u4_scd2_lookup" ->
+      """WITH b AS (
+        | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+        |v AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        | FROM b WHERE prev IS NULL OR o_orderstatus <> prev),
+        |d AS (SELECT o_custkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        | FROM v)
+        |SELECT f.o_custkey, f.o_orderkey, f.o_orderdate,
+        | d.o_orderstatus AS status_then, d.valid_from AS version_from
+        |FROM orders f LEFT JOIN d ON f.o_custkey = d.o_custkey
+        | AND d.valid_from <= f.o_orderdate
+        | AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin,
     "u1_merge_upsert" ->
       """WITH t AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -429,6 +429,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Window").length >= 3, p) // lag + lead share the one window exchange
   }
 
+  test("u4 SCD2 point-in-time lookup: equi keys extracted into a hash join, interval as join filter — never an interval product") {
+    val p = planOf("u4_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("bpe4 exact OOV: merge-chain fold per DISTINCT unseen word (anti-join + union), deploy join shuffle-hash") {
     val p = planOf("bpe4_exact_oov")
     // unseen vocabulary isolated by anti-join, folded once, unioned

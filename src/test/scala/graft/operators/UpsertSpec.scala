@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Upsert: source wins on match (including nulls), inserts appear,
@@ -105,6 +106,51 @@ class UpsertSpec extends AnyFunSuite {
         Seq("k"), Seq("status"), Seq("seq")))
       assert(e.getMessage.contains("in order"), s"seq=$badSeq")
     }
+  }
+
+  test("scd2Lookup: each fact matches exactly the version valid at its ts; pre-history facts keep null") {
+    import spark.implicits._
+    val log = Seq((7L, 2, Some("A")), (7L, 5, Some("B")), (9L, 4, Some("X")))
+      .toDF("k", "seq", "status")
+    val dim = Upsert.scd2History(log, Seq("k"), Seq("status"), Seq("seq"))
+    val facts = Seq(
+      (7L, 100L, 1),  // before first version → null
+      (7L, 101L, 2),  // exactly valid_from of A → A
+      (7L, 102L, 4),  // inside A's interval → A
+      (7L, 103L, 5),  // boundary: A closes at 5, B opens → B
+      (7L, 104L, 9),  // open version → B
+      (8L, 105L, 3),  // key with no dimension at all → null
+      (9L, 106L, 4))  // single-version key → X
+      .toDF("k", "fact_id", "ts")
+    val out = Upsert.scd2Lookup(dim, facts, Seq("k"), "ts")
+      .select(col("fact_id"), col("v_status"), col("v_is_current"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (100L, None, None),
+      (101L, Some("A"), Some(false)),
+      (102L, Some("A"), Some(false)),
+      (103L, Some("B"), Some(true)),
+      (104L, Some("B"), Some(true)),
+      (105L, None, None),
+      (106L, Some("X"), Some(true))))
+    // exactly one output row per fact — tiling guarantees uniqueness
+    assert(Upsert.scd2Lookup(dim, facts, Seq("k"), "ts").count() == facts.count())
+  }
+
+  test("scd2Lookup: zero-width versions (same-order-value boundary) never double-match") {
+    import spark.implicits._
+    // A and B share seq-as-date 3 (tie broken by the second order col):
+    // A's interval is [3,3) — empty — so ts=3 matches only B
+    val log = Seq((7L, 3, 1L, Some("A")), (7L, 3, 2L, Some("B")))
+      .toDF("k", "seq", "sub", "status")
+    val dim = Upsert.scd2History(log, Seq("k"), Seq("status"), Seq("seq", "sub"))
+    val facts = Seq((7L, 200L, 3), (7L, 201L, 4)).toDF("k", "fact_id", "ts")
+    val out = Upsert.scd2Lookup(dim, facts, Seq("k"), "ts")
+      .select(col("fact_id"), col("v_status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((200L, "B"), (201L, "B")))
   }
 
   test("scd2Apply: incremental ≡ full rebuild on random multi-batch change logs") {
