@@ -35,6 +35,20 @@ object TextQueries {
           col("n_hapax"))
         .orderBy(col("doc_id"))
     }),
+    "cms1_sketch_counts" -> ((s, dir) => {
+      // Count-Min word frequencies vs exact: the sketch builds as one
+      // combinable (row, pos)-keyed sum (constant R×W size), estimates
+      // ride as a plan-literal min-over-rows — collisions included,
+      // deterministically mirrored by the DuckDB oracle
+      val wx = Tables(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.words(col("text"))).as("word"))
+      val width = 64
+      val sk = graft.operators.CountMinSketch.build(wx, "word", width)
+      wx.groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
+        .withColumn("est_count",
+          graft.operators.CountMinSketch.estimate(col("word"), sk, width))
+        .orderBy(col("word"))
+    }),
     "t1_lang_id" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val scored = langProfiles.foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -146,6 +160,25 @@ object TextQueries {
     s"list_transform(range(1, greatest(1, length(text) - 7) + 1), i -> ${hex60("substr(text, i, 8)")})"
 
   val oracle: Map[String, String] = Map(
+    "cms1_sketch_counts" ->
+      // the sketch rebuilt in SQL: same md5 hash pair, same
+      // Kirsch-Mitzenmacher positions, integer cell sums — estimates
+      // (collisions included) match the plan-literal probe bit-for-bit
+      s"""WITH wx AS (SELECT unnest($wordsExpr) AS word FROM documents),
+         |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+         | FROM wx GROUP BY word),
+         |h AS (SELECT word, exact_count,
+         |  ${hex60("word")} AS h1,
+         |  (CAST(concat('0x', substr(md5(word), 17, 15)) AS BIGINT) // 32) AS h2d
+         | FROM c),
+         |p AS (SELECT word, exact_count, r.r AS r, (h1 + r.r * h2d) % 64 AS pos
+         | FROM h, (SELECT unnest(range(0, 4)) AS r) r),
+         |cells AS (SELECT r, pos, CAST(SUM(exact_count) AS BIGINT) AS cell
+         | FROM p GROUP BY r, pos),
+         |est AS (SELECT p.word, MIN(cells.cell) AS est_count
+         | FROM p JOIN cells USING (r, pos) GROUP BY p.word)
+         |SELECT c.word, c.exact_count, est.est_count
+         |FROM c JOIN est USING (word) ORDER BY word""".stripMargin,
     "t8_rarity" ->
       s"""WITH wv AS (SELECT doc_id, word FROM
          |  (SELECT doc_id, unnest($wordsExpr) AS word FROM documents)

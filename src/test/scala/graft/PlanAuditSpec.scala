@@ -429,6 +429,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Window").length >= 3, p) // lag + lead share the one window exchange
   }
 
+  test("cms1 sketch estimates: plan-literal min-over-rows — no join anywhere, keyed aggregates only") {
+    val p = planOf("cms1_sketch_counts")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("HashAggregate").length >= 3, p) // exact counts partial+final
+  }
+
   test("u4 SCD2 point-in-time lookup: equi keys extracted into a hash join, interval as join filter — never an interval product") {
     val p = planOf("u4_scd2_lookup")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||

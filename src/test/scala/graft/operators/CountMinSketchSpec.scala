@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-Min sketch: one-sided error (never under-counts), bounded
+  * over-count, partition-order independence, wide-matrix exactness. */
+class CountMinSketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "cms-test")
+  import spark.implicits._
+
+  // deterministic skewed multiset: item i appears ~1000/i times
+  private val occurrences: Seq[String] =
+    (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+  private val exact: Map[String, Long] =
+    occurrences.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def estimatesAt(width: Int, parts: Int): Map[String, Long] = {
+    val df = occurrences.toDF("w").repartition(parts)
+    val sk = CountMinSketch.build(df, "w", width)
+    exact.keys.toSeq.toDF("w")
+      .withColumn("est", CountMinSketch.estimate(col("w"), sk, width))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("estimates never under-count and over-count stays within the sketch bound") {
+    val est = estimatesAt(width = 32, parts = 5)
+    val n = occurrences.size.toLong
+    exact.foreach { case (w, ex) =>
+      assert(est(w) >= ex, s"$w under-counted: ${est(w)} < $ex")
+      // classic bound: error ≤ εN with ε = e/W per row, min over 4
+      // rows; generous 4N/W cap catches any structural break
+      assert(est(w) - ex <= 4 * n / 32, s"$w over-counted: ${est(w)} vs $ex")
+    }
+    // collisions actually occurred at this width (the bound is live)
+    assert(exact.exists { case (w, ex) => est(w) > ex })
+  }
+
+  test("a wide matrix separates this vocabulary exactly") {
+    val est = estimatesAt(width = 1 << 14, parts = 3)
+    assert(est == exact)
+  }
+
+  test("the matrix is partition-order independent (combinable build)") {
+    val a = CountMinSketch.build(occurrences.toDF("w").repartition(2), "w", 64)
+    val b = CountMinSketch.build(
+      scala.util.Random.shuffle(occurrences).toDF("w").repartition(7), "w", 64)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("bad widths fail loudly") {
+    intercept[IllegalArgumentException](
+      CountMinSketch.build(occurrences.toDF("w"), "w", 48))
+    intercept[IllegalArgumentException](
+      CountMinSketch.estimate(col("w"), new Array[Long](8), 64))
+  }
+}
