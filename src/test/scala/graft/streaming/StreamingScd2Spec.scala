@@ -60,6 +60,39 @@ class StreamingScd2Spec extends AnyFunSuite {
       log.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))))
   }
 
+  test("randomized differential: random logs, random cuts, random redeliveries ≡ batch rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    for (trial <- 1 to 2) {
+      val dimDir = java.nio.file.Files
+        .createTempDirectory(s"scd2-rand$trial").toString + "/dim"
+      val n = 50 + rnd.nextInt(40)
+      // seq globally increasing → any range cut respects per-key order
+      val rows = (1 to n).map { i =>
+        val k = 1L + rnd.nextInt(6)
+        val st = if (rnd.nextInt(7) == 0) None
+          else Some(Seq("A", "B", "C")(rnd.nextInt(3)))
+        (k, i, st)
+      }
+      val nCuts = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, n) ++ (1 to nCuts).map(_ => rnd.nextInt(n))).distinct.sorted
+      val bs = cuts.sliding(2).toSeq
+        .map { case Seq(a, b) => rows.filter(r => r._2 > a && r._2 <= b) }
+      bs.zipWithIndex.foreach { case (b, i) =>
+        StreamingScd2.applyBatch(b.toDF("k", "seq", "status"), i.toLong,
+          Seq("k"), Seq("status"), Seq("seq"), dimDir)
+        // at-least-once upstream: sometimes redeliver the same batch id
+        if (rnd.nextBoolean())
+          StreamingScd2.applyBatch(b.toDF("k", "seq", "status"), i.toLong,
+            Seq("k"), Seq("status"), Seq("seq"), dimDir)
+      }
+      val want = Upsert.scd2History(
+        rows.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))
+      assert(snap(StreamingScd2.readDim(spark, dimDir)) == snap(want),
+        s"trial $trial (n=$n, cuts=$cuts)")
+    }
+  }
+
   test("empty micro-batch is a no-op and later batches still chain") {
     import spark.implicits._
     val dimDir = java.nio.file.Files.createTempDirectory("scd2-empty").toString + "/dim"
