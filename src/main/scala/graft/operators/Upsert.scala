@@ -159,6 +159,39 @@ object Upsert {
     facts.join(d, cond, "left").drop(keys.map(k => s"v_$k"): _*)
   }
 
+  /** Full `MERGE` semantics from a CDC change set — the
+    * WHEN-MATCHED-DELETE face [[upsert]] lacks, fed by the standard
+    * change-stream shape (op + sequence columns): per key, the LATEST
+    * change wins (row_number over `seqCol` descending — CDC
+    * compaction, so an in-batch delete-then-reinsert lands as the
+    * reinsert and an update-then-delete lands as the delete); a final
+    * op `"D"` removes the key from the target, any other op upserts
+    * the change row (replace on match, insert on miss). `changes` must
+    * carry the target's columns plus `seqCol` and `opCol`; `seqCol`
+    * must totally order each key's changes.
+    *
+    * Scale shape: the compaction window is CHANGE-sized, deletes
+    * screen the target through one keyed anti-join, and the
+    * replace/insert half is [[upsert]]'s single full-outer key
+    * exchange — the same cost as MERGE on any engine. On a
+    * transactional table format the final write becomes the format's
+    * MERGE commit; this dataflow is the computation underneath. */
+  def applyCdc(
+      target: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val cols = target.columns.toSeq
+    require(keys.forall(cols.contains), s"keys $keys must be target columns")
+    require((cols :+ seqCol :+ opCol).forall(changes.columns.contains),
+      s"changes must carry the target's columns plus '$seqCol' and '$opCol'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dels = latest.filter(col(opCol) === "D").select(keys.map(col): _*)
+    val ups = latest.filter(col(opCol) =!= "D").select(cols.map(col): _*)
+    upsert(target.join(dels, keys, "left_anti"), ups, keys)
+  }
+
   /** Target's columns; `source` must provide the same names. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq

@@ -448,6 +448,24 @@ object ExtraQueries {
           col("v_valid_from").as("version_from"))
         .orderBy(col("o_orderkey"))
     }),
+    "u5_cdc_apply" -> ((s, dir) => {
+      // full MERGE from a CDC change set: two change generations per
+      // even order key (compaction picks seq 2), with every 12th key's
+      // final change a DELETE — update/insert/delete in one apply
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val ord = T(s, dir, "orders").select(cols.map(col): _*)
+      val target = ord.filter(col("o_orderkey") % 4 =!= 0)
+      val c1 = ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("seq", lit(1)).withColumn("op", lit("U"))
+      val c2 = ord.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("U2"))
+        .withColumn("seq", lit(2))
+        .withColumn("op", when(col("o_orderkey") % 12 === 0, "D").otherwise("U"))
+      graft.operators.Upsert.applyCdc(
+          target, c1.unionByName(c2), Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    }),
     "u1_merge_upsert" -> ((s, dir) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val ord = T(s, dir, "orders").select(cols.map(col): _*)
@@ -709,6 +727,26 @@ object ExtraQueries {
         | AND d.valid_from <= f.o_orderdate
         | AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
         |ORDER BY f.o_orderkey""".stripMargin,
+    "u5_cdc_apply" ->
+      """WITH t AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 4 <> 0),
+        |c AS (
+        | SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus, o_totalprice,
+        |  1 AS seq, 'U' AS op FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, 'U2', o_totalprice, 2,
+        |  CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END
+        | FROM orders WHERE o_orderkey % 6 = 0),
+        |l AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM t
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM l)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM l
+        |WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "u1_merge_upsert" ->
       """WITH t AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -435,6 +435,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("HashAggregate").length >= 3, p) // exact counts partial+final
   }
 
+  test("u5 CDC apply: change-sized compaction window, keyed anti + one full-outer key exchange — no cartesian") {
+    val p = planOf("u5_cdc_apply")
+    assert(p.contains("LeftAnti") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("u4 SCD2 point-in-time lookup: equi keys extracted into a hash join, interval as join filter — never an interval product") {
     val p = planOf("u4_scd2_lookup")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||

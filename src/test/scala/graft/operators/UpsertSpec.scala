@@ -153,6 +153,45 @@ class UpsertSpec extends AnyFunSuite {
     assert(out == Seq((200L, "B"), (201L, "B")))
   }
 
+  test("applyCdc: latest change wins, D deletes, U replaces/inserts, untouched rows persist") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", 1, "U"), (2L, "b3", 2, "U"), // compaction: b3 wins
+      (3L, "x", 1, "U"), (3L, "x", 2, "D"),   // update-then-delete → deleted
+      (4L, "ignored", 1, "D"), (4L, "d2", 2, "U"), // delete-then-reinsert → d2
+      (5L, "e", 1, "U"),                      // insert of a new key
+      (9L, "zz", 1, "D"))                     // delete of an absent key: no-op
+      .toDF("k", "v", "seq", "op")
+    val out = Upsert.applyCdc(target, changes, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b3"), (4L, "d2"), (5L, "e")))
+  }
+
+  test("applyCdc vs a fold reference on random change sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 3) {
+      val target = (1L to 20L).filter(_ => rnd.nextBoolean()).map(k => (k, s"t$k"))
+      val changes = (1 to 40).map { s =>
+        val k = 1L + rnd.nextInt(25)
+        (k, s"c$k-$s", s, if (rnd.nextInt(4) == 0) "D" else "U")
+      }
+      val got = Upsert.applyCdc(target.toDF("k", "v"),
+          changes.toDF("k", "v", "seq", "op"), Seq("k"), "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val latest = changes.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+      val want = ((1L to 25L).flatMap { k =>
+        latest.get(k) match {
+          case Some((_, _, _, "D")) => None
+          case Some((_, v, _, _)) => Some((k, v))
+          case None => target.toMap.get(k).map((k, _))
+        }
+      }).sortBy(_._1)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("scd2Apply: incremental ≡ full rebuild on random multi-batch change logs") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
