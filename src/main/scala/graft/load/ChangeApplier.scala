@@ -21,23 +21,29 @@ import graft.operators.Upsert
   */
 final class ChangeApplier(spark: SparkSession) {
 
-  /** Apply one micro-batch of changes into `targetTable`. */
+  /** Apply one micro-batch of changes into `targetTable`. With
+    * `opCol` set, the batch carries delete markers and folds through
+    * [[Upsert.applyCdc]] (latest-wins compaction + matched-delete);
+    * without it, every change row upserts — the original
+    * append-stream contract. */
   private[load] def processBatch(
-      batch: DataFrame, targetTable: String, keys: Seq[String], seqCol: String): Unit = {
+      batch: DataFrame, targetTable: String, keys: Seq[String], seqCol: String,
+      opCol: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-      val latest = batch
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
-      if (spark.catalog.tableExists(targetTable)) {
-        val target = spark.table(targetTable)
-        val merged = Upsert.upsert(target, latest.select(target.columns.map(col): _*), keys)
-          .localCheckpoint() // cut lineage: the write overwrites its own input
-        merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
-      } else {
-        latest.write.saveAsTable(targetTable)
-      }
+      val tcols = batch.columns.toSeq
+        .filterNot(c => c == seqCol || opCol.contains(c))
+      val target =
+        if (spark.catalog.tableExists(targetTable)) spark.table(targetTable)
+        else batch.select(tcols.map(col): _*).limit(0)
+      val merged = (opCol match {
+        case Some(op) => Upsert.applyCdc(target, batch, keys, seqCol, op)
+        case None =>
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          Upsert.upsert(target, latest.select(target.columns.map(col): _*), keys)
+      }).localCheckpoint() // cut lineage: the write overwrites its own input
+      merged.write.mode(SaveMode.Overwrite).saveAsTable(targetTable)
       spark.catalog.refreshTable(targetTable)
     }
   }
@@ -50,5 +56,17 @@ final class ChangeApplier(spark: SparkSession) {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((df: DataFrame, _: Long) =>
         processBatch(df, targetTable, keys, seqCol))
+      .start()
+
+  /** Delete-aware streaming entry: `opCol` rows marked `"D"` remove
+    * their key (the [[Upsert.applyCdc]] MERGE semantics per
+    * micro-batch). */
+  def startCdc(
+      changes: DataFrame, targetTable: String, keys: Seq[String], seqCol: String,
+      opCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, _: Long) =>
+        processBatch(df, targetTable, keys, seqCol, Some(opCol)))
       .start()
 }

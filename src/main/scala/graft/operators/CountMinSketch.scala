@@ -56,6 +56,17 @@ object CountMinSketch {
     m
   }
 
+  /** Sketches over disjoint data merge by cell-wise addition —
+    * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) EXACTLY (sums
+    * commute), which is what makes the structure shardable: build one
+    * sketch per partition/day/source and fold. Both operands must
+    * share R and W. */
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"cannot merge sketches of different widths: ${a.length} vs ${b.length}")
+    Array.tabulate(a.length)(i => a(i) + b(i))
+  }
+
   /** Plan-literal point estimate for `item`: min over the R salted
     * cells. Always ≥ the item's true occurrence count in the sketched
     * data; ≤ true + colliding mass. */

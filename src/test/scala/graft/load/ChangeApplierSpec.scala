@@ -31,4 +31,30 @@ class ChangeApplierSpec extends AnyFunSuite {
       assert(state == Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
     } finally q.stop()
   }
+
+  final case class CdcChange(k: Long, name: String, seq: Long, op: String)
+
+  test("delete-aware stream: D markers remove keys across batches, compaction within") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "cdc_target_del"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt_del").toString
+    val input = MemoryStream[CdcChange]
+    val q = new ChangeApplier(spark).startCdc(input.toDF(), tbl, Seq("k"), "seq", "op", ckpt)
+    try {
+      input.addData(CdcChange(1, "a1", 1, "U"), CdcChange(2, "b1", 1, "U"),
+        CdcChange(3, "c1", 1, "U"))
+      q.processAllAvailable()
+      // in-batch compaction: 3's update-then-delete lands as the
+      // delete; 2 updates; 4 inserts; 9's delete of an absent key no-ops
+      input.addData(CdcChange(3, "c2", 2, "U"), CdcChange(3, "c2", 3, "D"),
+        CdcChange(2, "b2", 2, "U"), CdcChange(4, "d1", 2, "U"),
+        CdcChange(9, "zz", 2, "D"))
+      q.processAllAvailable()
+      val state = spark.table(tbl).select("k", "name")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"))
+    } finally q.stop()
+  }
 }

@@ -49,6 +49,17 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("merge of disjoint-data sketches equals the sketch of the union, cell for cell") {
+    val (left, right) = occurrences.splitAt(occurrences.size / 3)
+    val merged = CountMinSketch.merge(
+      CountMinSketch.build(left.toDF("w"), "w", 64),
+      CountMinSketch.build(right.toDF("w"), "w", 64))
+    val whole = CountMinSketch.build(occurrences.toDF("w"), "w", 64)
+    assert(merged.toSeq == whole.toSeq)
+    intercept[IllegalArgumentException](
+      CountMinSketch.merge(whole, new Array[Long](8)))
+  }
+
   test("bad widths fail loudly") {
     intercept[IllegalArgumentException](
       CountMinSketch.build(occurrences.toDF("w"), "w", 48))
