@@ -46,10 +46,10 @@ object ShardManifest {
   /** ~1% fpp at k=4 needs ≈ 10.5 bits/id; 12 leaves regrow margin. */
   private val BitsPerId = 12L
 
-  /** Candidate/confirmed sets broadcast below this row count; larger
-    * (a full-batch redelivery of a huge batch) falls back to an
-    * un-hinted join and lets AQE plan it. */
-  private val BroadcastRows = 4000000L
+  /** Candidate sets collect to the driver below this row count (the
+    * clean-batch/few-redeliveries case: Bloom-positives ≈ fpp·batch);
+    * larger (a mass redelivery) falls back to semi/anti joins. */
+  private val CollectRows = 100000L
 
   final case class State(
       spark: SparkSession, outDir: String, idCol: String,
@@ -86,20 +86,35 @@ object ShardManifest {
       .groupBy(col("wi")).agg(expr("bit_or(mask)").as("word"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-  /** Plan-literal membership probe (no join): true iff all K positions
-    * are set — i.e. the id MIGHT be exported already. */
-  private def probe(bits: Array[Long], mBits: Int, id: org.apache.spark.sql.Column) = {
-    val bitsLit = typedlit(bits.toSeq)
-    val hp = TextOps.hexHash60Pair(id.cast("string"))
-    val h1 = hp(0)
-    val h2d = shiftright(hp(1), 5) // must mirror wordsOf exactly
-    (0 until HashK).map { i =>
-      val pos = (h1 + lit(i.toLong) * h2d) % lit(mBits.toLong)
-      val word = element_at(bitsLit, (shiftright(pos, 5) + 1).cast("int"))
-      val mask = call_function("shiftleft", lit(1L),
-        pos.bitwiseAND(lit(31L)).cast("int"))
-      word.bitwiseAND(mask) =!= 0
-    }.reduce(_ && _)
+  /** Membership probe as a BROADCAST-variable UDF (not a plan
+    * literal): a multi-MB literal array re-deserializes inside every
+    * task's binary — 32 tasks × 4 references × filter-sized — while a
+    * broadcast ships the bits once per executor. Hash/position
+    * arithmetic mirrors [[wordsOf]] exactly (same md5 pair, h2 >>> 5,
+    * mod mBits), so a set id always probes true. */
+  private def probe(
+      spark: SparkSession, bits: Array[Long], mBits: Int,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bc = spark.sparkContext.broadcast(bits)
+    val m = mBits.toLong
+    val might = udf { (s: String) =>
+      s != null && {
+        val b = bc.value
+        val hp = graft.plans.HexHash60Pair.hashPair(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        val h1 = hp.getLong(0)
+        val h2d = hp.getLong(1) >>> 5
+        var r = 0
+        var all = true
+        while (all && r < HashK) {
+          val pos = (h1 + r * h2d) % m
+          all = (b((pos >>> 5).toInt) & (1L << (pos & 31L).toInt)) != 0L
+          r += 1
+        }
+        all
+      }
+    }
+    might(id.cast("string"))
   }
 
   /** Atomic-ish directory swap: write to `<target>__tmp`, delete the
@@ -113,16 +128,25 @@ object ShardManifest {
     require(fs.rename(tmp, target), s"manifest rename failed: $tmp -> $target")
   }
 
+  /** Bloom stored as ONE dense array row (not a cell-per-row table):
+    * filter-sized either way, but a single-row read/write skips half a
+    * million Row allocations per append. */
   private def writeBloomAndState(
       spark: SparkSession, outDir: String, tails: Map[Int, Long], ids: Long,
-      mBits: Int, words: Seq[(Long, Long)]): Unit = {
+      mBits: Int, bits: Array[Long]): Unit = {
     import spark.implicits._
     val fs = fsOf(spark, outDir)
     swapWrite(fs, bloomPath(outDir))(tmp =>
-      words.toDF("wi", "word").repartition(1).write.parquet(tmp))
+      Seq(Tuple1(bits.toSeq)).toDF("words").repartition(1).write.parquet(tmp))
     swapWrite(fs, statePath(outDir))(tmp =>
       Seq((ids, mBits, tails)).toDF("ids", "m_bits", "tails")
         .repartition(1).write.parquet(tmp))
+  }
+
+  private def denseBits(mBits: Int, words: Array[(Long, Long)]): Array[Long] = {
+    val bits = new Array[Long](mBits / WordBits)
+    words.foreach { case (wi, w) => bits(wi.toInt) = w }
+    bits
   }
 
   /** Rebuild the whole manifest from the payload export (ground
@@ -145,7 +169,7 @@ object ShardManifest {
     val n = idsTable.count()
     val mBits = pow2For(n)
     writeBloomAndState(spark, outDir, tails, n, mBits,
-      wordsOf(idsTable, idCol, mBits).toSeq)
+      denseBits(mBits, wordsOf(idsTable, idCol, mBits)))
     fs.delete(intentPath(outDir), false)
   }
 
@@ -162,34 +186,55 @@ object ShardManifest {
     val st = spark.read.parquet(statePath(outDir).toString).collect().head
     val mBits = st.getInt(st.fieldIndex("m_bits"))
     val tails = st.getMap[Int, Long](st.fieldIndex("tails")).toMap
-    val bits = new Array[Long](mBits / WordBits)
-    spark.read.parquet(bloomPath(outDir).toString).collect()
-      .foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    val bits = spark.read.parquet(bloomPath(outDir).toString)
+      .collect().head.getSeq[Long](0).toArray
+    require(bits.length == mBits / WordBits,
+      s"bloom length ${bits.length} != $mBits/$WordBits — torn manifest")
     State(spark, outDir, idCol, tails, st.getLong(st.fieldIndex("ids")), mBits, bits)
   }
 
+  private[graft] def probeForTest(st: State, id: org.apache.spark.sql.Column) =
+    probe(st.spark, st.bits, st.mBits, id)
+
   /** Replay screen: rows of `df` whose id is NOT already exported.
-    * Fast path is the per-row Bloom probe (no join, no export read);
-    * only Bloom-positive candidates — none on a clean batch — take the
-    * exact-confirm semi-join against the manifest's id table. */
+    * Fast path is the per-row Bloom probe (broadcast bits, no join, no
+    * export read). Bloom-positive candidates — ≈ fpp·batch on a clean
+    * batch, the redelivered rows otherwise — collect to the driver and
+    * exact-confirm via one set-membership filter over the manifest's
+    * compact id column (the only export-sized touch, skipped when the
+    * Bloom stays silent); the confirmed set then screens the batch as
+    * another per-row filter. No join anywhere on this path. A mass
+    * redelivery (candidates past [[CollectRows]]) falls back to
+    * semi/anti joins — that batch genuinely needs the audit scan. */
   def screen(st: State, df: DataFrame, idCol: String): DataFrame = {
-    val cand = df.select(col(idCol))
-      .filter(probe(st.bits, st.mBits, col(idCol)))
+    val spark = st.spark
+    val cand = df.select(col(idCol).cast("string").as("__id"))
+      .filter(probe(spark, st.bits, st.mBits, col("__id")))
       .localCheckpoint(false)
     val nCand = cand.count()
     if (nCand == 0) df
-    else {
-      val idsTable = st.spark.read.parquet(idsPath(st.outDir).toString)
-      val candSide = if (nCand <= BroadcastRows) broadcast(cand) else cand
-      val confirmed = idsTable.join(candSide, Seq(idCol), "left_semi")
-        .localCheckpoint(false)
-      val nConf = confirmed.count()
-      if (nConf == 0) df
+    else if (nCand <= CollectRows) {
+      val candSet = cand.collect().map(_.getString(0)).toSet
+      val bcCand = spark.sparkContext.broadcast(candSet)
+      val inCand = udf((s: String) => s != null && bcCand.value.contains(s))
+      val confirmed = spark.read.parquet(idsPath(st.outDir).toString)
+        .select(col(idCol).cast("string").as("__id"))
+        .filter(inCand(col("__id")))
+        .collect().map(_.getString(0)).toSet
+      if (confirmed.isEmpty) df
       else {
-        val confSide =
-          if (nConf <= BroadcastRows) broadcast(confirmed) else confirmed
-        df.join(confSide, Seq(idCol), "left_anti")
+        val bcConf = spark.sparkContext.broadcast(confirmed)
+        val dup = udf((s: String) => s != null && bcConf.value.contains(s))
+        df.filter(!dup(col(idCol).cast("string")))
       }
+    } else {
+      val idsTable = spark.read.parquet(idsPath(st.outDir).toString)
+        .select(col(idCol).cast("string").as("__id"))
+      val confirmed = idsTable.join(cand, Seq("__id"), "left_semi")
+        .localCheckpoint(false)
+      if (confirmed.count() == 0) df
+      else df.join(confirmed.withColumnRenamed("__id", "__cid"),
+        col(idCol).cast("string") === col("__cid"), "left_anti")
     }
   }
 
@@ -214,19 +259,18 @@ object ShardManifest {
     val newTails = counts.foldLeft(st.tails) { case (m, (s, n)) =>
       m.updated(s, m.getOrElse(s, 0L) + n)
     }
-    val (mBits, words) =
+    val (mBits, bits) =
       if (newIds * BitsPerId > st.mBits.toLong && st.mBits < CapBits) {
         val m = pow2For(newIds)
-        (m, wordsOf(spark.read.parquet(idsPath(st.outDir).toString), idCol, m).toSeq)
+        (m, denseBits(m,
+          wordsOf(spark.read.parquet(idsPath(st.outDir).toString), idCol, m)))
       } else {
         val merged = st.bits.clone()
         wordsOf(fresh, idCol, st.mBits)
           .foreach { case (wi, w) => merged(wi.toInt) |= w }
-        (st.mBits, merged.toSeq.zipWithIndex.collect {
-          case (w, i) if w != 0L => (i.toLong, w)
-        })
+        (st.mBits, merged)
       }
-    writeBloomAndState(spark, st.outDir, newTails, newIds, mBits, words)
+    writeBloomAndState(spark, st.outDir, newTails, newIds, mBits, bits)
     fs.delete(intentPath(st.outDir), false)
   }
 }
