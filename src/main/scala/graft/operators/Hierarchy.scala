@@ -79,6 +79,46 @@ object Hierarchy {
     frontiers.reduce(_ unionByName _)
   }
 
+  /** (node, ancestor, depth, path) — one row PER PATH, the
+    * `SYS_CONNECT_BY_PATH` surface: `path` is the upward chain
+    * `node<sep>…<sep>ancestor`, and a DAG with two routes to the same
+    * ancestor yields two rows (recursive-CTE `UNION ALL` semantics —
+    * path MULTIPLICITY, where [[ancestors]] collapses to the distinct
+    * closure). Same iterative frontier machinery and loud `maxDepth`
+    * failure; note the frontier here is bounded by PATH counts, which
+    * compound on dense shared-ancestry DAGs — reach for [[ancestors]]
+    * unless the routes themselves are the question. */
+  def paths(
+      edges: DataFrame, childCol: String, parentCol: String,
+      sep: String = "/", maxDepth: Int = 30): DataFrame = {
+    require(maxDepth >= 1, s"need maxDepth >= 1, got $maxDepth")
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+      .distinct().localCheckpoint(false)
+    var frontier = e.select(col("child").as("node"), col("parent").as("ancestor"),
+        lit(1).as("depth"),
+        concat(col("child"), lit(sep), col("parent")).as("path"))
+      .localCheckpoint(false)
+    val frontiers = scala.collection.mutable.ListBuffer(frontier)
+    var depth = 1
+    var n = frontier.count()
+    while (n > 0 && depth <= maxDepth) {
+      depth += 1
+      frontier = frontier
+        .join(e.hint("shuffle_hash"), frontier("ancestor") === e("child"))
+        .select(frontier("node"), e("parent").as("ancestor"),
+          lit(depth).as("depth"),
+          concat(frontier("path"), lit(sep), e("parent")).as("path"))
+        .localCheckpoint(false)
+      n = frontier.count()
+      if (n > 0) {
+        require(depth <= maxDepth,
+          s"hierarchy still growing past depth $maxDepth — cycle, or raise maxDepth")
+        frontiers += frontier
+      }
+    }
+    frontiers.reduce(_ unionByName _)
+  }
+
   /** (node, descendant, depth) — the transpose of [[ancestors]]: every
     * node reachable DOWNWARD from each node, depth 1 = direct child.
     * Same iterative frontier-join machinery, same distinct-per-depth

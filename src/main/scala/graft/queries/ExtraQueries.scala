@@ -396,6 +396,26 @@ object ExtraQueries {
           facts, "fnode", "o_totalprice")
         .orderBy(col("node"))
     }),
+    "h4_hierarchy_paths" -> ((s, dir) => {
+      // SYS_CONNECT_BY_PATH over the same forest as h2: every upward
+      // route materialized as a path string (UNION ALL multiplicity)
+      def node(p: String, c: org.apache.spark.sql.Column) =
+        concat(lit(p), c.cast("string"))
+      val cust = T(s, dir, "customer").select(
+        node("c", col("c_custkey")).as("child"),
+        node("n", col("c_nationkey")).as("parent"))
+      val supp = T(s, dir, "supplier").select(
+        node("s", col("s_suppkey")).as("child"),
+        node("n", col("s_nationkey")).as("parent"))
+      val nat = T(s, dir, "nation").select(
+        node("n", col("n_nationkey")).as("child"),
+        node("r", col("n_regionkey")).as("parent"))
+      graft.operators.Hierarchy.paths(
+          cust.unionByName(supp).unionByName(nat), "child", "parent")
+        .select(col("node"), col("ancestor"), col("depth").cast("int").as("depth"),
+          col("path"))
+        .orderBy(col("node"), col("depth"), col("ancestor"), col("path"))
+    }),
     "u2_scd2_history" -> ((s, dir) => {
       // Kimball SCD2 over the order-status change log: per customer,
       // status runs collapse into versions with validity intervals
@@ -677,6 +697,23 @@ object ExtraQueries {
         |   AS subtree_value
         |FROM pairs p LEFT JOIN f ON f.descendant = p.descendant
         |GROUP BY p.node ORDER BY node""".stripMargin,
+    "h4_hierarchy_paths" ->
+      """WITH RECURSIVE e AS (
+        | SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+        |        'n' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+        | UNION ALL
+        | SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |        'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        | UNION ALL
+        | SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR),
+        |        'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |cl(node, ancestor, depth, path) AS (
+        | SELECT child, parent, 1, child || '/' || parent FROM e
+        | UNION ALL
+        | SELECT cl.node, e.parent, cl.depth + 1, cl.path || '/' || e.parent
+        | FROM cl JOIN e ON cl.ancestor = e.child)
+        |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth, path
+        |FROM cl ORDER BY node, depth, ancestor, path""".stripMargin,
     "u2_scd2_history" ->
       """WITH b AS (
         | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

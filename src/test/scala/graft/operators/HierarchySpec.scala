@@ -100,6 +100,27 @@ class HierarchySpec extends AnyFunSuite {
     }
   }
 
+  test("paths: one row per route with the full chain; DAG multiplicity preserved") {
+    import spark.implicits._
+    // diamond: a→{l,r}→t — TWO depth-2 routes a→t, distinct paths
+    val edges = Seq(("a", "l"), ("a", "r"), ("l", "t"), ("r", "t"))
+      .toDF("child", "parent")
+    val got = Hierarchy.paths(edges, "child", "parent")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      ("a", "l", 1, "a/l"), ("a", "r", 1, "a/r"),
+      ("l", "t", 1, "l/t"), ("r", "t", 1, "r/t"),
+      ("a", "t", 2, "a/l/t"), ("a", "t", 2, "a/r/t")))
+    // …and the SAME DAG collapses to one closure row in ancestors
+    assert(Hierarchy.ancestors(edges, "child", "parent")
+      .filter($"node" === "a" && $"ancestor" === "t").count() == 1)
+    // custom separator honored
+    assert(Hierarchy.paths(edges, "child", "parent", sep = ">")
+      .filter($"depth" === 2).collect().map(_.getString(3)).toSet ==
+      Set("a>l>t", "a>r>t"))
+  }
+
   test("height exactly maxDepth is in-bounds (one probe round past it)") {
     // chain a→b→c→d has height 3: depth-3 closure row must be reachable
     // with maxDepth = 3 (the pre-fix loop rejected it as still-growing)
