@@ -56,6 +56,35 @@ object ExtraQueries {
         .select(col("lang"), col("p"), col("toks").as("value"))
         .orderBy(col("lang"), col("p"))
     }),
+    "qt2_percentile_cont" -> ((s, dir) => {
+      // PERCENTILE_CONT: linear interpolation at index (n-1)·p — the
+      // other SQL quantile face (qt1 is the rank-exact PERCENTILE_DISC
+      // view). Both engines compute the SAME explicit formula
+      // (vlo + frac·(vhi − vlo), frac = idx − floor(idx)) so the IEEE
+      // result is bit-identical — never two different library
+      // interpolations racing each other
+      val t = T(s, dir, "documents").select(col("lang"), col("doc_id"),
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("toks"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("toks"), col("doc_id"))
+      t.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("lang"))).cast("long"))
+        .withColumn("p", explode(array(QtPs.map(lit): _*)))
+        .withColumn("idx", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("lo", floor(col("idx")) + 1)
+        .withColumn("hi", least(col("lo") + 1, col("n")))
+        .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+        .groupBy(col("lang"), col("p"))
+        .agg(
+          max(when(col("rn") === col("lo"), col("toks"))).as("vlo"),
+          max(when(col("rn") === col("hi"), col("toks"))).as("vhi"),
+          max(col("idx") - floor(col("idx")).cast("double")).as("frac"))
+        .select(col("lang"), col("p"),
+          (col("vlo").cast("double") +
+            col("frac") * (col("vhi") - col("vlo")).cast("double")).as("value"))
+        .orderBy(col("lang"), col("p"))
+    }),
     "hh1_heavy_hitters" -> ((s, dir) => {
       // exact per-source heavy hitters (top-K words by count) — the
       // WindowGroupLimit top-k shape, map-side pruned
@@ -558,6 +587,25 @@ object ExtraQueries {
          |SELECT lang, p.p AS p, toks AS value
          |FROM r, p WHERE rn = CAST(ceil(p.p * n) AS BIGINT)
          |ORDER BY lang, p""".stripMargin,
+    "qt2_percentile_cont" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks FROM documents),
+         |r AS (SELECT lang, toks,
+         |  row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
+         |p AS (SELECT unnest([${QtPs.mkString(", ")}]) AS p),
+         |x AS (SELECT lang, p.p AS p, toks, rn, n,
+         |  CAST(n - 1 AS DOUBLE) * p.p AS idx,
+         |  CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+         |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+         | FROM r, p),
+         |g AS (SELECT lang, p,
+         |  MAX(CASE WHEN rn = lo THEN toks END) AS vlo,
+         |  MAX(CASE WHEN rn = hi THEN toks END) AS vhi,
+         |  MAX(idx - floor(idx)) AS frac
+         | FROM x WHERE rn = lo OR rn = hi GROUP BY lang, p)
+         |SELECT lang, p, CAST(vlo AS DOUBLE) + frac * CAST(vhi - vlo AS DOUBLE) AS value
+         |FROM g ORDER BY lang, p""".stripMargin,
     "hh1_heavy_hitters" ->
       s"""WITH wx AS (SELECT source, unnest($docWordsExpr) AS word FROM documents),
          |c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
