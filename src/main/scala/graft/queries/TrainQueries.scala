@@ -89,6 +89,19 @@ object TrainQueries {
           col("frac"))
         .orderBy(col("doc_id"))
     }),
+    "sk2_salted_join" -> ((s, dir) => {
+      // skew-salted join: the hot (fact) side splits each key across 8
+      // deterministic salts, the dim side replicates across them — the
+      // oracle is the PLAIN join, proving the rewrite row-for-row
+      val facts = Tables(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Salt.saltedJoin(facts, dim, "custkey", factor = 8)
+        .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     "sk1_salted_agg" -> ((s, dir) => {
       // skew-safe two-phase aggregation; decimal accumulation makes the
       // result independent of how the salt splits the partial groups,
@@ -600,6 +613,10 @@ object TrainQueries {
          |FROM tot JOIN ov ON tot.doc_id = ov.doc_id
          |WHERE CAST(ov.n_overlap AS DOUBLE) / tot.n_grams >= 0.1
          |ORDER BY tot.doc_id""".stripMargin,
+    "sk2_salted_join" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     "sk1_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,

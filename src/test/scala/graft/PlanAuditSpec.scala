@@ -429,6 +429,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Window").length >= 3, p) // lag + lead share the one window exchange
   }
 
+  test("sk2 salted join: the physical join key really carries the salt (key splits across tasks)") {
+    val p = planOf("sk2_salted_join")
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cms1 sketch estimates: plan-literal min-over-rows — no join anywhere, keyed aggregates only") {
     val p = planOf("cms1_sketch_counts")
     assert(!p.contains("Join") && !p.contains("Window"), p)
