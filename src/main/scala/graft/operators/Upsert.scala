@@ -192,6 +192,49 @@ object Upsert {
     upsert(target.join(dels, keys, "left_anti"), ups, keys)
   }
 
+  /** Snapshot DIFF — the inverse of [[applyCdc]]: derive the minimal
+    * I/U/D change set that turns snapshot `oldDf` into snapshot
+    * `newDf` (both keyed by `keys`, same columns). Keys only in the
+    * new snapshot emit `I`, keys only in the old emit `D` (carrying
+    * the old row's values — the "before image"), keys in both emit `U`
+    * only when any non-key column differs NULL-SAFELY; identical rows
+    * emit nothing. Round trip: `applyCdc(oldDf, snapshotDiff(oldDf,
+    * newDf) + any seq, …) == newDf` (UpsertSpec proves it on random
+    * snapshots) — which makes this the migration-drift detector AND
+    * the changelog generator for systems that only publish snapshots.
+    *
+    * Shape: one full-outer key exchange, the [[upsert]] cost; the
+    * comparison is a per-row struct equality, no second pass. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = oldDf.columns.toSeq
+    require(newDf.columns.toSeq == cols,
+      s"snapshots must share columns: ${cols} vs ${newDf.columns.toSeq}")
+    require(keys.forall(cols.contains), s"keys $keys must be snapshot columns")
+    val nonKey = cols.filterNot(keys.contains)
+    // name-disjoint sides (the scd2Lookup lesson: shared lineage makes
+    // dataframe-indexed refs mis-resolve) plus presence flags, since a
+    // legitimately-null key column can't signal side absence
+    val o = cols.foldLeft(oldDf)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__o_present", lit(true))
+    val n = cols.foldLeft(newDf)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__n_present", lit(true))
+    val cond = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val changed =
+      if (nonKey.isEmpty) lit(false)
+      else !(struct(nonKey.map(c => col(s"__o_$c")): _*) <=>
+        struct(nonKey.map(c => col(s"__n_$c")): _*))
+    o.join(n, cond, "full_outer")
+      .withColumn("op",
+        when(col("__o_present").isNull, "I")
+          .when(col("__n_present").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(cols.map(c =>
+        when(col("op") === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col("op"): _*)
+  }
+
   /** Target's columns; `source` must provide the same names. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq

@@ -497,6 +497,19 @@ object ExtraQueries {
           col("v_valid_from").as("version_from"))
         .orderBy(col("o_orderkey"))
     }),
+    "u6_snapshot_diff" -> ((s, dir) => {
+      // changelog FROM snapshots: old = every key not %4, new = every
+      // key not %7 with %5 statuses rewritten — inserts, deletes (with
+      // before-images), and null-safe updates in one diff
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val ord = T(s, dir, "orders").select(cols.map(col): _*)
+      val oldSnap = ord.filter(col("o_orderkey") % 4 =!= 0)
+      val newSnap = ord.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, "X").otherwise(col("o_orderstatus")))
+      graft.operators.Upsert.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
     "u5_cdc_apply" -> ((s, dir) => {
       // full MERGE from a CDC change set: two change generations per
       // even order key (compaction picks seq 2), with every 12th key's
@@ -812,6 +825,30 @@ object ExtraQueries {
         | AND d.valid_from <= f.o_orderdate
         | AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
         |ORDER BY f.o_orderkey""".stripMargin,
+    "u6_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        | FROM orders WHERE o_orderkey % 4 <> 0),
+        |n AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        | FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        | SELECT
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       WHEN n.o_custkey IS DISTINCT FROM o.o_custkey
+        |         OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+        |         OR n.o_totalprice IS DISTINCT FROM o.o_totalprice THEN 'U'
+        |  END AS op,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderkey ELSE n.o_orderkey END AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice
+        | FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, op
+        |FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     "u5_cdc_apply" ->
       """WITH t AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -192,6 +192,42 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: inserts, before-image deletes, null-safe updates, identical rows silent") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val newS = Seq((2L, Some("b")),   // identical → silent
+      (3L, Some("c")),                // null → value: a real U
+      (4L, None: Option[String]),     // value → null: a real U
+      (5L, Some("e")))                // new key → I; 1 disappears → D
+      .toDF("k", "v")
+    val got = Upsert.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), "D"), // delete carries the before image
+      (3L, Some("c"), "U"),
+      (4L, None, "U"),
+      (5L, Some("e"), "I")))
+  }
+
+  test("snapshotDiff round trip: applyCdc(old, diff) == new on random snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    for (trial <- 1 to 3) {
+      val oldS = (1L to 30L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v$k-${rnd.nextInt(3)}"))
+      val newS = (1L to 35L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, s"v$k-${rnd.nextInt(3)}"))
+      val diff = Upsert.snapshotDiff(
+          oldS.toDF("k", "v"), newS.toDF("k", "v"), Seq("k"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1))
+      val rebuilt = Upsert.applyCdc(oldS.toDF("k", "v"), diff, Seq("k"), "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(rebuilt == newS.sortBy(_._1), s"trial $trial")
+    }
+  }
+
   test("scd2Apply: incremental ≡ full rebuild on random multi-batch change logs") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
