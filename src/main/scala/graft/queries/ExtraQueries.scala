@@ -497,6 +497,24 @@ object ExtraQueries {
           col("v_valid_from").as("version_from"))
         .orderBy(col("o_orderkey"))
     }),
+    "fw1_fixed_width" -> ((s, dir) => {
+      // fixed-width round trip: orders formatted into positional lines
+      // (zero-padded keys, blank-padded status — the mainframe extract
+      // shape) then parsed back by offset; the oracle is the straight
+      // projection, so the key proves parse(format(x)) == x
+      import graft.sources.FixedWidth
+      val lines = T(s, dir, "orders").select(concat(
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        rpad(col("o_orderstatus"), 4, " "),
+        lpad(col("o_custkey").cast("string"), 12, "0"),
+        rpad(col("o_orderpriority"), 16, " ")).as("line"))
+      FixedWidth.parse(lines, "line", Seq(
+          FixedWidth.Field("o_orderkey", 1, 12, org.apache.spark.sql.types.LongType),
+          FixedWidth.Field("o_orderstatus", 13, 4),
+          FixedWidth.Field("o_custkey", 17, 12, org.apache.spark.sql.types.LongType),
+          FixedWidth.Field("o_orderpriority", 29, 16)))
+        .orderBy(col("o_orderkey"))
+    }),
     "u6_snapshot_diff" -> ((s, dir) => {
       // changelog FROM snapshots: old = every key not %4, new = every
       // key not %7 with %5 statuses rewritten — inserts, deletes (with
@@ -825,6 +843,9 @@ object ExtraQueries {
         | AND d.valid_from <= f.o_orderdate
         | AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
         |ORDER BY f.o_orderkey""".stripMargin,
+    "fw1_fixed_width" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "u6_snapshot_diff" ->
       """WITH o AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
