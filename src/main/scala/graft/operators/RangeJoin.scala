@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval OVERLAP join: all same-key (left, right) pairs whose
+    * closed numeric intervals intersect (`ls <= re && rs <= le`) — the
+    * second interval shape the warehouse carries (validity windows,
+    * promotion periods, session spans) that a plain inequality join
+    * turns into a per-key cross product.
+    *
+    * Bucket-and-probe like [[banded]]: both sides explode each
+    * interval across the `bucketWidth`-wide bins it covers and
+    * equi-join on (keys, bin). A pair sharing several bins would
+    * duplicate, so the exact filter keeps only the row in the FIRST
+    * shared bin (`floor(max(ls, rs) / W)`) — exact dedup with no
+    * distinct pass. Explode factor is interval-length / W: size
+    * `bucketWidth` near the typical interval length so each interval
+    * covers O(1) bins; cost then scales with true overlap density,
+    * never |L|×|R|. Intervals must satisfy start <= end (loudly
+    * enforced by the bin sequence being non-empty). */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, keys :+ "__bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("__bin")
+  }
+
   /** Pairs with `abs(leftTs - rightTs) <= delta` (seconds), equi on
     * `keys`. Timestamps compare at second precision (unix_timestamp). */
   def banded(

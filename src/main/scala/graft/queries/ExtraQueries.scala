@@ -307,6 +307,28 @@ object ExtraQueries {
           (unix_timestamp(col("ts")) - unix_timestamp(col("p_ts"))).as("gap_sec"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+    "j10_interval_join" -> ((s, dir) => {
+      // overlap join: per customer, every (even-order, odd-order) pair
+      // whose synthesized activity windows [day, day + key%7] intersect
+      // — bucket-and-probe with first-shared-bin dedup, never a per-key
+      // cross product
+      val iv = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("s"))
+        .withColumn("e", col("s") + col("o_orderkey") % 7)
+      val l = iv.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("l_key"), col("o_custkey").as("custkey"),
+          col("s").as("ls"), col("e").as("le"))
+      val r = iv.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("r_key"), col("o_custkey").as("custkey"),
+          col("s").as("rs"), col("e").as("re"))
+      graft.operators.RangeJoin.intervalOverlap(
+          l, r, Seq("custkey"), "ls", "le", "rs", "re", bucketWidth = 7L)
+        .select(col("l_key"), col("r_key"), col("custkey"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1)
+            .as("overlap_days"))
+        .orderBy(col("l_key"), col("r_key"))
+    }),
     "st3_sessionize" -> ((s, dir) => {
       // 30-min-gap sessionization via lag + running sum of boundaries —
       // the batch formulation (streaming uses session_window); exactly
@@ -846,6 +868,19 @@ object ExtraQueries {
     "fw1_fixed_width" ->
       """SELECT o_orderkey, o_orderstatus, o_custkey, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "j10_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS s,
+        |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+        |    + o_orderkey % 7 AS e
+        | FROM orders)
+        |SELECT l.o_orderkey AS l_key, r.o_orderkey AS r_key,
+        | l.o_custkey AS custkey,
+        | least(l.e, r.e) - greatest(l.s, r.s) + 1 AS overlap_days
+        |FROM iv l JOIN iv r ON l.o_custkey = r.o_custkey
+        | AND l.o_orderkey % 2 = 0 AND r.o_orderkey % 2 = 1
+        | AND l.s <= r.e AND r.s <= l.e
+        |ORDER BY l_key, r_key""".stripMargin,
     "u6_snapshot_diff" ->
       """WITH o AS (
         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -429,6 +429,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.split("Window").length >= 3, p) // lag + lead share the one window exchange
   }
 
+  test("j10 interval overlap: bucketed equi-join — never a per-key cross product") {
+    val p = planOf("j10_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("__bin"), p) // the bin really is a join key
+  }
+
   test("sk2 salted join: the physical join key really carries the salt (key splits across tasks)") {
     val p = planOf("sk2_salted_join")
     assert(p.contains("__salt"), p)

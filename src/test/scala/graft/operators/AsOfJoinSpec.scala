@@ -54,4 +54,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(row.getAs[String]("payload") == "keep")
     assert(row.getAs[String]("rv") == "b" && row.getAs[Int]("rn") == 70)
   }
+
+  test("intervalOverlap vs brute force on random intervals (multi-bucket spans dedup to one row)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val mk = (n: Int, tag: String) => (1 to n).map { i =>
+        val s = rnd.nextInt(60).toLong
+        (s"$tag$i", 1L + rnd.nextInt(3), s, s + rnd.nextInt(25)) // spans many 7-wide buckets
+      }
+      val ls = mk(25, "L"); val rs = mk(25, "R")
+      val got = RangeJoin.intervalOverlap(
+          ls.toDF("lid", "k", "ls", "le"), rs.toDF("rid", "k", "rs", "re"),
+          Seq("k"), "ls", "le", "rs", "re", bucketWidth = 7L)
+        .select("lid", "rid").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val want = for {
+        (lid, lk, s1, e1) <- ls; (rid, rk, s2, e2) <- rs
+        if lk == rk && s1 <= e2 && s2 <= e1
+      } yield (lid, rid)
+      // exact set AND exact multiplicity (no duplicate pair rows)
+      assert(got.length == got.toSet.size, s"trial $trial: duplicate pair rows")
+      assert(got.toSet == want.toSet, s"trial $trial")
+    }
+  }
 }
