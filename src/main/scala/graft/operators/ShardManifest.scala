@@ -21,16 +21,25 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * repair path adopts manifests-less exports (pre-manifest dirs, bare
   * [[ShuffleShard.writeShards]] output) in place.
   *
-  * Bloom discipline mirrors [[BloomContamination]] (same
-  * Kirsch-Mitzenmacher probe family over [[TextOps.hexHash60Pair]],
-  * 32-bits-per-long words, plan-literal probes — no join on the fast
-  * path): one-sided error means a set id ALWAYS probes positive (a
-  * redelivered row can never sneak past) and a false-positive new id
-  * merely takes the exact-confirm join — correctness never depends on
-  * the filter. The filter doubles and rebuilds from the id table once
-  * the id count outgrows ~1% false-positive capacity — amortized O(1)
-  * per exported id — and saturates gracefully (more exact confirms,
-  * never wrong answers) at the 32 MB plan-literal cap.
+  * Bloom discipline mirrors [[BloomContamination]]'s hash family
+  * (Kirsch-Mitzenmacher over [[TextOps.hexHash60Pair]],
+  * 32-bits-per-long words), but the probe ships as a BROADCAST
+  * variable inside a UDF, not a plan literal — no join on the fast
+  * path and no multi-MB literal re-deserializing per task. One-sided
+  * error means a set id ALWAYS probes positive (a redelivered row can
+  * never sneak past) and a false-positive new id merely takes the
+  * collect-and-confirm pass — correctness never depends on the
+  * filter. The filter doubles and rebuilds from the id table once the
+  * id count outgrows ~1% false-positive capacity — amortized O(1) per
+  * exported id — and saturates gracefully (more exact confirms, never
+  * wrong answers) at the 32 MB cap.
+  *
+  * Single-writer contract: appends to one export must be serialized
+  * (the natural shape — a streaming sink has one query). Two
+  * concurrent appenders would race the tails/Bloom swap; the intent
+  * marker detects the torn result and the next append repairs, but
+  * rows appended by the losing writer could duplicate — serialize
+  * writers, don't rely on repair for concurrency.
   */
 object ShardManifest {
 

@@ -93,6 +93,27 @@ class StreamingScd2Spec extends AnyFunSuite {
     }
   }
 
+  test("stream-maintained dimension serves point-in-time lookups ≡ the batch-built dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dimDir = java.nio.file.Files.createTempDirectory("scd2-look").toString + "/dim"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingScd2.applyBatch(b.toDF("k", "seq", "status"), i.toLong,
+        Seq("k"), Seq("status"), Seq("seq"), dimDir)
+    }
+    val facts = Seq((7L, 1L, 2), (7L, 2L, 6), (9L, 3L, 8), (5L, 4L, 4))
+      .toDF("k", "fact_id", "ts")
+    def looked(dim: org.apache.spark.sql.DataFrame) =
+      Upsert.scd2Lookup(dim, facts, Seq("k"), "ts")
+        .select(col("fact_id"), col("v_status"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+        .sortBy(_._1).toSeq
+    val streamDim = StreamingScd2.readDim(spark, dimDir)
+    val batchDim = Upsert.scd2History(
+      log.toDF("k", "seq", "status"), Seq("k"), Seq("status"), Seq("seq"))
+    assert(looked(streamDim) == looked(batchDim))
+  }
+
   test("empty micro-batch is a no-op and later batches still chain") {
     import spark.implicits._
     val dimDir = java.nio.file.Files.createTempDirectory("scd2-empty").toString + "/dim"
