@@ -425,6 +425,25 @@ object ExtraQueries {
         .select(col("node"), col("ancestor"), col("depth").cast("int").as("depth"))
         .orderBy(col("node"), col("depth"), col("ancestor"))
     }),
+    "g1_bfs_distance" -> ((s, dir) => {
+      // multi-source BFS over the implicit binary tree on customer
+      // keys (parent k⟶children 2k, 2k+1): distances from roots 1..10,
+      // cycle-safe visited-set expansion, min-dist per node — the
+      // general-graph traversal Hierarchy's DAG closure refuses
+      // custkey 0 would make 0 // 2 = 0 a self-loop: harmless to the
+      // engine's visited-set BFS, but the oracle's (node, d) recursion
+      // would chase it forever — keep the graph on keys >= 1 with
+      // child keys >= 2, mirrored exactly in the SQL
+      val cust = T(s, dir, "customer").select(col("c_custkey"))
+      val edges = cust.filter(col("c_custkey") >= 2)
+        .select(shiftright(col("c_custkey"), 1).as("src"),
+          col("c_custkey").as("dst"))
+      graft.operators.Bfs.distances(
+          edges, "src", "dst",
+          cust.filter(col("c_custkey").between(1, 10)), "c_custkey", maxDepth = 40)
+        .select(col("node"), col("dist"))
+        .orderBy(col("node"))
+    }),
     "h3_subtree_rollup" -> ((s, dir) => {
       // the other half of CONNECT BY: descendant closure feeding a
       // hierarchical aggregate — order value rolled up through
@@ -770,6 +789,18 @@ object ExtraQueries {
         | FROM cl JOIN e ON cl.ancestor = e.child)
         |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
         |FROM cl ORDER BY node, depth, ancestor""".stripMargin,
+    "g1_bfs_distance" ->
+      // bounded recursion enumerates (node, d) pairs, MIN collapses to
+      // the BFS distance — the engine's first-visit discipline and the
+      // oracle's MIN agree by the level-order invariant
+      """WITH RECURSIVE cl(node, d) AS (
+        | SELECT c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 10
+        | UNION
+        | SELECT c.c_custkey, cl.d + 1
+        | FROM cl JOIN customer c
+        |  ON c.c_custkey // 2 = cl.node AND c.c_custkey >= 2)
+        |SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+        |FROM cl GROUP BY node ORDER BY node""".stripMargin,
     "h3_subtree_rollup" ->
       // genuine recursive CTE over the transposed closure; DISTINCT
       // (node, descendant) pairs so a DAG could never double-count a
