@@ -102,7 +102,20 @@ object Scaling {
     "u2_scd2_history" -> Set("orders"),
     "m4_image_neardup" -> Set("documents"),
     "m5_image_dedup_clusters" -> Set("documents"),
-    "h2_hierarchy_flatten" -> Set("customer", "supplier", "nation"))
+    "h2_hierarchy_flatten" -> Set("customer", "supplier", "nation"),
+    // round-10 family: u5/u6/j10 ride the key-offset orders replicas
+    // (change sets, snapshots, and interval populations all ∝ factor
+    // with per-key structure preserved); h4 rides the hierarchy
+    // leaf-replica forest (path count ∝ leaves at fixed height); g1's
+    // BFS tree deepens only logarithmically as customers grow; cms1's
+    // sketch is constant-size while corpus rows and (suffixed)
+    // vocabulary grow ∝ factor
+    "u5_cdc_apply" -> Set("orders"),
+    "u6_snapshot_diff" -> Set("orders"),
+    "j10_interval_join" -> Set("orders"),
+    "h4_hierarchy_paths" -> Set("customer", "supplier", "nation"),
+    "g1_bfs_distance" -> Set("customer", "supplier", "nation"),
+    "cms1_sketch_counts" -> Set("documents"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -216,9 +229,11 @@ object Scaling {
     val allFixed = Seq("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters",
       "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
       "sd1_segment_dedup", "he1_hashed_embedding",
-      "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters")
+      "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters",
+      "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
-      "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten")
+      "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
+      "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
     // a typo'd name must fail LOUDLY — silently measuring a subset of
     // the requested subset would report a deep point that never ran
     only.foreach { s =>
