@@ -203,6 +203,23 @@ class ShuffleShardSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 100000L)
   }
 
+  test("append manifest: a mass redelivery (candidates past the collect cap) takes the join fallback and stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-mass").toString + "/out"
+    def batch(lo: Long, hi: Long) = (lo to hi).toDF("id")
+    // 120k exported ids: a full re-offer makes every row Bloom-positive,
+    // pushing candidates past CollectRows (100k) into the semi/anti path
+    assert(ShuffleShard.appendShards(batch(1L, 120000L), "id", 4, seed = 5, dir) == 120000L)
+    assert(ShuffleShard.appendShards(batch(1L, 120000L), "id", 4, seed = 5, dir) == 0L)
+    // mixed mass redelivery: 115k replays + 10k fresh — only the fresh land
+    assert(ShuffleShard.appendShards(batch(5001L, 130000L), "id", 4, seed = 5, dir) == 10000L)
+    assert(spark.read.parquet(dir).count() == 130000L)
+    // fresh rows landed with correct dense per-shard positions
+    val byShard = spark.read.parquet(dir).groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx")).collect()
+    byShard.foreach(r => assert(r.getLong(2) == r.getLong(1) - 1,
+      s"shard ${r.getInt(0)}: max pos ${r.getLong(2)} vs count ${r.getLong(1)}"))
+  }
+
   test("append manifest: a bare writeShards export upgrades in place on first append") {
     val dir = java.nio.file.Files.createTempDirectory("shards-up").toString + "/out"
     val a = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "text")
