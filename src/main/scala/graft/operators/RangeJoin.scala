@@ -31,15 +31,19 @@ object RangeJoin {
     * distinct pass. Explode factor is interval-length / W: size
     * `bucketWidth` near the typical interval length so each interval
     * covers O(1) bins; cost then scales with true overlap density,
-    * never |L|×|R|. Intervals must satisfy start <= end (loudly
-    * enforced by the bin sequence being non-empty). */
+    * never |L|×|R|. Inverted rows (start > end) denote the EMPTY
+    * interval and are excluded up front — the set-semantics answer
+    * (empty overlaps nothing), and it also keeps Spark's `sequence`
+    * from silently generating descending bins for them. */
   def intervalOverlap(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
-    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
-      explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("__bin",
+        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
     val l = binned(left, lStart, lEnd)
     val r = binned(right, rStart, rEnd)
     l.join(r, keys :+ "__bin")

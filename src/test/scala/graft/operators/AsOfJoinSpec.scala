@@ -78,4 +78,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got.toSet == want.toSet, s"trial $trial")
     }
   }
+
+  test("intervalOverlap: inverted (empty) intervals overlap nothing") {
+    import spark.implicits._
+    val l = Seq(("a", 1L, 10L, 3L)).toDF("lid", "k", "ls", "le") // [10,3] = ∅
+    val r = Seq(("b", 1L, 2L, 12L)).toDF("rid", "k", "rs", "re")
+    assert(RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", 7L)
+      .count() == 0)
+    assert(RangeJoin.intervalOverlap(r, l, Seq("k"), "rs", "re", "ls", "le", 7L)
+      .count() == 0)
+  }
 }
