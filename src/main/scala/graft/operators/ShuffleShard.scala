@@ -89,8 +89,9 @@ object ShuffleShard {
     * positions, (b) a serialized Bloom filter over every exported id,
     * and (c) an append-only id-column table. A steady-state append
     * reads O(batch + manifest): tails and Bloom words are
-    * filter-sized, the batch probes the Bloom as a plan-literal
-    * bit-array (no join), and only the Bloom-POSITIVE candidates —
+    * filter-sized, the batch probes the Bloom through a
+    * broadcast-variable UDF (no join, bits shipped once per
+    * executor), and only the Bloom-POSITIVE candidates —
     * empty on a clean batch, redelivered/false-positive ids otherwise
     * — are exactly confirmed against the id table (no false positive
     * ever drops a genuinely-new row; no set id ever sneaks past). The
