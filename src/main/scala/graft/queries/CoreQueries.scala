@@ -164,6 +164,21 @@ object CoreQueries {
         .intersect(T(s, dir, "lineitem").select(col("l_partkey").as("pk")))
         .orderBy(col("pk"))
     }),
+    "set4_except_all" -> ((s, dir) => {
+      // MULTISET difference: each l_partkey occurrence cancels one
+      // part-side occurrence — the bag semantics EXCEPT collapses away
+      T(s, dir, "lineitem").select(col("l_partkey").as("pk"))
+        .exceptAll(T(s, dir, "orders")
+          .select((col("o_orderkey") % 200).as("pk")))
+        .orderBy(col("pk"))
+    }),
+    "set5_intersect_all" -> ((s, dir) => {
+      // MULTISET intersection: min of the two occurrence counts
+      T(s, dir, "lineitem").select((col("l_partkey") % 500).as("pk"))
+        .intersectAll(T(s, dir, "orders")
+          .select((col("o_orderkey") % 500).as("pk")))
+        .orderBy(col("pk"))
+    }),
 
     // ---- scalar function surface (SURVEY §2.8) --------------------------
     "f1_string_functions" -> ((s, dir) => {
@@ -350,6 +365,14 @@ object CoreQueries {
     "set3_intersect" ->
       """SELECT p_partkey AS pk FROM part
         |INTERSECT SELECT l_partkey AS pk FROM lineitem ORDER BY pk""".stripMargin,
+    "set4_except_all" ->
+      """SELECT l_partkey AS pk FROM lineitem
+        |EXCEPT ALL SELECT o_orderkey % 200 AS pk FROM orders
+        |ORDER BY pk""".stripMargin,
+    "set5_intersect_all" ->
+      """SELECT l_partkey % 500 AS pk FROM lineitem
+        |INTERSECT ALL SELECT o_orderkey % 500 AS pk FROM orders
+        |ORDER BY pk""".stripMargin,
     "f1_string_functions" ->
       """SELECT c_custkey,
         | split_part(c_name, '#', 2) AS id_part,

@@ -56,6 +56,23 @@ object ExtraQueries {
         .select(col("lang"), col("p"), col("toks").as("value"))
         .orderBy(col("lang"), col("p"))
     }),
+    "w5_ignore_nulls" -> ((s, dir) => {
+      // IGNORE NULLS window navigation — the Teradata/Oracle surface
+      // migrations lean on: LOCF gap-fill (last non-null carried
+      // forward) and first-non-null per partition
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("v", when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")))
+        .withColumn("locf", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("first_nn", first(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("o_orderkey"), col("o_custkey"), col("v"),
+          col("locf"), col("first_nn"))
+        .orderBy(col("o_orderkey"))
+    }),
     "qt2_percentile_cont" -> ((s, dir) => {
       // PERCENTILE_CONT: linear interpolation at index (n-1)·p — the
       // other SQL quantile face (qt1 is the rank-exact PERCENTILE_DISC
@@ -659,6 +676,18 @@ object ExtraQueries {
          |SELECT lang, p.p AS p, toks AS value
          |FROM r, p WHERE rn = CAST(ceil(p.p * n) AS BIGINT)
          |ORDER BY lang, p""".stripMargin,
+    "w5_ignore_nulls" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS v
+        | FROM orders)
+        |SELECT o_orderkey, o_custkey, v,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        | first_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     "qt2_percentile_cont" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |  CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks FROM documents),
