@@ -57,9 +57,43 @@ object ValidationQueries {
           |FROM lineitem_v WHERE l_discount > 0.05 AND l_quantity < 45""".stripMargin,
         pctThreshold = 1.0)
         .orderBy(col("validation_name"))
+    }),
+    "v11_ref_integrity" -> ((s, dir) => {
+      // FK orphan audit: one intact relation (lineitem→orders) and one
+      // deliberately broken parent (customers with key%10==0 dropped)
+      // prove both the clean and the detecting path; null FKs counted
+      // apart (SQL FKs ignore NULLs)
+      import graft.validate.RefIntegrity
+      RefIntegrity.check(Seq(
+          RefIntegrity.Relation("lineitem.l_orderkey->orders.o_orderkey",
+            T(s, dir, "lineitem"), "l_orderkey",
+            T(s, dir, "orders"), "o_orderkey"),
+          RefIntegrity.Relation("orders.o_custkey->customer(sampled).c_custkey",
+            T(s, dir, "orders"), "o_custkey",
+            T(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0),
+            "c_custkey")))
+        .orderBy(col("relation"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "v11_ref_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+        | CAST(COUNT(*) AS BIGINT) AS total_rows,
+        | CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+        | CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+        |FROM lineitem l LEFT JOIN
+        | (SELECT DISTINCT o_orderkey AS k FROM orders) p ON l.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer(sampled).c_custkey',
+        | CAST(COUNT(*) AS BIGINT),
+        | CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o LEFT JOIN
+        | (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 10 <> 0) p
+        | ON o.o_custkey = p.k
+        |ORDER BY relation""".stripMargin,
     "v7_column_validation" ->
       """WITH s AS (
         | SELECT l_linestatus, CAST(COUNT(l_quantity) AS DOUBLE) AS c,
