@@ -56,6 +56,31 @@ object ExtraQueries {
         .select(col("lang"), col("p"), col("toks").as("value"))
         .orderBy(col("lang"), col("p"))
     }),
+    "a11_filtered_agg" -> ((s, dir) => {
+      // FILTER (WHERE …) aggregates — per-branch conditional
+      // aggregation in ONE pass over the fact table, the idiom
+      // migrations rewrite CASE-inside-SUM into
+      T(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_totalprice") > 150000, 1)).as("n_big"),
+          sumd(when(col("o_orderpriority").startsWith("1"), col("o_totalprice")))
+            .as("urgent_value"),
+          max(when(col("o_orderkey") % 2 === 0, col("o_orderdate"))).as("last_even"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "a12_multi_distinct" -> ((s, dir) => {
+      // several COUNT(DISTINCT …) over different columns in one
+      // aggregate — Catalyst plans this through Expand (one pass,
+      // row-multiplied by the distinct-group count), not N self-joins
+      T(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("d_cust"),
+          countDistinct(col("o_orderpriority")).as("d_prio"),
+          countDistinct(col("o_orderdate")).as("d_dates"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "w5_ignore_nulls" -> ((s, dir) => {
       // IGNORE NULLS window navigation — the Teradata/Oracle surface
       // migrations lean on: LOCF gap-fill (last non-null carried
@@ -676,6 +701,21 @@ object ExtraQueries {
          |SELECT lang, p.p AS p, toks AS value
          |FROM r, p WHERE rn = CAST(ceil(p.p * n) AS BIGINT)
          |ORDER BY lang, p""".stripMargin,
+    "a11_filtered_agg" ->
+      """SELECT o_orderstatus,
+        | CAST(COUNT(*) AS BIGINT) AS n_all,
+        | CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   FILTER (WHERE o_orderpriority LIKE '1%') AS DOUBLE) AS urgent_value,
+        | MAX(o_orderdate) FILTER (WHERE o_orderkey % 2 = 0) AS last_even
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a12_multi_distinct" ->
+      """SELECT o_orderstatus,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+        | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_prio,
+        | CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_dates,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "w5_ignore_nulls" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_orderdate,
         |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS v

@@ -441,6 +441,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("a12 multi-distinct: Catalyst plans Expand (one multiplied pass), never distinct self-joins") {
+    val p = planOf("a12_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cms1 sketch estimates: plan-literal min-over-rows — no join anywhere, keyed aggregates only") {
     val p = planOf("cms1_sketch_counts")
     assert(!p.contains("Join") && !p.contains("Window"), p)
