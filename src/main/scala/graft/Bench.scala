@@ -84,6 +84,24 @@ object Bench {
   def retryDisagrees(median: Double, retry: Double): Boolean =
     median > RetryFactor * retry && median - retry > RetryFloorSec
 
+  /** `queries_retry` fragment + the degraded vote, from retry outcomes
+    * `(name, median, retrySec, failed)`. A retry that THREW publishes
+    * `null` — its time-to-failure is not a measurement — and never
+    * votes on `degraded` (a fast failure would read as a tiny retry and
+    * flip the flag on a bogus number). */
+  def retryJsonAndDegraded(
+      retries: Seq[(String, Double, Double, Boolean)]): (String, Boolean) = {
+    val degraded = retries.exists {
+      case (_, med, r, failed) => !failed && retryDisagrees(med, r)
+    }
+    val json =
+      if (retries.isEmpty) ""
+      else retries.map { case (n, _, r, failed) =>
+        "\"" + n + "\":" + (if (failed) "null" else r.toString)
+      }.mkString(""","queries_retry":{""", ",", "}")
+    (json, degraded)
+  }
+
   /** Fixed-work single-thread CPU probe: 10^8 iterations of an FNV-style
     * 64-bit mixing loop, timed. Pure ALU work, no allocation — measures
     * available CPU, not memory bandwidth. The fold on `h` keeps the loop
@@ -200,16 +218,18 @@ object Bench {
     // load window riding it) is over — see RetryFactor's scaladoc
     val retries = ok.collect { case (name, med, mn) if retrySuspect(med, mn) =>
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
+      // a THROWING re-run must not publish its time-to-failure: a fast
+      // failure looks like a tiny retry value, retryDisagrees reads it
+      // as proof of load, and degraded flips true on a bogus number.
+      // Failed retries publish null and never vote on degraded.
+      val failed =
+        try { run(SparkEntry.queries(name)(spark, sfDir)); false }
+        catch { case _: Throwable => true }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (name, med, math.rint(sec * 1000) / 1000)
+      (name, med, math.rint(sec * 1000) / 1000, failed)
     }
-    val retryDegraded = retries.exists { case (_, med, r) => retryDisagrees(med, r) }
-    val retryJson =
-      if (retries.isEmpty) ""
-      else retries.map { case (n, _, r) => "\"" + n + "\":" + r }
-        .mkString(""","queries_retry":{""", ",", "}")
+    val (retryJson, retryDegraded) = retryJsonAndDegraded(retries)
     val qs = queryStatsJson(ok)
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")

@@ -30,8 +30,15 @@ final class ChangeApplier(spark: SparkSession) {
       batch: DataFrame, targetTable: String, keys: Seq[String], seqCol: String,
       opCol: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
+      // fresh-table schema: the CDC path must exclude seqCol/opCol (they
+      // are change-feed metadata, and applyCdc requires the target NOT
+      // carry them); the plain append-stream path KEEPS seqCol — the
+      // original first-batch saveAsTable contract, where the persisted
+      // sequence column records each key's last-applied change and
+      // existing consumers read it. Dropping it here (a round-10 slip)
+      // silently changed the schema of freshly created non-CDC tables.
       val tcols = batch.columns.toSeq
-        .filterNot(c => c == seqCol || opCol.contains(c))
+        .filterNot(c => opCol.contains(c) || (opCol.isDefined && c == seqCol))
       val target =
         if (spark.catalog.tableExists(targetTable)) spark.table(targetTable)
         else batch.select(tcols.map(col): _*).limit(0)

@@ -67,19 +67,78 @@ object CountMinSketch {
     Array.tabulate(a.length)(i => a(i) + b(i))
   }
 
-  /** Plan-literal point estimate for `item`: min over the R salted
-    * cells. Always ≥ the item's true occurrence count in the sketched
-    * data; ≤ true + colliding mass. */
+  /** Matrices at or under this cell count embed as a plan literal
+    * (codegen'd `element_at`, ≤ 128 KB serialized — inside the repo's
+    * measured ≲100 KB-ish plan-literal comfort zone); wider matrices
+    * route through the broadcast-UDF path below. */
+  val LiteralCells = 1 << 14
+
+  /** Point estimate for `item`: min over the R salted cells. Always ≥
+    * the item's true occurrence count in the sketched data; ≤ true +
+    * colliding mass.
+    *
+    * Two physical faces, one semantics: a matrix ≤ [[LiteralCells]]
+    * rides into the plan as a `typedlit` (pure codegen arithmetic, no
+    * join, no driver state at execution); a wider one ships ONCE per
+    * executor as a `sparkContext.broadcast` probed inside a UDF — the
+    * [[ShardManifest]] discipline, because a multi-MB plan literal
+    * re-deserializes inside EVERY task binary (measured at ~3 s/job for
+    * 4 MB × 32 tasks). The UDF mirrors the literal path's arithmetic
+    * exactly (same md5 pair, h2 div 32, mod W, min over rows), so the
+    * two faces are bit-identical — CmsSpec proves it per width. No SQL
+    * registration (GraftExtensions carries only PURE functions of row
+    * values; an estimate is parameterized by a driver-built matrix, so
+    * its SQL face would need a temp-view join, not a function). */
   def estimate(item: Column, matrix: Array[Long], width: Int): Column = {
     require(matrix.length == Rows * width,
       s"matrix length ${matrix.length} != $Rows x $width")
+    if (matrix.length <= LiteralCells) estimateLiteral(item, matrix, width)
+    else estimateBroadcast(item, matrix, width)
+  }
+
+  /** Literal face: codegen'd `element_at` over a `typedlit`. The
+    * explicit null guard matters: `element_at` over a containsNull=false
+    * literal array returns 0 — not NULL — for a NULL index, so without
+    * it a null item would "estimate" 0 here while the broadcast face
+    * (correctly) returns null. */
+  private[operators] def estimateLiteral(
+      item: Column, matrix: Array[Long], width: Int): Column = {
     val mLit = typedlit(matrix.toSeq)
     val hp = TextOps.hexHash60Pair(item)
     val h1 = hp(0)
     val h2d = shiftright(hp(1), 5)
-    (0 until Rows).map { r =>
+    val minCell = (0 until Rows).map { r =>
       val pos = (h1 + lit(r.toLong) * h2d) % lit(width.toLong)
       element_at(mLit, (lit(r.toLong * width) + pos + 1).cast("int"))
     }.reduce(least(_, _))
+    when(hp.isNull, lit(null).cast("long")).otherwise(minCell)
+  }
+
+  /** Broadcast face: bits ship once per executor, probed in a UDF. */
+  private[operators] def estimateBroadcast(
+      item: Column, matrix: Array[Long], width: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(matrix)
+    val w = width.toLong
+    val est = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val m = bc.value
+        val hp = graft.plans.HexHash60Pair.hashPair(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        val h1 = hp.getLong(0)
+        val h2d = hp.getLong(1) >>> 5
+        var best = Long.MaxValue
+        var r = 0
+        while (r < Rows) {
+          val pos = (h1 + r * h2d) % w
+          val v = m(r * width + pos.toInt)
+          if (v < best) best = v
+          r += 1
+        }
+        java.lang.Long.valueOf(best)
+      }
+    }
+    est(item.cast("string"))
   }
 }

@@ -40,17 +40,49 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    // EXACT integer floor-division for binning: `Column./` is double
+    // division, so coordinates past 2^53 (nanosecond epochs) would bin
+    // inconsistently with the first-shared-bin dedup filter and silently
+    // drop or duplicate pairs. (a - pmod(a, W)) is exactly divisible by
+    // W, so integral `div` (truncating) equals floor for any sign.
+    def binOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c.cast("long") - pmod(c.cast("long"), lit(bucketWidth)),
+        lit(bucketWidth))
     def binned(df: DataFrame, s: String, e: String) = df
       .filter(col(s) <= col(e))
-      .withColumn("__bin",
-        explode(sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+      .withColumn("__bin", explode(sequence(binOf(col(s)), binOf(col(e)))))
     val l = binned(left, lStart, lEnd)
     val r = binned(right, rStart, rEnd)
     l.join(r, keys :+ "__bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .filter(col("__bin") ===
-        floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .filter(col("__bin") === binOf(greatest(col(lStart), col(rStart))))
       .drop("__bin")
+  }
+
+  /** [[intervalOverlap]] with a DERIVED `bucketWidth` — the caller-set
+    * width is the family's one footgun (too narrow explodes each
+    * interval across many bins; too wide packs unrelated intervals into
+    * per-bin cross products). The default is the approximate 75th
+    * percentile of interval length over BOTH sides (one combinable
+    * `approx_percentile` aggregate — constant-size sketch state, a tiny
+    * pre-pass at any scale): at W = p75 at least three quarters of
+    * intervals cover ≤ 2 bins (explode factor O(1)), and the long tail
+    * pays bins proportional to its true time coverage — which is the
+    * honest cost model, a long interval genuinely meets more
+    * candidates. Empty inputs (or all-empty intervals) fall back to
+    * width 1 — there is nothing to explode. Pass the explicit overload
+    * when the caller knows the domain's natural granularity. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String): DataFrame = {
+    val lens = left
+      .select((col(lEnd).cast("long") - col(lStart).cast("long") + 1L).as("__len"))
+      .unionByName(right.select(
+        (col(rEnd).cast("long") - col(rStart).cast("long") + 1L).as("__len")))
+      .filter(col("__len") >= 1L)
+    val p75 = lens.agg(expr("approx_percentile(__len, 0.75)")).collect()(0)
+    val width = if (p75.isNullAt(0)) 1L else math.max(1L, p75.getLong(0))
+    intervalOverlap(left, right, keys, lStart, lEnd, rStart, rEnd, width)
   }
 
   /** Pairs with `abs(leftTs - rightTs) <= delta` (seconds), equi on

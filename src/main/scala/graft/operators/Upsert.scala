@@ -97,12 +97,21 @@ object Upsert {
     val scdCols = Seq("valid_from", "valid_to", "is_current")
     require(scdCols.forall(dim.columns.contains),
       s"dim must be an scd2History output (missing one of $scdCols)")
-    val batchKeys = broadcast(batch.select(keys.map(col): _*).distinct())
+    // null-SAFE touched/untouched split: scd2History's window groups a
+    // null key into one real partition, so a null-key open version must
+    // match a null-key batch like any other key — a plain using-column
+    // semi/anti (null never equals null) would route it to `untouched`
+    // while the batch rebuilt a SECOND history for the same key,
+    // silently breaking incremental == rebuild. Rename the key frame so
+    // the <=> condition is unambiguous (shared-lineage lesson below).
+    val batchKeys = broadcast(
+      batch.select(keys.map(k => col(k).as(s"__bk_$k")): _*).distinct())
+    val touchCond = keys.map(k => col(k) <=> col(s"__bk_$k")).reduce(_ && _)
     val open = dim.filter(col("is_current"))
     val closed = dim.filter(!col("is_current"))
-    val seed = open.join(batchKeys, keys, "left_semi")
+    val seed = open.join(batchKeys, touchCond, "left_semi")
       .drop(scdCols: _*)
-    val untouched = open.join(batchKeys, keys, "left_anti")
+    val untouched = open.join(batchKeys, touchCond, "left_anti")
     val log = seed.withColumn("__seed", lit(true))
       .unionByName(batch.withColumn("__seed", lit(false)))
     // the open version must sort strictly first in its key's batch-
@@ -187,6 +196,14 @@ object Upsert {
       .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // a NULL op would satisfy NEITHER filter below (=== and =!= both
+    // yield null) and the row would vanish from dels AND ups — a
+    // malformed feed silently losing data. Fail loudly instead (the
+    // scd2Apply lateRows discipline: one limit(1) probe, change-sized).
+    val nullOps = latest.filter(col(opCol).isNull).limit(1).count()
+    require(nullOps == 0,
+      s"applyCdc: change rows with a NULL '$opCol' after compaction — " +
+        "a null op is neither delete nor upsert; fix the feed")
     val dels = latest.filter(col(opCol) === "D").select(keys.map(col): _*)
     val ups = latest.filter(col(opCol) =!= "D").select(cols.map(col): _*)
     upsert(target.join(dels, keys, "left_anti"), ups, keys)

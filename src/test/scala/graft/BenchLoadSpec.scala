@@ -90,4 +90,19 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(upgraded.contains("\"retry_degraded\":true") &&
       upgraded.contains("\"degraded\":true"))
   }
+
+  test("a FAILED retry publishes null and never votes on degraded") {
+    // (name, median, retrySec, failed): q_err threw fast — its 0.05 s
+    // time-to-failure would read as massive disagreement if it voted
+    val (json, degraded) = Bench.retryJsonAndDegraded(Seq(
+      ("q_err", 2.31, 0.05, true),
+      ("q_real", 2.31, 2.2, false))) // retry reproduces the median
+    assert(!degraded)
+    assert(json.contains("\"q_err\":null"))
+    assert(json.contains("\"q_real\":2.2"))
+    // the same fast value from a SUCCESSFUL retry does vote
+    assert(Bench.retryJsonAndDegraded(Seq(("q", 2.31, 0.05, false)))._2)
+    // and no suspects → no fragment at all
+    assert(Bench.retryJsonAndDegraded(Nil) == ("", false))
+  }
 }

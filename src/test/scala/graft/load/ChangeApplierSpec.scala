@@ -29,6 +29,13 @@ class ChangeApplierSpec extends AnyFunSuite {
       val state = spark.table(tbl).select("k", "name")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(state == Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
+      // the non-CDC fresh table KEEPS the sequence column (the original
+      // first-batch contract: persisted seq = each key's last-applied
+      // change), and it carries the winning row's seq
+      assert(spark.table(tbl).columns.toSeq == Seq("k", "name", "seq"))
+      val seqs = spark.table(tbl).select("k", "seq")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(seqs == Map(1L -> 4L, 2L -> 1L, 3L -> 2L))
     } finally q.stop()
   }
 
@@ -55,6 +62,9 @@ class ChangeApplierSpec extends AnyFunSuite {
       val state = spark.table(tbl).select("k", "name")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(state == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"))
+      // the CDC table must NOT carry feed metadata: applyCdc requires
+      // the target's columns to exclude seq/op
+      assert(spark.table(tbl).columns.toSeq == Seq("k", "name"))
     } finally q.stop()
   }
 }

@@ -35,6 +35,17 @@ class BfsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("raise the bound"))
   }
 
+  test("high-diameter path graph: diameter ≈ round count, visited stays one bounded frame") {
+    // the adversarial shape for the old re-union-all-levels visited set:
+    // a path of depth D runs D rounds, so a depth-wide union per round
+    // is O(D²) plan/scan overhead; the single maintained visited frame
+    // keeps every round at one O(visited) scan with a constant-size plan
+    val d = 60L
+    val path = (1L to d).map(i => i -> (i + 1))
+    assert(run(path, Seq(1L), maxDepth = d.toInt + 1) ==
+      (1L to d + 1).map(i => i -> (i - 1).toInt).toMap)
+  }
+
   test("random functional graphs (guaranteed cycles) vs a Scala BFS reference") {
     val rnd = new scala.util.Random(47)
     for (trial <- 1 to 3) {

@@ -60,6 +60,30 @@ class CountMinSketchSpec extends AnyFunSuite {
       CountMinSketch.merge(whole, new Array[Long](8)))
   }
 
+  test("wide matrices take the broadcast face: no array literal in the plan, bit-identical to the literal face") {
+    val width = 1 << 16 // 262144 cells — a 2 MB array if embedded as a literal
+    val sk = CountMinSketch.build(occurrences.toDF("w"), "w", width)
+    assert(sk.length > CountMinSketch.LiteralCells)
+    val items = (exact.keys.toSeq :+ null).toDF("w")
+    val wide = items.withColumn("est", CountMinSketch.estimate(col("w"), sk, width))
+    // the dispatched face must not embed the matrix as a plan literal —
+    // a multi-MB literal re-deserializes inside every task binary
+    val arrayLits = wide.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(arrayLits.isEmpty, "broadcast face leaked an array literal into the plan")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = toMap(wide)
+    val viaLiteral = toMap(items.withColumn("est",
+      CountMinSketch.estimateLiteral(col("w"), sk, width)))
+    assert(got == viaLiteral) // same arithmetic, different shipping
+    assert(got(None).isEmpty) // null item estimates null on both faces
+    assert(got.collect { case (Some(w), Some(e)) => w -> e } == exact)
+  }
+
   test("bad widths fail loudly") {
     intercept[IllegalArgumentException](
       CountMinSketch.build(occurrences.toDF("w"), "w", 48))

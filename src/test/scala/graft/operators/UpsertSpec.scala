@@ -192,6 +192,52 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("applyCdc: a NULL op surviving compaction fails loudly instead of dropping the row") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    // k=3's latest change has a null op: neither delete nor upsert —
+    // the row must not silently vanish from both branches
+    val bad = Seq((2L, "b", 1, Some("U")), (3L, "c", 1, None: Option[String]))
+      .toDF("k", "v", "seq", "op")
+    val e = intercept[IllegalArgumentException](
+      Upsert.applyCdc(target, bad, Seq("k"), "seq", "op"))
+    assert(e.getMessage.contains("NULL 'op'"))
+    // a null op SUPERSEDED by a later change is gone after compaction —
+    // the feed's final word per key is well-formed, so it applies
+    val healed = Seq((2L, "b0", 1, None: Option[String]), (2L, "b1", 2, Some("U")))
+      .toDF("k", "v", "seq", "op")
+    val out = Upsert.applyCdc(target, healed, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b1")))
+  }
+
+  test("scd2Apply: a NULL key is one real key — touched split is null-safe, incremental == rebuild") {
+    import spark.implicits._
+    val hist = Seq((Some(7L), 1, Some("A")), (None: Option[Long], 1, Some("N1")))
+      .toDF("k", "seq", "status")
+    val dim = Upsert.scd2History(hist, Seq("k"), Seq("status"), Seq("seq"))
+    val batch = Seq((None: Option[Long], 2, Some("N2"))).toDF("k", "seq", "status")
+    val inc = Upsert.scd2Apply(dim, batch, Seq("k"), Seq("status"), Seq("seq"))
+    val full = Upsert.scd2History(hist.unionByName(batch),
+      Seq("k"), Seq("status"), Seq("seq"))
+    def snapN(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "seq", "status", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getInt(1),
+        Option(r.getString(2)), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snapN(inc) == snapN(full))
+    // before the null-safe split, the null-key batch rebuilt a SECOND
+    // history and the dimension ended with two open null-key versions
+    assert(inc.filter(col("k").isNull && col("is_current")).count() == 1)
+    // and the lateRows guard can now SEE a late null-key batch
+    val late = Seq((None: Option[Long], 1, Some("N3"))).toDF("k", "seq", "status")
+    val e = intercept[IllegalArgumentException](
+      Upsert.scd2Apply(dim, late, Seq("k"), Seq("status"), Seq("seq")))
+    assert(e.getMessage.contains("in order"))
+  }
+
   test("snapshotDiff: inserts, before-image deletes, null-safe updates, identical rows silent") {
     import spark.implicits._
     val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
