@@ -58,6 +58,19 @@ object ValidationQueries {
         pctThreshold = 1.0)
         .orderBy(col("validation_name"))
     }),
+    "v12_distribution" -> ((s, dir) => {
+      // the check for "aggregates pass but the data is shifted": exact
+      // PERCENTILE_CONT profile compare (shared qt2 interpolation
+      // formula) with v7's threshold semantics. Target clips the
+      // l_quantity tail — low percentiles pass inside the 2% band,
+      // upper ones fail, and l_discount (untouched scale) mostly passes
+      val src = T(s, dir, "lineitem")
+      val tgt = src.filter(col("l_quantity") <= 45.0)
+      graft.validate.DistributionValidator.validate(src, tgt,
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9), pctThreshold = 2.0)
+        .orderBy(col("column_name"), col("p"))
+    }),
     "v11_ref_integrity" -> ((s, dir) => {
       // FK orphan audit: one intact relation (lineitem→orders) and one
       // deliberately broken parent (customers with key%10==0 dropped)
@@ -76,6 +89,60 @@ object ValidationQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "v12_distribution" ->
+      """WITH sv AS (
+        | SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        | UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem),
+        |tv AS (
+        | SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity <= 45
+        | UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_quantity <= 45
+        | UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_quantity <= 45),
+        |ps AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS p),
+        |sq AS (
+        | SELECT column_name, p,
+        |  MAX(CASE WHEN rn = lo THEN v END)
+        |   + MAX(idx - floor(idx)) * (MAX(CASE WHEN rn = hi THEN v END)
+        |     - MAX(CASE WHEN rn = lo THEN v END)) AS source_value
+        | FROM (SELECT column_name, v, rn, n, p.p AS p,
+        |    CAST(n - 1 AS DOUBLE) * p.p AS idx,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+        |   FROM (SELECT column_name, v,
+        |      row_number() OVER (PARTITION BY column_name ORDER BY v) AS rn,
+        |      COUNT(*) OVER (PARTITION BY column_name) AS n
+        |     FROM sv WHERE v IS NOT NULL) r, ps p)
+        | WHERE rn = lo OR rn = hi GROUP BY column_name, p),
+        |tq AS (
+        | SELECT column_name, p,
+        |  MAX(CASE WHEN rn = lo THEN v END)
+        |   + MAX(idx - floor(idx)) * (MAX(CASE WHEN rn = hi THEN v END)
+        |     - MAX(CASE WHEN rn = lo THEN v END)) AS target_value
+        | FROM (SELECT column_name, v, rn, n, p.p AS p,
+        |    CAST(n - 1 AS DOUBLE) * p.p AS idx,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+        |   FROM (SELECT column_name, v,
+        |      row_number() OVER (PARTITION BY column_name ORDER BY v) AS rn,
+        |      COUNT(*) OVER (PARTITION BY column_name) AS n
+        |     FROM tv WHERE v IS NOT NULL) r, ps p)
+        | WHERE rn = lo OR rn = hi GROUP BY column_name, p)
+        |SELECT column_name, CAST(p AS DOUBLE) AS p, source_value, target_value,
+        | target_value - source_value AS difference,
+        | CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |      WHEN source_value=0 THEN NULL
+        |      ELSE (target_value - source_value)/source_value*100 END AS pct_difference,
+        | CAST(2.0 AS DOUBLE) AS pct_threshold,
+        | CASE WHEN source_value IS NULL OR target_value IS NULL THEN 'fail'
+        |      WHEN (CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |            WHEN source_value=0 THEN NULL
+        |            ELSE (target_value - source_value)/source_value*100 END) IS NULL THEN 'fail'
+        |      WHEN abs(CASE WHEN source_value=0 AND target_value=0 THEN 0
+        |            WHEN source_value=0 THEN NULL
+        |            ELSE (target_value - source_value)/source_value*100 END) <= 2.0 THEN 'pass'
+        |      ELSE 'fail' END AS validation_status
+        |FROM sq FULL JOIN tq USING (column_name, p)
+        |ORDER BY column_name, p""".stripMargin,
     "v11_ref_integrity" ->
       """SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
         | CAST(COUNT(*) AS BIGINT) AS total_rows,

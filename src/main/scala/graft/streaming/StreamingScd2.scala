@@ -96,6 +96,13 @@ object StreamingScd2 {
     }
   }
 
+  /** Has any open snapshot committed yet? The guard callers need
+    * before [[readDim]] on a possibly-empty stream (e.g.
+    * [[StreamingRefAudit]] auditing before the first non-empty
+    * batch). */
+  def hasCommitted(spark: SparkSession, dimDir: String): Boolean =
+    committedOpens(spark, dimDir).nonEmpty
+
   /** The full dimension as of the latest committed batch: every closed
     * version ∪ the latest open snapshot. */
   def readDim(spark: SparkSession, dimDir: String): DataFrame = {

@@ -1,0 +1,104 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DVT-style DISTRIBUTION validation — the check a migration reaches
+  * for when [[ColumnValidator]]'s aggregates all pass but the data is
+  * subtly shifted: count/sum/min/max/avg are blind to reshuffled mass
+  * between the extremes (a clipped tail, a re-binned bucket, a unit
+  * mix-up on a symmetric column), while per-column quantiles at fixed
+  * percentiles pin the SHAPE of each distribution on both sides.
+  *
+  * Reference semantics: the Data Validation Tool's column comparison
+  * (`validation_dag.py:87-99`) generalized from single aggregates to a
+  * quantile profile, reported in the same result shape
+  * (source/target value, difference, pct_difference, pct_threshold,
+  * validation_status) with [[ColumnValidator]]'s exact threshold
+  * expression order, so the two validators' pass/fail semantics can
+  * never drift apart.
+  *
+  * Quantiles are exact PERCENTILE_CONT — the shared explicit
+  * interpolation formula of the qt2 oracle key (`vlo + frac·(vhi −
+  * vlo)`, `frac = idx − floor(idx)`, `idx = (n−1)·p` over non-null
+  * values): both engines compute the same IEEE expression, so results
+  * are bit-identical cross-engine, never two library interpolations
+  * racing each other.
+  *
+  * Scale shape: all requested columns unpivot into ONE pass over each
+  * table (`stack` — no per-column re-scan), then a single exchange
+  * partitioned by column name ranks each column's values; the lo/hi
+  * filter collapses the sorted stream to 2·|ps| rows per column before
+  * the tiny full-outer compare. Exact quantiles inherently sort each
+  * column's values within one partition — the audited qt1/qt2 shape;
+  * at extreme per-column cardinality where one column outgrows a
+  * partition, profile a deterministic sample per side instead (the
+  * comparison stays valid because BOTH sides sample the same way).
+  */
+object DistributionValidator {
+
+  /** Exact PERCENTILE_CONT profile of `columns` at percentiles `ps`:
+    * (column_name, p, `valueName`). Null values are excluded per SQL
+    * convention; a column with no non-null values yields no rows (its
+    * quantiles are undefined — the compare surfaces it as a fail on
+    * the side that HAS values). */
+  private def quantiles(
+      df: DataFrame, columns: Seq[String], ps: Seq[Double],
+      valueName: String): DataFrame = {
+    val stackExpr = columns.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
+      .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, v)")
+    val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
+    df.selectExpr(stackExpr)
+      .filter(col("v").isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("column_name"))).cast("long"))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("idx", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("lo", floor(col("idx")) + 1)
+      .withColumn("hi", least(col("lo") + 1, col("n")))
+      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("column_name"), col("p"))
+      .agg(
+        max(when(col("rn") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("rn") === col("hi"), col("v"))).as("vhi"),
+        max(col("idx") - floor(col("idx")).cast("double")).as("frac"))
+      .select(col("column_name"), col("p"),
+        (col("vlo") + col("frac") * (col("vhi") - col("vlo"))).as(valueName))
+  }
+
+  /** Compare the quantile profiles of `source` vs `target` on
+    * `columns`. One row per (column, percentile): `column_name`, `p`,
+    * `source_value`, `target_value`, `difference`, `pct_difference`,
+    * `pct_threshold`, `validation_status` — [[ColumnValidator]]'s
+    * result shape and its exact zero-source conventions (0 = 0 passes
+    * with pct 0; 0 → nonzero fails with null pct; a profile row
+    * missing on either side fails). */
+  def validate(
+      source: DataFrame,
+      target: DataFrame,
+      columns: Seq[String],
+      ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
+      pctThreshold: Double = 0.0): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    val s = quantiles(source, columns, ps, "source_value")
+    val t = quantiles(target, columns, ps, "target_value")
+    val sv = col("source_value")
+    val tv = col("target_value")
+    val pct = when(sv === 0.0 && tv === 0.0, lit(0.0))
+      .when(sv === 0.0, lit(null).cast("double"))
+      .otherwise((tv - sv) / sv * 100.0)
+    s.join(t, Seq("column_name", "p"), "full_outer")
+      .withColumn("difference", tv - sv)
+      .withColumn("pct_difference", pct)
+      .withColumn("pct_threshold", lit(pctThreshold))
+      .withColumn("validation_status",
+        when(sv.isNull || tv.isNull, "fail")
+          .when(col("pct_difference").isNull, "fail")
+          .when(abs(col("pct_difference")) <= pctThreshold, "pass")
+          .otherwise("fail"))
+  }
+}

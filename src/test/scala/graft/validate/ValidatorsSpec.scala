@@ -106,4 +106,39 @@ class ValidatorsSpec extends AnyFunSuite {
     // n: 1 vs 2 = -50% (within 60) pass; sv: 10 vs 30 = -66.7% fail
     assert(out == Map("n" -> "pass", "sv" -> "fail"))
   }
+
+  test("DistributionValidator: catches a shift every column aggregate misses") {
+    import spark.implicits._
+    // same count (10), min (1), max (9), sum/avg (50/5) — the mass just
+    // moved from the middle to the extremes
+    val src = Seq(1, 2, 3, 4, 5, 5, 6, 7, 8, 9).toDF("x")
+    val tgt = Seq(1, 1, 1, 1, 5, 5, 9, 9, 9, 9).toDF("x")
+    val aggs = ColumnValidator.validate(src, tgt,
+      Seq(AggSpec("count", "x"), AggSpec("sum", "x"), AggSpec("min", "x"),
+        AggSpec("max", "x"), AggSpec("avg", "x"))).collect()
+    assert(aggs.forall(_.getAs[String]("validation_status") == "pass"),
+      "premise broken: an aggregate already catches this shift")
+    val dist = DistributionValidator.validate(src, tgt, Seq("x"),
+      ps = Seq(0.25, 0.5, 0.75)).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[String]("validation_status")).toMap
+    // p25: 3.25 vs 1, p75: 6.75 vs 9 — fail; the median is 5 on both
+    assert(dist == Map(0.25 -> "fail", 0.5 -> "pass", 0.75 -> "fail"))
+  }
+
+  test("DistributionValidator: nulls excluded; a side with no values fails, not errors") {
+    import spark.implicits._
+    val src = Seq[Option[Int]](Some(1), Some(2), Some(3), None).toDF("x")
+    val same = Seq[Option[Int]](Some(1), None, Some(2), Some(3)).toDF("x")
+    val out = DistributionValidator.validate(src, same, Seq("x"), ps = Seq(0.5))
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("validation_status") == "pass"
+      && out.head.getAs[Double]("source_value") == 2.0)
+    // target all-null: its profile is empty → the source rows fail with
+    // a null target side (the full-outer keeps the source profile)
+    val empty = Seq[Option[Int]](None, None).toDF("x")
+    val out2 = DistributionValidator.validate(src, empty, Seq("x"), ps = Seq(0.5))
+      .collect()
+    assert(out2.length == 1 && out2.head.getAs[String]("validation_status") == "fail"
+      && out2.head.isNullAt(out2.head.fieldIndex("target_value")))
+  }
 }
