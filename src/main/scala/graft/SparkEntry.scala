@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.TpchQueries.queries ++
       graft.queries.ExtraQueries.queries ++
-      graft.queries.TrainQueries.queries
+      graft.queries.TrainQueries.queries ++
+      graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracle ++
       graft.queries.TpchQueries.oracle ++
       graft.queries.ExtraQueries.oracle ++
-      graft.queries.TrainQueries.oracle
+      graft.queries.TrainQueries.oracle ++
+      graft.queries.EventQueries.oracle
 }

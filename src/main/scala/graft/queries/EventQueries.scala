@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table: the ordered funnel,
+  * weekly cohort retention, and the NTILE / PERCENT_RANK / CUME_DIST
+  * window family — the product-analytics surface a warehouse migration
+  * carries alongside the TPC-H-style reporting queries (reference DVT
+  * validates the tables; these are the queries run ON them,
+  * `validation_dag.py`-adjacent workload shapes).
+  *
+  * Scale notes (100 TB events):
+  *  - fn1's cascade is N keyed joins against per-user step frames that
+  *    shrink monotonically (step k+1 users ⊆ step k users); every join
+  *    and aggregate is keyed on user_id so one hash partitioning is
+  *    reused across the whole cascade, and each stage's event scan is
+  *    filter-pushed to its step's event_type at the parquet reader.
+  *  - co1 is two keyed aggregates and one keyed join, all on user_id —
+  *    the first-week frame is |users|-sized, broadcast below the
+  *    threshold, co-partitioned above it. Week arithmetic is exact
+  *    integer division of epoch seconds (never double division).
+  *  - w6 ranks within o_orderstatus partitions — the one exchange is
+  *    the window's hash partitioning; PERCENT_RANK/CUME_DIST are the
+  *    same explicit integer-ratio IEEE doubles in both engines.
+  */
+object EventQueries {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Funnel step order; each step must first occur strictly after the
+    * user's first completion of the previous step. */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Per-user first-completion frames of the ordered funnel: one
+    * (user_id, t) frame per step, where t is the first time the user
+    * completed steps 1..k IN ORDER (an out-of-order occurrence never
+    * counts). Stage k+1's user set ⊆ stage k's by construction. */
+  def funnelStages(
+      events: DataFrame, steps: Seq[String] = FunnelSteps): Seq[DataFrame] = {
+    val head = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    steps.tail.scanLeft(head) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel" -> ((s, dir) => {
+      // ordered funnel: per user, first signup, then first view AFTER
+      // that signup, then first click after the view, then first
+      // purchase after the click — the strict-sequence semantics
+      // (a view before the signup doesn't count). Output: users
+      // reaching each step.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      funnelStages(ev).zip(FunnelSteps).zipWithIndex.map { case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      }.reduce(_.union(_)).orderBy(col("step"))
+    }),
+    "co1_cohort_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort = epoch-week of the user's
+      // first event, offset = activity week − cohort week, cell =
+      // distinct active users. Exact integer week buckets (epoch
+      // seconds div 604800) so both engines bin identically.
+      val wk = T(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("w"))
+      val first = wk.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+      wk.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    "w6_ntile_bands" -> ((s, dir) => {
+      // NTILE(4) + PERCENT_RANK + CUME_DIST per status over price —
+      // the banding/percentile window family (§2.6's remaining faces).
+      // percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are
+      // integer-ratio doubles: bit-identical cross-engine.
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("band", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "fn1_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t FROM events
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s3 ON e.user_id = s3.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+        |ORDER BY step""".stripMargin,
+    "co1_cohort_retention" ->
+      """WITH wk AS (
+        | SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+        | FROM events),
+        |first AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT first.cohort_week, wk.w - first.cohort_week AS week_offset,
+        | COUNT(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN first ON wk.user_id = first.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w6_ntile_bands" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS band,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -475,4 +475,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("fn1 funnel: each cascade stage's event scan is filter-pushed to its step type; all joins keyed on user_id") {
+    val p = planOf("fn1_funnel")
+    assert(p.contains("EqualTo(event_type,signup)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("co1 cohort retention: keyed join against the |users|-sized first-week frame — no cartesian, no window") {
+    val p = planOf("co1_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), p) // two keyed aggregates + one keyed join only
+  }
+
+  test("v12 distribution validation: one stacked scan per side (no per-column re-scan), keyed full-outer compare, no cartesian") {
+    val p = planOf("v12_distribution")
+    // stack() unpivots all profiled columns in ONE pass over each
+    // table — 3 columns must NOT mean 3 scans per side (count the
+    // formatted detail headers; tree lines would double-count)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 2, p)
+    // the compare joins two 2·|ps|-rows-per-column profiles on
+    // (column_name, p) — keyed, never a nested loop
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // exact quantiles rank within each column's partition: exactly one
+    // window exchange per side feeds both row_number and the count
+    assert(p.contains("Window"), p)
+  }
 }
