@@ -81,6 +81,63 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    "fn2_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over the event stream:
+      // per user the next event by time, counted per (from, to) pair
+      // with the per-from transition probability. prob is an exact
+      // integer ratio — both engines compute the same IEEE double.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+    "rfm1_segments" -> ((s, dir) => {
+      // RFM segmentation: per customer recency/frequency/monetary from
+      // the fact table (one keyed aggregate — the only fact-sized
+      // exchange), then quartile bands via NTILE over the
+      // customer-sized frame. Banding a dimension through a total
+      // order is the rank-exact choice; at extreme |customers| band by
+      // sampled thresholds instead (DistributionValidator note).
+      // Monetary sums through decimal (order-independent); ties break
+      // on custkey in both engines.
+      import graft.core.Exact.sumd
+      val m = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("r"),
+          count(lit(1)).as("f"),
+          sumd(col("o_totalprice")).as("m"))
+      m.withColumn("r_band",
+          ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))).cast("long"))
+        .withColumn("f_band",
+          ntile(4).over(Window.orderBy(col("f"), col("o_custkey"))).cast("long"))
+        .withColumn("m_band",
+          ntile(4).over(Window.orderBy(col("m"), col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col("f"), col("m"),
+          col("r_band"), col("f_band"), col("m_band"))
+        .orderBy(col("o_custkey"))
+    }),
+    "hg1_histogram" -> ((s, dir) => {
+      // equi-width histogram (width_bucket face): exact-count + exact-
+      // sum per fixed-width price bin. bin = floor(v / 50000.0) is the
+      // same IEEE double division in both engines (values ≪ 2^53); at
+      // integer coordinates past 2^53 switch to the intervalOverlap
+      // integer floor-div discipline.
+      import graft.core.Exact.sumd
+      T(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+          col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+        .withColumn("bin_lo", (col("bin") * 50000L).cast("double"))
+        .select(col("bin"), col("bin_lo"), col("n"), col("sum_price"))
+        .orderBy(col("bin"))
+    }),
     "w6_ntile_bands" -> ((s, dir) => {
       // NTILE(4) + PERCENT_RANK + CUME_DIST per status over price —
       // the banding/percentile window family (§2.6's remaining faces).
@@ -127,6 +184,34 @@ object EventQueries {
         | COUNT(DISTINCT wk.user_id) AS n_users
         |FROM wk JOIN first ON wk.user_id = first.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fn2_transitions" ->
+      """WITH nx AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |cnt AS (
+        | SELECT from_type, to_type, COUNT(*) AS n FROM nx
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) /
+        |  CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    "rfm1_segments" ->
+      """WITH m AS (
+        | SELECT o_custkey, max(o_orderdate) AS r, COUNT(*) AS f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m
+        | FROM orders GROUP BY 1)
+        |SELECT o_custkey, f, m,
+        | CAST(ntile(4) OVER (ORDER BY r, o_custkey) AS BIGINT) AS r_band,
+        | CAST(ntile(4) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_band,
+        | CAST(ntile(4) OVER (ORDER BY m, o_custkey) AS BIGINT) AS m_band
+        |FROM m ORDER BY o_custkey""".stripMargin,
+    "hg1_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        | CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS DOUBLE) AS bin_lo,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY bin""".stripMargin,
     "w6_ntile_bands" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         | CAST(ntile(4) OVER w AS BIGINT) AS band,

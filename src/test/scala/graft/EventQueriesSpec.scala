@@ -59,6 +59,36 @@ class EventQueriesSpec extends AnyFunSuite {
       .filter(col("n_users") =!= col("size")).isEmpty)
   }
 
+  test("fn2 transition probabilities sum to 1 per from-type and pair counts total |events| − |users|") {
+    val tr = queries.EventQueries.queries("fn2_transitions")(spark, dir)
+    val sums = tr.groupBy(col("from_type"))
+      .agg(sum(col("prob")).as("p"), sum(col("n")).as("n")).collect()
+    assert(sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    val ev = graft.core.Tables(spark, dir, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(sums.map(_.getLong(2)).sum == expected) // every event but each user's last has a successor
+  }
+
+  test("rfm1 bands are quartile-balanced over the customer frame") {
+    val seg = queries.EventQueries.queries("rfm1_segments")(spark, dir)
+    for (band <- Seq("r_band", "f_band", "m_band")) {
+      val sizes = seg.groupBy(col(band)).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$band: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1L, s"$band: $sizes")
+    }
+  }
+
+  test("hg1 histogram bins partition the table: counts and sums total the source exactly") {
+    import graft.core.Exact.sumd
+    val hist = queries.EventQueries.queries("hg1_histogram")(spark, dir)
+      .agg(sum(col("n")).as("n"), sum(col("sum_price")).as("s")).collect()(0)
+    val src = graft.core.Tables(spark, dir, "orders")
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("s")).collect()(0)
+    assert(hist.getLong(0) == src.getLong(0))
+    assert(math.abs(hist.getDouble(1) - src.getDouble(1)) < 1e-6)
+  }
+
   test("w6 ntile bands are balanced (sizes differ by at most 1) and pct_rank/cume_dist lie in range") {
     val df = queries.EventQueries.queries("w6_ntile_bands")(spark, dir)
     val bandSizes = df.groupBy(col("o_orderstatus"), col("band"))
