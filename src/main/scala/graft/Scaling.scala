@@ -115,7 +115,13 @@ object Scaling {
     "j10_interval_join" -> Set("orders"),
     "h4_hierarchy_paths" -> Set("customer", "supplier", "nation"),
     "g1_bfs_distance" -> Set("customer", "supplier", "nation"),
-    "cms1_sketch_counts" -> Set("documents"))
+    "cms1_sketch_counts" -> Set("documents"),
+    // round-11 family: fn1/co1 ride user-offset events replicas — each
+    // replica is a disjoint user population with its per-user event
+    // stream preserved exactly, so funnel cascade joins and cohort
+    // cells see factor× the users at identical per-user structure
+    "fn1_funnel" -> Set("events"),
+    "co1_cohort_retention" -> Set("events"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -154,6 +160,25 @@ object Scaling {
       }.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    // event stream (fn1/co1): user-offset replicas — disjoint user
+    // populations, per-user event sequences and timestamps preserved
+    // exactly (funnel completion structure and cohort weeks identical
+    // per replica; read through Tables for the TIMESTAMP(NANOS) path)
+    if (tables("events")) {
+      val ev = graft.core.Tables(spark, base, "events")
+      def maxOf(c: String): Long = ev.agg(max(col(c))).head.getLong(0) + 1
+      val uStride = maxOf("user_id")
+      val idStride = maxOf("event_id")
+      (0 until factor).map { k =>
+        ev.select(
+          (col("event_id") + lit(k * idStride)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * uStride)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     // purchase graph (pr1): key-offset replicas — each replica is a
     // disjoint customer→supplier subgraph, so nodes AND edges grow ∝
@@ -230,7 +255,8 @@ object Scaling {
       "d9_substring_spans", "d10_winnowing_pairs", "n3_ann_ivf",
       "sd1_segment_dedup", "he1_hashed_embedding",
       "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters",
-      "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join")
+      "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join",
+      "fn1_funnel", "co1_cohort_retention")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
