@@ -121,7 +121,11 @@ object Scaling {
     // stream preserved exactly, so funnel cascade joins and cohort
     // cells see factor× the users at identical per-user structure
     "fn1_funnel" -> Set("events"),
-    "co1_cohort_retention" -> Set("events"))
+    "co1_cohort_retention" -> Set("events"),
+    // qt2 vs qt3 is a CONTRAST pair: same exact answer, sort-shape vs
+    // bucket-locate shape — measure both to attribute the difference
+    "qt2_percentile_cont" -> Set("documents"),
+    "qt3_scalable_quantiles" -> Set("documents"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -256,7 +260,8 @@ object Scaling {
       "sd1_segment_dedup", "he1_hashed_embedding",
       "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters",
       "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join",
-      "fn1_funnel", "co1_cohort_retention")
+      "fn1_funnel", "co1_cohort_retention",
+      "qt2_percentile_cont", "qt3_scalable_quantiles")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact PERCENTILE_CONT at scale — without the per-group total sort.
+  *
+  * The window formulation (qt2 / DistributionValidator) ranks every
+  * row of a group inside ONE partition: exact, but a group that
+  * outgrows an executor partition (one column of a 100-TB table) makes
+  * that shape unusable — the caveat DistributionValidator documents.
+  * This operator computes the SAME exact interpolated quantiles
+  * (`vlo + frac·(vhi − vlo)`, `frac = idx − floor(idx)`,
+  * `idx = (n−1)·p` over non-null values — the shared IEEE formula, so
+  * results are bit-identical to the window shape and the DuckDB
+  * mirror) with no group-sized sort anywhere:
+  *
+  *  1. stats pass — count/min/max per group (combinable aggregate);
+  *  2. bucket pass — equi-width bucket counts per group (aggregate,
+  *     keyed exchange), then per-group cumulative counts over the
+  *     ≤`buckets` bucket rows (a window over BUCKET-count-sized
+  *     partitions, never row-sized) locate which bucket holds each
+  *     needed order statistic (ranks lo/hi per percentile);
+  *  3. candidate pass — only rows falling in a needed (group, bucket)
+  *     survive a broadcast semi-join; each candidate bucket is ranked
+  *     internally (window partitioned by (group, bucket) — partitions
+  *     are bucket-sized, 1/`buckets` of the group) and the order
+  *     statistic is picked at its global rank minus the bucket's
+  *     cumulative offset.
+  *
+  * Adversarial shapes: a single-value group (span 0) needs no bucket
+  * math — min==max short-circuits to the constant; a heavy-tie bucket
+  * (all rows one value) is still ranked only within itself, and ties
+  * spanning buckets are safe because equi-width bucketing is
+  * order-consistent (v ≤ w ⇒ bucket(v) ≤ bucket(w)). A NaN reaching
+  * the bucket pass raises per-row (raise_error inside bucketOf —
+  * codegen'd, free on clean data); the one quiet corner is a group
+  * that is ENTIRELY NaN, which Spark's NaN==NaN semantics route to
+  * the constant short-circuit and faithfully report as NaN.
+  *
+  * Cost at 100 TB: three scans of the fact and keyed exchanges of
+  * per-group/per-bucket aggregates — vs one scan feeding a sort that
+  * cannot finish. The candidate pass reads only ~2·|ps| buckets per
+  * group ≈ 2·|ps|/`buckets` of the data.
+  */
+object ScalableQuantile {
+
+  /** Exact interpolated quantiles of `valueCol` per `groupCol` at
+    * percentiles `ps`: (group, p, value) — bit-identical to the qt2
+    * window formulation. Null values are excluded per SQL convention;
+    * a group with no non-null values yields no rows. */
+  def percentileCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      buckets: Int = 4096): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val g = col(groupCol)
+    val v = col(valueCol).cast("double")
+    val rows = df.select(g.as("g"), v.as("v")).filter(col("v").isNotNull)
+
+    val stats = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+    // needed order-statistic ranks per (group, percentile)
+    val targets = stats
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("idx", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("lo", (floor(col("idx")) + 1).cast("long"))
+      .withColumn("hi", least(col("lo") + 1, col("n")))
+
+    // single-value groups (span 0, incl. n == 1) need no bucket math
+    val constant = targets.filter(col("vmin") === col("vmax"))
+      .select(col("g"), col("p"), col("vmin").as("value"))
+    val spanned = targets.filter(col("vmin") =!= col("vmax"))
+
+    // order-consistent equi-width bucket id; vmax clamps into the top
+    // bucket so the id stays in [0, buckets)
+    def bucketOf(value: org.apache.spark.sql.Column,
+        vmin: org.apache.spark.sql.Column,
+        vmax: org.apache.spark.sql.Column) = {
+      val safe = when(isnan(value),
+        raise_error(lit("NaN value cannot be ranked — filter NaNs first")))
+        .otherwise(value)
+      least(
+        floor((safe - vmin) / (vmax - vmin) * buckets).cast("long"),
+        lit(buckets - 1L))
+    }
+
+    val spanStats = spanned.select(col("g"), col("vmin"), col("vmax")).distinct()
+    val bucketed = rows.join(broadcast(spanStats), Seq("g"))
+      .withColumn("b", bucketOf(col("v"), col("vmin"), col("vmax")))
+    val bucketCounts = bucketed.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      // cumulative count BELOW each bucket: window over ≤`buckets`
+      // rows per group, never row-sized
+      .withColumn("cum_before",
+        coalesce(sum(col("bn")).over(Window.partitionBy(col("g"))
+          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+    // which bucket holds each needed rank (both lo and hi) — the
+    // targets frame is 2·|ps| rows per group: always broadcastable
+    val needed = bucketCounts
+      .join(broadcast(spanned
+        .select(col("g"), col("p"), col("idx"),
+          explode(array(col("lo"), col("hi"))).as("rank"))), Seq("g"))
+      .filter(col("rank") > col("cum_before") &&
+        col("rank") <= col("cum_before") + col("bn"))
+      .select(col("g"), col("p"), col("idx"), col("rank"),
+        col("b"), col("cum_before"))
+
+    // rank only within candidate buckets: the semi-join keeps
+    // ~2·|ps| buckets per group; window partitions are bucket-sized
+    val candBuckets = needed.select(col("g"), col("b")).distinct()
+    val ranked = bucketed
+      .join(broadcast(candBuckets), Seq("g", "b"), "left_semi")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("g"), col("b")).orderBy(col("v")))
+          .cast("long"))
+
+    val picked = ranked
+      .join(broadcast(needed), Seq("g", "b"))
+      .filter(col("rk") === col("rank") - col("cum_before"))
+      .groupBy(col("g"), col("p"))
+      .agg(
+        max(when(col("rank") === floor(col("idx")).cast("long") + 1, col("v"))).as("vlo"),
+        max(col("v")).as("vany"),
+        max(col("idx") - floor(col("idx")).cast("double")).as("frac"),
+        max(col("rank")).as("rmax"),
+        min(col("rank")).as("rmin"))
+      // lo == hi (idx integral or at the tail): vlo is the value;
+      // otherwise interpolate between the two picked statistics
+      .withColumn("vhi",
+        when(col("rmax") === col("rmin"), col("vlo")).otherwise(col("vany")))
+      .select(col("g"), col("p"),
+        (col("vlo") + col("frac") * (col("vhi") - col("vlo"))).as("value"))
+
+    picked.unionByName(constant)
+      .withColumnRenamed("g", groupCol)
+  }
+}

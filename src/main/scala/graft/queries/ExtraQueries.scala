@@ -127,6 +127,17 @@ object ExtraQueries {
             col("frac") * (col("vhi") - col("vlo")).cast("double")).as("value"))
         .orderBy(col("lang"), col("p"))
     }),
+    "qt3_scalable_quantiles" -> ((s, dir) => {
+      // the SAME exact PERCENTILE_CONT answer as qt2, computed by the
+      // bucket-locate shape (operators/ScalableQuantile) — no
+      // group-sized sort anywhere, the 100-TB path for exact quantiles
+      val t = T(s, dir, "documents").select(col("lang"),
+        graft.functions.TextAnalysis
+          .tokenCountWs(coalesce(col("text"), lit(""))).cast("long").as("toks"))
+      graft.operators.ScalableQuantile
+        .percentileCont(t, "lang", "toks", QtPs)
+        .orderBy(col("lang"), col("p"))
+    }),
     "hh1_heavy_hitters" -> ((s, dir) => {
       // exact per-source heavy hitters (top-K words by count) — the
       // WindowGroupLimit top-k shape, map-side pruned
@@ -729,6 +740,28 @@ object ExtraQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn
         |FROM t ORDER BY o_orderkey""".stripMargin,
     "qt2_percentile_cont" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks FROM documents),
+         |r AS (SELECT lang, toks,
+         |  row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
+         |p AS (SELECT unnest([${QtPs.mkString(", ")}]) AS p),
+         |x AS (SELECT lang, p.p AS p, toks, rn, n,
+         |  CAST(n - 1 AS DOUBLE) * p.p AS idx,
+         |  CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+         |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+         | FROM r, p),
+         |g AS (SELECT lang, p,
+         |  MAX(CASE WHEN rn = lo THEN toks END) AS vlo,
+         |  MAX(CASE WHEN rn = hi THEN toks END) AS vhi,
+         |  MAX(idx - floor(idx)) AS frac
+         | FROM x WHERE rn = lo OR rn = hi GROUP BY lang, p)
+         |SELECT lang, p, CAST(vlo AS DOUBLE) + frac * CAST(vhi - vlo AS DOUBLE) AS value
+         |FROM g ORDER BY lang, p""".stripMargin,
+    // the oracle for the bucket-locate shape IS the sort-based formula:
+    // same order statistics, same interpolation — semantic truth is
+    // engine-shape-independent
+    "qt3_scalable_quantiles" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |  CAST(len($docWordsCoalescedExpr) AS BIGINT) AS toks FROM documents),
          |r AS (SELECT lang, toks,

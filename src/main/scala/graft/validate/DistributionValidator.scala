@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * the tiny full-outer compare. Exact quantiles inherently sort each
   * column's values within one partition — the audited qt1/qt2 shape;
   * at extreme per-column cardinality where one column outgrows a
-  * partition, profile a deterministic sample per side instead (the
-  * comparison stays valid because BOTH sides sample the same way).
+  * partition, pass `bucketLocate = true` to compute the SAME exact
+  * quantiles through [[graft.operators.ScalableQuantile]] (bucket
+  * counts + candidate-bucket-only ranking — no group-sized sort;
+  * bit-identical by ScalableQuantileSpec and the equivalence test in
+  * DistributionValidatorSpec).
   */
 object DistributionValidator {
 
@@ -45,11 +48,16 @@ object DistributionValidator {
     * the side that HAS values). */
   private def quantiles(
       df: DataFrame, columns: Seq[String], ps: Seq[Double],
-      valueName: String): DataFrame = {
+      valueName: String, bucketLocate: Boolean = false): DataFrame = {
     val stackExpr = columns.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
       .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, v)")
+    val unpivoted = df.selectExpr(stackExpr)
+    if (bucketLocate)
+      return graft.operators.ScalableQuantile
+        .percentileCont(unpivoted, "column_name", "v", ps)
+        .withColumnRenamed("value", valueName)
     val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
-    df.selectExpr(stackExpr)
+    unpivoted
       .filter(col("v").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n",
@@ -80,12 +88,13 @@ object DistributionValidator {
       target: DataFrame,
       columns: Seq[String],
       ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
-      pctThreshold: Double = 0.0): DataFrame = {
+      pctThreshold: Double = 0.0,
+      bucketLocate: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "no columns to profile")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
-    val s = quantiles(source, columns, ps, "source_value")
-    val t = quantiles(target, columns, ps, "target_value")
+    val s = quantiles(source, columns, ps, "source_value", bucketLocate)
+    val t = quantiles(target, columns, ps, "target_value", bucketLocate)
     val sv = col("source_value")
     val tv = col("target_value")
     val pct = when(sv === 0.0 && tv === 0.0, lit(0.0))

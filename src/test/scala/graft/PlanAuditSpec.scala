@@ -489,6 +489,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p) // two keyed aggregates + one keyed join only
   }
 
+  test("qt3 scalable quantiles: broadcast semi-join prunes to candidate buckets; stats broadcast; no cartesian, no SMJ") {
+    val p = planOf("qt3_scalable_quantiles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // every Window in the plan is keyed — the whole point is that no
+    // group-sized single-partition sort exists anywhere
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
   test("v12 distribution validation: one stacked scan per side (no per-column re-scan), keyed full-outer compare, no cartesian") {
     val p = planOf("v12_distribution")
     // stack() unpivots all profiled columns in ONE pass over each

@@ -141,4 +141,15 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(out2.length == 1 && out2.head.getAs[String]("validation_status") == "fail"
       && out2.head.isNullAt(out2.head.fieldIndex("target_value")))
   }
+
+  test("DistributionValidator: bucketLocate path is bit-identical to the window path on the real table") {
+    val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val tgt = src.filter(org.apache.spark.sql.functions.col("l_quantity") <= 45.0)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def rows(bucketLocate: Boolean) =
+      DistributionValidator.validate(src, tgt, cols, pctThreshold = 2.0,
+          bucketLocate = bucketLocate)
+        .orderBy("column_name", "p").collect().toSeq
+    assert(rows(bucketLocate = true) == rows(bucketLocate = false))
+  }
 }
