@@ -138,6 +138,47 @@ object EventQueries {
         .select(col("bin"), col("bin_lo"), col("n"), col("sum_price"))
         .orderBy(col("bin"))
     }),
+    "sk3_skew_profile" -> ((s, dir) => {
+      // join-key skew diagnostic — the measurement the salted-join
+      // family says to take BEFORE salting (SCALING.md's honest
+      // counter-result: at 25% hot share salting is pure overhead).
+      // Top-10 hottest keys with exact share of total; one keyed
+      // aggregate + a broadcast 1-row total, WindowGroupLimit prunes
+      // the rank map-side.
+      val counts = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("o_custkey"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .withColumn("share_pct",
+          col("n").cast("double") / col("tot").cast("double") * 100.0)
+        .select(col("rank"), col("o_custkey"), col("n"), col("share_pct"))
+        .orderBy(col("rank"))
+    }),
+    "fn3_conversion_time" -> ((s, dir) => {
+      // time-to-convert between funnel steps: per-user step deltas in
+      // exact integer microseconds, then exact PERCENTILE_CONT over
+      // each transition via the bucket-locate operator (qt3) — the
+      // funnel family composed with the scalable-quantile family.
+      // Deltas are timestamp differences, so any constant epoch
+      // offset cancels cross-engine.
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      val stages = funnelStages(ev)
+      val names = FunnelSteps.sliding(2).map(p => s"${p(0)}->${p(1)}").toSeq
+      val deltas = stages.sliding(2).zip(names.iterator).map { case (Seq(a, b), nm) =>
+        a.select(col("user_id"), unix_micros(col("t")).as("t_a"))
+          .join(b.select(col("user_id"), unix_micros(col("t")).as("t_b")), Seq("user_id"))
+          .select(lit(nm).as("transition"),
+            (col("t_b") - col("t_a")).cast("double").as("delta_us"))
+      }.reduce(_ unionByName _)
+      graft.operators.ScalableQuantile
+        .percentileCont(deltas, "transition", "delta_us", Seq(0.5, 0.9))
+        .orderBy(col("transition"), col("p"))
+    }),
     "w6_ntile_bands" -> ((s, dir) => {
       // NTILE(4) + PERCENT_RANK + CUME_DIST per status over price —
       // the banding/percentile window family (§2.6's remaining faces).
@@ -212,6 +253,57 @@ object EventQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY bin""".stripMargin,
+    "sk3_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT c.o_custkey, c.n, t.tot,
+        |  CAST(row_number() OVER (ORDER BY c.n DESC, c.o_custkey) AS BIGINT) AS rank
+        | FROM c, t)
+        |SELECT rank, o_custkey, n,
+        | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0 AS share_pct
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "fn3_conversion_time" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t FROM events
+        | WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        | SELECT e.user_id, min(e.ts) AS t FROM events e
+        | JOIN s3 ON e.user_id = s3.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |d AS (
+        | SELECT 'signup->view' AS transition,
+        |  CAST(epoch_us(s2.t) - epoch_us(s1.t) AS DOUBLE) AS v
+        | FROM s1 JOIN s2 USING (user_id)
+        | UNION ALL SELECT 'view->click',
+        |  CAST(epoch_us(s3.t) - epoch_us(s2.t) AS DOUBLE)
+        | FROM s2 JOIN s3 USING (user_id)
+        | UNION ALL SELECT 'click->purchase',
+        |  CAST(epoch_us(s4.t) - epoch_us(s3.t) AS DOUBLE)
+        | FROM s3 JOIN s4 USING (user_id)),
+        |r AS (SELECT transition, v,
+        |  row_number() OVER (PARTITION BY transition ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY transition) AS n FROM d),
+        |p AS (SELECT unnest([0.5, 0.9]) AS p),
+        |x AS (SELECT transition, p.p AS p, v, rn, n,
+        |  CAST(n - 1 AS DOUBLE) * p.p AS idx,
+        |  CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+        |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+        | FROM r, p),
+        |g AS (SELECT transition, p,
+        |  MAX(CASE WHEN rn = lo THEN v END) AS vlo,
+        |  MAX(CASE WHEN rn = hi THEN v END) AS vhi,
+        |  MAX(idx - floor(idx)) AS frac
+        | FROM x WHERE rn = lo OR rn = hi GROUP BY 1, 2)
+        |SELECT transition, p, vlo + frac * (vhi - vlo) AS value
+        |FROM g ORDER BY transition, p""".stripMargin,
     "w6_ntile_bands" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         | CAST(ntile(4) OVER w AS BIGINT) AS band,

@@ -71,6 +71,24 @@ object ValidationQueries {
         ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9), pctThreshold = 2.0)
         .orderBy(col("column_name"), col("p"))
     }),
+    "v13_uniqueness" -> ((s, dir) => {
+      // PK/uniqueness audit: an intact single PK, an intact composite
+      // key, a double-loaded slice (every 100th order re-inserted),
+      // and a key with injected NULLs — the four outcomes a post-load
+      // audit must keep apart
+      import graft.validate.Uniqueness
+      val orders = T(s, dir, "orders")
+      val reloaded = orders.unionByName(orders.filter(col("o_orderkey") % 100 === 0))
+      val nullable = orders.withColumn("k",
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_orderkey")))
+      Uniqueness.check(Seq(
+          Uniqueness.Key("orders.pk", orders, Seq("o_orderkey")),
+          Uniqueness.Key("lineitem.composite", T(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_linenumber")),
+          Uniqueness.Key("orders.reloaded_slice", reloaded, Seq("o_orderkey")),
+          Uniqueness.Key("orders.nullable_key", nullable, Seq("k"))))
+        .orderBy(col("key_name"))
+    }),
     "v11_ref_integrity" -> ((s, dir) => {
       // FK orphan audit: one intact relation (lineitem→orders) and one
       // deliberately broken parent (customers with key%10==0 dropped)
@@ -143,6 +161,31 @@ object ValidationQueries {
         |      ELSE 'fail' END AS validation_status
         |FROM sq FULL JOIN tq USING (column_name, p)
         |ORDER BY column_name, p""".stripMargin,
+    "v13_uniqueness" ->
+      """WITH audits AS (
+        | SELECT 'orders.pk' AS key_name, (o_orderkey IS NULL) AS nk,
+        |  COUNT(*) AS n FROM orders GROUP BY 1, 2, o_orderkey
+        | UNION ALL
+        | SELECT 'lineitem.composite',
+        |  (l_orderkey IS NULL OR l_linenumber IS NULL), COUNT(*)
+        | FROM lineitem GROUP BY 1, 2, l_orderkey, l_linenumber
+        | UNION ALL
+        | SELECT 'orders.reloaded_slice', (o_orderkey IS NULL), COUNT(*)
+        | FROM (SELECT o_orderkey FROM orders
+        |       UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+        | GROUP BY 1, 2, o_orderkey
+        | UNION ALL
+        | SELECT 'orders.nullable_key', (k IS NULL), COUNT(*)
+        | FROM (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_orderkey END AS k FROM orders)
+        | GROUP BY 1, 2, k)
+        |SELECT key_name,
+        | CAST(SUM(n) AS BIGINT) AS total_rows,
+        | CAST(SUM(CASE WHEN nk THEN n ELSE 0 END) AS BIGINT) AS null_key_rows,
+        | CAST(SUM(CASE WHEN NOT nk AND n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
+        | CAST(SUM(CASE WHEN NOT nk AND n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS excess_rows,
+        | CAST(MAX(CASE WHEN NOT nk THEN n ELSE 0 END) AS BIGINT) AS max_multiplicity
+        |FROM audits GROUP BY key_name ORDER BY key_name""".stripMargin,
     "v11_ref_integrity" ->
       """SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
         | CAST(COUNT(*) AS BIGINT) AS total_rows,

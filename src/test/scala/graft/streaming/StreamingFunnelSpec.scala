@@ -62,6 +62,61 @@ class StreamingFunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state survives stop + restart from checkpoint (AvailableNow file source)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.SaveMode
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("fnl-src"); val ck = tmp("fnl-ck")
+    spark.sql("CREATE DATABASE IF NOT EXISTS sfnl")
+    spark.sql("DROP TABLE IF EXISTS sfnl.state")
+
+    val all = eventsDs.collect().sortBy(_.tsMicros)
+    val (first, second) = all.splitAt(all.length / 2)
+    def writeBatch(evs: Seq[Ev]): Unit =
+      evs.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema("user_id BIGINT, event_type STRING, tsMicros BIGINT")
+        .parquet(src).as[Ev]
+      val q = StreamingFunnel.progress(spark, in)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelState], batchId: Long) =>
+          df.toDF().withColumn("batch", lit(batchId))
+            .write.mode(SaveMode.Append).saveAsTable("sfnl.state")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    writeBatch(first); run()
+    // restart: the second half arrives; recovered state must continue
+    // each user's funnel, not restart it
+    writeBatch(second); run()
+
+    val streamed = spark.table("sfnl.state")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("batch").desc, col("maxTs").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("times"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    val ev = eventsDs.toDF()
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("tsMicros")).as("ts"))
+    val stages = graft.queries.EventQueries.funnelStages(ev).map(
+      _.select(col("user_id"), unix_micros(col("t")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    stages.zipWithIndex.foreach { case (stage, k) =>
+      val fromStream = streamed.collect {
+        case (u, times) if times(k) != -1L => u -> times(k)
+      }.toMap
+      assert(fromStream == stage, s"step $k diverged after restart")
+    }
+  }
+
   test("an out-of-order event across batches fails loudly instead of silently diverging") {
     val s0 = StreamingFunnel.fold(7L, None,
       Seq(Ev(7L, "signup", 100L), Ev(7L, "view", 200L)), StreamingFunnel.DefaultSteps)

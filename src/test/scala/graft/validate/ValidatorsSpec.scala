@@ -142,6 +142,28 @@ class ValidatorsSpec extends AnyFunSuite {
       && out2.head.isNullAt(out2.head.fieldIndex("target_value")))
   }
 
+  test("Uniqueness: clean key, duplicated key, null keys counted apart, composite key") {
+    import spark.implicits._
+    val clean = Seq(1, 2, 3).toDF("k")
+    val duped = Seq(1, 1, 1, 2, 3, 3).toDF("k")
+    val nulls = Seq[Option[Int]](Some(1), None, None, Some(1)).toDF("k")
+    val comp = Seq((1, "a"), (1, "b"), (1, "a")).toDF("k1", "k2")
+    val out = Uniqueness.check(Seq(
+        Uniqueness.Key("clean", clean, Seq("k")),
+        Uniqueness.Key("duped", duped, Seq("k")),
+        Uniqueness.Key("nulls", nulls, Seq("k")),
+        Uniqueness.Key("comp", comp, Seq("k1", "k2"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("clean") == ((3L, 0L, 0L, 0L, 1L)))
+    // 1×3 + 3×1: two duplicate keys, 3 excess rows, max multiplicity 3
+    assert(out("duped") == ((6L, 0L, 2L, 3L, 3L)))
+    // the two NULL rows are null_key_rows, NOT duplicates; the two 1s are
+    assert(out("nulls") == ((4L, 2L, 1L, 1L, 2L)))
+    // composite: (1,a) twice, (1,b) once
+    assert(out("comp") == ((3L, 0L, 1L, 1L, 2L)))
+  }
+
   test("DistributionValidator: bucketLocate path is bit-identical to the window path on the real table") {
     val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val tgt = src.filter(org.apache.spark.sql.functions.col("l_quantity") <= 45.0)
