@@ -58,7 +58,11 @@ object ScalableQuantile {
       buckets: Int = 4096): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"duplicate percentiles would duplicate output rows: $ps")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    require(groupCol != "p" && groupCol != "value",
+      s"group column '$groupCol' collides with an output column name")
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
     val rows = df.select(g.as("g"), v.as("v")).filter(col("v").isNotNull)

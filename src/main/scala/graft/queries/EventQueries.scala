@@ -148,13 +148,24 @@ object EventQueries {
       val counts = T(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"))
       val total = counts.agg(sum(col("n")).as("tot"))
-      counts.crossJoin(broadcast(total))
+      // two-level top-k: Spark infers WindowGroupLimit only for
+      // PARTITIONED windows (a global rank filter scans everything in
+      // one partition), so rank within hash buckets first — top-10
+      // per bucket is a superset of the global top-10 and the
+      // map-side prune fires — then rank the ≤320 survivors globally
+      counts
+        .withColumn("rank_local", row_number().over(
+          Window.partitionBy(pmod(col("o_custkey"), lit(32)))
+            .orderBy(col("n").desc, col("o_custkey"))))
+        .filter(col("rank_local") <= 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("o_custkey"))).cast("long"))
+          Window.orderBy(col("n").desc, col("o_custkey"))))
         .filter(col("rank") <= 10)
+        .crossJoin(broadcast(total))
         .withColumn("share_pct",
           col("n").cast("double") / col("tot").cast("double") * 100.0)
-        .select(col("rank"), col("o_custkey"), col("n"), col("share_pct"))
+        .select(col("rank").cast("long").as("rank"), col("o_custkey"),
+          col("n"), col("share_pct"))
         .orderBy(col("rank"))
     }),
     "fn3_conversion_time" -> ((s, dir) => {

@@ -28,6 +28,8 @@ object Uniqueness {
     require(keys.nonEmpty, "need at least one key to audit")
     keys.map { k =>
       require(k.cols.nonEmpty, s"key ${k.name} declares no columns")
+      require(!k.cols.contains("__null_key"),
+        s"key ${k.name} uses the reserved column name __null_key")
       val anyNull = k.cols.map(col(_).isNull).reduce(_ || _)
       val perKey = k.df
         .select(k.cols.map(col): _*)

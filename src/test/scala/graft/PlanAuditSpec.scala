@@ -489,6 +489,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p) // two keyed aggregates + one keyed join only
   }
 
+  test("v13 uniqueness audit: keyed aggregates only per declared key — no joins, no windows, no cartesian") {
+    val p = planOf("v13_uniqueness")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sk3 skew profile: broadcast 1-row total, WindowGroupLimit prunes the global top-k map-side") {
+    val p = planOf("sk3_skew_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qt3 scalable quantiles: broadcast semi-join prunes to candidate buckets; stats broadcast; no cartesian, no SMJ") {
     val p = planOf("qt3_scalable_quantiles")
     assert(p.contains("BroadcastHashJoin"), p)
