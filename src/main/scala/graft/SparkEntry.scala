@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.TpchQueries.queries ++
       graft.queries.ExtraQueries.queries ++
       graft.queries.TrainQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.GovernanceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.TpchQueries.oracle ++
       graft.queries.ExtraQueries.oracle ++
       graft.queries.TrainQueries.oracle ++
-      graft.queries.EventQueries.oracle
+      graft.queries.EventQueries.oracle ++
+      graft.queries.GovernanceQueries.oracle
 }
