@@ -125,7 +125,28 @@ object Scaling {
     // qt2 vs qt3 is a CONTRAST pair: same exact answer, sort-shape vs
     // bucket-locate shape — measure both to attribute the difference
     "qt2_percentile_cont" -> Set("documents"),
-    "qt3_scalable_quantiles" -> Set("documents"))
+    "qt3_scalable_quantiles" -> Set("documents"),
+    // round-11 governance family: orders/lineitem key-offset replicas
+    // preserve per-customer and per-order structure exactly (w7's
+    // 30-day frames, a14's per-flag quantity histogram, hg2/pp1/ts1's
+    // month and price distributions repeat per replica); gi1/an1 ride
+    // the user-offset events replicas (per-user day streams and the
+    // per-type value distribution identical per replica). del1/rr1 need
+    // customers ALIGNED with the orders replicas — `customer_aligned`
+    // replicates customer.parquet with the shared custkey stride so the
+    // per-replica customer↔order relation (and the %97 erasure share)
+    // is preserved; run those in their own out dir (the marker/table
+    // name collides with the hierarchy family's customer blow-up)
+    "del1_forget_audit" -> Set("orders", "lineitem", "customer_aligned"),
+    "rr1_ratio_to_report" -> Set("orders", "customer_aligned", "nation_copy"),
+    "w7_rolling_range" -> Set("orders"),
+    "hg2_quantile_bins" -> Set("orders"),
+    "ts1_date_spine" -> Set("orders"),
+    "pp1_period_over_period" -> Set("orders"),
+    "a13_corr_matrix" -> Set("lineitem"),
+    "a14_mode" -> Set("lineitem"),
+    "gi1_islands" -> Set("events"),
+    "an1_outliers" -> Set("events"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -187,17 +208,21 @@ object Scaling {
     // purchase graph (pr1): key-offset replicas — each replica is a
     // disjoint customer→supplier subgraph, so nodes AND edges grow ∝
     // factor while per-replica degree structure is preserved exactly
-    if (tables("orders") || tables("lineitem")) {
+    if (tables("orders") || tables("lineitem") || tables("customer_aligned")) {
       def bump(df: DataFrame, k: Int, strides: Map[String, Long]): DataFrame =
         strides.foldLeft(df) { case (d, (c, s)) =>
           d.withColumn(c, (col(c) + lit(k * s)).cast(d.schema(c).dataType))
         }
       val orders = spark.read.parquet(s"$base/orders.parquet")
       val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+      val customer = spark.read.parquet(s"$base/customer.parquet")
       def maxOf(df: DataFrame, c: String): Long =
         df.agg(max(col(c).cast("long"))).head.getLong(0) + 1
       val oStride = maxOf(orders, "o_orderkey")
-      val cStride = maxOf(orders, "o_custkey")
+      // the custkey stride covers BOTH key spaces so the aligned
+      // customer replicas (del1/rr1) share it without overlap
+      val cStride = math.max(maxOf(orders, "o_custkey"),
+        maxOf(customer, "c_custkey"))
       val sStride = maxOf(lineitem, "l_suppkey")
       (0 until factor).map(k =>
         bump(orders, k, Map("o_orderkey" -> oStride, "o_custkey" -> cStride)))
@@ -207,7 +232,19 @@ object Scaling {
         bump(lineitem, k, Map("l_orderkey" -> oStride, "l_suppkey" -> sStride)))
         .reduce(_ unionByName _).repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // del1/rr1: customers key-offset with the SAME stride as the
+      // orders replicas, so each replica keeps its customer↔order
+      // relation (and the %97 erasure share) exactly
+      if (tables("customer_aligned"))
+        (0 until factor).map(k => bump(customer, k, Map("c_custkey" -> cStride)))
+          .reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
+    // rr1: the nation dimension is SHARED across replicas (nations stay
+    // 25 while customers grow — the real shape of a fixed dimension)
+    if (tables("nation_copy"))
+      spark.read.parquet(s"$base/nation.parquet")
+        .write.mode("overwrite").parquet(s"$out/nation.parquet")
   }
 
   /** Hierarchy blow-up: leaf replicas (customers/suppliers key-offset)
@@ -261,7 +298,10 @@ object Scaling {
       "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters",
       "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join",
       "fn1_funnel", "co1_cohort_retention",
-      "qt2_percentile_cont", "qt3_scalable_quantiles")
+      "qt2_percentile_cont", "qt3_scalable_quantiles",
+      "del1_forget_audit", "rr1_ratio_to_report", "w7_rolling_range",
+      "hg2_quantile_bins", "ts1_date_spine", "pp1_period_over_period",
+      "a13_corr_matrix", "a14_mode", "gi1_islands", "an1_outliers")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")

@@ -29,6 +29,22 @@ import graft.core.Tables
   *    produce the same IEEE bits. Decimal(38,8) sums overflow only
   *    past ~10^22, i.e. ~10^12 rows of price-squared — far beyond the
   *    target scale; widen the cast if you ever near it.
+  *  - a14: mode = keyed count aggregate + top-1 per PARTITIONED window
+  *    (WindowGroupLimit prunes map-side — the sk3 lesson: a global
+  *    rank would single-partition, a partitioned one never does).
+  *  - ts1: the spine is |months| × |statuses| rows built from one
+  *    min/max aggregate — never a fact-sized generator; the fact table
+  *    contributes one keyed count aggregate and a left join against
+  *    the tiny spine.
+  *  - an1: median and MAD come from the qt3 bucket-locate operator
+  *    (scales to one-giant-group columns); the group-sized med/mad
+  *    frames broadcast back into a single counting pass.
+  *  - pp1/rr1: the only unpartitioned windows run over AGGREGATE-sized
+  *    frames (≤ |months|, ≤ |nations| rows) — the fact table never
+  *    meets a global sort; sk3's lesson applies to data-sized frames,
+  *    not these.
+  *  - gi1: one keyed window exchange on user_id; island grouping is
+  *    integer arithmetic (day − row_number), no self-join.
   */
 object GovernanceQueries {
 
@@ -125,6 +141,120 @@ object GovernanceQueries {
             'l_extendedprice', 'l_discount', n, c_pd)
           AS (x_col, y_col, n, corr_val)""")
         .orderBy(col("x_col"), col("y_col"))
+    }),
+    "a14_mode" -> ((s, dir) => {
+      // statistical mode per group (Teradata/Oracle STATS_MODE face):
+      // most frequent l_quantity per return flag, lowest value on
+      // count ties. Keyed count + top-1 per partitioned window —
+      // WindowGroupLimit prunes map-side.
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("l_quantity"))))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "ts1_date_spine" -> ((s, dir) => {
+      // calendar-spine gap fill: monthly order counts per status with
+      // explicit zero rows for months that have no orders — the date-
+      // dimension join every reporting migration needs. Months as
+      // exact integers (year*12 + month − 1); spine = one min/max
+      // aggregate exploded, × distinct statuses.
+      val o = T(s, dir, "orders").select(col("o_orderstatus"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      // bounds and the status list both derive from the counts frame.
+      // Catalyst collapses each derived aggregate straight onto the
+      // scan (three fact reads), so the aggregate-sized counts frame
+      // is persisted once instead — one parquet scan total; not
+      // unpersisted here by the pr1 ownership contract (Verify/Bench
+      // clear per query)
+      val counts = o.groupBy(col("o_orderstatus"), col("m"))
+        .agg(count(lit(1)).as("n_orders")).persist()
+      val months = counts.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("m"))
+      val spine = months.crossJoin(
+        counts.select(col("o_orderstatus")).distinct())
+      spine.join(counts, Seq("o_orderstatus", "m"), "left")
+        .select(col("o_orderstatus"),
+          (expr("m div 12") * 100 + pmod(col("m"), lit(12)) + 1)
+            .cast("long").as("ym"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("o_orderstatus"), col("ym"))
+    }),
+    "an1_outliers" -> ((s, dir) => {
+      // robust anomaly profile per event type: median and MAD via the
+      // shared exact PERCENTILE_CONT formula (qt3 bucket-locate — no
+      // group-sized sort), outlier = |v − med| > 3·MAD. The med/mad
+      // frames are group-sized: broadcast back, one counting pass.
+      import graft.operators.ScalableQuantile.percentileCont
+      val ev = T(s, dir, "events").select(col("event_type"), col("value"))
+      val med = percentileCont(ev, "event_type", "value", Seq(0.5))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = percentileCont(
+          dev.select(col("event_type"), col("adev")),
+          "event_type", "adev", Seq(0.5))
+        .select(col("event_type"), col("value").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(when(col("adev") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+    "pp1_period_over_period" -> ((s, dir) => {
+      // month-over-month and year-over-year revenue deltas: one keyed
+      // monthly aggregate (exact decimal revenue), then lag(1)/lag(12)
+      // over the |months|-sized frame. The global window is aggregate-
+      // sized by construction — the fact table never sorts globally.
+      val m = T(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("m"))
+        .agg(sumd(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy(col("m"))
+      m.withColumn("mom_delta", col("revenue") - lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_delta", col("revenue") - lag(col("revenue"), 12).over(w))
+        .select((expr("m div 12") * 100 + pmod(col("m"), lit(12)) + 1)
+            .cast("long").as("ym"),
+          col("revenue"), col("mom_delta"), col("yoy_delta"))
+        .orderBy(col("ym"))
+    }),
+    "rr1_ratio_to_report" -> ((s, dir) => {
+      // RATIO_TO_REPORT face: revenue share per nation. Customer dim
+      // broadcasts into the fact; the share window runs over the
+      // |nations|-sized aggregate.
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      // the grand-total window sums DECIMALS (order-independent) —
+      // window-summing doubles would make `share` depend on row order
+      val rev = T(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_d"))
+      rev.select(col("n_name"), col("rev_d").cast("double").as("revenue"),
+          (col("rev_d").cast("double") /
+            sum(col("rev_d")).over(Window.partitionBy()).cast("double"))
+            .as("share"))
+        .orderBy(col("n_name"))
+    }),
+    "gi1_islands" -> ((s, dir) => {
+      // gaps-and-islands: maximal runs of consecutive active days per
+      // user. Island id = day − row_number (constant within a run) —
+      // pure integer arithmetic after one keyed window, no self-join.
+      val days = T(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      days.withColumn("grp", col("d") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("d")).as("start_day"), count(lit(1)).as("len"))
+        .select(col("user_id"), col("start_day"), col("len"))
+        .orderBy(col("user_id"), col("start_day"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -209,6 +339,97 @@ object GovernanceQueries {
         | (nn * spd - sp * sd) /
         |  (sqrt(nn * spp - sp * sp) * sqrt(nn * sdd - sd * sd))
         |FROM a
-        |ORDER BY x_col, y_col""".stripMargin
+        |ORDER BY x_col, y_col""".stripMargin,
+    "a14_mode" ->
+      """WITH c AS (
+        | SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        | FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |                     ORDER BY n DESC, l_quantity) AS rk
+        | FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    "ts1_date_spine" ->
+      """WITH o AS (
+        | SELECT o_orderstatus,
+        |  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+        | FROM orders),
+        |b AS (SELECT min(m) AS lo, max(m) AS hi FROM o),
+        |months AS (SELECT unnest(generate_series(lo, hi)) AS m FROM b),
+        |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |c AS (SELECT o_orderstatus, m, COUNT(*) AS n FROM o GROUP BY 1, 2)
+        |SELECT st.o_orderstatus,
+        | CAST((months.m // 12) * 100 + (months.m % 12) + 1 AS BIGINT) AS ym,
+        | COALESCE(c.n, 0) AS n_orders
+        |FROM months CROSS JOIN st
+        |LEFT JOIN c ON c.o_orderstatus = st.o_orderstatus AND c.m = months.m
+        |ORDER BY st.o_orderstatus, ym""".stripMargin,
+    "an1_outliers" ->
+      """WITH ev AS (SELECT event_type AS g, value AS v FROM events),
+        |r1 AS (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM ev),
+        |x1 AS (SELECT g, v, rn,
+        |  CAST(n - 1 AS DOUBLE) * 0.5 AS idx,
+        |  CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo,
+        |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) AS hi
+        | FROM r1),
+        |m1 AS (SELECT g,
+        |  MAX(CASE WHEN rn = lo THEN v END) +
+        |   MAX(idx - floor(idx)) *
+        |   (MAX(CASE WHEN rn = hi THEN v END) - MAX(CASE WHEN rn = lo THEN v END)) AS med
+        | FROM x1 WHERE rn = lo OR rn = hi GROUP BY 1),
+        |d AS (SELECT ev.g, ev.v, m1.med, abs(ev.v - m1.med) AS adev
+        | FROM ev JOIN m1 ON ev.g = m1.g),
+        |r2 AS (SELECT g, adev,
+        |  row_number() OVER (PARTITION BY g ORDER BY adev) AS rn,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+        |x2 AS (SELECT g, adev, rn,
+        |  CAST(n - 1 AS DOUBLE) * 0.5 AS idx,
+        |  CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo,
+        |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 2, n) AS hi
+        | FROM r2),
+        |m2 AS (SELECT g,
+        |  MAX(CASE WHEN rn = lo THEN adev END) +
+        |   MAX(idx - floor(idx)) *
+        |   (MAX(CASE WHEN rn = hi THEN adev END) - MAX(CASE WHEN rn = lo THEN adev END)) AS mad
+        | FROM x2 WHERE rn = lo OR rn = hi GROUP BY 1)
+        |SELECT d.g AS event_type, COUNT(*) AS n,
+        | MAX(d.med) AS med, MAX(m2.mad) AS mad,
+        | COUNT(CASE WHEN d.adev > 3.0 * m2.mad THEN 1 END) AS n_outliers
+        |FROM d JOIN m2 ON d.g = m2.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pp1_period_over_period" ->
+      """WITH m AS (
+        | SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT CAST((m // 12) * 100 + (m % 12) + 1 AS BIGINT) AS ym,
+        | revenue,
+        | revenue - lag(revenue, 1) OVER (ORDER BY m) AS mom_delta,
+        | revenue - lag(revenue, 12) OVER (ORDER BY m) AS yoy_delta
+        |FROM m ORDER BY ym""".stripMargin,
+    "rr1_ratio_to_report" ->
+      """WITH r AS (
+        | SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1)
+        |SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue,
+        | CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+        |FROM r ORDER BY n_name""".stripMargin,
+    "gi1_islands" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        | FROM events),
+        |g AS (SELECT user_id, d,
+        |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        | FROM days)
+        |SELECT user_id, min(d) AS start_day, COUNT(*) AS len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin
   )
 }

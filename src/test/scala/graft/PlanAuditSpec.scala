@@ -575,4 +575,50 @@ class PlanAuditSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"), readSchema)
   }
+
+  test("a14 mode: keyed count + partitioned top-1 — WindowGroupLimit prunes map-side, no join") {
+    val p = planOf("a14_mode")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("ts1 date spine: ONE fact scan feeds counts, bounds, and statuses (exchange reused); spine joins are broadcast") {
+    val p = planOf("ts1_date_spine")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // bounds, statuses, and the gap-fill join all read the persisted
+    // aggregate-sized counts frame, so orders is scanned exactly once
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("an1 robust outliers: group-sized med/mad frames broadcast back — no SMJ, no cartesian") {
+    val p = planOf("an1_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pp1 period-over-period: lag windows sit ABOVE the monthly aggregate — fact scanned once, no join") {
+    val p = planOf("pp1_period_over_period")
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    // the window's sort input is the aggregate output (partial_sum
+    // proves map-side combine below it)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("rr1 ratio-to-report: dims broadcast, share window over the nation-sized aggregate") {
+    val p = planOf("rr1_ratio_to_report")
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("gi1 islands: one keyed window exchange on user_id, no join, pruned scan") {
+    val p = planOf("gi1_islands")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
+  }
 }
