@@ -45,6 +45,12 @@ import graft.core.Tables
   *    not these.
   *  - gi1: one keyed window exchange on user_id; island grouping is
   *    integer arithmetic (day − row_number), no self-join.
+  *  - w8: COUNT(DISTINCT) OVER isn't supported by several engines
+  *    (BigQuery among them) — the shipped rewrite is max(dense_rank)
+  *    over the same partition: both windows share ONE exchange + sort,
+  *    and the oracle runs the native distinct-window form, proving the
+  *    rewrite. Only valid on a non-null column (dense_rank counts a
+  *    null as a value, COUNT DISTINCT ignores it).
   */
 object GovernanceQueries {
 
@@ -191,14 +197,18 @@ object GovernanceQueries {
       // frames are group-sized: broadcast back, one counting pass.
       import graft.operators.ScalableQuantile.percentileCont
       val ev = T(s, dir, "events").select(col("event_type"), col("value"))
+      // med/mad are GROUP-sized — persist them, or every downstream
+      // rebuild re-embeds the whole 3-scan quantile pipeline
+      // (multiplicative lineage: measured ~10 s → ~3 s at sf0.1);
+      // pr1 ownership contract — Verify/Bench clear per query
       val med = percentileCont(ev, "event_type", "value", Seq(0.5))
-        .select(col("event_type"), col("value").as("med"))
+        .select(col("event_type"), col("value").as("med")).persist()
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = percentileCont(
           dev.select(col("event_type"), col("adev")),
           "event_type", "adev", Seq(0.5))
-        .select(col("event_type"), col("value").as("mad"))
+        .select(col("event_type"), col("value").as("mad")).persist()
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -255,6 +265,18 @@ object GovernanceQueries {
         .agg(min(col("d")).as("start_day"), count(lit(1)).as("len"))
         .select(col("user_id"), col("start_day"), col("len"))
         .orderBy(col("user_id"), col("start_day"))
+    }),
+    "w8_count_distinct_window" -> ((s, dir) => {
+      // COUNT(DISTINCT x) OVER (PARTITION BY g) via the max(dense_rank)
+      // rewrite — the migration idiom for engines without distinct
+      // windows. l_suppkey is non-null (the rewrite's contract).
+      val part = Window.partitionBy(col("l_orderkey"))
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .withColumn("dr", dense_rank().over(part.orderBy(col("l_suppkey"))))
+        .withColumn("n_supp", max(col("dr")).over(part).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_supp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -430,6 +452,11 @@ object GovernanceQueries {
         | FROM days)
         |SELECT user_id, min(d) AS start_day, COUNT(*) AS len
         |FROM g GROUP BY user_id, grp
-        |ORDER BY user_id, start_day""".stripMargin
+        |ORDER BY user_id, start_day""".stripMargin,
+    "w8_count_distinct_window" ->
+      """SELECT l_orderkey, l_linenumber,
+        | COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -614,6 +614,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("w8 count-distinct window: both windows share ONE l_orderkey exchange — no join, no second shuffle") {
+    val p = planOf("w8_count_distinct_window")
+    assert(!p.contains("Join"), p)
+    // dense_rank and the partition max run over the same
+    // hashpartitioning(l_orderkey) — exactly one shuffle before the
+    // final presentation sort
+    assert("hashpartitioning\\(l_orderkey".r.findAllIn(p).length >= 1, p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one keyed exchange, plan:\n$p")
+  }
+
   test("gi1 islands: one keyed window exchange on user_id, no join, pruned scan") {
     val p = planOf("gi1_islands")
     assert(!p.contains("Join"), p)
