@@ -618,12 +618,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("w8_count_distinct_window")
     assert(!p.contains("Join"), p)
     // dense_rank and the partition max run over the same
-    // hashpartitioning(l_orderkey) — exactly one shuffle before the
-    // final presentation sort
-    assert("hashpartitioning\\(l_orderkey".r.findAllIn(p).length >= 1, p)
-    val exchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"expected one keyed exchange, plan:\n$p")
+    // hashpartitioning(l_orderkey) — exactly one keyed shuffle before
+    // the final presentation sort (whose exchange is range, not hash)
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(keyed == 1, s"expected one keyed exchange, plan:\n$p")
+    assert(p.contains("hashpartitioning(l_orderkey"), p)
   }
 
   test("gi1 islands: one keyed window exchange on user_id, no join, pruned scan") {
