@@ -36,9 +36,13 @@ import graft.core.Tables
   *    min/max aggregate — never a fact-sized generator; the fact table
   *    contributes one keyed count aggregate and a left join against
   *    the tiny spine.
-  *  - an1: median and MAD come from the qt3 bucket-locate operator
-  *    (scales to one-giant-group columns); the group-sized med/mad
-  *    frames broadcast back into a single counting pass.
+  *  - an1: median and MAD use the shared PERCENTILE_CONT formula in
+  *    its window formulation (event-type groups are partition-sized;
+  *    the giant-group switch is ScalableQuantile.percentileCont,
+  *    bit-identical by spec — measured crossover in SCALING.md); the
+  *    group-sized med/mad frames broadcast back into one counting
+  *    pass. The qt3-composed variant measured 9.4 s warm at sf0.1 —
+  *    pure stage overhead on tiny groups — vs ~1.5 s for this shape.
   *  - pp1/rr1: the only unpartitioned windows run over AGGREGATE-sized
   *    frames (≤ |months|, ≤ |nations| rows) — the fact table never
   *    meets a global sort; sk3's lesson applies to data-sized frames,
@@ -56,6 +60,31 @@ object GovernanceQueries {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
+
+  /** Per-group interpolated median (the shared PERCENTILE_CONT p=0.5
+    * formula, window formulation): one keyed window exchange. Use while
+    * groups fit a partition — the measured qt2/qt3 crossover (~20M
+    * rows/group on this host, SCALING.md); past it switch to
+    * [[graft.operators.ScalableQuantile.percentileCont]], bit-identical
+    * by ScalableQuantileSpec. */
+  private def windowMedian(
+      df: DataFrame, gCol: String, vCol: String, out: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(gCol)).orderBy(col(vCol))
+    val wAll = Window.partitionBy(col(gCol))
+    val idx = (col("n") - 1).cast("double") * lit(0.5)
+    df.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo", floor(idx).cast("long") + 1)
+      .withColumn("hi", least(floor(idx).cast("long") + 2, col("n")))
+      .withColumn("frac", idx - floor(idx))
+      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col(gCol))
+      .agg(max(when(col("rn") === col("lo"), col(vCol))).as("vlo"),
+        max(when(col("rn") === col("hi"), col(vCol))).as("vhi"),
+        max(col("frac")).as("f"))
+      .select(col(gCol),
+        (col("vlo") + col("f") * (col("vhi") - col("vlo"))).as(out))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "del1_forget_audit" -> ((s, dir) => {
@@ -192,23 +221,18 @@ object GovernanceQueries {
     }),
     "an1_outliers" -> ((s, dir) => {
       // robust anomaly profile per event type: median and MAD via the
-      // shared exact PERCENTILE_CONT formula (qt3 bucket-locate — no
-      // group-sized sort), outlier = |v − med| > 3·MAD. The med/mad
-      // frames are group-sized: broadcast back, one counting pass.
-      import graft.operators.ScalableQuantile.percentileCont
+      // shared exact PERCENTILE_CONT formula (window formulation — the
+      // five event-type groups fit a partition by orders of magnitude;
+      // see windowMedian's crossover note for the giant-group switch),
+      // outlier = |v − med| > 3·MAD. The med/mad frames are
+      // group-sized: broadcast back, one counting pass. med persists
+      // (pr1 ownership contract) so dev's two consumers don't re-sort.
       val ev = T(s, dir, "events").select(col("event_type"), col("value"))
-      // med/mad are GROUP-sized — persist them, or every downstream
-      // rebuild re-embeds the whole 3-scan quantile pipeline
-      // (multiplicative lineage: measured ~10 s → ~3 s at sf0.1);
-      // pr1 ownership contract — Verify/Bench clear per query
-      val med = percentileCont(ev, "event_type", "value", Seq(0.5))
-        .select(col("event_type"), col("value").as("med")).persist()
+      val med = windowMedian(ev, "event_type", "value", "med").persist()
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("adev", abs(col("value") - col("med")))
-      val mad = percentileCont(
-          dev.select(col("event_type"), col("adev")),
-          "event_type", "adev", Seq(0.5))
-        .select(col("event_type"), col("value").as("mad")).persist()
+      val mad = windowMedian(
+        dev.select(col("event_type"), col("adev")), "event_type", "adev", "mad")
       dev.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
