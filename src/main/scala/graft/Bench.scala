@@ -116,6 +116,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work PARALLEL CPU probe (round 11): [[calibrationSec]]'s loop
+    * run simultaneously on `threads` JVM threads, wall time of the
+    * slowest. This host class is 32 physical cores without SMT, so idle
+    * the par probe ≈ the single-thread probe; under MULTI-CORE
+    * contention (co-tenant stealing cores, cgroup CPU throttling) it
+    * rises while the single-thread probe stays flat — exactly the
+    * failure mode the round-11 close measured: all 154 r10-shared keys
+    * uniformly 1.3–1.4× the judge's idle capture with cal_start/end
+    * pinned at 0.19 s. The par/single ratio is the parallel-headroom
+    * stamp that makes such a window attributable from the JSON alone.
+    */
+  def calibrationParSec(
+      threads: Int = Runtime.getRuntime.availableProcessors): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      new Thread(() => {
+        var h = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        while (i < 100000000) { h ^= i; h *= 0x100000001B3L; h ^= (h >>> 31); i += 1 }
+        if (h == 42L) print("")
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The per-query `"queries"`/`"queries_min"` fragment (round 9):
     * alongside each query's MEDIAN, the artifact carries the MIN of the
     * same iterations. The round-8 sweep-level calibration probe bounds
@@ -141,12 +168,17 @@ object Bench {
     */
   def loadJson(avgStart: Double, avgEnd: Double,
                calStart: Double, calEnd: Double,
-               retryDegraded: Boolean = false): String = {
+               retryDegraded: Boolean = false,
+               calParStart: Double = -1.0, calParEnd: Double = -1.0): String = {
     def s3(d: Double) = math.rint(d * 1000) / 1000
     val degraded = calStart > CalibrationBoundSec ||
       calEnd > CalibrationBoundSec || retryDegraded
+    // the par probes are informational stamps (no degraded vote yet —
+    // their idle baseline is host-class-specific); -1 = not measured,
+    // the same sentinel convention as the MXBean load averages
     s""""load":{"avg_start":${s3(avgStart)},"avg_end":${s3(avgEnd)},""" +
       s""""cal_start_sec":${s3(calStart)},"cal_end_sec":${s3(calEnd)},""" +
+      s""""cal_par_start_sec":${s3(calParStart)},"cal_par_end_sec":${s3(calParEnd)},""" +
       s""""cal_bound_sec":$CalibrationBoundSec,""" +
       s""""retry_degraded":$retryDegraded,"degraded":$degraded}"""
   }
@@ -175,6 +207,7 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     calibrationSec() // JIT warm-up; first probe compiles the loop
     val calStart = calibrationSec()
+    val calParStart = calibrationParSec()
     val loadStart = osBean.getSystemLoadAverage
     // warm the JVM/codegen path so the first measured query isn't
     // charged for session startup
@@ -296,9 +329,11 @@ object Bench {
       }
     val loadEnd = osBean.getSystemLoadAverage
     val calEnd = calibrationSec()
+    val calParEnd = calibrationParSec()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir",""" +
-        loadJson(loadStart, loadEnd, calStart, calEnd, retryDegraded) +
+        loadJson(loadStart, loadEnd, calStart, calEnd, retryDegraded,
+          calParStart, calParEnd) +
         s""","errors":$es,$qs$retryJson$e2eJson$trainJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)

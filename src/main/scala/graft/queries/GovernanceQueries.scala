@@ -55,6 +55,13 @@ import graft.core.Tables
   *    and the oracle runs the native distinct-window form, proving the
   *    rewrite. Only valid on a non-null column (dense_rank counts a
   *    null as a value, COUNT DISTINCT ignores it).
+  *  - ivm1: incremental view maintenance — the maintained aggregate is
+  *    stored_agg ⊕ delta_agg (counts and decimal sums are self-
+  *    inverting: deletes subtract exactly what inserts added), so the
+  *    update costs one DELTA-sized aggregate + an aggregate-frame
+  *    merge, never a re-aggregation of the base table. The oracle IS
+  *    the full recompute over the modified table — the equality the
+  *    whole technique rests on, checked bit-for-bit.
   */
 object GovernanceQueries {
 
@@ -301,6 +308,36 @@ object GovernanceQueries {
         .withColumn("n_supp", max(col("dr")).over(part).cast("long"))
         .select(col("l_orderkey"), col("l_linenumber"), col("n_supp"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "ivm1_incremental_agg" -> ((s, dir) => {
+      // incremental view maintenance: a CDC delta (every 101st order
+      // re-priced +10 — one delete + one insert) folds into the stored
+      // per-status aggregate as stored ⊕ delta. The base aggregate here
+      // stands in for the STORED view (computed once in a real
+      // deployment); everything delta-ward is delta-sized, and the
+      // merge joins two aggregate frames. Oracle = full recompute of
+      // the modified table.
+      val orders = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val touched = pmod(col("o_orderkey"), lit(101)) === 0
+      val stored = orders.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n0"), sum(dec(col("o_totalprice"))).as("s0"))
+      // delta aggregate: deletes carry weight −1 / −price, inserts +1;
+      // ONE delta-sized pass, no per-op branches downstream
+      val dels = orders.filter(touched)
+        .select(col("o_orderstatus"), lit(-1L).as("w"),
+          (-dec(col("o_totalprice"))).as("p"))
+      val ins = orders.filter(touched)
+        .select(col("o_orderstatus"), lit(1L).as("w"),
+          dec(col("o_totalprice") + 10.0).as("p"))
+      val delta = dels.unionByName(ins).groupBy(col("o_orderstatus"))
+        .agg(sum(col("w")).as("dn"), sum(col("p")).as("ds"))
+      stored.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s0"), lit(0)) + coalesce(col("ds"), lit(0)))
+            .cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -481,6 +518,16 @@ object GovernanceQueries {
       """SELECT l_orderkey, l_linenumber,
         | COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "ivm1_incremental_agg" ->
+      """WITH modified AS (
+        | SELECT o_orderstatus, o_totalprice FROM orders
+        | WHERE o_orderkey % 101 <> 0
+        | UNION ALL
+        | SELECT o_orderstatus, o_totalprice + 10.0 FROM orders
+        | WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM modified GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

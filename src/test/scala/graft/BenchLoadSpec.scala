@@ -13,14 +13,39 @@ class BenchLoadSpec extends AnyFunSuite {
 
   test("loadJson emits every contract field, rounded to millis") {
     val j = Bench.loadJson(avgStart = 0.16064, avgEnd = 1.23456,
-      calStart = 0.1988, calEnd = 0.1871)
+      calStart = 0.1988, calEnd = 0.1871,
+      calParStart = 0.2244, calParEnd = 0.3111)
     assert(j.startsWith("\"load\":{"))
     assert(j.contains("\"avg_start\":0.161"))
     assert(j.contains("\"avg_end\":1.235"))
     assert(j.contains("\"cal_start_sec\":0.199"))
     assert(j.contains("\"cal_end_sec\":0.187"))
+    assert(j.contains("\"cal_par_start_sec\":0.224"))
+    assert(j.contains("\"cal_par_end_sec\":0.311"))
     assert(j.contains(s""""cal_bound_sec":${Bench.CalibrationBoundSec}"""))
     assert(j.contains("\"degraded\":false"))
+  }
+
+  test("unmeasured par probes stamp the -1 sentinel and never vote on degraded") {
+    val j = Bench.loadJson(0.1, 0.1, 0.19, 0.19)
+    assert(j.contains("\"cal_par_start_sec\":-1"))
+    assert(j.contains("\"cal_par_end_sec\":-1"))
+    assert(j.contains("\"degraded\":false"))
+    // even an elevated par probe is informational-only this round (no
+    // committed idle baseline for the host class yet)
+    val hot = Bench.loadJson(0.1, 0.1, 0.19, 0.19,
+      calParStart = 9.9, calParEnd = 9.9)
+    assert(hot.contains("\"degraded\":false"))
+  }
+
+  test("the parallel probe exists and scales: wall time within sane bounds of the single probe") {
+    val single = Bench.calibrationSec()
+    // 4 threads on a 32-core host: wall ≈ single (no SMT here); allow
+    // generous slack for a busy CI moment, but catch a serialized
+    // implementation (which would be ≈ 4× single)
+    val par = Bench.calibrationParSec(4)
+    assert(par < single * 3.0, s"par=$par single=$single — probe not parallel?")
+    assert(par >= single * 0.5, s"par=$par single=$single — probe lost its work?")
   }
 
   test("a probe beyond the bound on either side marks the run degraded") {

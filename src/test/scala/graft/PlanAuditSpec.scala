@@ -626,6 +626,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(l_orderkey"), p)
   }
 
+  test("ivm1 incremental aggregate: the merge joins two AGGREGATE frames — partial aggregates below, no window, no fact-sized join") {
+    val p = planOf("ivm1_incremental_agg")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // exactly one join node in the plan: the aggregate-frame full-outer
+    // merge (delete/insert legs union BEFORE their one delta aggregate)
+    assert("""\(\d+\) [A-Za-z]*Join""".r.findAllIn(p).length == 1, p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("gi1 islands: one keyed window exchange on user_id, no join, pruned scan") {
     val p = planOf("gi1_islands")
     assert(!p.contains("Join"), p)
