@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.hadoop.fs.{Path => HPath}
+
+import graft.core.Exact.dec
+
+/** Streaming incremental view maintenance — the `ivm1` delta fold under
+  * a CDC stream: a maintained per-group (count, exact-decimal sum)
+  * aggregate absorbs each micro-batch of I/D changes as
+  * `stored ⊕ delta`, never re-aggregating the base data. Updates
+  * travel as delete+insert pairs (the ivm1/applyCdc convention).
+  *
+  * Storage is one COMPLETE aggregate snapshot per batch
+  * (`<aggDir>/snap/batch=<id>/` — aggregate-sized, tiny), the
+  * [[StreamingScd2]] exactly-once discipline: a batch always recomputes
+  * from the latest COMMITTED snapshot with id < its own (`_SUCCESS` =
+  * commit), so a redelivered batch reads the same input and overwrites
+  * its own snapshot with identical bytes — idempotent at any crash
+  * point, no WAL. Older snapshots are GC'd; steady state holds two.
+  *
+  * Contract (StreamingIvmSpec): after batch N commits, [[readAgg]]
+  * equals the full recompute over every surviving row delivered so far,
+  * groups whose rows are all deleted disappear, and an op that is
+  * neither I nor D (or NULL) fails the batch loudly — the applyCdc
+  * discipline; a silent default would corrupt the view forever since
+  * nothing downstream ever recomputes it.
+  */
+object StreamingIvm {
+
+  private def snapRoot(aggDir: String) = new HPath(aggDir, "snap")
+
+  private def committed(spark: SparkSession, aggDir: String): Seq[Long] = {
+    val root = snapRoot(aggDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+  }
+
+  /** Fold ONE static change batch into the maintained aggregate as
+    * micro-batch `batchId`; returns the group count after the fold. */
+  def applyBatch(
+      batch: DataFrame, batchId: Long, groupCols: Seq[String],
+      opCol: String, valueCol: String, aggDir: String): Long = {
+    val spark = batch.sparkSession
+    val fs = new HPath(aggDir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (batch.isEmpty) return -1L // no state change; snapshot ids may skip
+    // fail loudly on an op outside {I, D} — including NULL, which
+    // filters silently out of BOTH legs of any when() split
+    val bad = batch.filter(col(opCol).isNull ||
+      (col(opCol) =!= "I" && col(opCol) =!= "D")).limit(1).count()
+    require(bad == 0L,
+      s"change batch $batchId has rows with op outside {I, D} (or NULL) " +
+        s"in '$opCol' — refusing to fold a malformed delta into the view")
+    val g = groupCols.map(col)
+    val delta = batch.select(
+        (g :+ when(col(opCol) === "I", 1L).otherwise(-1L).as("__w")) :+
+          (when(col(opCol) === "I", dec(col(valueCol)))
+            .otherwise(-dec(col(valueCol)))).as("__p"): _*)
+      .groupBy(g: _*)
+      .agg(sum(col("__w")).as("__dn"), sum(col("__p")).as("__ds"))
+    val prior = committed(spark, aggDir).filter(_ < batchId)
+    val merged = prior.lastOption match {
+      case None =>
+        delta.select((g :+ col("__dn").as("n")) :+ col("__ds").as("s"): _*)
+      case Some(prev) =>
+        val stored = spark.read.parquet(
+          new HPath(snapRoot(aggDir), s"batch=$prev").toString)
+        stored.join(delta, groupCols, "full_outer")
+          .select((g :+
+            (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) :+
+            (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s"): _*)
+    }
+    val next = merged.filter(col("n") > 0).localCheckpoint(false)
+    val nGroups = next.count()
+    next.write.mode("overwrite")
+      .parquet(new HPath(snapRoot(aggDir), s"batch=$batchId").toString)
+    prior.dropRight(1).foreach(id =>
+      fs.delete(new HPath(snapRoot(aggDir), s"batch=$id"), true))
+    nGroups
+  }
+
+  /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`
+    * observes (batchId, groupCount). Call `.start()`. */
+  def applyStream(
+      changes: DataFrame, groupCols: Seq[String], opCol: String,
+      valueCol: String, aggDir: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStream expects a streaming DataFrame " +
+      "(use applyBatch for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatch(b.toDF(), id, groupCols, opCol, valueCol, aggDir))
+    }
+  }
+
+  def hasCommitted(spark: SparkSession, aggDir: String): Boolean =
+    committed(spark, aggDir).nonEmpty
+
+  /** The maintained aggregate as of the latest committed batch:
+    * (groupCols…, n, s) with s the exact decimal sum. */
+  def readAgg(spark: SparkSession, aggDir: String): DataFrame = {
+    val snaps = committed(spark, aggDir)
+    require(snaps.nonEmpty, s"no committed aggregate under $aggDir")
+    spark.read.parquet(new HPath(snapRoot(aggDir), s"batch=${snaps.last}").toString)
+  }
+}
