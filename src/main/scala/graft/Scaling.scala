@@ -146,7 +146,11 @@ object Scaling {
     "a13_corr_matrix" -> Set("lineitem"),
     "a14_mode" -> Set("lineitem"),
     "gi1_islands" -> Set("events"),
-    "an1_outliers" -> Set("events"))
+    "an1_outliers" -> Set("events"),
+    "w8_count_distinct_window" -> Set("lineitem"),
+    "ivm1_incremental_agg" -> Set("orders"),
+    "at1_attribution" -> Set("events"),
+    "ab1_ab_test" -> Set("events"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -301,7 +305,9 @@ object Scaling {
       "qt2_percentile_cont", "qt3_scalable_quantiles",
       "del1_forget_audit", "rr1_ratio_to_report", "w7_rolling_range",
       "hg2_quantile_bins", "ts1_date_spine", "pp1_period_over_period",
-      "a13_corr_matrix", "a14_mode", "gi1_islands", "an1_outliers")
+      "a13_corr_matrix", "a14_mode", "gi1_islands", "an1_outliers",
+      "w8_count_distinct_window", "ivm1_incremental_agg",
+      "at1_attribution", "ab1_ab_test")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")

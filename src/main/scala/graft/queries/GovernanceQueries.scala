@@ -309,6 +309,58 @@ object GovernanceQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("n_supp"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "at1_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent PRECEDING non-purchase event; no preceding touch =
+      // 'direct'. One keyed window (the w5 IGNORE-NULLS face composed
+      // into the conversion reading) + a channel-sized aggregate.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("channel"))
+    }),
+    "ab1_ab_test" -> ((s, dir) => {
+      // deterministic A/B readout: variant = user_id parity (a seeded
+      // hash in production — parity keeps the oracle trivially
+      // mirrorable), conversion = a high-value purchase (> 300; "any
+      // purchase" is degenerate on this corpus — every user has one,
+      // pool = 1, z = 0/0). Two keyed aggregates collapse to ONE row;
+      // rates, lift, and the two-proportion z-score are closed-form
+      // doubles from exact counts — identical expression tree in both
+      // engines, so identical IEEE bits. z's denominator goes through
+      // nullif: a fully-degenerate test (pool 0 or 1) reads z = NULL
+      // in BOTH engines instead of an ANSI division error here and a
+      // NaN there.
+      val pu = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 300.0,
+          1).otherwise(0)).as("conv"))
+        .withColumn("v", pmod(col("user_id"), lit(2)))
+      val d = (c: String) => col(c).cast("double")
+      pu.agg(
+          count(when(col("v") === 0, 1)).as("n0"),
+          count(when(col("v") === 1, 1)).as("n1"),
+          sum(when(col("v") === 0, col("conv")).otherwise(0)).as("c0"),
+          sum(when(col("v") === 1, col("conv")).otherwise(0)).as("c1"))
+        .withColumn("p0", d("c0") / d("n0"))
+        .withColumn("p1", d("c1") / d("n1"))
+        .withColumn("lift", d("c1") / d("n1") - d("c0") / d("n0"))
+        .withColumn("pool", (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1")).cast("double"))
+        .withColumn("z", col("lift") /
+          nullif(sqrt(col("pool") * (lit(1.0) - col("pool")) *
+            (lit(1.0) / d("n0") + lit(1.0) / d("n1"))), lit(0.0)))
+        .select(col("n0"), col("n1"), col("c0"), col("c1"),
+          col("p0"), col("p1"), col("lift"), col("z"))
+    }),
     "ivm1_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: a CDC delta (every 101st order
       // re-priced +10 — one delete + one insert) folds into the stored
@@ -519,6 +571,41 @@ object GovernanceQueries {
         | COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "at1_attribution" ->
+      """WITH t AS (
+        | SELECT user_id, event_type,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |             IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT COALESCE(touch, 'direct') AS channel,
+        | COUNT(*) AS n_conversions
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "ab1_ab_test" ->
+      """WITH pu AS (
+        | SELECT user_id, CAST(user_id % 2 AS BIGINT) AS v,
+        |  MAX(CASE WHEN event_type = 'purchase' AND value > 300.0
+        |      THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |a AS (SELECT
+        |  COUNT(CASE WHEN v = 0 THEN 1 END) AS n0,
+        |  COUNT(CASE WHEN v = 1 THEN 1 END) AS n1,
+        |  CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        | FROM pu)
+        |SELECT n0, n1, c0, c1,
+        | CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        | CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        | CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |  - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift,
+        | (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+        |  nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0.0) AS z
+        |FROM a""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

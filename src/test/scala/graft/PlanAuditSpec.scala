@@ -636,6 +636,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("at1 attribution: one keyed window on user_id feeding a channel-sized aggregate — no join") {
+    val p = planOf("at1_attribution")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("ab1 A/B readout: two combinable aggregates to one row — no join, no window") {
+    val p = planOf("ab1_ab_test")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_max"), p)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+  }
+
   test("gi1 islands: one keyed window exchange on user_id, no join, pruned scan") {
     val p = planOf("gi1_islands")
     assert(!p.contains("Join"), p)
