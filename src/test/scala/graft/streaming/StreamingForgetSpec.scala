@@ -62,6 +62,37 @@ class StreamingForgetSpec extends AnyFunSuite {
     assert(kept(StreamingForget.forgetKeys(spark, keysDir).toDF("k")) == before)
   }
 
+  test("erasure set survives stop + restart from checkpoint (AvailableNow file source)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("forget-src"); val ck = tmp("forget-ck")
+    val keysDir = tmp("forget-durable") + "/keys"
+    def writeReqs(ks: Seq[Long]): Unit =
+      ks.toDF("id").coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val in = spark.readStream.schema("id BIGINT").parquet(src)
+      val q = StreamingForget.accumulate(in, keysDir)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    writeReqs(Seq(2L, 4L)); run()
+    assert(kept(StreamingForget.scrubbedView(spark, table, "k", keysDir)) ==
+      (1L to 20L).filterNot(Set(2L, 4L)))
+    // restart from the checkpoint: only the NEW requests replay; the
+    // recovered view carries both halves
+    writeReqs(Seq(6L)); run()
+    assert(kept(StreamingForget.scrubbedView(spark, table, "k", keysDir)) ==
+      (1L to 20L).filterNot(Set(2L, 4L, 6L)))
+    // a third restart with NOTHING new is a no-op (no empty snapshot,
+    // no forgotten keys lost)
+    run()
+    assert(kept(StreamingForget.scrubbedView(spark, table, "k", keysDir)) ==
+      (1L to 20L).filterNot(Set(2L, 4L, 6L)))
+  }
+
   test("before any batch commits, the view IS the table and the audit is all-retained") {
     val keysDir = java.nio.file.Files.createTempDirectory("forget-empty").toString + "/keys"
     assert(!StreamingForget.hasKeys(keysDir))

@@ -68,6 +68,32 @@ class StreamingIvmSpec extends AnyFunSuite {
     assert(before == recompute(1))
   }
 
+  test("maintained aggregate survives stop + restart from checkpoint (AvailableNow file source)") {
+    import org.apache.spark.sql.streaming.Trigger
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("ivm-src"); val ck = tmp("ivm-ck")
+    val aggDir = tmp("ivm-durable") + "/agg"
+    def writeDelta(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("g", "op", "v").coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema("g STRING, op STRING, v DOUBLE").parquet(src)
+      val q = StreamingIvm.applyStream(in, Seq("g"), "op", "v", aggDir)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    writeDelta(batches(0)); run()
+    assert(collect(StreamingIvm.readAgg(spark, aggDir)) == recompute(0))
+    // restart: only the new deltas replay against the recovered snapshot
+    writeDelta(batches(1)); writeDelta(batches(2)); run()
+    assert(collect(StreamingIvm.readAgg(spark, aggDir)) == recompute(2))
+    // restart with nothing new: view unchanged
+    run()
+    assert(collect(StreamingIvm.readAgg(spark, aggDir)) == recompute(2))
+  }
+
   test("an op outside {I, D} — or NULL — fails the batch loudly") {
     import spark.implicits._
     val aggDir = java.nio.file.Files.createTempDirectory("ivm-badop").toString + "/agg"
