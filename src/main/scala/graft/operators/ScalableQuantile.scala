@@ -146,4 +146,44 @@ object ScalableQuantile {
     picked.unionByName(constant)
       .withColumnRenamed("g", groupCol)
   }
+
+  /** The WINDOW formulation of the same interpolation — one keyed
+    * exchange + per-group sort, same (group, p, value) output,
+    * bit-identical values (ScalableQuantileSpec proves it on every
+    * tested shape). This is the faster shape while groups fit a
+    * partition (measured crossover ≈ 20M rows/group on the bench host,
+    * SCALING.md); [[percentileCont]] is the giant-group path. Unlike
+    * percentileCont, a NaN does not fail loudly here (it sorts last
+    * and poisons the tail percentiles) — keep NaN-free inputs. */
+  def percentileContWindow(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"duplicate percentiles would duplicate output rows: $ps")
+    require(groupCol != "p" && groupCol != "value",
+      s"group column '$groupCol' collides with an output column name")
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"))
+    rows
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("idx", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("lo", (floor(col("idx")) + 1).cast("long"))
+      .withColumn("hi", least(col("lo") + 1, col("n")))
+      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("g"), col("p"))
+      .agg(
+        max(when(col("rn") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("rn") === col("hi"), col("v"))).as("vhi"),
+        max(col("idx") - floor(col("idx")).cast("double")).as("frac"))
+      .select(col("g"), col("p"),
+        (col("vlo") + col("frac") * (col("vhi") - col("vlo"))).as("value"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

@@ -68,30 +68,15 @@ object GovernanceQueries {
   private def T(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Per-group interpolated median (the shared PERCENTILE_CONT p=0.5
-    * formula, window formulation): one keyed window exchange. Use while
-    * groups fit a partition — the measured qt2/qt3 crossover (~20M
-    * rows/group on this host, SCALING.md); past it switch to
-    * [[graft.operators.ScalableQuantile.percentileCont]], bit-identical
-    * by ScalableQuantileSpec. */
+  /** Per-group interpolated median via the operator's window
+    * formulation (one keyed window exchange; groups here fit a
+    * partition by orders of magnitude — percentileCont is the
+    * bit-identical giant-group switch, ScalableQuantileSpec). */
   private def windowMedian(
-      df: DataFrame, gCol: String, vCol: String, out: String): DataFrame = {
-    val wOrd = Window.partitionBy(col(gCol)).orderBy(col(vCol))
-    val wAll = Window.partitionBy(col(gCol))
-    val idx = (col("n") - 1).cast("double") * lit(0.5)
-    df.withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("lo", floor(idx).cast("long") + 1)
-      .withColumn("hi", least(floor(idx).cast("long") + 2, col("n")))
-      .withColumn("frac", idx - floor(idx))
-      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy(col(gCol))
-      .agg(max(when(col("rn") === col("lo"), col(vCol))).as("vlo"),
-        max(when(col("rn") === col("hi"), col(vCol))).as("vhi"),
-        max(col("frac")).as("f"))
-      .select(col(gCol),
-        (col("vlo") + col("f") * (col("vhi") - col("vlo"))).as(out))
-  }
+      df: DataFrame, gCol: String, vCol: String, out: String): DataFrame =
+    graft.operators.ScalableQuantile
+      .percentileContWindow(df, gCol, vCol, Seq(0.5))
+      .select(col(gCol), col("value").as(out))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "del1_forget_audit" -> ((s, dir) => {

@@ -97,4 +97,30 @@ class ScalableQuantileSpec extends AnyFunSuite {
     val df = frame((1 to 2000).map(_ => "g" -> rnd.nextGaussian() * 100))
     assert(bucketQuantiles(df, Ps, buckets = 2) == windowQuantiles(df, Ps))
   }
+
+  test("percentileContWindow: the public window shape equals BOTH the inline reference and the bucket-locate shape") {
+    val rnd = new scala.util.Random(99)
+    val rows =
+      (1 to 4000).map(_ => "u" -> rnd.nextDouble() * 100) ++
+      (1 to 11).map(_ => "tiny" -> rnd.nextGaussian()) ++
+      ((1 to 800).map(_ => "tie" -> 3.0) ++ (1 to 200).map(i => "tie" -> i.toDouble)) ++
+      Seq("single" -> -7.5)
+    val df = frame(rows)
+    val win = ScalableQuantile.percentileContWindow(df, "g", "v", Ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(win == windowQuantiles(df, Ps))
+    assert(win == bucketQuantiles(df, Ps))
+    // null exclusion matches percentileCont's SQL convention
+    import spark.implicits._
+    val nulls = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val got = ScalableQuantile.percentileContWindow(nulls, "g", "v", Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(("a", 0.5) -> 2.0))
+    // same input-validation contract
+    intercept[IllegalArgumentException](
+      ScalableQuantile.percentileContWindow(df, "g", "v", Seq(0.5, 0.5)))
+    intercept[IllegalArgumentException](
+      ScalableQuantile.percentileContWindow(df, "g", "v", Seq(1.5)))
+  }
 }
