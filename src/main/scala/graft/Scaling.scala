@@ -335,10 +335,19 @@ object Scaling {
     // alternating SUBSET runs at the same factor must NOT re-blow-up
     // tables that are already valid on disk
     def markerOf(t: String) = Paths.get(out, s"_scale_$t")
+    // pseudo-tables (alignment/copy variants) write under the REAL
+    // table's file name — the on-disk existence check must look there,
+    // or a repeat run re-blows-up the whole orders/lineitem family
+    // every time (the exact waste the markers exist to prevent)
+    def fileOf(t: String) = Paths.get(out, t match {
+      case "customer_aligned" => "customer.parquet"
+      case "nation_copy" => "nation.parquet"
+      case other => s"$other.parquet"
+    })
     val need = tables.filter(t =>
       !Files.exists(markerOf(t)) ||
         Files.readString(markerOf(t)).trim != s"$base@$factor" ||
-        !Files.exists(Paths.get(out, s"$t.parquet")))
+        !Files.exists(fileOf(t)))
     if (need.nonEmpty) {
       generate(spark, base, out, factor,
         need -- Set("customer", "supplier", "nation"))
@@ -346,7 +355,8 @@ object Scaling {
       if ((need & hier).nonEmpty) generateHierarchy(spark, base, out, factor)
       // joint-table branches write their whole family together
       val written = need ++
-        (if (need("orders") || need("lineitem")) Set("orders", "lineitem") else Set.empty) ++
+        (if (need("orders") || need("lineitem") || need("customer_aligned"))
+          Set("orders", "lineitem") else Set.empty) ++
         (if ((need & hier).nonEmpty) hier else Set.empty)
       written.foreach(t => Files.writeString(markerOf(t), s"$base@$factor"))
     }

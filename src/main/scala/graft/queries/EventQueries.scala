@@ -186,18 +186,14 @@ object EventQueries {
           .select(lit(nm).as("transition"),
             (col("t_b") - col("t_a")).cast("double").as("delta_us"))
       }.reduce(_ unionByName _)
-        // the quantile pass scans its input more than once — without
-        // this pin each scan re-runs the whole funnel cascade
-        // (multiplicative lineage, the an1 lesson). Converting-user-
-        // sized, far smaller than events; pr1 ownership contract —
-        // Verify/Bench clear per query
-        .persist()
       // window formulation: the three transition groups are
       // converting-user-sized (partition-sized by orders of magnitude
-      // below the measured ~20M-rows/group crossover); percentileCont
-      // is the one-line giant-group switch. Measured 5.0 s → 2.0 s at
-      // sf0.1 — the bucket-locate machinery's fixed stage overhead was
-      // the whole difference.
+      // below the measured ~20M-rows/group crossover), and it consumes
+      // deltas in ONE pass — so no persist is needed (the bucket-locate
+      // shape scanned deltas 3×, re-running the funnel cascade each
+      // time; switching shapes measured 5.0 s → 2.0 s at sf0.1).
+      // percentileCont stays the one-line giant-group switch — pin
+      // deltas with persist() if you flip it.
       graft.operators.ScalableQuantile
         .percentileContWindow(deltas, "transition", "delta_us", Seq(0.5, 0.9))
         .orderBy(col("transition"), col("p"))

@@ -43,10 +43,12 @@ import graft.core.Tables
   *    group-sized med/mad frames broadcast back into one counting
   *    pass. The qt3-composed variant measured 9.4 s warm at sf0.1 —
   *    pure stage overhead on tiny groups — vs ~1.5 s for this shape.
-  *  - pp1/rr1: the only unpartitioned windows run over AGGREGATE-sized
-  *    frames (≤ |months|, ≤ |nations| rows) — the fact table never
-  *    meets a global sort; sk3's lesson applies to data-sized frames,
-  *    not these.
+  *  - pp1/rr1: everything after the one fact aggregate runs over
+  *    AGGREGATE-sized frames (≤ |months|, ≤ |nations| rows) — pp1's
+  *    period joins are calendar-exact self-joins on m−1/m−12 (a
+  *    positional lag silently crosses month gaps), rr1's grand-total
+  *    window is |nations|-sized; the fact table never meets a global
+  *    sort.
   *  - gi1: one keyed window exchange on user_id; island grouping is
   *    integer arithmetic (day − row_number), no self-join.
   *  - w8: COUNT(DISTINCT) OVER isn't supported by several engines
@@ -234,19 +236,24 @@ object GovernanceQueries {
     }),
     "pp1_period_over_period" -> ((s, dir) => {
       // month-over-month and year-over-year revenue deltas: one keyed
-      // monthly aggregate (exact decimal revenue), then lag(1)/lag(12)
-      // over the |months|-sized frame. The global window is aggregate-
-      // sized by construction — the fact table never sorts globally.
+      // monthly aggregate (exact decimal revenue), then CALENDAR-exact
+      // self-joins on m−1 / m−12 over the |months|-sized frame — a
+      // positional lag(12) silently compares the wrong month as soon
+      // as one month has no orders; the join form yields NULL deltas
+      // across gaps, the standard SQL answer. The aggregate persists
+      // (months-sized) so its three uses cost one fact scan.
       val m = T(s, dir, "orders")
         .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
           .as("m"))
-        .agg(sumd(col("o_totalprice")).as("revenue"))
-      val w = Window.orderBy(col("m"))
-      m.withColumn("mom_delta", col("revenue") - lag(col("revenue"), 1).over(w))
-        .withColumn("yoy_delta", col("revenue") - lag(col("revenue"), 12).over(w))
+        .agg(sumd(col("o_totalprice")).as("revenue")).persist()
+      val prev1 = m.select((col("m") + 1).as("m"), col("revenue").as("rev_m1"))
+      val prev12 = m.select((col("m") + 12).as("m"), col("revenue").as("rev_m12"))
+      m.join(prev1, Seq("m"), "left").join(prev12, Seq("m"), "left")
         .select((expr("m div 12") * 100 + pmod(col("m"), lit(12)) + 1)
             .cast("long").as("ym"),
-          col("revenue"), col("mom_delta"), col("yoy_delta"))
+          col("revenue"),
+          (col("revenue") - col("rev_m1")).as("mom_delta"),
+          (col("revenue") - col("rev_m12")).as("yoy_delta"))
         .orderBy(col("ym"))
     }),
     "rr1_ratio_to_report" -> ((s, dir) => {
@@ -525,11 +532,14 @@ object GovernanceQueries {
         | SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         | FROM orders GROUP BY 1)
-        |SELECT CAST((m // 12) * 100 + (m % 12) + 1 AS BIGINT) AS ym,
-        | revenue,
-        | revenue - lag(revenue, 1) OVER (ORDER BY m) AS mom_delta,
-        | revenue - lag(revenue, 12) OVER (ORDER BY m) AS yoy_delta
-        |FROM m ORDER BY ym""".stripMargin,
+        |SELECT CAST((m.m // 12) * 100 + (m.m % 12) + 1 AS BIGINT) AS ym,
+        | m.revenue,
+        | m.revenue - p1.revenue AS mom_delta,
+        | m.revenue - p12.revenue AS yoy_delta
+        |FROM m
+        |LEFT JOIN m p1 ON m.m = p1.m + 1
+        |LEFT JOIN m p12 ON m.m = p12.m + 12
+        |ORDER BY ym""".stripMargin,
     "rr1_ratio_to_report" ->
       """WITH r AS (
         | SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -51,19 +50,35 @@ object StreamingForget {
     }
   }
 
-  /** True once at least one micro-batch of keys has committed. */
-  def hasKeys(keysDir: String): Boolean = {
-    val p = Paths.get(keysDir)
-    Files.isDirectory(p) && Files.list(p).filter(d =>
-      d.getFileName.toString.startsWith("batch=")).findFirst().isPresent
+  /** Committed (`_SUCCESS`-marked) batch ids, ascending — the
+    * [[StreamingScd2]] commit convention, through the Hadoop FS so any
+    * storage the stream writes to is the storage views read from (a
+    * java.nio check would silently report "no keys" on non-local
+    * paths — an unscrubbed view with no error, the worst failure mode
+    * an erasure API can have). A torn batch directory from a mid-write
+    * crash has no `_SUCCESS` and is excluded until its replay. */
+  private def committedBatches(spark: SparkSession, keysDir: String): Seq[Long] = {
+    val root = new HPath(keysDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
   }
 
-  /** Every erasure key accumulated so far, one column, distinct. */
+  /** True once at least one micro-batch of keys has committed. */
+  def hasKeys(spark: SparkSession, keysDir: String): Boolean =
+    committedBatches(spark, keysDir).nonEmpty
+
+  /** Every erasure key accumulated so far, one column, distinct. Reads
+    * only `_SUCCESS`-committed batch directories. */
   def forgetKeys(spark: SparkSession, keysDir: String): DataFrame = {
-    require(hasKeys(keysDir), s"no committed erasure batches under $keysDir")
-    // partition discovery surfaces batch= as a column — drop it; the
-    // same key requested in two batches is one erasure
-    spark.read.parquet(keysDir).select(KeyCol).distinct()
+    val ids = committedBatches(spark, keysDir)
+    require(ids.nonEmpty, s"no committed erasure batches under $keysDir")
+    // the same key requested in two batches is one erasure
+    ids.map(id => spark.read.parquet(s"$keysDir/batch=$id"))
+      .reduce(_ unionByName _).select(KeyCol).distinct()
   }
 
   /** The scrubbed view of `table` as of the last committed batch —
@@ -71,7 +86,7 @@ object StreamingForget {
   def scrubbedView(
       spark: SparkSession, table: DataFrame, keyCol: String, keysDir: String,
       broadcastKeys: Boolean = true): DataFrame =
-    if (!hasKeys(keysDir)) table
+    if (!hasKeys(spark, keysDir)) table
     else Forget.scrub(table, keyCol, forgetKeys(spark, keysDir), broadcastKeys)
 
   /** Per-table touch report as of the last committed batch (empty-set
@@ -81,7 +96,7 @@ object StreamingForget {
       keysDir: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val keys =
-      if (hasKeys(keysDir)) forgetKeys(spark, keysDir)
+      if (hasKeys(spark, keysDir)) forgetKeys(spark, keysDir)
       else tables.head._2.select(lit(null).cast(
         tables.head._2.schema(tables.head._3).dataType).as(KeyCol)).limit(0)
     Forget.audit(tables, keys)

@@ -76,9 +76,21 @@ object StreamingIvm {
             (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) :+
             (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s"): _*)
     }
-    val next = merged.filter(col("n") > 0).localCheckpoint(false)
-    val nGroups = next.count()
-    next.write.mode("overwrite")
+    val next = merged.localCheckpoint(false)
+    // a delete for rows that were never inserted drives a group's count
+    // negative (or zeroes the count while leaving a remainder sum) —
+    // fail the batch loudly before it commits; silently dropping the
+    // group would corrupt the view forever (nothing downstream ever
+    // recomputes it), the same discipline as the op check above
+    val corrupt = next.filter(col("n") < 0 ||
+      (col("n") === 0 && col("s") =!= 0)).limit(1).count()
+    require(corrupt == 0L,
+      s"change batch $batchId deletes rows the view never absorbed " +
+        "(negative count or zero count with a remainder sum) — " +
+        "refusing to fold an inconsistent delta into the view")
+    val survivors = next.filter(col("n") > 0)
+    val nGroups = survivors.count()
+    survivors.write.mode("overwrite")
       .parquet(new HPath(snapRoot(aggDir), s"batch=$batchId").toString)
     prior.dropRight(1).foreach(id =>
       fs.delete(new HPath(snapRoot(aggDir), s"batch=$id"), true))

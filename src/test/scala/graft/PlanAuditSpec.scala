@@ -556,13 +556,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // 4-group hash aggregate
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
-    // qt3's only unpartitioned windows run over the bounded
-    // bucket-count frame (≤ buckets rows), never over orders rows:
-    // every window input must be an aggregate output, so no Window
-    // sits directly on a parquet scan
-    val scanIdx = p.linesIterator.zipWithIndex.collect {
-      case (l, i) if l.contains("Scan parquet") => i }.toSeq
-    assert(scanIdx.nonEmpty, p)
+    // the fact column never meets a global order: an NTILE-style
+    // formulation would range-partition / sort on o_totalprice itself,
+    // while qt3's internal sorts run on its bucket-keyed aliases
+    assert(!p.contains("rangepartitioning(o_totalprice")
+      && !p.contains("Sort [o_totalprice"), p)
   }
 
   test("a13 correlation matrix: ONE combinable aggregate pass — no join, no window, all nine moments together") {
@@ -598,13 +596,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("pp1 period-over-period: lag windows sit ABOVE the monthly aggregate — fact scanned once, no join") {
+  test("pp1 period-over-period: calendar self-joins over the persisted months-sized aggregate — one fact scan, no cartesian") {
     val p = planOf("pp1_period_over_period")
-    assert(!p.contains("Join"), p)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
-    // the window's sort input is the aggregate output (partial_sum
-    // proves map-side combine below it)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("rr1 ratio-to-report: dims broadcast, share window over the nation-sized aggregate") {

@@ -95,7 +95,7 @@ class StreamingForgetSpec extends AnyFunSuite {
 
   test("before any batch commits, the view IS the table and the audit is all-retained") {
     val keysDir = java.nio.file.Files.createTempDirectory("forget-empty").toString + "/keys"
-    assert(!StreamingForget.hasKeys(keysDir))
+    assert(!StreamingForget.hasKeys(spark, keysDir))
     assert(kept(StreamingForget.scrubbedView(spark, table, "k", keysDir)) ==
       (1L to 20L))
     val audit = StreamingForget.auditView(
