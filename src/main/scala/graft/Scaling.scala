@@ -122,6 +122,7 @@ object Scaling {
     // cells see factor× the users at identical per-user structure
     "fn1_funnel" -> Set("events"),
     "co1_cohort_retention" -> Set("events"),
+    "fn3_conversion_time" -> Set("events"),
     // qt2 vs qt3 is a CONTRAST pair: same exact answer, sort-shape vs
     // bucket-locate shape — measure both to attribute the difference
     "qt2_percentile_cont" -> Set("documents"),
@@ -301,7 +302,7 @@ object Scaling {
       "sd1_segment_dedup", "he1_hashed_embedding",
       "u2_scd2_history", "m4_image_neardup", "m5_image_dedup_clusters",
       "u5_cdc_apply", "u6_snapshot_diff", "j10_interval_join",
-      "fn1_funnel", "co1_cohort_retention",
+      "fn1_funnel", "co1_cohort_retention", "fn3_conversion_time",
       "qt2_percentile_cont", "qt3_scalable_quantiles",
       "del1_forget_audit", "rr1_ratio_to_report", "w7_rolling_range",
       "hg2_quantile_bins", "ts1_date_spine", "pp1_period_over_period",
