@@ -353,6 +353,29 @@ object GovernanceQueries {
         .select(col("n0"), col("n1"), col("c0"), col("c1"),
           col("p0"), col("p1"), col("lift"), col("z"))
     }),
+    "j11_null_safe_join" -> ((s, dir) => {
+      // null-safe equi-join (<=> / IS NOT DISTINCT FROM): the migration
+      // trap where Teradata/Oracle code relies on NULL = NULL matching.
+      // Keys are deterministically nulled (every 53rd) on both sides;
+      // the null bucket matches as a REGULAR key — which is also the
+      // scale hazard this key documents: all null-key rows hash to ONE
+      // partition and cross-product with the other side's nulls, so at
+      // volume you split the null bucket out first (or salt it, sk2).
+      val o = T(s, dir, "orders").select(
+        when(pmod(col("o_custkey"), lit(53)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey"))
+      val c = T(s, dir, "customer").select(
+        when(pmod(col("c_custkey"), lit(53)) === 0, lit(null))
+          .otherwise(col("c_custkey")).as("k2"),
+        col("c_custkey"))
+      o.join(c, col("k") <=> col("k2"))
+        .groupBy(when(col("k").isNull, "null_key").otherwise("value_key")
+          .as("match_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("match_type"))
+    }),
     "ivm1_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: a CDC delta (every 101st order
       // re-priced +10 — one delete + one insert) folds into the stored
@@ -601,6 +624,21 @@ object GovernanceQueries {
         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0.0) AS z
         |FROM a""".stripMargin,
+    "j11_null_safe_join" ->
+      """WITH o AS (
+        | SELECT CASE WHEN o_custkey % 53 = 0 THEN NULL ELSE o_custkey END AS k,
+        |  o_orderkey
+        | FROM orders),
+        |c AS (
+        | SELECT CASE WHEN c_custkey % 53 = 0 THEN NULL ELSE c_custkey END AS k2,
+        |  c_custkey
+        | FROM customer)
+        |SELECT CASE WHEN o.k IS NULL THEN 'null_key' ELSE 'value_key' END
+        |  AS match_type,
+        | COUNT(*) AS n_pairs,
+        | COUNT(DISTINCT c.c_custkey) AS n_customers
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k2
+        |GROUP BY 1 ORDER BY match_type""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders
