@@ -161,6 +161,17 @@ object Bench {
     s""""queries":${m(_._2)},"queries_min":${m(_._3)}"""
   }
 
+  /** The mechanical parallel-headroom stamp (round 12): mean par probe
+    * over mean single probe. Idle on this host class (32 cores, no SMT)
+    * the ratio ≈ 1.0; the round-11 contention window read 1.5–2.2×. A
+    * consumer normalizes shared-key totals by this ratio instead of
+    * eyeballing four probe fields — the r11 drift diagnosis, made a
+    * field. -1 when the par probes were not measured. */
+  def calParRatio(calStart: Double, calEnd: Double,
+                  calParStart: Double, calParEnd: Double): Double =
+    if (calParStart < 0 || calParEnd < 0 || calStart <= 0 || calEnd <= 0) -1.0
+    else (calParStart + calParEnd) / (calStart + calEnd)
+
   /** The `"load"` fragment of the bench artifact, factored out so the
     * spec can assert its shape without a full bench run. Negative load
     * averages (the MXBean's "unavailable" sentinel) are passed through
@@ -179,6 +190,7 @@ object Bench {
     s""""load":{"avg_start":${s3(avgStart)},"avg_end":${s3(avgEnd)},""" +
       s""""cal_start_sec":${s3(calStart)},"cal_end_sec":${s3(calEnd)},""" +
       s""""cal_par_start_sec":${s3(calParStart)},"cal_par_end_sec":${s3(calParEnd)},""" +
+      s""""cal_par_ratio":${s3(calParRatio(calStart, calEnd, calParStart, calParEnd))},""" +
       s""""cal_bound_sec":$CalibrationBoundSec,""" +
       s""""retry_degraded":$retryDegraded,"degraded":$degraded}"""
   }
@@ -207,6 +219,11 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     calibrationSec() // JIT warm-up; first probe compiles the loop
     val calStart = calibrationSec()
+    // par probe gets its own warm-up: the loop bodies are fresh Thread
+    // lambdas, so without it cal_par_start pays interpreter/OSR-compile
+    // cost on every thread and reads high vs cal_par_end (the r11
+    // artifact showed 0.324 start vs 0.282 end — exactly this bias)
+    calibrationParSec(2)
     val calParStart = calibrationParSec()
     val loadStart = osBean.getSystemLoadAverage
     // warm the JVM/codegen path so the first measured query isn't

@@ -350,9 +350,30 @@ object Scaling {
         Files.readString(markerOf(t)).trim != s"$base@$factor" ||
         !Files.exists(fileOf(t)))
     if (need.nonEmpty) {
+      val hier = Set("customer", "supplier", "nation")
+      // customer_aligned (del1/rr1/j11) and the hierarchy family (h2+)
+      // both materialize customer.parquet in this out dir under
+      // DIFFERENT stride formulas — aligned uses max(o_custkey,
+      // c_custkey)+1, hierarchy uses c_custkey+1. They coincide only
+      // under FK integrity (every o_custkey has a customer row), and
+      // generateHierarchy writes LAST, so a silent divergence would
+      // mismeasure the aligned keys. Enforce the coincidence in code
+      // instead of in a comment: fail loudly, naming the fix.
+      if (tables("customer_aligned") && (tables & hier).nonEmpty) {
+        def mx(f: String, c: String): Long = spark.read.parquet(s"$base/$f")
+          .agg(max(col(c).cast("long"))).head.getLong(0) + 1
+        val alignedStride = math.max(mx("orders.parquet", "o_custkey"),
+          mx("customer.parquet", "c_custkey"))
+        val hierStride = mx("customer.parquet", "c_custkey")
+        require(alignedStride == hierStride,
+          s"customer_aligned stride ($alignedStride) != hierarchy customer " +
+            s"stride ($hierStride): the base violates FK integrity (an " +
+            "o_custkey beyond max c_custkey), and both families write " +
+            "customer.parquet in this out dir — run them in separate out " +
+            "dirs (SPARK_GRAFT_SCALE_QUERIES subsets) instead")
+      }
       generate(spark, base, out, factor,
         need -- Set("customer", "supplier", "nation"))
-      val hier = Set("customer", "supplier", "nation")
       if ((need & hier).nonEmpty) generateHierarchy(spark, base, out, factor)
       // joint-table branches write their whole family together
       val written = need ++

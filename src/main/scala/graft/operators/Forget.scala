@@ -39,11 +39,21 @@ object Forget {
     forgetKeys.toDF("__forget_key").distinct()
   }
 
+  /** The join below resolves `__forget_key` by NAME against the key
+    * frame; a table that already carries a column of that name would
+    * make the condition ambiguous (or silently resolve against the
+    * wrong side) at analysis time — refuse it up front. */
+  private def requireNoReservedColumn(df: DataFrame): Unit =
+    require(!df.columns.contains("__forget_key"),
+      "table already contains a '__forget_key' column — rename it " +
+        "before scrubbing/auditing (the name is reserved for the key join)")
+
   /** Rows of `df` whose `keyCol` does not appear in `forgetKeys` (a
     * one-column frame). Anti-join; null keys are retained. */
   def scrub(
       df: DataFrame, keyCol: String, forgetKeys: DataFrame,
       broadcastKeys: Boolean = true): DataFrame = {
+    requireNoReservedColumn(df)
     val keys = keyFrame(forgetKeys)
     val right = if (broadcastKeys) broadcast(keys) else keys
     df.join(right, col(keyCol) === col("__forget_key"), "left_anti")
@@ -61,6 +71,7 @@ object Forget {
     val keys = keyFrame(forgetKeys)
     val right = if (broadcastKeys) broadcast(keys) else keys
     tables.map { case (name, df, keyCol) =>
+      requireNoReservedColumn(df)
       df.select(col(keyCol).as("__k"))
         .join(right, col("__k") === col("__forget_key"), "left")
         .agg(count(lit(1)).as("n_rows"),

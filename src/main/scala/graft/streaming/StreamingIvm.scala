@@ -67,7 +67,13 @@ object StreamingIvm {
     val prior = committed(spark, aggDir).filter(_ < batchId)
     val merged = prior.lastOption match {
       case None =>
-        delta.select((g :+ col("__dn").as("n")) :+ col("__ds").as("s"): _*)
+        // coalesce here too: a first-batch group whose valueCol rows are
+        // all NULL sums to s = NULL, which slips past the corruption
+        // check below (n === 0 && s =!= 0 evaluates to NULL) and makes
+        // the maintained state depend on batch boundaries — later
+        // merges would coalesce it to 0, the first snapshot would not
+        delta.select((g :+ coalesce(col("__dn"), lit(0L)).as("n")) :+
+          coalesce(col("__ds"), lit(0)).as("s"): _*)
       case Some(prev) =>
         val stored = spark.read.parquet(
           new HPath(snapRoot(aggDir), s"batch=$prev").toString)

@@ -22,14 +22,29 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(j.contains("\"cal_end_sec\":0.187"))
     assert(j.contains("\"cal_par_start_sec\":0.224"))
     assert(j.contains("\"cal_par_end_sec\":0.311"))
+    // the mechanical headroom stamp: mean(par) / mean(single) =
+    // (0.2244 + 0.3111) / (0.1988 + 0.1871) = 1.388 — the field a
+    // consumer divides shared-key totals by instead of eyeballing the
+    // four probe values (the r11 drift diagnosis, mechanized)
+    assert(j.contains("\"cal_par_ratio\":1.388"))
     assert(j.contains(s""""cal_bound_sec":${Bench.CalibrationBoundSec}"""))
     assert(j.contains("\"degraded\":false"))
+  }
+
+  test("calParRatio: mean-over-mean, -1 sentinel when the par probes were not measured") {
+    assert(Bench.calParRatio(0.19, 0.19, 0.19, 0.19) === 1.0)
+    assert(math.abs(Bench.calParRatio(0.19, 0.21, 0.33, 0.27) - 1.5) < 1e-9)
+    assert(Bench.calParRatio(0.19, 0.19, -1.0, 0.3) === -1.0)
+    assert(Bench.calParRatio(0.19, 0.19, 0.3, -1.0) === -1.0)
+    // a zero/negative single probe cannot be divided through — sentinel
+    assert(Bench.calParRatio(0.0, 0.0, 0.3, 0.3) === -1.0)
   }
 
   test("unmeasured par probes stamp the -1 sentinel and never vote on degraded") {
     val j = Bench.loadJson(0.1, 0.1, 0.19, 0.19)
     assert(j.contains("\"cal_par_start_sec\":-1"))
     assert(j.contains("\"cal_par_end_sec\":-1"))
+    assert(j.contains("\"cal_par_ratio\":-1"))
     assert(j.contains("\"degraded\":false"))
     // even an elevated par probe is informational-only this round (no
     // committed idle baseline for the host class yet)
