@@ -23,8 +23,10 @@ import graft.core.Tables
   *    the first-week frame is |users|-sized, broadcast below the
   *    threshold, co-partitioned above it. Week arithmetic is exact
   *    integer division of epoch seconds (never double division).
-  *  - w6 ranks within o_orderstatus partitions — the one exchange is
-  *    the window's hash partitioning; PERCENT_RANK/CUME_DIST are the
+  *  - w6/rfm1 rank through [[graft.operators.ScalableRank]] (round
+  *    12): global rank = bucket cum-offset + in-bucket row_number, so
+  *    neither a 3-value status partition nor a global band ever sorts
+  *    a data-sized frame in one task; PERCENT_RANK/CUME_DIST stay the
   *    same explicit integer-ratio IEEE doubles in both engines.
   */
 object EventQueries {
@@ -101,23 +103,32 @@ object EventQueries {
     "rfm1_segments" -> ((s, dir) => {
       // RFM segmentation: per customer recency/frequency/monetary from
       // the fact table (one keyed aggregate — the only fact-sized
-      // exchange), then quartile bands via NTILE over the
-      // customer-sized frame. Banding a dimension through a total
-      // order is the rank-exact choice; at extreme |customers| band by
-      // sampled thresholds instead (DistributionValidator note).
-      // Monetary sums through decimal (order-independent); ties break
-      // on custkey in both engines.
+      // exchange), then quartile bands via the DISTRIBUTED rank
+      // operator: global rank = bucket cum-offset + in-bucket
+      // row_number, NTILE closed-form from (rn, n) — rank-exact like
+      // the window form but with NO single-partition customer-sized
+      // sort (the shape that shipped through round 11 ran the whole
+      // frame through one task's sort, three times). Each band is an
+      // independent (custkey, band) frame off the persisted aggregate,
+      // joined back co-partitioned on custkey. Recency bands on
+      // unix_timestamp(r) — order-identical to the date itself. Monetary
+      // sums through decimal (order-independent); ties break on
+      // custkey in both engines.
       import graft.core.Exact.sumd
+      import graft.operators.ScalableRank
       val m = T(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("r"),
           count(lit(1)).as("f"),
           sumd(col("o_totalprice")).as("m"))
-      m.withColumn("r_band",
-          ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))).cast("long"))
-        .withColumn("f_band",
-          ntile(4).over(Window.orderBy(col("f"), col("o_custkey"))).cast("long"))
-        .withColumn("m_band",
-          ntile(4).over(Window.orderBy(col("m"), col("o_custkey"))).cast("long"))
+        .withColumn("rd", expr("unix_timestamp(r)"))
+        .persist() // customer-sized; pr1 ownership contract (Verify/Bench clear per query)
+      val bands = Seq(("rd", "r_band"), ("f", "f_band"), ("m", "m_band"))
+        .map { case (vc, out) =>
+          ScalableRank.ntileBand(m.select(col("o_custkey"), col(vc)),
+              vc, Seq("o_custkey"), 4, out)
+            .select(col("o_custkey"), col(out))
+        }
+      bands.foldLeft(m.drop("r", "rd"))((df, b) => df.join(b, Seq("o_custkey")))
         .select(col("o_custkey"), col("f"), col("m"),
           col("r_band"), col("f_band"), col("m_band"))
         .orderBy(col("o_custkey"))
@@ -200,16 +211,24 @@ object EventQueries {
     }),
     "w6_ntile_bands" -> ((s, dir) => {
       // NTILE(4) + PERCENT_RANK + CUME_DIST per status over price —
-      // the banding/percentile window family (§2.6's remaining faces).
-      // percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n are
-      // integer-ratio doubles: bit-identical cross-engine.
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      T(s, dir, "orders")
+      // the banding/percentile window family (§2.6's remaining faces),
+      // on the DISTRIBUTED rank operator: o_orderstatus has 3 values,
+      // so the window form sorted a third of the fact table in one
+      // task; here the one exchange keys on (status, bucket) and each
+      // task sorts 1/4096 of a group. (price, orderkey) is a total
+      // order, so rank = rn and peers = self: percent_rank =
+      // (rn−1)/(n−1), cume_dist = rn/n — the same integer-ratio
+      // doubles as the window form, bit-identical cross-engine.
+      import graft.operators.ScalableRank._
+      val base = T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("band", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
+      withRowNumber(base, Seq("o_orderstatus"), "o_totalprice",
+        Seq("o_orderkey"))
+        .withColumn("band", ntileOf(col("rn"), col("n"), 4))
+        .withColumn("pct_rank", percentRankOf(col("rn"), col("n")))
+        .withColumn("cume", cumeDistOf(col("rn"), col("n")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("band"), col("pct_rank"), col("cume"))
         .orderBy(col("o_orderkey"))
     }))
 

@@ -653,4 +653,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
   }
+
+  test("w6 ntile bands: every window hash-partitioned by (status, bucket) — no data-sized single-partition sort, no cartesian") {
+    val p = planOf("w6_ntile_bands")
+    // the r11 shape sorted a third of the fact table per task (3-value
+    // status partitions); the ScalableRank rewrite's only data window
+    // keys on (o_orderstatus, __rank_b) — 1/4096 of a group per task
+    assert(!p.contains("No Partition Defined"), p)
+    assert(p.contains("__rank_b"), p)
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") &&
+      l.contains("o_orderstatus") && l.contains("__rank_b")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // stats and offsets frames broadcast — aggregate-sized by design
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rfm1 segments: no global-sort NTILE anywhere — every window rides the bucket key, custkey joins keyed") {
+    val p = planOf("rfm1_segments")
+    // the r11 shape ran THREE ntile(4) Window.orderBy(...) globals
+    // (whole customer frame through one task's sort, three times); the
+    // ScalableRank rewrite has NO window ntile at all (closed-form
+    // from rn/n) and every Window node — offsets cum AND local rank —
+    // mentions the bucket key, so no window orders a customer-sized
+    // frame by the band value in one partition
+    assert(!p.contains("ntile("), p)
+    assert(p.contains("__rank_b"), p)
+    val lines = p.linesIterator.toSeq
+    val windowDetailIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Window.*""") => i
+    }
+    assert(windowDetailIdx.nonEmpty, p)
+    windowDetailIdx.foreach { i =>
+      val block = lines.slice(i, math.min(i + 6, lines.length)).mkString("\n")
+      assert(block.contains("__rank_b"), s"window without bucket key:\n$block")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
