@@ -357,10 +357,14 @@ object GovernanceQueries {
       // null-safe equi-join (<=> / IS NOT DISTINCT FROM): the migration
       // trap where Teradata/Oracle code relies on NULL = NULL matching.
       // Keys are deterministically nulled (every 53rd) on both sides;
-      // the null bucket matches as a REGULAR key — which is also the
-      // scale hazard this key documents: all null-key rows hash to ONE
-      // partition and cross-product with the other side's nulls, so at
-      // volume you split the null bucket out first (or salt it, sk2).
+      // the null bucket matches as a REGULAR key. Round 12: runs on
+      // the null-bucket-split operator — value keys equi-join with no
+      // null bucket anywhere, the null×null product broadcasts the
+      // right bucket and parallelizes over the left rows — instead of
+      // the plain <=> whose single NULL hash key serializes every
+      // null row of both sides in one task at volume. The oracle is
+      // DuckDB's native IS NOT DISTINCT FROM: the decomposition is
+      // proven ≡ the builtin the way Salt.saltedJoin is.
       val o = T(s, dir, "orders").select(
         when(pmod(col("o_custkey"), lit(53)) === 0, lit(null))
           .otherwise(col("o_custkey")).as("k"),
@@ -369,7 +373,7 @@ object GovernanceQueries {
         when(pmod(col("c_custkey"), lit(53)) === 0, lit(null))
           .otherwise(col("c_custkey")).as("k2"),
         col("c_custkey"))
-      o.join(c, col("k") <=> col("k2"))
+      graft.operators.NullSafeJoin.join(o, c, "k", "k2")
         .groupBy(when(col("k").isNull, "null_key").otherwise("value_key")
           .as("match_type"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -654,6 +654,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
   }
 
+  test("j11 null-safe join: value leg keyed with nulls filtered, null leg a broadcast product — no single null hash task, no cartesian") {
+    val p = planOf("j11_null_safe_join")
+    // the r11 shape joined on <=> — one NULL hash key holding every
+    // null row of both sides; the NullSafeJoin rewrite filters nulls
+    // out of the equi leg and broadcasts the right null bucket
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    // the leg filters push THROUGH the when() key derivation onto the
+    // base columns: value leg keeps only not-null-capable keys, null
+    // leg only null ones
+    assert(p.contains("isnotnull(o_custkey"), p)
+    assert(p.contains("isnull(o_custkey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("w6 ntile bands: every window hash-partitioned by (status, bucket) — no data-sized single-partition sort, no cartesian") {
     val p = planOf("w6_ntile_bands")
     // the r11 shape sorted a third of the fact table per task (3-value
