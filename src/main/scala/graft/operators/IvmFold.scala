@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact.dec
+
+/** Incremental view maintenance for NON-invertible aggregates (round
+  * 12): count and exact-decimal sum fold as `stored ⊕ delta` (deletes
+  * subtract exactly what inserts added — ivm1/StreamingIvm), but MIN
+  * and MAX cannot be un-deleted: removing the row that attains a
+  * group's extremum leaves no algebra to recover the runner-up. The
+  * standard remedy is partial re-aggregation: detect exactly the
+  * groups whose delta deletes a current extremum and re-aggregate ONLY
+  * those from the maintained rows, keeping every other group on the
+  * O(|delta|) merge path.
+  *
+  * Affected-group trigger: a delete with value ≤ stored min (or
+  * ≥ stored max). A delete can only carry values the view already
+  * holds, so "≤ min" means "= min, the extremum row (or a duplicate
+  * of it)" — duplicates make the re-agg conservative (the extremum may
+  * survive), never wrong: the re-agg leg computes the group's truth
+  * from the post-delta rows regardless. Inserts never need re-agg —
+  * `least/greatest(stored, inserted)` is exact.
+  *
+  * Scale shape: the delta aggregate is delta-sized; the merge joins
+  * two aggregate frames; the re-agg leg reads `rowsAfter` through a
+  * broadcast semi-join on the affected group list (delta-bounded, so
+  * tiny) — the base data is scanned once and only the affected groups
+  * survive the semi-join into the re-aggregate. Unaffected groups
+  * never touch the base.
+  *
+  * Null values follow the aggregate convention: counted by n,
+  * contribute 0 to the sum, ignored by min/max (they can neither
+  * attain nor break an extremum).
+  */
+object IvmFold {
+
+  /** Fold a change `delta` (`opCol` ∈ {I, D}, loud otherwise) into the
+    * maintained aggregate `stored` (groupCols…, n, s, mn, mx — s the
+    * exact decimal sum). `rowsAfter` holds the POST-delta surviving
+    * rows (groupCols…, valueCol) — read only for affected groups via
+    * a broadcast semi-join. Returns the maintained aggregate after the
+    * fold; groups whose count reaches zero disappear. `stored = None`
+    * is the empty view (first fold). */
+  def foldMinMax(
+      stored: Option[DataFrame],
+      delta: DataFrame,
+      rowsAfter: DataFrame,
+      groupCols: Seq[String],
+      opCol: String,
+      valueCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    val g = groupCols.map(col)
+    val isI = col(opCol) === "I"
+    val v = col(valueCol)
+    val deltaAgg = delta
+      .select((g :+ col(opCol)) :+ v.as("__v"): _*)
+      .withColumn("__chk",
+        when(col(opCol).isNull || (col(opCol) =!= "I" && col(opCol) =!= "D"),
+          raise_error(lit(s"delta op outside {I, D} (or NULL) in '$opCol' — " +
+            "refusing to fold a malformed delta into the view")))
+          .otherwise(lit(0)))
+      .groupBy(g: _*)
+      .agg(
+        sum(when(isI, 1L).otherwise(-1L) + col("__chk")).as("__dn"),
+        sum(when(isI, coalesce(dec(col("__v")), lit(0)))
+          .otherwise(-coalesce(dec(col("__v")), lit(0)))).as("__ds"),
+        min(when(isI, col("__v"))).as("__ins_min"),
+        max(when(isI, col("__v"))).as("__ins_max"),
+        min(when(!isI, col("__v"))).as("__del_min"),
+        max(when(!isI, col("__v"))).as("__del_max"))
+
+    val storedDf = stored.getOrElse(
+      // empty view with the contract schema, derived from the delta so
+      // group/value types line up without a hand-built schema
+      delta.filter(lit(false)).select(
+        (g :+ lit(0L).as("n")) :+ dec(v).as("s") :+
+          v.as("mn") :+ v.as("mx"): _*))
+
+    val joined = storedDf.join(deltaAgg, groupCols, "full_outer")
+    // a delete touching a stored extremum (≤ min is necessarily = min:
+    // deletes only carry values the view holds); null-safe — no
+    // deletes, or no stored row, means not affected
+    val touchesExtremum =
+      coalesce(col("__del_min") <= col("mn"), lit(false)) ||
+        coalesce(col("__del_max") >= col("mx"), lit(false))
+
+    val merged = joined.filter(!touchesExtremum)
+      .select((g :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) :+
+        (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s") :+
+        least(col("mn"), col("__ins_min")).as("mn") :+
+        greatest(col("mx"), col("__ins_max")).as("mx"): _*)
+
+    val affected = joined.filter(touchesExtremum).select(g: _*)
+    val reagg = rowsAfter
+      .join(broadcast(affected), groupCols, "left_semi")
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(v)), lit(0).cast("decimal(18,4)")).as("s"),
+        min(v).as("mn"), max(v).as("mx"))
+
+    // a negative count (or zero with a remainder sum) means the delta
+    // deleted rows the view never absorbed — fail loudly before the
+    // bad fold propagates (nothing downstream ever recomputes it);
+    // only merge-path groups can get here (re-agg is truth by
+    // construction), so the guard rides the fold for free. The sum
+    // type is pinned so repeated folds don't creep toward the
+    // decimal-38 precision cap one add-widening at a time.
+    merged.unionByName(reagg)
+      .withColumn("n",
+        when(col("n") < 0 ||
+          (col("n") === 0 && coalesce(col("s") =!= 0, lit(false))),
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(negative count or zero count with a remainder sum)")))
+          .otherwise(col("n")))
+      .withColumn("s", col("s").cast("decimal(28,4)"))
+      .filter(col("n") > 0)
+  }
+}

@@ -64,6 +64,11 @@ import graft.core.Tables
   *    merge, never a re-aggregation of the base table. The oracle IS
   *    the full recompute over the modified table — the equality the
   *    whole technique rests on, checked bit-for-bit.
+  *  - ivm2 (round 12): the NON-invertible extension — min/max can be
+  *    broken by a delete; [[graft.operators.IvmFold]] re-aggregates
+  *    only the groups whose delta deletes a stored extremum (broadcast
+  *    semi-join on the delta-bounded affected list), everything else
+  *    stays on the merge path. Same oracle discipline.
   */
 object GovernanceQueries {
 
@@ -409,6 +414,51 @@ object GovernanceQueries {
           (coalesce(col("s0"), lit(0)) + coalesce(col("ds"), lit(0)))
             .cast("double").as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+    "ivm2_minmax_view" -> ((s, dir) => {
+      // NON-invertible IVM (round 12): the maintained view carries
+      // min/max alongside count/sum — aggregates a delete can break.
+      // The CDC delta reprices every 101st order (+10, delete+insert)
+      // and DELETES the top-price order outright (argmax by price,
+      // lowest key on ties — deterministic in both engines): the
+      // delete that breaks its group's stored max. IvmFold
+      // re-aggregates ONLY the broken group(s) from the post-delta
+      // rows via a broadcast semi-join on the affected list; every
+      // other group stays on the O(|delta|) stored ⊕ delta merge.
+      // Oracle = full recompute over the modified table — the
+      // equality the technique rests on, checked bit-for-bit.
+      import graft.operators.IvmFold
+      val orders = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      // deterministic argmax in ONE aggregate: lexicographic struct
+      // max = highest price, then highest -key = lowest key
+      val top1 = orders
+        .agg(max(struct(col("o_totalprice"),
+          (-col("o_orderkey")).as("nk"))).as("m"))
+        .select((-col("m.nk")).as("__top_key"))
+      val o2 = orders.crossJoin(broadcast(top1))
+      val touched = pmod(col("o_orderkey"), lit(101)) === 0 &&
+        col("o_orderkey") =!= col("__top_key")
+      val stored = orders.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      val dels = o2
+        .filter(touched || col("o_orderkey") === col("__top_key"))
+        .select(col("o_orderpriority"), lit("D").as("op"),
+          col("o_totalprice").as("v"))
+      val ins = o2.filter(touched)
+        .select(col("o_orderpriority"), lit("I").as("op"),
+          (col("o_totalprice") + 10.0).as("v"))
+      val rowsAfter = o2.filter(col("o_orderkey") =!= col("__top_key"))
+        .select(col("o_orderpriority"),
+          when(touched, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("v"))
+      IvmFold.foldMinMax(Some(stored), dels.unionByName(ins), rowsAfter,
+          Seq("o_orderpriority"), "op", "v")
+        .select(col("o_orderpriority"), col("n"),
+          col("s").cast("double").as("sum_price"),
+          col("mn").as("min_price"), col("mx").as("max_price"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -643,6 +693,19 @@ object GovernanceQueries {
         | COUNT(DISTINCT c.c_custkey) AS n_customers
         |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k2
         |GROUP BY 1 ORDER BY match_type""".stripMargin,
+    "ivm2_minmax_view" ->
+      """WITH t AS (
+        | SELECT o_orderkey AS tk FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 1),
+        |modified AS (
+        | SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS v
+        | FROM orders, t WHERE o_orderkey <> t.tk)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | MIN(v) AS min_price, MAX(v) AS max_price
+        |FROM modified GROUP BY 1 ORDER BY 1""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

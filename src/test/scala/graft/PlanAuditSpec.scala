@@ -632,6 +632,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("ivm2 min/max view: aggregate-frame full-outer merge, re-agg leg a broadcast SEMI join on the affected list — no cartesian") {
+    val p = planOf("ivm2_minmax_view")
+    assert(p.contains("FullOuter"), p)
+    // the only base-data join is the left-semi against the
+    // delta-bounded affected-group list — broadcast by construction
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("at1 attribution: one keyed window on user_id feeding a channel-sized aggregate — no join") {
     val p = planOf("at1_attribution")
     assert(!p.contains("Join"), p)

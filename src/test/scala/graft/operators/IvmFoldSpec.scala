@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Exact.dec
+
+/** IvmFold.foldMinMax must equal the full recompute over the
+  * post-delta rows on every shape that distinguishes the merge path
+  * from the re-agg path: deletes that break an extremum (incl. a
+  * duplicated one — conservative trigger, still exact), inserts that
+  * extend extremes without re-agg, brand-new groups, groups deleted to
+  * zero, and malformed deltas (loud). */
+class IvmFoldSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "ivm-fold")
+
+  private def rows(t: (String, Long, Double)*): DataFrame = {
+    import spark.implicits._
+    t.toSeq.toDF("g", "id", "v")
+  }
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  private def delta(t: (String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    t.toSeq.toDF("g", "op", "v")
+  }
+
+  /** fold(stored(before), delta, rows(after)) must equal agg(after). */
+  private def check(before: DataFrame, d: DataFrame, after: DataFrame): Unit = {
+    val got = IvmFold.foldMinMax(Some(agg(before)), d,
+        after.select(col("g"), col("v")), Seq("g"), "op", "v")
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+    val want = agg(after)
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+    val gs = got.collect().map(_.toSeq).sortBy(_.toString)
+    val ws = want.collect().map(_.toSeq).sortBy(_.toString)
+    assert(gs.toSeq == ws.toSeq)
+  }
+
+  test("delete-the-max: broken group re-aggregates, untouched groups merge") {
+    val before = rows(("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 7.0),
+      ("b", 4, 1.0), ("b", 5, 2.0))
+    val d = delta(("a", "D", 9.0), ("b", "I", 3.0))
+    val after = rows(("a", 1, 5.0), ("a", 3, 7.0),
+      ("b", 4, 1.0), ("b", 5, 2.0), ("b", 6, 3.0))
+    check(before, d, after)
+  }
+
+  test("delete-the-min with a DUPLICATED extremum: conservative re-agg still exact") {
+    // two rows attain min 2.0; deleting one leaves min unchanged —
+    // the trigger fires anyway and the re-agg answers from truth
+    val before = rows(("a", 1, 2.0), ("a", 2, 2.0), ("a", 3, 8.0))
+    val d = delta(("a", "D", 2.0))
+    val after = rows(("a", 2, 2.0), ("a", 3, 8.0))
+    check(before, d, after)
+  }
+
+  test("inserts extending both extremes never re-aggregate — and stay exact") {
+    val before = rows(("a", 1, 5.0), ("a", 2, 6.0))
+    val d = delta(("a", "I", 1.0), ("a", "I", 9.0), ("a", "I", 5.5))
+    val after = rows(("a", 1, 5.0), ("a", 2, 6.0), ("a", 3, 1.0),
+      ("a", 4, 9.0), ("a", 5, 5.5))
+    check(before, d, after)
+    // plan proof that this shape stays on the merge path: with no
+    // delete touching an extremum the affected list is empty, so the
+    // re-agg leg contributes no rows — rowsAfter would not even need
+    // to exist; here we hand it an empty frame and the fold still
+    // answers correctly
+    val got = IvmFold.foldMinMax(Some(agg(before)), d,
+        rows().select(col("g"), col("v")), Seq("g"), "op", "v")
+      .select(col("g"), col("n"), col("mn"), col("mx")).collect()
+    assert(got.map(_.toSeq).toSeq == Seq(Seq("a", 5L, 1.0, 9.0)))
+  }
+
+  test("brand-new group arrives through the delta alone") {
+    val before = rows(("a", 1, 5.0))
+    val d = delta(("z", "I", 4.0), ("z", "I", 6.0))
+    val after = rows(("a", 1, 5.0), ("z", 2, 4.0), ("z", 3, 6.0))
+    check(before, d, after)
+  }
+
+  test("a group deleted to zero disappears") {
+    val before = rows(("a", 1, 5.0), ("b", 2, 3.0))
+    val d = delta(("b", "D", 3.0))
+    val after = rows(("a", 1, 5.0))
+    check(before, d, after)
+    val got = IvmFold.foldMinMax(Some(agg(before)), d,
+      after.select(col("g"), col("v")), Seq("g"), "op", "v")
+    assert(got.select(col("g")).collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("empty stored view (first fold) takes inserts as the full answer") {
+    val d = delta(("a", "I", 2.0), ("a", "I", 8.0))
+    val after = rows(("a", 1, 2.0), ("a", 2, 8.0))
+    val got = IvmFold.foldMinMax(None, d,
+        after.select(col("g"), col("v")), Seq("g"), "op", "v")
+      .select(col("g"), col("n"), col("s").cast("double"), col("mn"), col("mx"))
+      .collect()
+    assert(got.map(_.toSeq).toSeq == Seq(Seq("a", 2L, 10.0, 2.0, 8.0)))
+  }
+
+  test("malformed delta op and never-absorbed deletes fail loudly") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val before = rows(("a", 1, 5.0))
+    val bad = delta(("a", "U", 6.0))
+    val e1 = intercept[Exception] {
+      IvmFold.foldMinMax(Some(agg(before)), bad,
+        before.select(col("g"), col("v")), Seq("g"), "op", "v").collect()
+    }
+    assert(msgChain(e1).contains("malformed delta"), msgChain(e1))
+    // deleting from a group the view never absorbed → negative count.
+    // the value must dodge the extremum trigger (a 'D 99' on a fresh
+    // group has no stored min/max, so it rides the merge path) — that
+    // is exactly the corruption the count guard exists to catch
+    val phantom = delta(("zz", "D", 99.0))
+    val e2 = intercept[Exception] {
+      IvmFold.foldMinMax(Some(agg(before)), phantom,
+        before.select(col("g"), col("v")), Seq("g"), "op", "v").collect()
+    }
+    assert(msgChain(e2).contains("never absorbed"), msgChain(e2))
+  }
+}
