@@ -151,7 +151,30 @@ object Scaling {
     "w8_count_distinct_window" -> Set("lineitem"),
     "ivm1_incremental_agg" -> Set("orders"),
     "at1_attribution" -> Set("events"),
-    "ab1_ab_test" -> Set("events"))
+    "ab1_ab_test" -> Set("events"),
+    // round-12 family: rfm1/w6/hg1/sk3/ivm2 ride the key-offset orders
+    // replicas (customers, status-group sizes, histogram counts, and
+    // CDC-touched sets all ∝ factor with per-key structure preserved);
+    // fn2 rides the user-offset events replicas (per-user streams
+    // preserved → the same transition matrix at factor× the counts);
+    // v13 audits the replicated orders/lineitem keys (the %100/%97
+    // fault injections hit different offsets per replica — fault
+    // DENSITY is preserved, membership is not, which an audit count
+    // never notices); v12 profiles the replicated lineitem columns
+    // (identical per-replica distributions → identical quantiles at
+    // factor× the rank work); j11 pairs the orders replicas with the
+    // ALIGNED customer replicas so the %53 null fraction holds on both
+    // sides — note its null×null leg is output-QUADRATIC in factor by
+    // the semantics themselves, not the plan
+    "rfm1_segments" -> Set("orders"),
+    "w6_ntile_bands" -> Set("orders"),
+    "fn2_transitions" -> Set("events"),
+    "hg1_histogram" -> Set("orders"),
+    "sk3_skew_profile" -> Set("orders"),
+    "v13_uniqueness" -> Set("orders", "lineitem"),
+    "v12_distribution" -> Set("lineitem"),
+    "j11_null_safe_join" -> Set("orders", "customer_aligned"),
+    "ivm2_minmax_view" -> Set("orders"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -308,7 +331,10 @@ object Scaling {
       "hg2_quantile_bins", "ts1_date_spine", "pp1_period_over_period",
       "a13_corr_matrix", "a14_mode", "gi1_islands", "an1_outliers",
       "w8_count_distinct_window", "ivm1_incremental_agg",
-      "at1_attribution", "ab1_ab_test")
+      "at1_attribution", "ab1_ab_test",
+      "rfm1_segments", "w6_ntile_bands", "fn2_transitions",
+      "hg1_histogram", "sk3_skew_profile", "v13_uniqueness",
+      "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
@@ -327,6 +353,21 @@ object Scaling {
         s"(known: ${(allFixed ++ allEager).mkString(", ")})")
     // n3's √C companion rides along only when n3 itself is selected
     val withSqrtC = fixed.contains("n3_ann_ivf")
+    // v12's forced-shape companions: same exact answer (ValidatorsSpec
+    // proves the shapes bit-identical) with the shape pinned, so the
+    // crossover stays measurable now that the shipped key picks its
+    // shape itself (DistributionValidator.autoBucketLocate) — the main
+    // v12 row measures the AUTO behavior, these measure each leg
+    val withV12Shapes = fixed.contains("v12_distribution")
+    def v12Shape(forced: Boolean): String => DataFrame = dir => {
+      val src = graft.core.Tables(spark, dir, "lineitem")
+      graft.validate.DistributionValidator.validate(
+          src, src.filter(col("l_quantity") <= 45.0),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9), pctThreshold = 2.0,
+          bucketLocate = Some(forced))
+        .orderBy(col("column_name"), col("p"))
+    }
     val tables = (fixed ++ eager).flatMap(TableNeeds).toSet
 
     // PER-TABLE markers record which base@factor built each table:
@@ -412,7 +453,12 @@ object Scaling {
       val tBase = timeOne(ivfSqrt(base, 23), iters)
       val tBig = timeOne(ivfSqrt(out, sqrtMod(23, factor)), iters)
       ("n3_ann_ivf_sqrtC", tBase, tBig)
-    } else Nil)) ++ eager.map { q =>
+    } else Nil) ++ (if (withV12Shapes) Seq(
+      { val mk = v12Shape(true)
+        ("v12_bucket_locate", timeOne(mk(base), iters), timeOne(mk(out), iters)) },
+      { val mk = v12Shape(false)
+        ("v12_window_sort", timeOne(mk(base), iters), timeOne(mk(out), iters)) })
+    else Nil)) ++ eager.map { q =>
       val tBase = timeEager(SparkEntry.queries(q)(spark, base), iters)
       val tBig = timeEager(SparkEntry.queries(q)(spark, out), iters)
       (s"$q (incl. build)", tBase, tBig)

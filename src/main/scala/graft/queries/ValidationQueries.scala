@@ -63,7 +63,11 @@ object ValidationQueries {
       // PERCENTILE_CONT profile compare (shared qt2 interpolation
       // formula) with v7's threshold semantics. Target clips the
       // l_quantity tail — low percentiles pass inside the 2% band,
-      // upper ones fail, and l_discount (untouched scale) mostly passes
+      // upper ones fail, and l_discount (untouched scale) mostly passes.
+      // The validator picks its quantile shape per side from the size
+      // estimate (autoBucketLocate): window sort at oracle scale,
+      // bucket-locate past the measured 32 MB crossover — both shapes
+      // bit-identical by spec, so the key's answer never depends on it
       val src = T(s, dir, "lineitem")
       val tgt = src.filter(col("l_quantity") <= 45.0)
       graft.validate.DistributionValidator.validate(src, tgt,

@@ -32,14 +32,38 @@ import org.apache.spark.sql.functions._
   * filter collapses the sorted stream to 2·|ps| rows per column before
   * the tiny full-outer compare. Exact quantiles inherently sort each
   * column's values within one partition — the audited qt1/qt2 shape;
-  * at extreme per-column cardinality where one column outgrows a
-  * partition, pass `bucketLocate = true` to compute the SAME exact
-  * quantiles through [[graft.operators.ScalableQuantile]] (bucket
+  * where a column outgrows a partition, the SAME exact quantiles
+  * compute through [[graft.operators.ScalableQuantile]] (bucket
   * counts + candidate-bucket-only ranking — no group-sized sort;
   * bit-identical by ScalableQuantileSpec and the equivalence test in
-  * DistributionValidatorSpec).
+  * ValidatorsSpec). By default the validator picks the shape ITSELF,
+  * per side, from Catalyst's size estimate (see
+  * [[AutoBucketLocateBytes]]); pass `bucketLocate = Some(...)` to
+  * force one shape (the SCALING.md contrast measurements do).
   */
 object DistributionValidator {
+
+  /** Estimated-input-bytes threshold above which [[validate]] picks
+    * the bucket-locate shape when `bucketLocate` is not forced.
+    * Measured crossover on the 32-core reference host (SCALING.md v12
+    * contrast pair): the window shape wins on an 11 MB-on-disk
+    * lineitem (2.06 s vs 4.11 s) and loses from 109 MB up (22.6 s vs
+    * 12.9 s at 10×; 233 s vs 77.5 s at 100×, where its single sorting
+    * task starts failing 1 GiB page allocations). 32 MB sits inside
+    * the bracket, deliberately low: picking buckets early costs a
+    * bounded ~2× constant, picking the window late costs an unbounded
+    * single-task sort that eventually cannot hold the column at all. */
+  val AutoBucketLocateBytes: Long = 32L << 20
+
+  /** The per-side auto decision [[validate]] makes when `bucketLocate`
+    * is None: Catalyst's plan-size estimate, never a counting job — a
+    * count would re-scan a filtered side and double the validation's
+    * cost before it starts. The estimate overstates a pruned scan
+    * (it sizes all columns, the stack reads only the profiled ones),
+    * which only errs toward the bounded-penalty shape. */
+  def autoBucketLocate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(AutoBucketLocateBytes)
 
   /** Exact PERCENTILE_CONT profile of `columns` at percentiles `ps`:
     * (column_name, p, `valueName`). Null values are excluded per SQL
@@ -48,11 +72,11 @@ object DistributionValidator {
     * the side that HAS values). */
   private def quantiles(
       df: DataFrame, columns: Seq[String], ps: Seq[Double],
-      valueName: String, bucketLocate: Boolean = false): DataFrame = {
+      valueName: String, bucketLocate: Option[Boolean]): DataFrame = {
     val stackExpr = columns.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
       .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, v)")
     val unpivoted = df.selectExpr(stackExpr)
-    if (bucketLocate)
+    if (bucketLocate.getOrElse(autoBucketLocate(df)))
       return graft.operators.ScalableQuantile
         .percentileCont(unpivoted, "column_name", "v", ps)
         .withColumnRenamed("value", valueName)
@@ -89,7 +113,7 @@ object DistributionValidator {
       columns: Seq[String],
       ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
       pctThreshold: Double = 0.0,
-      bucketLocate: Boolean = false): DataFrame = {
+      bucketLocate: Option[Boolean] = None): DataFrame = {
     require(columns.nonEmpty, "no columns to profile")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")

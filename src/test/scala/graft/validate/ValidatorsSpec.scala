@@ -168,10 +168,29 @@ class ValidatorsSpec extends AnyFunSuite {
     val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val tgt = src.filter(org.apache.spark.sql.functions.col("l_quantity") <= 45.0)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    def rows(bucketLocate: Boolean) =
+    def rows(bucketLocate: Option[Boolean]) =
       DistributionValidator.validate(src, tgt, cols, pctThreshold = 2.0,
           bucketLocate = bucketLocate)
         .orderBy("column_name", "p").collect().toSeq
-    assert(rows(bucketLocate = true) == rows(bucketLocate = false))
+    val forcedBucket = rows(Some(true))
+    assert(forcedBucket == rows(Some(false)))
+    // the default (auto) resolves to ONE of the two shapes — either
+    // way the rows must be the same bits
+    assert(forcedBucket == rows(None))
+  }
+
+  test("DistributionValidator: the auto shape decision follows the size estimate, not a counting job") {
+    import org.apache.spark.sql.functions._
+    // spark.range estimates 8 bytes/row, so the threshold in rows is
+    // exact and NO job runs — stats are plan estimates by design
+    val rowsAt = DistributionValidator.AutoBucketLocateBytes / 8L
+    val small = spark.range(rowsAt / 2).toDF("x")
+    val big = spark.range(rowsAt * 2).toDF("x")
+    assert(!DistributionValidator.autoBucketLocate(small))
+    assert(DistributionValidator.autoBucketLocate(big))
+    // a filter narrows the estimate but never inflates it: a filtered
+    // small side still picks the window shape
+    assert(!DistributionValidator.autoBucketLocate(
+      small.filter(col("x") % 2 === 0)))
   }
 }
