@@ -64,6 +64,7 @@ object IvmFold {
       .groupBy(g: _*)
       .agg(
         sum(when(isI, 1L).otherwise(-1L) + col("__chk")).as("__dn"),
+        sum(when(isI, 0L).otherwise(1L)).as("__delc"),
         sum(when(isI, coalesce(dec(col("__v")), lit(0)))
           .otherwise(-coalesce(dec(col("__v")), lit(0)))).as("__ds"),
         min(when(isI, col("__v"))).as("__ins_min"),
@@ -86,9 +87,20 @@ object IvmFold {
       coalesce(col("__del_min") <= col("mn"), lit(false)) ||
         coalesce(col("__del_max") >= col("mx"), lit(false))
 
+    // deletes against a group with NO stored row are always a contract
+    // violation (deltas are diffs vs the stored view). The count guard
+    // below only catches them when the count goes negative; a batch
+    // that also inserts into the same new group would slip through
+    // with the deleted value still in __ins_min/__ins_max — corrupt
+    // extremes at a positive count. Refuse here, where stored-row
+    // absence is still visible.
     val merged = joined.filter(!touchesExtremum)
       .select((g :+
-        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) :+
+        when(col("n").isNull && coalesce(col("__delc"), lit(0L)) > 0,
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(deletes against a group with no stored row)")))
+          .otherwise(coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n")) :+
         (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s") :+
         least(col("mn"), col("__ins_min")).as("mn") :+
         greatest(col("mx"), col("__ins_max")).as("mx"): _*)

@@ -126,5 +126,15 @@ class IvmFoldSpec extends AnyFunSuite {
         before.select(col("g"), col("v")), Seq("g"), "op", "v").collect()
     }
     assert(msgChain(e2).contains("never absorbed"), msgChain(e2))
+    // the sneaky variant: the phantom delete hides behind inserts into
+    // the same NEW group, so the count stays positive — without its own
+    // guard the merge path would keep the deleted 5.0 as the group min
+    // (silently corrupt extremes). Must be as loud as the bare phantom.
+    val hidden = delta(("zz", "I", 5.0), ("zz", "I", 10.0), ("zz", "D", 5.0))
+    val e3 = intercept[Exception] {
+      IvmFold.foldMinMax(Some(agg(before)), hidden,
+        before.select(col("g"), col("v")), Seq("g"), "op", "v").collect()
+    }
+    assert(msgChain(e3).contains("never absorbed"), msgChain(e3))
   }
 }
