@@ -193,4 +193,18 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(!DistributionValidator.autoBucketLocate(
       small.filter(col("x") % 2 === 0)))
   }
+
+  test("DistributionValidator: the auto decision changes the PLAN, not just a flag") {
+    val rowsAt = DistributionValidator.AutoBucketLocateBytes / 8L
+    def plan(n: Long): String = {
+      val df = spark.range(n).toDF("x")
+      DistributionValidator.validate(df, df, Seq("x"), ps = Seq(0.5))
+        .queryExecution.optimizedPlan.toString
+    }
+    // cum_before is the bucket-locate pass's cumulative-bucket-count
+    // column (ScalableQuantile) — in the plan exactly when the bucket
+    // shape was chosen; no job runs, the pin reads the optimized plan
+    assert(!plan(rowsAt / 2).contains("cum_before"))
+    assert(plan(rowsAt * 2).contains("cum_before"))
+  }
 }
