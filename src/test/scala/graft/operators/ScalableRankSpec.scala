@@ -111,6 +111,41 @@ class ScalableRankSpec extends AnyFunSuite {
     assertSameRows(got, want)
   }
 
+  test("ntileOf satisfies the SQL NTILE definition for seeded-random (n, k) up to k=1000") {
+    // independent of Spark's window ntile (covered for k ≤ 9 above):
+    // check the closed form against the DEFINITION — tiles are
+    // monotone non-decreasing in rn, range over [1, min(k, n)], and
+    // the first (n mod k) tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    // One Spark job for all cases: rows are (case, n, k, rn).
+    import spark.implicits._
+    val rnd = new scala.util.Random(12021)
+    val cases = Seq((1L, 1), (1L, 5), (2L, 1000), (1000L, 1000)) ++
+      Seq.fill(60)((rnd.nextInt(2000).toLong + 1, rnd.nextInt(1000) + 1))
+    val rows = cases.zipWithIndex.flatMap { case ((n, k), c) =>
+      (1L to n).map(rn => (c, n, k, rn))
+    }.toDF("c", "n", "k", "rn")
+    // ntileOf takes a literal k — group the single pass by distinct k
+    val got = cases.map(_._2).distinct.map { k =>
+      rows.filter(col("k") === k)
+        .withColumn("t", ntileOf(col("rn"), col("n"), k))
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getInt(0), (r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sortBy(_._1) }
+    cases.zipWithIndex.foreach { case ((n, k), c) =>
+      val tiles = got(c).map(_._2)
+      val (q, r) = (n / k, n % k)
+      assert(tiles.head == 1L && tiles.last == math.min(k.toLong, n),
+        s"case ($n, $k): tile range ${tiles.head}..${tiles.last}")
+      assert(tiles.zip(tiles.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"case ($n, $k): tiles skip or decrease")
+      val sizes = tiles.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      sizes.foreach { case (t, sz) =>
+        val want = if (t <= r) q + 1 else q
+        assert(sz == want, s"case ($n, $k): tile $t has $sz rows, want $want")
+      }
+    }
+  }
+
   test("null or NaN in the value column fails loudly — a total order cannot place them") {
     import spark.implicits._
     val withNull = Seq(("a", Some(1.0), 1L), ("a", None, 2L))
