@@ -76,4 +76,66 @@ object HllSketchAgg {
   /** SQL registration: `SELECT hll_distinct(x) FROM t GROUP BY g`. */
   def register(spark: SparkSession): Unit =
     spark.udf.register("hll_distinct", udaf(new HllSketchAgg()))
+
+  /** The BUFFER-valued twin — same reduce/merge, finish = the raw
+    * 256-byte register array. This is the maintainable form: buffers
+    * merge associatively and idempotently (bytewise max), so a stored
+    * sketch absorbs a batch sketch with the view's history never
+    * re-read — the cheap path for approximate COUNT(DISTINCT) over
+    * insert-only streams (the exact path is
+    * [[graft.operators.IvmDistinct]]). */
+  final class Buf extends Aggregator[String, Array[Byte], Array[Byte]] {
+    private val full = new HllSketchAgg()
+    override def zero: Array[Byte] = full.zero
+    override def reduce(b: Array[Byte], v: String): Array[Byte] = full.reduce(b, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = full.merge(a, b)
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Per-group sketch buffers of a frame: (groupCols…, hll binary). */
+  def sketchOf(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.groupBy(groupCols.map(col): _*)
+      .agg(udaf(new Buf()).apply(col(valueCol).cast("string")).as("hll"))
+  }
+
+  private val mergeBufsUdf =
+    org.apache.spark.sql.functions.udf((a: Array[Byte], b: Array[Byte]) =>
+      (a, b) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x, y) => new HllSketchAgg().merge(x.clone(), y)
+      })
+
+  /** Fold an insert batch's sketch into the stored per-group sketches:
+    * stored ⊕ batch by bytewise register max — one broadcast join of
+    * the batch-group-bounded delta frame against the store (the store
+    * is never shuffled), new groups arrive whole. Maintained estimate
+    * ≡ the one-shot [[hll]] over all rows ever inserted, bit-for-bit
+    * (buffers are associative — HllSketchAggSpec). Deletes have no
+    * sketch algebra; a CDC stream needs the exact dictionary path. */
+  def foldBuffers(
+      stored: Option[org.apache.spark.sql.DataFrame],
+      inserts: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val batch = sketchOf(inserts, groupCols, valueCol)
+      .withColumnRenamed("hll", "__hll_b")
+    stored match {
+      case None => batch.withColumnRenamed("__hll_b", "hll")
+      case Some(s) =>
+        s.join(broadcast(batch), groupCols, "full_outer")
+          .select((groupCols.map(col) :+
+            mergeBufsUdf(col("hll"), col("__hll_b")).as("hll")): _*)
+    }
+  }
+
+  /** Estimate a maintained buffer — the same finish as [[hll]]. */
+  def estimateOf(c: Column): Column =
+    org.apache.spark.sql.functions.udf((buf: Array[Byte]) =>
+      new HllSketchAgg().finish(buf)).apply(c)
 }

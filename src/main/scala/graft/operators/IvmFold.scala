@@ -54,6 +54,20 @@ object IvmFold {
     val g = groupCols.map(col)
     val isI = col(opCol) === "I"
     val v = col(valueCol)
+    // a value outside decimal(18,4) casts to NULL (non-ANSI) — without
+    // this raise the coalesce below would fold it into the maintained
+    // sum as 0, indistinguishable from the documented null-contributes-0
+    // convention: silent drift for |v| ≥ 1e14 in an operator billed as
+    // exact (and the n==0-with-remainder guard can't see it — an
+    // overflowed s is itself NULL). Same raise-loudly discipline as the
+    // op-column check.
+    def decChecked(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull && dec(c).isNull,
+        raise_error(concat(lit(s"value in '$valueCol' outside " +
+          "decimal(18,4) ("), c.cast("string"),
+          lit(") — the exact sum would silently drift; widen the " +
+            "view's decimal or scale the value"))))
+        .otherwise(coalesce(dec(c), lit(0)))
     val deltaAgg = delta
       .select((g :+ col(opCol)) :+ v.as("__v"): _*)
       .withColumn("__chk",
@@ -65,8 +79,8 @@ object IvmFold {
       .agg(
         sum(when(isI, 1L).otherwise(-1L) + col("__chk")).as("__dn"),
         sum(when(isI, 0L).otherwise(1L)).as("__delc"),
-        sum(when(isI, coalesce(dec(col("__v")), lit(0)))
-          .otherwise(-coalesce(dec(col("__v")), lit(0)))).as("__ds"),
+        sum(when(isI, decChecked(col("__v")))
+          .otherwise(-decChecked(col("__v")))).as("__ds"),
         min(when(isI, col("__v"))).as("__ins_min"),
         max(when(isI, col("__v"))).as("__ins_max"),
         min(when(!isI, col("__v"))).as("__del_min"),
@@ -110,7 +124,7 @@ object IvmFold {
       .join(broadcast(affected), groupCols, "left_semi")
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(dec(v)), lit(0).cast("decimal(18,4)")).as("s"),
+        coalesce(sum(decChecked(v)), lit(0).cast("decimal(18,4)")).as("s"),
         min(v).as("mn"), max(v).as("mx"))
 
     // a negative count (or zero with a remainder sum) means the delta

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Distributed ranking — row_number / NTILE / PERCENT_RANK / CUME_DIST
   * without a partition-sized sort.
@@ -40,12 +41,40 @@ import org.apache.spark.sql.functions._
   *
   * Numeric bounds: closed-form tile arithmetic runs exact-in-double
   * (longs < 2^53); partitions beyond ~10^15 rows would need the
-  * integer `div` form. Bucket and offset frames are |parts|·≤`buckets`
-  * rows — they broadcast by design, so keep `parts × buckets` in
-  * broadcast range (the operator targets FEW GIANT partitions, the
-  * regime where the window form dies; high-cardinality small groups
-  * should stay on the window form, same guidance as the quantile
-  * pair).
+  * integer `div` form. The bucket formula halves both operands before
+  * subtracting, so a span crossing the double range (vmin ≈ −1.8e308,
+  * vmax ≈ +1.8e308) stays finite instead of silently collapsing every
+  * row into bucket 0. What the formula CANNOT fix is value skew:
+  * equi-width buckets under a pathological distribution (e.g. all
+  * mass within 1e-300 of one point plus a lone outlier) concentrate
+  * nearly every row in one bucket — answers stay exact (the in-bucket
+  * sort completes the order) but the "no data-sized single-task sort"
+  * guarantee degrades toward the window form's cost. Rank is
+  * value-agnostic, so no fixed bucket function can dodge every
+  * adversarial distribution; if a profile is known to be that skewed,
+  * pre-transform the value (rank is invariant under any strictly
+  * monotone map) or accept the window cost.
+  *
+  * Bucket and offset frames are |parts|·≤`buckets` rows — they
+  * broadcast by design, so the operator targets FEW GIANT partitions
+  * (the regime where the window form dies); high-cardinality small
+  * groups should stay on the window form, same guidance as the
+  * quantile pair. Round 13: that contract is ENFORCED, not prose — a
+  * plan-embedded guard counts the partition keys off the stats frame
+  * (an aggregate-sized single-task window, never the data) and fails
+  * loudly when |parts| × `buckets` exceeds [[MaxBroadcastCells]],
+  * instead of surfacing as a driver OOM inside an anonymous broadcast
+  * build. [[withRowNumberAuto]] picks the shape per frame from
+  * Catalyst's size estimate — the
+  * [[graft.validate.DistributionValidator.autoBucketLocate]]
+  * discipline.
+  *
+  * Order keys: `valueCol` may be any numeric type or STRING. Strings
+  * bucket through their first-6-UTF-8-bytes as an integer (≤ 2^48, so
+  * exact in double; zero-padded right so a shorter string sorts before
+  * its extensions — byte-wise, exactly Spark's string order); the
+  * in-bucket sort uses the full string, so common-prefix-heavy data
+  * degrades bucket balance (ties share a bucket), never correctness.
   *
   * Cost at 100 TB: two scans of the fact (stats+buckets, then rank)
   * and ONE keyed exchange on (part, bucket) — vs one exchange feeding
@@ -54,16 +83,58 @@ import org.apache.spark.sql.functions._
 object ScalableRank {
 
   private val Reserved = Seq("__rank_b", "__rank_vmin",
-    "__rank_vmax", "__rank_cum", "__rank_bn")
+    "__rank_vmax", "__rank_cum", "__rank_bn", "__rank_np")
+
+  /** Ceiling on |partition keys| × `buckets` for the broadcast stats /
+    * offsets frames. 8M cells ≈ low hundreds of MB at worst-case row
+    * width — far inside the broadcast range while catching the
+    * misuse (ranking within millions of small groups) three orders of
+    * magnitude before the driver would OOM. At the default 4096
+    * buckets this admits ~2000 partition keys; lower `buckets` to
+    * admit more, or use the window form — small groups are exactly
+    * its regime. */
+  val MaxBroadcastCells: Long = 8L * 1000 * 1000
+
+  /** Estimated-input-bytes threshold above which [[withRowNumberAuto]]
+    * picks the bucket shape. Same calibration family as
+    * `DistributionValidator.AutoBucketLocateBytes`: ProfileRankOneGroup
+    * measured the window form at exponent ≈1.14 (190 s for a 60M-row
+    * single-task ordering, 1 of 32 cores busy) vs bucket-rank ≈0.51
+    * (15.4 s), with the window form ahead below ~1.5M rows/group
+    * (≈25 MB of (value, key) pairs). 32 MB errs low on purpose:
+    * picking buckets early costs a bounded small-constant factor,
+    * picking the window late costs an unbounded single-task sort. */
+  val AutoBucketRankBytes: Long = 32L << 20
+
+  /** The per-frame auto decision — Catalyst's plan-size estimate,
+    * never a counting job (a count would pre-scan the frame and double
+    * the rank's cost). The estimate overstates pruned scans, which
+    * only errs toward the bounded-penalty bucket shape. */
+  def autoBucketRank(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(AutoBucketRankBytes)
+
+  /** Order-consistent double proxy of the order key: numeric columns
+    * cast (exact for the bucketing role — ties only merge buckets);
+    * strings take their first 6 UTF-8 bytes zero-padded as an integer
+    * (byte-wise prefix order == Spark's UTF8String order; < 2^53 so
+    * exact in double). */
+  private def orderProxy(df: DataFrame, valueCol: String): Column =
+    if (df.schema(valueCol).dataType == StringType)
+      conv(hex(rpad(encode(col(valueCol), "UTF-8"), 6,
+        Array[Byte](0))), 16, 10).cast("double")
+    else col(valueCol).cast("double")
 
   /** Adds `rnCol` — the 1-based row number per `partCols` group under
     * ORDER BY (`valueCol`, `tieCols`…) — and `nCol`, the group row
     * count, with no group-sized sort anywhere. `valueCol` must be
-    * numeric (castable to double order-consistently) and non-null
-    * (null or NaN fails loudly — they have no place in a total
-    * order); `tieCols` must complete a total order within equal
-    * values for `rnCol` to be deterministic. Empty `partCols` ranks
-    * the whole frame (the global-band case). */
+    * numeric or string, and non-null (null or NaN fails loudly — they
+    * have no place in a total order); `tieCols` must complete a total
+    * order within equal values for `rnCol` to be deterministic. Empty
+    * `partCols` ranks the whole frame (the global-band case). Fails
+    * loudly — inside the plan, before any broadcast builds — when the
+    * partition-key count × `buckets` exceeds `maxBroadcastCells`:
+    * that regime belongs to [[windowRowNumber]]. */
   def withRowNumber(
       df: DataFrame,
       partCols: Seq[String],
@@ -71,13 +142,14 @@ object ScalableRank {
       tieCols: Seq[String],
       buckets: Int = 4096,
       rnCol: String = "rn",
-      nCol: String = "n"): DataFrame = {
+      nCol: String = "n",
+      maxBroadcastCells: Long = MaxBroadcastCells): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     require(rnCol != nCol, s"rnCol and nCol collide: '$rnCol'")
     (Reserved :+ rnCol :+ nCol).foreach(c =>
       require(!df.columns.contains(c),
         s"input already contains reserved/output column '$c'"))
-    val v0 = col(valueCol).cast("double")
+    val v0 = orderProxy(df, valueCol)
     val v = when(v0.isNull || isnan(v0),
       raise_error(lit(s"null/NaN in rank value column '$valueCol' — " +
         "a total order cannot place it; filter first"))).otherwise(v0)
@@ -88,7 +160,7 @@ object ScalableRank {
     // the exact shapes this operator exists to avoid. Here only the
     // 1-row stats cross-join and the ≤`buckets`-row offsets window are
     // global; the data-sized window stays keyed on the bucket.
-    val stats =
+    val stats0 =
       if (partCols.isEmpty)
         df.agg(count(lit(1)).as(nCol),
           min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
@@ -96,16 +168,43 @@ object ScalableRank {
         .agg(count(lit(1)).as(nCol),
           min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
 
+    // the enforced broadcast contract: count the partition keys over
+    // the STATS frame (one row per key — a single-task window over the
+    // aggregate, never the data) and refuse, with the remedy named,
+    // before the offsets broadcast could grow to |parts|·buckets rows.
+    // The check rides a filter so column pruning cannot elide it; the
+    // global branch is 1 key by construction and skips it.
+    val stats =
+      if (partCols.isEmpty) stats0
+      else stats0
+        .withColumn("__rank_np",
+          count(lit(1)).over(Window.partitionBy()))
+        .filter(when(col("__rank_np") * buckets > maxBroadcastCells,
+          raise_error(concat(
+            lit("high-cardinality partition keys for the bucket-rank " +
+              "shape: "), col("__rank_np"),
+            lit(s" keys x $buckets buckets exceeds the " +
+              s"$maxBroadcastCells-cell broadcast bound for the " +
+              "stats/offsets frames - many small groups are the WINDOW " +
+              "form's regime (windowRowNumber / withRowNumberAuto), or " +
+              "lower `buckets`")))).otherwise(lit(true)))
+        .drop("__rank_np")
+
     // order-consistent equi-width bucket id; single-value groups
-    // (span 0) take bucket 0 directly — no 0/0 in sight
+    // (span 0) take bucket 0 directly — no 0/0 in sight. Operands are
+    // halved BEFORE subtracting so a span crossing the double range
+    // (vmax − vmin → Infinity) stays finite — halving is monotone, so
+    // bucket order consistency is untouched.
+    val half = v / 2.0
+    val hmin = col("__rank_vmin") / 2.0
+    val hmax = col("__rank_vmax") / 2.0
     val bucketed =
       (if (partCols.isEmpty) df.crossJoin(broadcast(stats))
        else df.join(broadcast(stats), partCols))
         .withColumn("__rank_b",
           when(col("__rank_vmin") === col("__rank_vmax"), lit(0L))
             .otherwise(least(
-              floor((v - col("__rank_vmin")) /
-                (col("__rank_vmax") - col("__rank_vmin")) * buckets).cast("long"),
+              floor((half - hmin) / (hmax - hmin) * buckets).cast("long"),
               lit(buckets - 1L))))
 
     // cumulative count BELOW each bucket: windows over ≤`buckets` rows
@@ -122,7 +221,9 @@ object ScalableRank {
       .select((partCols :+ "__rank_b" :+ "__rank_cum").map(col): _*)
 
     // the ONE data exchange: hash on (part, bucket); each task sorts
-    // only its bucket slice — 1/`buckets` of the group
+    // only its bucket slice — 1/`buckets` of the group. The offsets
+    // broadcast is bounded by the stats guard above (offsets rows ≤
+    // |parts| × buckets ≤ maxBroadcastCells by construction).
     val localW = Window.partitionBy((partCols :+ "__rank_b").map(col): _*)
       .orderBy(col(valueCol) +: tieCols.map(col): _*)
     bucketed
@@ -131,6 +232,58 @@ object ScalableRank {
         col("__rank_cum") + row_number().over(localW).cast("long"))
       .drop("__rank_b", "__rank_vmin", "__rank_vmax", "__rank_cum")
   }
+
+  /** The window formulation of the same contract — `rnCol` =
+    * row_number per `partCols` ordered by (`valueCol`, `tieCols`…),
+    * `nCol` = group count, same loud null/NaN refusal. One exchange on
+    * `partCols` and a per-partition sort: the RIGHT shape below the
+    * ~1.5M-rows/group crossover (ProfileRankOneGroup), where the
+    * bucket lattice's fixed stage cost is pure overhead. Empty
+    * `partCols` sorts the whole frame in one task — small frames
+    * only. */
+  def windowRowNumber(
+      df: DataFrame,
+      partCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[String],
+      rnCol: String = "rn",
+      nCol: String = "n"): DataFrame = {
+    require(rnCol != nCol, s"rnCol and nCol collide: '$rnCol'")
+    Seq(rnCol, nCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already contains output column '$c'"))
+    val v0 = orderProxy(df, valueCol)
+    val parts = partCols.map(col)
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
+    df
+      .filter(when(v0.isNull || isnan(v0),
+        raise_error(lit(s"null/NaN in rank value column '$valueCol' — " +
+          "a total order cannot place it; filter first")))
+        .otherwise(lit(true)))
+      .withColumn(rnCol, row_number().over(w).cast("long"))
+      .withColumn(nCol, count(lit(1)).over(Window.partitionBy(parts: _*)))
+  }
+
+  /** Shape-picking face: the window form below [[AutoBucketRankBytes]]
+    * (per Catalyst's estimate of `df`), the bucket form above it —
+    * `DistributionValidator.autoBucketLocate`'s exact discipline
+    * applied to rank. Pass `bucketRank = Some(...)` to force one shape
+    * (the SCALING.md contrast measurements do). Answers are identical
+    * either way (RankParitySpec); only the plan changes. */
+  def withRowNumberAuto(
+      df: DataFrame,
+      partCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[String],
+      buckets: Int = 4096,
+      rnCol: String = "rn",
+      nCol: String = "n",
+      bucketRank: Option[Boolean] = None): DataFrame =
+    if (bucketRank.getOrElse(autoBucketRank(df)))
+      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol)
+    else
+      windowRowNumber(df, partCols, valueCol, tieCols, rnCol, nCol)
 
   /** Tie-aware SQL ranks for ORDER BY `valueCol` alone (peers = equal
     * values): adds `rank` (= min rn over peers — the window `rank()`)

@@ -125,12 +125,17 @@ object EventQueries {
       // dim, v) — epoch seconds and counts are exact as doubles — and
       // rank PARTITIONED BY DIMENSION; three separate passes measured
       // 5.3 s of pure stage overhead at sf0.1 (flat at 10× — the cost
-      // was stages, not data), this shape runs the same exchanges once
+      // was stages, not data), this shape runs the same exchanges once.
+      // The shape itself is AUTO (round 13): below the measured
+      // crossover the window form answers in one keyed exchange with
+      // none of the bucket lattice's fixed stage cost; past it the
+      // estimate flips to bucket-rank and no task ever sorts a
+      // customer-sized frame.
       val long = m.selectExpr("o_custkey",
         """stack(3, 'r', cast(unix_timestamp(r) as double),
           |         'f', cast(f as double),
           |         'm', m) as (dim, v)""".stripMargin)
-      val bands = ScalableRank.withRowNumber(long, Seq("dim"), "v",
+      val bands = ScalableRank.withRowNumberAuto(long, Seq("dim"), "v",
           Seq("o_custkey"))
         .withColumn("band", ScalableRank.ntileOf(col("rn"), col("n"), 4))
         .groupBy(col("o_custkey"))
@@ -221,17 +226,19 @@ object EventQueries {
     "w6_ntile_bands" -> ((s, dir) => {
       // NTILE(4) + PERCENT_RANK + CUME_DIST per status over price —
       // the banding/percentile window family (§2.6's remaining faces),
-      // on the DISTRIBUTED rank operator: o_orderstatus has 3 values,
-      // so the window form sorted a third of the fact table in one
-      // task; here the one exchange keys on (status, bucket) and each
-      // task sorts 1/4096 of a group. (price, orderkey) is a total
-      // order, so rank = rn and peers = self: percent_rank =
-      // (rn−1)/(n−1), cume_dist = rn/n — the same integer-ratio
-      // doubles as the window form, bit-identical cross-engine.
+      // on the AUTO rank shape (round 13): o_orderstatus has 3 values,
+      // so at scale the window form sorts a third of the fact table in
+      // one task — past the size estimate's crossover the bucket form
+      // keys the one exchange on (status, bucket) and each task sorts
+      // 1/4096 of a group; below it the window form's single exchange
+      // wins outright. (price, orderkey) is a total order, so rank =
+      // rn and peers = self: percent_rank = (rn−1)/(n−1), cume_dist =
+      // rn/n — the same integer-ratio doubles either way,
+      // bit-identical cross-engine.
       import graft.operators.ScalableRank._
       val base = T(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      withRowNumber(base, Seq("o_orderstatus"), "o_totalprice",
+      withRowNumberAuto(base, Seq("o_orderstatus"), "o_totalprice",
         Seq("o_orderkey"))
         .withColumn("band", ntileOf(col("rn"), col("n"), 4))
         .withColumn("pct_rank", percentRankOf(col("rn"), col("n")))

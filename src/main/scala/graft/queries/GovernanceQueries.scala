@@ -459,6 +459,41 @@ object GovernanceQueries {
           col("s").cast("double").as("sum_price"),
           col("mn").as("min_price"), col("mx").as("max_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+    "ivm3_distinct_view" -> ((s, dir) => {
+      // COUNT(DISTINCT) IVM (round 13) — the maintained per-priority
+      // distinct-customer count under a CDC delta that exercises every
+      // fold path: every 97th customer's orders are DELETED outright
+      // (their (priority, custkey) pairs vanish — the rows-store
+      // consult), every 101st remaining order is re-keyed to a fresh
+      // customer id (delete+insert: the old pair usually survives via
+      // the customer's other orders, the new pair is genuinely new —
+      // the dict consult). IvmDistinct scans dict and rows store ONCE
+      // each through broadcast semi-joins on the delta's own pairs;
+      // the counts view itself folds invertibly (new − removed).
+      // Oracle = full recompute over the modified table — the equality
+      // the technique rests on, checked bit-for-bit.
+      import graft.operators.IvmDistinct
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").as("ck"))
+      val dropped = pmod(col("ck"), lit(97)) === 0
+      val rekeyed = pmod(col("o_orderkey"), lit(101)) === 0
+      // stored state stands in for the view (computed once in a real
+      // deployment, maintained thereafter)
+      val dict0 = IvmDistinct.dictOf(base, Seq("o_orderpriority"), "ck")
+      val counts0 = IvmDistinct.viewOf(dict0, Seq("o_orderpriority"))
+      val dels = base.filter(dropped || rekeyed)
+        .select(col("o_orderpriority"), lit("D").as("op"), col("ck"))
+      val ins = base.filter(!dropped && rekeyed)
+        .select(col("o_orderpriority"), lit("I").as("op"),
+          (col("ck") + 1000000L).as("ck"))
+      val rowsAfter = base.filter(!dropped)
+        .select(col("o_orderpriority"),
+          when(rekeyed, col("ck") + 1000000L).otherwise(col("ck")).as("ck"))
+      val (counts, _) = IvmDistinct.fold(Some((counts0, dict0)),
+        dels.unionByName(ins), rowsAfter, Seq("o_orderpriority"), "op", "ck")
+      counts.orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -706,6 +741,15 @@ object GovernanceQueries {
         | CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | MIN(v) AS min_price, MAX(v) AS max_price
         |FROM modified GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm3_distinct_view" ->
+      """WITH m AS (
+        | SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS ck
+        | FROM orders WHERE o_custkey % 97 <> 0)
+        |SELECT o_orderpriority,
+        | CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_distinct
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

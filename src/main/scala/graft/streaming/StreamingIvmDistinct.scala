@@ -5,59 +5,40 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.hadoop.fs.{Path => HPath}
 
-import graft.operators.IvmFold
+import graft.operators.IvmDistinct
 
-/** Streaming IVM for NON-invertible aggregates — the `ivm2` fold under
-  * a CDC stream: the maintained per-group (count, exact sum, min, max)
-  * absorbs each micro-batch as `stored ⊕ delta`, except that a delete
-  * breaking a stored extremum re-aggregates ONLY its group
-  * ([[IvmFold.foldMinMax]]). The re-agg source is a maintained ROWS
-  * store — keyed surviving rows, updated per batch by the applyCdc
-  * convention (updates travel as delete+insert pairs; delete images
-  * carry the full row) — read through a broadcast semi-join on the
-  * delta-bounded affected-group list, so an unaffected 100-TB store is
-  * never re-scanned... the affected groups are, which is the price of
-  * non-invertibility (min/max have no subtraction).
+/** Streaming IVM for COUNT(DISTINCT value) — the `ivm3` fold under a
+  * CDC stream: the maintained per-group distinct count absorbs each
+  * micro-batch through [[IvmDistinct.fold]]'s pair-granular
+  * discipline — the value DICTIONARY and the rows store are each
+  * scanned once per batch through broadcast semi-joins on the delta's
+  * own pairs, and the counts view folds invertibly (new − removed).
   *
-  * Storage is TWO snapshot families per batch under `<dir>`:
-  * `rows/batch=<id>` (surviving rows) and `agg/batch=<id>` (the
-  * aggregate), written in that order; a batch is committed only when
-  * BOTH carry `_SUCCESS`, and every fold recomputes from the latest
-  * COMMITTED pair with id < its own — so a crash at any point (between
-  * the two writes included) makes redelivery read the same input and
-  * overwrite identical bytes, the [[StreamingIvm]]/[[StreamingScd2]]
-  * exactly-once discipline without a WAL. Steady state holds two
-  * snapshot pairs. The rows snapshot is data-sized: at test scale a
-  * full rewrite per batch is fine; a production deployment keys the
-  * rows store through a partitioned upsert (the ChangeApplier shape)
-  * and keeps only the aggregate snapshot-per-batch — the fold logic is
-  * unchanged.
+  * Storage is THREE snapshot families per batch under `<dir>` —
+  * `rows/batch=<id>` (surviving rows, partitioned by the
+  * [[StreamingIvmMinMax]] `__g_bucket` layout), `dict/batch=<id>`
+  * (surviving distinct pairs), `agg/batch=<id>` (the counts view) —
+  * written in that order; a batch is committed only when ALL THREE
+  * carry `_SUCCESS`, and every fold recomputes from the latest
+  * committed triple with id < its own, so redelivery after a crash at
+  * any point reads the same input and overwrites identical bytes (the
+  * family's exactly-once discipline without a WAL). Steady state
+  * holds two snapshot triples.
   *
-  * Round 13 — the rows store is KEYED: snapshots are written
-  * partitioned by `__g_bucket = pmod(xxhash64(groupCols…),
-  * storeBuckets)`, and the fold's re-agg source is pruned to the
-  * DELETE rows' buckets before the plan is built (affected groups ⊆
-  * delete groups ⊆ delete buckets — a batch-bounded driver list of at
-  * most `storeBuckets` ints, the audited-collect discipline). The
-  * extremum-breaking path therefore reads |affected buckets| /
-  * `storeBuckets` of the store as guaranteed partition pruning on the
-  * scan — not a store-sized pass — and insert-only batches read ZERO
-  * store files (IvmScale's keyed-store row measures it).
+  * The fold's rows-store read is pruned to the DELETE rows' buckets
+  * (a batch-bounded driver list): the surviving-pair check only ever
+  * consults rows that could carry a deleted pair, so an insert-only
+  * batch reads ZERO store files and a typical delta reads a few
+  * percent of them.
   *
-  * Contract (StreamingIvmMinMaxSpec): after batch N commits,
-  * [[readAgg]] equals the full min/max recompute over every surviving
-  * delivered row; fully-deleted groups disappear; a delete whose row
-  * the store never held, an insert colliding with a live key, or an op
-  * outside {I, D} fails the batch loudly BEFORE anything is written.
+  * Contract (StreamingIvmDistinctSpec): after batch N commits,
+  * [[readCounts]] equals `SELECT g…, COUNT(DISTINCT v)` over every
+  * surviving delivered row (null values ignored per SQL);
+  * fully-deleted groups disappear; the CDC key discipline
+  * (delete images must match, live-key inserts refused, op ∈ {I, D})
+  * fails the batch loudly BEFORE anything is written.
   */
-object StreamingIvmMinMax {
-
-  /** Group-hash partitions of the rows store. 256 keeps directory
-    * counts sane at test scale while pruning a typical delta (tens of
-    * affected groups) to a few percent of the store's files; size it
-    * so a bucket's rows stay a bounded scan at the deployment's
-    * volume. */
-  val StoreBuckets: Int = 256
+object StreamingIvmDistinct {
 
   private def snapRoot(dir: String, family: String) =
     new HPath(new HPath(dir), family)
@@ -77,8 +58,8 @@ object StreamingIvmMinMax {
   }
 
   private def committed(spark: SparkSession, dir: String): Seq[Long] =
-    (committedIn(spark, dir, "rows") & committedIn(spark, dir, "agg"))
-      .toSeq.sorted
+    (committedIn(spark, dir, "rows") & committedIn(spark, dir, "dict") &
+      committedIn(spark, dir, "agg")).toSeq.sorted
 
   /** Fold ONE static change batch (keyCol, groupCols…, opCol,
     * valueCol) into the maintained store as micro-batch `batchId`;
@@ -86,7 +67,8 @@ object StreamingIvmMinMax {
   def applyBatch(
       batch: DataFrame, batchId: Long, keyCol: String,
       groupCols: Seq[String], opCol: String, valueCol: String,
-      dir: String, storeBuckets: Int = StoreBuckets): Long = {
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
     val spark = batch.sparkSession
     val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
@@ -107,9 +89,9 @@ object StreamingIvmMinMax {
     val dels = batch.filter(col(opCol) === "D").select(dataCols.map(col): _*)
     val ins = batch.filter(col(opCol) === "I").select(dataCols.map(col): _*)
 
-    // delete images must match a stored row EXACTLY (key + group +
-    // value): a drifting image would subtract the wrong value from the
-    // sum and dodge (or spuriously fire) the extremum trigger
+    // the StreamingIvmMinMax CDC key discipline, verbatim: delete
+    // images must match a stored row exactly, inserts must not collide
+    // with a live key, one insert per key per batch
     val unmatched = dels.join(prevRows, dataCols, "left_anti").limit(1).count()
     require(unmatched == 0L,
       s"change batch $batchId deletes rows the store never held " +
@@ -126,9 +108,6 @@ object StreamingIvmMinMax {
     require(dupIns == 0L,
       s"change batch $batchId inserts the same key twice")
 
-    // keyed store: one file per group-hash bucket (repartition keeps
-    // the test-scale full rewrite from spraying buckets × tasks files;
-    // a production deployment upserts per bucket instead)
     val bucketize =
       pmod(xxhash64(groupCols.map(col): _*), lit(storeBuckets.toLong)).cast("int")
     afterDel.unionByName(ins)
@@ -136,11 +115,6 @@ object StreamingIvmMinMax {
       .repartition(col("__g_bucket"))
       .write.mode("overwrite").partitionBy("__g_bucket")
       .parquet(snapPath(dir, "rows", batchId).toString)
-    // the fold's re-agg leg reads the rows snapshot just WRITTEN — no
-    // recomputation of the union, and the aggregate provably derives
-    // from the bytes the next batch will read — PRUNED to the delete
-    // rows' buckets: affected groups ⊆ delete groups, so their buckets
-    // are a subset of this batch-bounded list (≤ storeBuckets ints)
     val delBuckets = batch.filter(col(opCol) === "D")
       .select(bucketize.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -149,15 +123,24 @@ object StreamingIvmMinMax {
     val rowsForFold =
       if (delBuckets.isEmpty) rowsAfterAll.filter(lit(false))
       else rowsAfterAll.filter(col("__g_bucket").isin(delBuckets: _*))
-    val prevAgg = prior.lastOption
-      .map(id => spark.read.parquet(snapPath(dir, "agg", id).toString))
-    IvmFold.foldMinMax(prevAgg,
-        batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
-        rowsForFold.select((groupCols.map(col) :+ col(valueCol)): _*),
-        groupCols, opCol, valueCol)
-      .write.mode("overwrite").parquet(snapPath(dir, "agg", batchId).toString)
+
+    val prevState = prior.lastOption.map { id =>
+      (spark.read.parquet(snapPath(dir, "agg", id).toString),
+        spark.read.parquet(snapPath(dir, "dict", id).toString))
+    }
+    val (counts, dict) = IvmDistinct.fold(prevState,
+      batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
+      rowsForFold.select((groupCols.map(col) :+ col(valueCol)): _*),
+      groupCols, opCol, valueCol)
+    // dict first (counts derive from it), then the view; commit is the
+    // triple's intersection either way
+    dict.write.mode("overwrite")
+      .parquet(snapPath(dir, "dict", batchId).toString)
+    counts.write.mode("overwrite")
+      .parquet(snapPath(dir, "agg", batchId).toString)
     prior.dropRight(1).foreach { id =>
       fs.delete(snapPath(dir, "rows", id), true)
+      fs.delete(snapPath(dir, "dict", id), true)
       fs.delete(snapPath(dir, "agg", id), true)
     }
     spark.read.parquet(snapPath(dir, "agg", batchId).toString).count()
@@ -180,20 +163,18 @@ object StreamingIvmMinMax {
   def hasCommitted(spark: SparkSession, dir: String): Boolean =
     committed(spark, dir).nonEmpty
 
-  /** The maintained aggregate as of the latest committed batch:
-    * (groupCols…, n, s, mn, mx) — s the exact decimal sum. */
-  def readAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** The maintained view as of the latest committed batch:
+    * (groupCols…, n_distinct). */
+  def readCounts(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
-    require(snaps.nonEmpty, s"no committed aggregate under $dir")
+    require(snaps.nonEmpty, s"no committed distinct-count view under $dir")
     spark.read.parquet(snapPath(dir, "agg", snaps.last).toString)
   }
 
-  /** The surviving rows as of the latest committed batch (the
-    * `__g_bucket` partition key stays internal). */
-  def readRows(spark: SparkSession, dir: String): DataFrame = {
+  /** The value dictionary as of the latest committed batch. */
+  def readDict(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
-    require(snaps.nonEmpty, s"no committed rows store under $dir")
-    spark.read.parquet(snapPath(dir, "rows", snaps.last).toString)
-      .drop("__g_bucket")
+    require(snaps.nonEmpty, s"no committed dictionary under $dir")
+    spark.read.parquet(snapPath(dir, "dict", snaps.last).toString)
   }
 }

@@ -679,39 +679,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("w6 ntile bands: every window hash-partitioned by (status, bucket) — no data-sized single-partition sort, no cartesian") {
+  test("w6 ntile bands: AUTO shape — window form keyed by status at test scale, bucket lattice past the estimate (r13)") {
     val p = planOf("w6_ntile_bands")
-    // the r11 shape sorted a third of the fact table per task (3-value
-    // status partitions); the ScalableRank rewrite's only data window
-    // keys on (o_orderstatus, __rank_b) — 1/4096 of a group per task
-    assert(!p.contains("No Partition Defined"), p)
-    assert(p.contains("__rank_b"), p)
-    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") &&
-      l.contains("o_orderstatus") && l.contains("__rank_b")), p)
+    // round 12 pinned the bucket shape unconditionally; round 13's
+    // withRowNumberAuto picks per frame: at sf0.001 the estimate is
+    // far under AutoBucketRankBytes, so the plan must be the WINDOW
+    // form — one hashpartitioning(o_orderstatus) exchange, none of the
+    // bucket lattice's fixed stages — with no global (unpartitioned)
+    // sort anywhere. ScalableRankSpec pins the estimate-driven flip to
+    // the bucket shape (a >32MB frame plans __rank_b), so both shapes
+    // stay reachable and CI-checked.
+    assert(!p.contains("__rank_b"), p)
+    assert(p.contains("hashpartitioning(o_orderstatus"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // stats and offsets frames broadcast — aggregate-sized by design
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the presentation orderBy is the only range exchange; no window
+    // runs unpartitioned
+    assert(!p.contains("No Partition Defined"), p)
   }
 
-  test("rfm1 segments: no global-sort NTILE anywhere — every window rides the bucket key, custkey joins keyed") {
+  test("rfm1 segments: no global-sort NTILE anywhere — AUTO window form rides the dim key at test scale (r13)") {
     val p = planOf("rfm1_segments")
     // the r11 shape ran THREE ntile(4) Window.orderBy(...) globals
-    // (whole customer frame through one task's sort, three times); the
-    // ScalableRank rewrite has NO window ntile at all (closed-form
-    // from rn/n) and every Window node — offsets cum AND local rank —
-    // mentions the bucket key, so no window orders a customer-sized
-    // frame by the band value in one partition
+    // (whole customer frame through one task's sort, three times).
+    // NTILE stays closed-form from (rn, n) in BOTH auto shapes — no
+    // window ntile ever; at sf0.001 the auto picks the window form, so
+    // every Window node must be hash-partitioned by the stacked dim
+    // key (3 groups of customer-aggregate-sized rows), never the r11
+    // unpartitioned global.
     assert(!p.contains("ntile("), p)
-    assert(p.contains("__rank_b"), p)
+    assert(!p.contains("__rank_b"), p)
     val lines = p.linesIterator.toSeq
     val windowDetailIdx = lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) Window.*""") => i
     }
     assert(windowDetailIdx.nonEmpty, p)
-    windowDetailIdx.foreach { i =>
-      val block = lines.slice(i, math.min(i + 6, lines.length)).mkString("\n")
-      assert(block.contains("__rank_b"), s"window without bucket key:\n$block")
-    }
+    // every window exchange keys on dim — none runs global
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(dim")), p)
+    assert(!p.contains("SinglePartition"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 }

@@ -137,4 +137,62 @@ class IvmFoldSpec extends AnyFunSuite {
     }
     assert(msgChain(e3).contains("never absorbed"), msgChain(e3))
   }
+
+  test("a value outside decimal(18,4) fails loudly — never a silent 0 in the exact sum (r13)") {
+    // under ANSI (the session default) the cast itself throws; under
+    // non-ANSI it yields NULL, which the old coalesce folded into the
+    // sum as 0 — indistinguishable from the documented
+    // null-contributes-0 convention. The operator's own raise covers
+    // the non-ANSI mode, so BOTH modes refuse — this test pins both,
+    // on both the delta leg and the re-agg leg.
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    def overflowRaised(m: String): Boolean =
+      m.contains("decimal(18,4)") || // the operator's raise (non-ANSI)
+        m.contains("Decimal(18, 4)") // Spark's ANSI cast error
+    val before = rows(("a", 1L, 5.0), ("a", 2L, 7.0))
+    val before2 = rows(("b", 1L, 1e15), ("b", 2L, 9.0))
+    for (ansi <- Seq("true", "false")) {
+      val was = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        // delta leg: the inserted value overflows
+        val e1 = intercept[Exception] {
+          IvmFold.foldMinMax(Some(agg(before)), delta(("a", "I", 1e15)),
+            rows(("a", 1L, 5.0), ("a", 2L, 7.0), ("a", 3L, 1e15))
+              .select(col("g"), col("v")), Seq("g"), "op", "v").collect()
+        }
+        assert(overflowRaised(msgChain(e1)), s"ansi=$ansi: ${msgChain(e1)}")
+        // re-agg leg: delete the max of a group that holds an
+        // overflowing survivor — the re-aggregate must refuse, not
+        // skip it
+        val e2 = intercept[Exception] {
+          IvmFold.foldMinMax(
+            Some(before2.groupBy(col("g")).agg(count(lit(1)).as("n"),
+              lit(null).cast("decimal(18,4)").as("s"),
+              min(col("v")).as("mn"), max(col("v")).as("mx"))),
+            delta(("b", "D", 9.0)),
+            rows(("b", 1L, 1e15)).select(col("g"), col("v")),
+            Seq("g"), "op", "v").collect()
+        }
+        assert(overflowRaised(msgChain(e2)), s"ansi=$ansi: ${msgChain(e2)}")
+      } finally spark.conf.set("spark.sql.ansi.enabled", was)
+    }
+    // ...while genuine NULL values still ride the documented
+    // convention: counted, 0 to the sum, invisible to min/max
+    import spark.implicits._
+    val beforeN = Seq(("c", Some(5.0)), ("c", None)).toDF("g", "v")
+    val storedN = beforeN.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      coalesce(sum(dec(col("v"))), lit(0).cast("decimal(18,4)")).as("s"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val got = IvmFold.foldMinMax(Some(storedN),
+      Seq(("c", "I", Option.empty[Double])).toDF("g", "op", "v"),
+      Seq(("c", Some(5.0)), ("c", None), ("c", None)).toDF("g", "v"),
+      Seq("g"), "op", "v").collect()
+    assert(got.length == 1)
+    val r0 = got.head
+    assert(r0.getAs[Long]("n") == 3L)
+    assert(r0.getAs[java.math.BigDecimal]("s").doubleValue() == 5.0)
+  }
 }

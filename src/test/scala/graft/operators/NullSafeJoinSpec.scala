@@ -97,4 +97,30 @@ class NullSafeJoinSpec extends AnyFunSuite {
       NullSafeJoin.join(d, d.toDF("k", "w"), "k", "k")
     }
   }
+
+  test("oversized right null bucket fails LOUDLY with the flip named — never a broadcast OOM (r13 enforced contract)") {
+    val (l, r) = heavy // 15 right nulls
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      NullSafeJoin.join(l, r, "k", "k2", maxBroadcastNulls = 10).collect()
+    }
+    assert(msgChain(e).contains("null bucket"), msgChain(e))
+    assert(msgChain(e).contains("broadcastNulls"), msgChain(e))
+    // a bound the bucket fits passes untouched
+    assert(NullSafeJoin.join(l, r, "k", "k2", maxBroadcastNulls = 15)
+      .count() == NullSafeJoin.join(l, r, "k", "k2").count())
+  }
+
+  test("broadcastNulls = false: partition-pairwise cartesian null leg, same rows with multiplicities") {
+    val (l, r) = heavy
+    val got = NullSafeJoin.join(l, r, "k", "k2", broadcastNulls = false)
+    val want = l.join(r, col("k") <=> col("k2"))
+    assert(sortedRows(got) == sortedRows(want))
+    // and the guard is genuinely out of the path: a 1-row bound that
+    // would refuse the broadcast leg doesn't trip here
+    assert(NullSafeJoin.join(l, r, "k", "k2", broadcastNulls = false,
+      maxBroadcastNulls = 1).count() == want.count())
+  }
 }

@@ -171,4 +171,110 @@ class ScalableRankSpec extends AnyFunSuite {
       withRowNumber(df, Nil, "v", Nil)
     }
   }
+
+  private def msgChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("high-cardinality partition keys fail LOUDLY inside the plan — never a broadcast OOM (r13 enforced contract)") {
+    import spark.implicits._
+    // 3000 distinct keys × 4096 default buckets = 12.3M cells > the 8M
+    // bound: the guard must name the remedy, off the STATS frame (3000
+    // rows), before any offsets broadcast exists
+    val df = (0 until 3000).map(i => (s"g$i", i % 7, i.toLong))
+      .toDF("g", "v", "id")
+    val e = intercept[Exception] {
+      withRowNumber(df, Seq("g"), "v", Seq("id")).collect()
+    }
+    assert(msgChain(e).contains("high-cardinality"), msgChain(e))
+    assert(msgChain(e).contains("window"), msgChain(e))
+    // the same frame ranks fine when buckets shrink the cell product,
+    // and through the window form — the named remedies both work
+    val viaBuckets = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 2)
+      .select(col("g"), col("id"), col("rn"))
+    val viaWindow = windowRowNumber(df, Seq("g"), "v", Seq("id"))
+      .select(col("g"), col("id"), col("rn"))
+    assertSameRows(viaBuckets, viaWindow)
+  }
+
+  test("windowRowNumber equals withRowNumber on the adversarial frame — same contract, two shapes") {
+    val df = frame(500)
+    val got = windowRowNumber(df, Seq("g"), "v", Seq("id"))
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    val want = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 4)
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    assertSameRows(got, want)
+    // and the window form refuses null/NaN like the bucket form
+    import spark.implicits._
+    val withNaN = Seq(("a", 1.0, 1L), ("a", Double.NaN, 2L)).toDF("g", "v", "id")
+    val e = intercept[Exception] {
+      windowRowNumber(withNaN, Seq("g"), "v", Seq("id")).collect()
+    }
+    assert(msgChain(e).contains("total order"), msgChain(e))
+  }
+
+  test("double-range span (vmax − vmin would overflow to Infinity) still buckets and ranks exactly") {
+    import spark.implicits._
+    // the un-halved formula computes span = Inf ⇒ every bucket = 0 —
+    // silent degradation to a single-task sort; the halved formula
+    // keeps the span finite and the buckets spread while ranking the
+    // same
+    val vals = Seq(-1.7e308, -8.5e307, -42.0, 0.0, 1.0, 99.5, 8.5e307, 1.7e308)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("g", "v", "id")
+    val got = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 4)
+      .select(col("id"), col("rn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("id"), col("rn"))
+    assertSameRows(got, want)
+  }
+
+  test("string order keys: bucket form equals the window form, incl. common-prefix-heavy and multi-byte data") {
+    import spark.implicits._
+    val strs = Seq("", "a", "ab", "abc", "b", "prefix_common_000",
+      "prefix_common_001", "prefix_common_0010", "prefix_common_999",
+      "z", "éclair", "ﬀ", "中文", "中", "  leading", "a nul") ++
+      (0 until 200).map(i => f"prefix_common_$i%03d")
+    val df = strs.zipWithIndex.map { case (s, i) => ("g", s, i.toLong) }
+      .toDF("g", "v", "id")
+    val got = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 8)
+      .select(col("id"), col("rn"), col("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("id"), col("rn"), col("n"))
+    assertSameRows(got, want)
+    // global band over strings too (the rfm1-like composition)
+    val gotG = withRowNumber(df, Nil, "v", Seq("id"), buckets = 8)
+      .select(col("id"), col("rn"))
+    val wantG = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("rn"))
+    assertSameRows(gotG, wantG)
+  }
+
+  test("withRowNumberAuto picks the shape from Catalyst's estimate — both shapes reachable, answers identical") {
+    import spark.implicits._
+    val df = frame(400)
+    // forced decisions answer identically (the auto is a plan choice)
+    val viaBucket = withRowNumberAuto(df, Seq("g"), "v", Seq("id"),
+      bucketRank = Some(true)).select(col("g"), col("id"), col("rn"))
+    val viaWindow = withRowNumberAuto(df, Seq("g"), "v", Seq("id"),
+      bucketRank = Some(false)).select(col("g"), col("id"), col("rn"))
+    assertSameRows(viaBucket, viaWindow)
+    // estimate-driven: a small frame stays on the window form (no
+    // bucket key anywhere in the plan); a frame whose estimate tops
+    // AutoBucketRankBytes flips to the bucket lattice
+    assert(!autoBucketRank(df))
+    val small = withRowNumberAuto(df, Seq("g"), "v", Seq("id"))
+    assert(!small.queryExecution.optimizedPlan.toString.contains("__rank_b"))
+    val big = spark.range(0, 10L * 1000 * 1000).toDF("id")
+      .select((col("id") % 3).cast("string").as("g"),
+        (col("id") % 9973).as("v"), col("id"))
+    assert(autoBucketRank(big))
+    val bigPlan = withRowNumberAuto(big, Seq("g"), "v", Seq("id"))
+    assert(bigPlan.queryExecution.optimizedPlan.toString.contains("__rank_b"))
+  }
 }
