@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.IvmDistinct
+
 /** Measured proof of [[graft.operators.IvmFold]]'s incremental-cost
   * claims, in the AppendScale discipline: fold a FIXED 10k-row delta
   * into a maintained (count, sum, min, max) view while the standing
@@ -138,6 +140,127 @@ object IvmScale {
     val (m10, b10) = point(baseN * 10)
 
     def r1(x: Double) = math.rint(x * 100) / 100
+
+    // ---- round 13: KEYED stores — the pruning the round-12 table
+    // promised ("a keyed production store prunes that scan to the
+    // affected partitions"), measured. Store layouts mirror the
+    // streaming faces: rows partitioned by group-hash bucket, dict by
+    // pair-hash bucket; the fold's store reads are isin-pruned by the
+    // delta's own buckets (batch-bounded driver lists).
+    val kB = 1024
+    val bucketG = pmod(xxhash64(col("g")), lit(kB.toLong)).cast("int")
+
+    def buildKeyed(n: Long): Unit = {
+      val rows = spark.range(0L, n).toDF("id")
+        .withColumn("g", col("id") % groups)
+        .withColumn("v", col("id").cast("double"))
+      rows.withColumn("__g_bucket", bucketG).repartition(col("__g_bucket"))
+        .write.mode("overwrite").partitionBy("__g_bucket")
+        .parquet(s"$out/krows_$n")
+      import graft.core.Exact.dec
+      spark.read.parquet(s"$out/krows_$n").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .write.mode("overwrite").parquet(s"$out/kagg_$n")
+    }
+
+    // the realistic extremum-breaking micro-batch: ONLY the 100
+    // group-max deletes (no filler — a batch whose every row breaks an
+    // extremum is the operator's worst case per row)
+    def breakOnlyDelta(n: Long) = spark.range(0L, breakGroups).toDF("gg")
+      .select(col("gg").as("g"), lit("D").as("op"),
+        (col("gg") + (n - groups)).cast("double").as("v"))
+
+    def keyedBreakFold(n: Long, pruned: Boolean): Double = {
+      val stored = spark.read.parquet(s"$out/kagg_$n")
+      val dels = breakOnlyDelta(n)
+      val store = spark.read.parquet(s"$out/krows_$n")
+      val after0 =
+        if (!pruned) store
+        else {
+          val delBuckets = dels
+            .select(pmod(xxhash64(col("g")), lit(kB.toLong)).cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          store.filter(col("__g_bucket").isin(delBuckets: _*))
+        }
+      // post-delta rows: the deleted ids are exactly n - groups + g for
+      // g < breakGroups
+      val after = after0
+        .filter(col("id") < (n - groups) ||
+          (col("id") % groups) >= breakGroups)
+        .select(col("g"), col("v"))
+      timeFold(stored, dels, after)
+    }
+
+    // distinct view: one row per (g, v) pair (v = id — every pair
+    // unique), dict partitioned by pair hash, counts snapshot beside it
+    def buildDistinct(n: Long): Unit = {
+      val pairs = spark.range(0L, n).toDF("id")
+        .withColumn("g", col("id") % groups)
+        .withColumn("v", col("id"))
+      pairs.select(col("g"), col("v"))
+        .withColumn("__p_bucket",
+          pmod(xxhash64(col("g"), col("v")), lit(kB.toLong)).cast("int"))
+        .repartition(col("__p_bucket"))
+        .write.mode("overwrite").partitionBy("__p_bucket")
+        .parquet(s"$out/kdict_$n")
+      pairs.withColumn("__g_bucket", bucketG).repartition(col("__g_bucket"))
+        .write.mode("overwrite").partitionBy("__g_bucket")
+        .parquet(s"$out/kprows_$n")
+      spark.read.parquet(s"$out/kdict_$n").groupBy(col("g"))
+        .agg(count(lit(1)).as("n_distinct"))
+        .write.mode("overwrite").parquet(s"$out/kcounts_$n")
+    }
+
+    def distinctDelta(n: Long, half: Long) = {
+      val dels = spark.range(n / 2, n / 2 + half).toDF("id")
+        .select((col("id") % groups).as("g"), lit("D").as("op"),
+          col("id").as("v"))
+      val ins = spark.range(n, n + half).toDF("id")
+        .select((col("id") % groups).as("g"), lit("I").as("op"),
+          col("id").as("v"))
+      dels.unionByName(ins)
+    }
+
+    def distinctFold(n: Long, half: Long): Double = {
+      val counts0 = spark.read.parquet(s"$out/kcounts_$n")
+      val d = distinctDelta(n, half)
+      val pairBuckets = d
+        .select(pmod(xxhash64(col("g"), col("v")), lit(kB.toLong))
+          .cast("int").as("b")).distinct().collect().map(_.getInt(0)).toSeq
+      val dict0 = spark.read.parquet(s"$out/kdict_$n")
+        .filter(col("__p_bucket").isin(pairBuckets: _*))
+        .select(col("g"), col("v"))
+      val delBuckets = spark.range(n / 2, n / 2 + half).toDF("id")
+        .select(pmod(xxhash64(col("id") % groups), lit(kB.toLong))
+          .cast("int").as("b")).distinct().collect().map(_.getInt(0)).toSeq
+      val after = spark.read.parquet(s"$out/kprows_$n")
+        .filter(col("__g_bucket").isin(delBuckets: _*))
+        .filter(col("v") < n / 2 || col("v") >= n / 2 + half)
+        .select(col("g"), col("v"))
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        IvmDistinct.fold(Some((counts0, dict0)), d, after,
+            Seq("g"), "op", "v")._1
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      median(samples)
+    }
+
+    buildKeyed(baseN); buildKeyed(baseN * 10)
+    keyedBreakFold(baseN, pruned = true) // warm, untimed
+    val kbFlat1 = keyedBreakFold(baseN, pruned = false)
+    val kbFlat10 = keyedBreakFold(baseN * 10, pruned = false)
+    val kb1 = keyedBreakFold(baseN, pruned = true)
+    val kb10 = keyedBreakFold(baseN * 10, pruned = true)
+
+    buildDistinct(baseN); buildDistinct(baseN * 10)
+    distinctFold(baseN, 50L) // warm, untimed
+    val ds1 = distinctFold(baseN, 50L)
+    val ds10 = distinctFold(baseN * 10, 50L)
+    val db1 = distinctFold(baseN, 5000L)
+    val db10 = distinctFold(baseN * 10, 5000L)
     val section =
       f"""
          |## Batch-proportional increments — IvmFold (round 12)
@@ -167,9 +290,53 @@ object IvmScale {
          |
          |Reproduce: `sbt "runMain graft.IvmScale /tmp/graft_ivm_scale"`.
          |""".stripMargin
+
+    val section13 =
+      f"""
+         |## Keyed stores prune the non-invertible legs — IvmFold + IvmDistinct (round 13)
+         |
+         |The round-12 table's caveat ("a keyed production store prunes
+         |that scan to the affected partitions") shipped and measured.
+         |Store layouts mirror the streaming faces: rows partitioned by
+         |group-hash bucket, dict by pair-hash bucket ($kB buckets); the
+         |fold's store reads are isin-pruned on the partition column by
+         |the delta's own buckets (batch-bounded driver lists — the
+         |audited-collect discipline), so pruning is guaranteed file
+         |skipping, not an optimizer favor.
+         |
+         |**foldMinMax, extremum-breaking batch** ($breakGroups group-max
+         |deletes, the per-row worst case) against a store growing 10×:
+         |
+         || rows store | small (s) | 10× (s) | ratio |
+         ||---|---|---|---|
+         || flat (full scan through the semi-join) | $kbFlat1%.2f | $kbFlat10%.2f | ${r1(kbFlat10 / kbFlat1)}× |
+         || bucket-partitioned + pruned | $kb1%.2f | $kb10%.2f | ${r1(kb10 / kb1)}× |
+         |
+         |**IvmDistinct fold** (dict + rows stores both keyed) against a
+         |dict growing 10× ($baseN → ${baseN * 10} pairs):
+         |
+         || delta | small (s) | 10× (s) | ratio |
+         ||---|---|---|---|
+         || 100 rows (50 new-pair inserts + 50 last-row deletes) | $ds1%.2f | $ds10%.2f | ${r1(ds10 / ds1)}× |
+         || 10k rows (5k + 5k) | $db1%.2f | $db10%.2f | ${r1(db10 / db1)}× |
+         |
+         |The 100-row delta is the streaming regime: its pair buckets
+         |are ≪ $kB, so both store reads prune to a few percent of the
+         |files and the fold is delta-sized regardless of store growth.
+         |The 10k-row delta names the honest boundary: ~10k distinct
+         |pairs touch essentially every one of the $kB buckets, pruning
+         |degenerates, and the fold pays a store-sized scan — at which
+         |point the batch is large enough that the per-row cost is still
+         |bounded (scan bytes / 10k rows), and a deployment expecting
+         |such batches sizes `storeBuckets` up, or accepts the scan the
+         |way any bulk backfill does.
+         |
+         |Reproduce: same command (the harness appends both sections).
+         |""".stripMargin
     val p = Paths.get("SCALING.md")
-    Files.writeString(p, Files.readString(p) + section)
+    Files.writeString(p, Files.readString(p) + section + section13)
     println(section)
+    println(section13)
     spark.stop()
   }
 }

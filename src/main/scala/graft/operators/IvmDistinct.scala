@@ -63,7 +63,16 @@ object IvmDistinct {
     * surviving rows (groupCols…, valueCol) — consulted only for the
     * delta's own delete pairs via a broadcast semi-join. `stored =
     * None` is the empty view (first fold). Returns the state after the
-    * fold; both frames are lazy plans over the inputs. */
+    * fold; both frames are lazy plans over the inputs.
+    *
+    * Pruned-store contract: the dict consult only ever needs rows that
+    * could match a delta pair, so `stored._2` may be PRE-PRUNED to any
+    * superset of the delta's pairs (e.g. their hash-bucket partitions —
+    * the StreamingIvmDistinct layout). The returned counts are exact
+    * either way; the returned dict then covers only the pruned slice,
+    * and the caller re-attaches the untouched remainder (a partitioned
+    * upsert does this by construction). Same for `rowsAfter`: any
+    * superset of the delete pairs' rows is sufficient. */
   def fold(
       stored: Option[(DataFrame, DataFrame)],
       delta: DataFrame,

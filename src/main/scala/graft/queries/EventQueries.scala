@@ -121,31 +121,42 @@ object EventQueries {
           count(lit(1)).as("f"),
           sumd(col("o_totalprice")).as("m"))
         .persist() // customer-sized; pr1 ownership contract (Verify/Bench clear per query)
-      // ONE rank pass for all three orderings: unpivot to (custkey,
+      // the banding shape is AUTO on the customer aggregate's size
+      // estimate (round 13, the v12 discipline): below the crossover
+      // the r11 form is simply the best — three ntile(4) windows
+      // DIRECTLY over the aggregate, one pass, no unpivot and no
+      // join-back (global sorts, but of a customer-AGGREGATE frame the
+      // estimate just bounded, never the fact table); past it the
+      // stacked ScalableRank pass takes over: unpivot to (custkey,
       // dim, v) — epoch seconds and counts are exact as doubles — and
-      // rank PARTITIONED BY DIMENSION; three separate passes measured
-      // 5.3 s of pure stage overhead at sf0.1 (flat at 10× — the cost
-      // was stages, not data), this shape runs the same exchanges once.
-      // The shape itself is AUTO (round 13): below the measured
-      // crossover the window form answers in one keyed exchange with
-      // none of the bucket lattice's fixed stage cost; past it the
-      // estimate flips to bucket-rank and no task ever sorts a
-      // customer-sized frame.
-      val long = m.selectExpr("o_custkey",
-        """stack(3, 'r', cast(unix_timestamp(r) as double),
-          |         'f', cast(f as double),
-          |         'm', m) as (dim, v)""".stripMargin)
-      val bands = ScalableRank.withRowNumberAuto(long, Seq("dim"), "v",
-          Seq("o_custkey"))
-        .withColumn("band", ScalableRank.ntileOf(col("rn"), col("n"), 4))
-        .groupBy(col("o_custkey"))
-        .agg(max(when(col("dim") === "r", col("band"))).as("r_band"),
-          max(when(col("dim") === "f", col("band"))).as("f_band"),
-          max(when(col("dim") === "m", col("band"))).as("m_band"))
-      m.join(bands, Seq("o_custkey"))
-        .select(col("o_custkey"), col("f"), col("m"),
-          col("r_band"), col("f_band"), col("m_band"))
-        .orderBy(col("o_custkey"))
+      // bucket-rank PARTITIONED BY DIMENSION, so the same exchanges
+      // run once and no task ever sorts a customer-sized frame (three
+      // separate bucket passes measured 5.3 s of pure stage overhead
+      // at sf0.1, flat at 10× — stages, not data).
+      if (!ScalableRank.autoBucketRank(m)) {
+        def band(v: org.apache.spark.sql.Column) =
+          ntile(4).over(Window.orderBy(v, col("o_custkey"))).cast("long")
+        m.select(col("o_custkey"), col("f"), col("m"),
+            band(col("r")).as("r_band"), band(col("f")).as("f_band"),
+            band(col("m")).as("m_band"))
+          .orderBy(col("o_custkey"))
+      } else {
+        val long = m.selectExpr("o_custkey",
+          """stack(3, 'r', cast(unix_timestamp(r) as double),
+            |         'f', cast(f as double),
+            |         'm', m) as (dim, v)""".stripMargin)
+        val bands = ScalableRank.withRowNumber(long, Seq("dim"), "v",
+            Seq("o_custkey"))
+          .withColumn("band", ScalableRank.ntileOf(col("rn"), col("n"), 4))
+          .groupBy(col("o_custkey"))
+          .agg(max(when(col("dim") === "r", col("band"))).as("r_band"),
+            max(when(col("dim") === "f", col("band"))).as("f_band"),
+            max(when(col("dim") === "m", col("band"))).as("m_band"))
+        m.join(bands, Seq("o_custkey"))
+          .select(col("o_custkey"), col("f"), col("m"),
+            col("r_band"), col("f_band"), col("m_band"))
+          .orderBy(col("o_custkey"))
+      }
     }),
     "hg1_histogram" -> ((s, dir) => {
       // equi-width histogram (width_bucket face): exact-count + exact-

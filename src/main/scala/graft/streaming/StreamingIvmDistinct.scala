@@ -16,20 +16,29 @@ import graft.operators.IvmDistinct
   *
   * Storage is THREE snapshot families per batch under `<dir>` —
   * `rows/batch=<id>` (surviving rows, partitioned by the
-  * [[StreamingIvmMinMax]] `__g_bucket` layout), `dict/batch=<id>`
-  * (surviving distinct pairs), `agg/batch=<id>` (the counts view) —
-  * written in that order; a batch is committed only when ALL THREE
-  * carry `_SUCCESS`, and every fold recomputes from the latest
+  * [[StreamingIvmMinMax]] `__g_bucket` group-hash layout),
+  * `dict/batch=<id>` (surviving distinct pairs, partitioned by a
+  * `__p_bucket` PAIR-hash layout), `agg/batch=<id>` (the counts
+  * view) — written in that order; a batch is committed only when ALL
+  * THREE carry `_SUCCESS`, and every fold recomputes from the latest
   * committed triple with id < its own, so redelivery after a crash at
   * any point reads the same input and overwrites identical bytes (the
   * family's exactly-once discipline without a WAL). Steady state
   * holds two snapshot triples.
   *
-  * The fold's rows-store read is pruned to the DELETE rows' buckets
-  * (a batch-bounded driver list): the surviving-pair check only ever
-  * consults rows that could carry a deleted pair, so an insert-only
-  * batch reads ZERO store files and a typical delta reads a few
-  * percent of them.
+  * Both store reads the fold makes are partition-PRUNED by
+  * batch-bounded driver lists (the audited-collect discipline):
+  * the rows store to the DELETE rows' group buckets (the
+  * surviving-pair check only consults rows that could carry a deleted
+  * pair — an insert-only batch reads ZERO rows files), and the dict to
+  * the delta's own pair buckets (membership only matters for the
+  * delta's pairs — [[IvmDistinct.fold]]'s pruned-store contract). The
+  * fold's compute is therefore delta-proportional regardless of store
+  * size; what stays store-sized is the snapshot REWRITE of the
+  * untouched dict/rows buckets, the documented test-scale
+  * simplification (a production deployment upserts only the affected
+  * bucket partitions — the plumbing here already splits affected from
+  * untouched, so the upsert is a sink swap, not a logic change).
   *
   * Contract (StreamingIvmDistinctSpec): after batch N commits,
   * [[readCounts]] equals `SELECT g…, COUNT(DISTINCT v)` over every
@@ -72,8 +81,9 @@ object StreamingIvmDistinct {
     val spark = batch.sparkSession
     val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
-    require(!batch.columns.contains("__g_bucket"),
-      "change batch already contains reserved column '__g_bucket'")
+    Seq("__g_bucket", "__p_bucket").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"change batch already contains reserved column '$c'"))
     val bad = batch.filter(col(opCol).isNull ||
       (col(opCol) =!= "I" && col(opCol) =!= "D")).limit(1).count()
     require(bad == 0L,
@@ -124,17 +134,36 @@ object StreamingIvmDistinct {
       if (delBuckets.isEmpty) rowsAfterAll.filter(lit(false))
       else rowsAfterAll.filter(col("__g_bucket").isin(delBuckets: _*))
 
+    // dict pruning: membership only matters for the delta's own pairs,
+    // so the fold reads ONLY their hash-bucket partitions; the
+    // untouched buckets ride into the next snapshot unread by the fold
+    val pairCols = groupCols :+ valueCol
+    val pairBucketize =
+      pmod(xxhash64(pairCols.map(col): _*), lit(storeBuckets.toLong)).cast("int")
+    val deltaBuckets = batch.select(pairBucketize.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prevDictAll = prior.lastOption
+      .map(id => spark.read.parquet(snapPath(dir, "dict", id).toString))
     val prevState = prior.lastOption.map { id =>
       (spark.read.parquet(snapPath(dir, "agg", id).toString),
-        spark.read.parquet(snapPath(dir, "dict", id).toString))
+        prevDictAll.get.filter(col("__p_bucket").isin(deltaBuckets: _*))
+          .select(pairCols.map(col): _*))
     }
-    val (counts, dict) = IvmDistinct.fold(prevState,
+    val (counts, dictAffected) = IvmDistinct.fold(prevState,
       batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
       rowsForFold.select((groupCols.map(col) :+ col(valueCol)): _*),
       groupCols, opCol, valueCol)
+    val dictNext = prevDictAll
+      .map(d => dictAffected.unionByName(
+        d.filter(!col("__p_bucket").isin(deltaBuckets: _*))
+          .select(pairCols.map(col): _*)))
+      .getOrElse(dictAffected)
     // dict first (counts derive from it), then the view; commit is the
     // triple's intersection either way
-    dict.write.mode("overwrite")
+    dictNext
+      .withColumn("__p_bucket", pairBucketize)
+      .repartition(col("__p_bucket"))
+      .write.mode("overwrite").partitionBy("__p_bucket")
       .parquet(snapPath(dir, "dict", batchId).toString)
     counts.write.mode("overwrite")
       .parquet(snapPath(dir, "agg", batchId).toString)
@@ -171,10 +200,12 @@ object StreamingIvmDistinct {
     spark.read.parquet(snapPath(dir, "agg", snaps.last).toString)
   }
 
-  /** The value dictionary as of the latest committed batch. */
+  /** The value dictionary as of the latest committed batch (the
+    * `__p_bucket` partition key stays internal). */
   def readDict(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed dictionary under $dir")
     spark.read.parquet(snapPath(dir, "dict", snaps.last).toString)
+      .drop("__p_bucket")
   }
 }

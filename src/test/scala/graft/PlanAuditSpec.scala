@@ -697,25 +697,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("No Partition Defined"), p)
   }
 
-  test("rfm1 segments: no global-sort NTILE anywhere — AUTO window form rides the dim key at test scale (r13)") {
+  test("rfm1 segments: AUTO banding — direct ntile windows over the bounded customer AGGREGATE at test scale, stacked bucket-rank past the estimate (r13)") {
     val p = planOf("rfm1_segments")
-    // the r11 shape ran THREE ntile(4) Window.orderBy(...) globals
-    // (whole customer frame through one task's sort, three times).
-    // NTILE stays closed-form from (rn, n) in BOTH auto shapes — no
-    // window ntile ever; at sf0.001 the auto picks the window form, so
-    // every Window node must be hash-partitioned by the stacked dim
-    // key (3 groups of customer-aggregate-sized rows), never the r11
-    // unpartitioned global.
-    assert(!p.contains("ntile("), p)
+    // below the size estimate the r11 shape is simply best: three
+    // ntile(4) windows directly over the customer aggregate — global
+    // sorts, but of an AGGREGATE frame the estimate gate just bounded
+    // (the r11 hazard was outgrowing that bound silently; the branch +
+    // ScalableRank's enforced broadcast guard now make both regimes
+    // explicit). Past the estimate the stacked ScalableRank bucket
+    // pass takes over — the flip is estimate-driven, pinned at the
+    // operator level by ScalableRankSpec's auto test.
+    assert(p.contains("ntile("), p)
     assert(!p.contains("__rank_b"), p)
-    val lines = p.linesIterator.toSeq
-    val windowDetailIdx = lines.zipWithIndex.collect {
-      case (l, i) if l.matches("""\(\d+\) Window.*""") => i
-    }
-    assert(windowDetailIdx.nonEmpty, p)
-    // every window exchange keys on dim — none runs global
-    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(dim")), p)
-    assert(!p.contains("SinglePartition"), p)
+    // one pass over the aggregate: no join-back, no unpivot
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the windows ride the persisted customer aggregate, not the fact
+    // table: exactly one parquet scan feeds the whole plan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
   }
 }
