@@ -174,7 +174,8 @@ object Scaling {
     "v13_uniqueness" -> Set("orders", "lineitem"),
     "v12_distribution" -> Set("lineitem"),
     "j11_null_safe_join" -> Set("orders", "customer_aligned"),
-    "ivm2_minmax_view" -> Set("orders"))
+    "ivm2_minmax_view" -> Set("orders"),
+    "ivm3_distinct_view" -> Set("orders"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -334,7 +335,8 @@ object Scaling {
       "at1_attribution", "ab1_ab_test",
       "rfm1_segments", "w6_ntile_bands", "fn2_transitions",
       "hg1_histogram", "sk3_skew_profile", "v13_uniqueness",
-      "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view")
+      "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view",
+      "ivm3_distinct_view")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
