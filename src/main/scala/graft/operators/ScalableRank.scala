@@ -334,16 +334,19 @@ object ScalableRank {
 
   /** One NTILE(k) band over the whole frame ordered by (`valueCol`,
     * `tieCols`) — the rfm1 composition: rank distributed, band
-    * closed-form, helper columns dropped. */
+    * closed-form, helper columns dropped. Shape-picks like
+    * [[withRowNumberAuto]]: a small frame bands through one window
+    * pass, a large one through the bucket lattice. */
   def ntileBand(
       df: DataFrame,
       valueCol: String,
       tieCols: Seq[String],
       k: Int,
       outCol: String,
-      buckets: Int = 4096): DataFrame =
-    withRowNumber(df, Nil, valueCol, tieCols, buckets,
-      rnCol = "__rank_rn", nCol = "__rank_n")
+      buckets: Int = 4096,
+      bucketRank: Option[Boolean] = None): DataFrame =
+    withRowNumberAuto(df, Nil, valueCol, tieCols, buckets,
+      rnCol = "__rank_rn", nCol = "__rank_n", bucketRank = bucketRank)
       .withColumn(outCol, ntileOf(col("__rank_rn"), col("__rank_n"), k))
       .drop("__rank_rn", "__rank_n")
 }

@@ -641,6 +641,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivm3 distinct view: store consults are broadcast semi/anti on the delta's pairs; counts merge full-outer; no cartesian, no window") {
+    val p = planOf("ivm3_distinct_view")
+    // the rows-store and dict consults ride broadcast semi-joins keyed
+    // on the delta's own (group, value) pairs; dict removal is a
+    // broadcast anti; the counts view merges two AGGREGATE frames
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // rank-free: the maintained count is an aggregate fold, never a
+    // data-sized window
+    assert(!p.contains("Window"), p)
+  }
+
   test("at1 attribution: one keyed window on user_id feeding a channel-sized aggregate — no join") {
     val p = planOf("at1_attribution")
     assert(!p.contains("Join"), p)

@@ -144,6 +144,28 @@ class IvmDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned-store contract: a dict/rowsAfter pruned to the delta's pairs yields the same counts, and the returned dict covers the pruned slice") {
+    import spark.implicits._
+    val before = rows(("a", 1L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 9L))
+    val d = delta(("a", "D", 2L), ("b", "I", 7L))
+    val after = rows(("a", 1L), ("b", 5L), ("b", 6L), ("b", 7L), ("c", 9L))
+    val full = IvmDistinct.fold(Some(state(before)), d, after,
+      Seq("g"), "op", "v")
+    // prune both stores to ONLY rows touching the delta's pairs — the
+    // contract's minimal superset (a bucket layout prunes coarser)
+    val touchedPairs = Set(("a", 2L), ("b", 7L))
+    val dictPruned = IvmDistinct.dictOf(before, Seq("g"), "v")
+      .filter(r => touchedPairs.contains((r.getString(0), r.getLong(1))))
+    val afterPruned = after
+      .filter(r => touchedPairs.contains((r.getString(0), r.getLong(1))))
+    val pruned = IvmDistinct.fold(
+      Some((state(before)._1, dictPruned)), d, afterPruned,
+      Seq("g"), "op", "v")
+    assert(sorted(pruned._1) == sorted(full._1)) // counts exact either way
+    // pruned dict output = the affected slice: (a,2) removed, (b,7) new
+    assert(sorted(pruned._2) == Seq(Seq("b", 7L)))
+  }
+
   test("sketch path: maintained HLL buffers ≡ the one-shot aggregate bit-for-bit across insert batches") {
     import graft.functions.HllSketchAgg
     import spark.implicits._
