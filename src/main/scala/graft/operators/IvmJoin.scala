@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact.dec
+
+/** Incremental view maintenance for JOIN views (round 13 — the fourth
+  * member of the IVM family): a maintained aggregate OVER an equi-join
+  * `R ⋈ S` absorbs CDC deltas on EITHER side (or both) without
+  * re-running the join. The algebra is the bilinear expansion — with
+  * signed multiplicities (I = +1, D = −1),
+  *
+  *   (R + ΔR) ⋈ (S + ΔS) = R⋈S + ΔR⋈S + R⋈ΔS + ΔR⋈ΔS
+  *
+  * holds EXACTLY for multiset joins, deletes included, so the view's
+  * change is three delta-anchored joins: each one keyed on the join
+  * key with the DELTA side broadcast — the stored sides are scanned
+  * once each and never shuffled, and the cross term is delta × delta.
+  * COUNT and exact-decimal SUM are linear in multiplicity, so the
+  * maintained (n, s) folds as stored ⊕ Δagg, exactly ivm1's
+  * aggregate-frame merge (AVG = s/n rides free; MIN/MAX over a join
+  * needs ivm2's re-agg discipline on the joined rows instead —
+  * non-linear aggregates have no bilinear shortcut).
+  *
+  * Contract: `rBefore`/`sBefore` are the PRE-delta states (the
+  * formula's R and S); delta rows carry full payload (delete images),
+  * `opCol` ∈ {I, D} — loud otherwise, enforced inside the sign
+  * expression where no sibling predicate can simplify it away (see
+  * IvmDistinct's optimizer-hazard note). Values outside decimal(18,4)
+  * raise rather than fold silently (the IvmFold discipline); NULL
+  * values contribute 0 to the sum and are counted, matching a
+  * SUM/COUNT(*) view over the join.
+  *
+  * Scale shape at 100 TB: per batch three joins whose build sides are
+  * delta-sized broadcasts; R and S are each read once (partition-keyed
+  * stores prune those reads to the delta's join-key buckets — the
+  * StreamingIvmMinMax layout applies verbatim since the join key IS
+  * the natural bucket key); the merge joins two aggregate frames.
+  * Nothing anywhere is |R ⋈ S|-sized.
+  */
+object IvmJoin {
+
+  /** Signed multiplicity with the op-domain raise INSIDE the value
+    * expression (filter-conjunct raises are optimizer-unsafe). */
+  private def signOf(op: Column, opCol: String): Column =
+    when(op === "I", lit(1L))
+      .when(op === "D", lit(-1L))
+      .otherwise(raise_error(
+        lit(s"delta op outside {I, D} (or NULL) in '$opCol' — " +
+          "refusing to fold a malformed delta into the view")))
+
+  private def decChecked(c: Column, valueCol: String): Column =
+    when(c.isNotNull && dec(c).isNull,
+      raise_error(concat(lit(s"value in '$valueCol' outside " +
+        "decimal(18,4) ("), c.cast("string"),
+        lit(") — the exact sum would silently drift"))))
+      .otherwise(coalesce(dec(c), lit(0)))
+
+  /** Fold CDC deltas on both sides of `R ⋈ S` (equi-join on
+    * `joinKeys`, shared column names) into the maintained per-group
+    * (n, s) view, where `groupCols` and `valueCol` are columns of the
+    * JOINED row (either side). Pass an empty-delta frame (not null)
+    * for a side with no changes. `stored = None` is the empty view.
+    * Returns the view after the fold; groups at zero disappear, a
+    * delta that deletes pairs the view never absorbed fails loudly
+    * (negative count / zero-with-remainder — only reachable on the
+    * merge path, which is total here). */
+  def foldSumView(
+      stored: Option[DataFrame],
+      deltaR: DataFrame,
+      deltaS: DataFrame,
+      rBefore: DataFrame,
+      sBefore: DataFrame,
+      joinKeys: Seq[String],
+      groupCols: Seq[String],
+      valueCol: String,
+      opCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    def signed(d: DataFrame, w: String): DataFrame =
+      d.withColumn(w, signOf(col(opCol), opCol)).drop(opCol)
+
+    val dR = signed(deltaR, "__wr")
+    val dS = signed(deltaS, "__ws")
+    // the three bilinear terms — the DELTA side broadcasts in each, so
+    // the stored sides stream through one scan apiece and the cross
+    // term never touches a store at all
+    val t1 = broadcast(dR).join(sBefore, joinKeys)
+      .select(g :+ col("__wr").as("__w") :+ col(valueCol).as("__v"): _*)
+    val t2 = rBefore.join(broadcast(dS), joinKeys)
+      .select(g :+ col("__ws").as("__w") :+ col(valueCol).as("__v"): _*)
+    val t3 = broadcast(dR).join(broadcast(dS), joinKeys)
+      .select(g :+ (col("__wr") * col("__ws")).as("__w") :+
+        col(valueCol).as("__v"): _*)
+
+    val deltaAgg = t1.unionByName(t2).unionByName(t3)
+      .groupBy(g: _*)
+      .agg(sum(col("__w")).as("__dn"),
+        sum(col("__w") * decChecked(col("__v"), valueCol)).as("__ds"))
+
+    val storedDf = stored.getOrElse(
+      deltaAgg.filter(lit(false))
+        .select(g :+ lit(0L).as("n") :+
+          lit(0).cast("decimal(28,4)").as("s"): _*))
+
+    storedDf.join(deltaAgg, groupCols, "full_outer")
+      .select(g :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n") :+
+        (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s"): _*)
+      .withColumn("n",
+        when(col("n") < 0 ||
+          (col("n") === 0 && coalesce(col("s") =!= 0, lit(false))),
+          raise_error(lit("delta deletes join pairs the view never " +
+            "absorbed (negative count or zero count with a remainder sum)")))
+          .otherwise(col("n")))
+      .withColumn("s", col("s").cast("decimal(28,4)"))
+      .filter(col("n") > 0)
+  }
+}

@@ -494,6 +494,49 @@ object GovernanceQueries {
       val (counts, _) = IvmDistinct.fold(Some((counts0, dict0)),
         dels.unionByName(ins), rowsAfter, Seq("o_orderpriority"), "op", "ck")
       counts.orderBy(col("o_orderpriority"))
+    }),
+    "ivm4_join_view" -> ((s, dir) => {
+      // JOIN-view IVM (round 13) — a maintained per-nation revenue
+      // view over customer ⋈ orders absorbing CDC on BOTH sides in one
+      // fold: every 101st order repriced (delete+insert on the fact),
+      // every 89th customer re-pointed to the next nation
+      // (delete+insert on the dim) — and their overlap exercises the
+      // ΔR⋈ΔS cross term, the part a naive "re-join the delta" misses.
+      // The bilinear expansion keeps every leg delta-anchored: each
+      // term broadcasts its delta side, the stored sides stream
+      // through one scan apiece, and the view folds as aggregate ⊕
+      // delta. Oracle = full recompute of the join over both modified
+      // tables, bit-for-bit.
+      import graft.operators.IvmJoin
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_totalprice").as("price"))
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+      val repriced = pmod(col("o_orderkey"), lit(101)) === 0
+      val moved = pmod(col("ck"), lit(89)) === 0
+      val rBefore = o.select(col("ck"), col("price"))
+      val dR = o.filter(repriced)
+        .select(col("ck"), col("price"), lit("D").as("op"))
+        .unionByName(o.filter(repriced)
+          .select(col("ck"), (col("price") + 10.0).as("price"),
+            lit("I").as("op")))
+      val dS = c.filter(moved)
+        .select(col("ck"), col("c_nationkey"), lit("D").as("op"))
+        .unionByName(c.filter(moved)
+          .select(col("ck"),
+            pmod(col("c_nationkey") + 1L, lit(25L)).as("c_nationkey"),
+            lit("I").as("op")))
+      import graft.core.Exact.dec
+      val stored = rBefore.join(c, Seq("ck"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("price"))).as("s"))
+      IvmJoin.foldSumView(Some(stored), dR, dS, rBefore, c,
+          Seq("ck"), Seq("c_nationkey"), "price", "op")
+        .select(col("c_nationkey"), col("n"),
+          col("s").cast("double").as("sum_price"))
+        .orderBy(col("c_nationkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -750,6 +793,21 @@ object GovernanceQueries {
         |SELECT o_orderpriority,
         | CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_distinct
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm4_join_view" ->
+      """WITH o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS price
+        | FROM orders),
+        |c2 AS (
+        | SELECT c_custkey AS ck,
+        |  CAST(CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 1) % 25
+        |       ELSE c_nationkey END AS BIGINT) AS c_nationkey
+        | FROM customer)
+        |SELECT c_nationkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM o2 JOIN c2 USING (ck)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

@@ -694,6 +694,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivm4 join view: every bilinear leg broadcasts its delta side — no cartesian, view merge full-outer") {
+    val p = planOf("ivm4_join_view")
+    // ΔR⋈S, R⋈ΔS, ΔR⋈ΔS: three broadcast joins whose build sides are
+    // the delta frames (the stored sides stream); the only other join
+    // is the stored-view stand-in this key computes inline
+    assert(p.split("BroadcastHashJoin").length >= 4, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("w6 ntile bands: AUTO shape — window form keyed by status at test scale, bucket lattice past the estimate (r13)") {
     val p = planOf("w6_ntile_bands")
     // round 12 pinned the bucket shape unconditionally; round 13's
