@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.IvmDistinct
+import graft.operators.{IvmDistinct, IvmJoin}
 
 /** Measured proof of [[graft.operators.IvmFold]]'s incremental-cost
   * claims, in the AppendScale discipline: fold a FIXED 10k-row delta
@@ -261,6 +261,66 @@ object IvmScale {
     val ds10 = distinctFold(baseN * 10, 50L)
     val db1 = distinctFold(baseN, 5000L)
     val db10 = distinctFold(baseN * 10, 5000L)
+
+    // join view: R = facts (ck = id % dims, rv), S = dims (ck, g);
+    // both stores keyed by join-key hash bucket; the fold's stored-side
+    // reads prune to the OPPOSITE delta's key buckets
+    val jDims = 10000L
+    def buildJoin(n: Long): Unit = {
+      val bucketCk = pmod(xxhash64(col("ck")), lit(kB.toLong)).cast("int")
+      val r = spark.range(0L, n)
+        .select((col("id") % jDims).as("ck"), col("id").cast("double").as("rv"))
+      r.withColumn("__b", bucketCk).repartition(col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(s"$out/jr_$n")
+      val sDim = spark.range(0L, jDims)
+        .select(col("id").as("ck"), (col("id") % 100).cast("string").as("g"))
+      sDim.withColumn("__b", bucketCk).repartition(col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(s"$out/js_$n")
+      import graft.core.Exact.dec
+      spark.read.parquet(s"$out/jr_$n").join(
+          spark.read.parquet(s"$out/js_$n").select(col("ck"), col("g")),
+          Seq("ck"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("rv"))).as("s"))
+        .write.mode("overwrite").parquet(s"$out/jagg_$n")
+    }
+
+    def joinFold(n: Long): Double = {
+      val bucketCk = pmod(xxhash64(col("ck")), lit(kB.toLong)).cast("int")
+      // mixed 60-row delta: 25 facts repriced (D+I) + 5 dims re-pointed
+      val rTouched = spark.range(n / 2, n / 2 + 25).toDF("id")
+        .select((col("id") % jDims).as("ck"), col("id").cast("double").as("rv"))
+      val dR = rTouched.select(col("ck"), col("rv"), lit("D").as("op"))
+        .unionByName(rTouched.select(col("ck"),
+          (col("rv") + 0.5).as("rv"), lit("I").as("op")))
+      val sTouched = spark.range(0L, 5L)
+        .select(col("id").as("ck"), (col("id") % 100).cast("string").as("g"))
+      val dS = sTouched.select(col("ck"), col("g"), lit("D").as("op"))
+        .unionByName(sTouched.select(col("ck"),
+          lit("moved").as("g"), lit("I").as("op")))
+      def bucketsOf(d: DataFrame): Seq[Int] = d.select(bucketCk.as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val rB = bucketsOf(dS)
+      val sB = bucketsOf(dR)
+      val rPruned = spark.read.parquet(s"$out/jr_$n")
+        .filter(col("__b").isin(rB: _*)).select(col("ck"), col("rv"))
+      val sPruned = spark.read.parquet(s"$out/js_$n")
+        .filter(col("__b").isin(sB: _*)).select(col("ck"), col("g"))
+      val stored = spark.read.parquet(s"$out/jagg_$n")
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        IvmJoin.foldSumView(Some(stored), dR, dS, rPruned, sPruned,
+            Seq("ck"), Seq("g"), "rv", "op")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      median(samples)
+    }
+
+    buildJoin(baseN); buildJoin(baseN * 10)
+    joinFold(baseN) // warm, untimed
+    val jf1 = joinFold(baseN)
+    val jf10 = joinFold(baseN * 10)
     val section =
       f"""
          |## Batch-proportional increments — IvmFold (round 12)
@@ -319,6 +379,16 @@ object IvmScale {
          ||---|---|---|---|
          || 100 rows (50 new-pair inserts + 50 last-row deletes) | $ds1%.2f | $ds10%.2f | ${r1(ds10 / ds1)}× |
          || 10k rows (5k + 5k) | $db1%.2f | $db10%.2f | ${r1(db10 / db1)}× |
+         |
+         |**IvmJoin fold** (R facts + S dims, both stores keyed by the
+         |JOIN key; each stored side read only against the OPPOSITE
+         |delta's key buckets) — a mixed 60-row delta (25 facts
+         |repriced, 5 dims re-pointed — all three bilinear legs live)
+         |against an R store growing 10×:
+         |
+         || delta | small (s) | 10× (s) | ratio |
+         ||---|---|---|---|
+         || 60 rows, both sides + cross term | $jf1%.2f | $jf10%.2f | ${r1(jf10 / jf1)}× |
          |
          |The 100-row delta is the streaming regime: its pair buckets
          |are ≪ $kB, so both store reads prune to a few percent of the

@@ -175,7 +175,10 @@ object Scaling {
     "v12_distribution" -> Set("lineitem"),
     "j11_null_safe_join" -> Set("orders", "customer_aligned"),
     "ivm2_minmax_view" -> Set("orders"),
-    "ivm3_distinct_view" -> Set("orders"))
+    "ivm3_distinct_view" -> Set("orders"),
+    // ivm4 joins the orders replicas with the ALIGNED customer
+    // replicas (the j11 pairing) so every fact keeps a matching dim
+    "ivm4_join_view" -> Set("orders", "customer_aligned"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -336,7 +339,7 @@ object Scaling {
       "rfm1_segments", "w6_ntile_bands", "fn2_transitions",
       "hg1_histogram", "sk3_skew_profile", "v13_uniqueness",
       "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view",
-      "ivm3_distinct_view")
+      "ivm3_distinct_view", "ivm4_join_view")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
