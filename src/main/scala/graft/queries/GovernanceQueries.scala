@@ -537,6 +537,41 @@ object GovernanceQueries {
         .select(col("c_nationkey"), col("n"),
           col("s").cast("double").as("sum_price"))
         .orderBy(col("c_nationkey"))
+    }),
+    "ivm5_quantile_view" -> ((s, dir) => {
+      // QUANTILE-view IVM (round 13) — maintained exact per-priority
+      // median + p90 of order prices under the ivm3 delta (every 97th
+      // customer's orders dropped, every 101st remaining order
+      // repriced +10). The maintained state is per-(priority, bucket)
+      // COUNTS — a purely INVERTIBLE fold, no re-aggregation path no
+      // matter what the delta deletes — and the read consults only the
+      // candidate buckets the cumulative counts name (≈ n/1024 rows
+      // per requested rank). Oracle = the sort-based PERCENTILE_CONT
+      // recompute with the shared qt2 interpolation, bit-for-bit.
+      import graft.operators.IvmQuantile
+      val lo = 0.0; val hi = 1000000.0; val b = 1024
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").as("ck"), col("o_totalprice").as("price"))
+      val dropped = pmod(col("ck"), lit(97)) === 0
+      val repriced = pmod(col("o_orderkey"), lit(101)) === 0
+      val counts0 = IvmQuantile.countsOf(base, Seq("o_orderpriority"),
+        "price", lo, hi, b)
+      val dels = base.filter(dropped || repriced)
+        .select(col("o_orderpriority"), lit("D").as("op"), col("price"))
+      val ins = base.filter(!dropped && repriced)
+        .select(col("o_orderpriority"), lit("I").as("op"),
+          (col("price") + 10.0).as("price"))
+      val counts1 = IvmQuantile.foldCounts(Some(counts0),
+        dels.unionByName(ins), Seq("o_orderpriority"), "op", "price",
+        lo, hi, b)
+      val rowsAfter = base.filter(!dropped)
+        .select(col("o_orderpriority"),
+          when(repriced, col("price") + 10.0).otherwise(col("price"))
+            .as("price"))
+      IvmQuantile.percentileCont(counts1, rowsAfter,
+          Seq("o_orderpriority"), "price", Seq(0.5, 0.9), lo, hi, b)
+        .orderBy(col("o_orderpriority"), col("p"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -808,6 +843,29 @@ object GovernanceQueries {
         | CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM o2 JOIN c2 USING (ck)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm5_quantile_view" ->
+      """WITH m AS (
+        | SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS price
+        | FROM orders WHERE o_custkey % 97 <> 0),
+        |r AS (SELECT o_orderpriority, price,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY price) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM m),
+        |p AS (SELECT unnest([0.5, 0.9]) AS p),
+        |x AS (SELECT o_orderpriority, p.p AS p, price, rn, n,
+        |  CAST(n - 1 AS DOUBLE) * p.p AS idx,
+        |  CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+        |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+        | FROM r, p),
+        |g AS (SELECT o_orderpriority, p,
+        |  MAX(CASE WHEN rn = lo THEN price END) AS vlo,
+        |  MAX(CASE WHEN rn = hi THEN price END) AS vhi,
+        |  MAX(idx - floor(idx)) AS frac
+        | FROM x WHERE rn = lo OR rn = hi GROUP BY o_orderpriority, p)
+        |SELECT o_orderpriority, p,
+        | CAST(vlo AS DOUBLE) + frac * CAST(vhi - vlo AS DOUBLE) AS value
+        |FROM g ORDER BY 1, 2""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

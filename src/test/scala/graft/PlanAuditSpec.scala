@@ -694,6 +694,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivm5 quantile view: invertible counts merge + candidate-bucket locate — candidates broadcast, every window keyed, no cartesian") {
+    val p = planOf("ivm5_quantile_view")
+    // the fold is a counts-frame full-outer merge; the locate joins
+    // the rows against a BROADCAST candidate list and ranks within
+    // (group, bucket, p) — no unpartitioned data window anywhere
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("No Partition Defined"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__qb"), p)
+  }
+
   test("ivm4 join view: every bilinear leg broadcasts its delta side — no cartesian, view merge full-outer") {
     val p = planOf("ivm4_join_view")
     // ΔR⋈S, R⋈ΔS, ΔR⋈ΔS: three broadcast joins whose build sides are
