@@ -118,10 +118,26 @@ object IvmQuantile {
       groupCols: Seq[String],
       valueCol: String,
       ps: Seq[Double],
-      lo: Double, hi: Double, buckets: Int): DataFrame = {
+      lo: Double, hi: Double, buckets: Int,
+      maxCandidates: Long = ScalableRank.MaxBroadcastCells): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
+    // the candidate frame broadcasts: ≤ 2·|ps| rows per group, so the
+    // bound only trips on views with millions of groups — where a
+    // per-group quantile is group-local work the window form already
+    // handles. Enforced like ScalableRank's stats guard: a
+    // plan-embedded count over the (aggregate-sized) frame, loud, on a
+    // column no sibling predicate overlaps.
     val cand = candidates(counts, groupCols, ps)
+      .withColumn("__qcand_n", count(lit(1)).over(Window.partitionBy()))
+      .filter(when(col("__qcand_n") > maxCandidates,
+        raise_error(concat(
+          lit("candidate frame holds "), col("__qcand_n"),
+          lit(s" rows - over the $maxCandidates-row broadcast bound; " +
+            "a view with that many groups should quantile through the " +
+            "keyed window form, not a maintained bucket view"))))
+        .otherwise(lit(true)))
+      .drop("__qcand_n")
     val localW = Window
       .partitionBy((groupCols :+ "__qb" :+ "p").map(col): _*)
       .orderBy(col(valueCol))

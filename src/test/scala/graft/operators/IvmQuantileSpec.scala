@@ -134,6 +134,21 @@ class IvmQuantileSpec extends AnyFunSuite {
     assert(msgChain(e3).contains("never absorbed"), msgChain(e3))
   }
 
+  test("oversized candidate frame fails loudly — never an anonymous broadcast OOM") {
+    val before = rows(("a", 10.0), ("b", 20.0), ("c", 30.0))
+    val c0 = countsOf(before, Seq("g"), "v", Lo, Hi, B)
+    val e = intercept[Exception] {
+      percentileCont(c0, before, Seq("g"), "v", Seq(0.5), Lo, Hi, B,
+        maxCandidates = 2).collect()
+    }
+    assert(msgChain(e).contains("broadcast bound"), msgChain(e))
+    // within the bound: clean answers, guard column gone
+    val out = percentileCont(c0, before, Seq("g"), "v", Seq(0.5), Lo, Hi, B,
+      maxCandidates = 3)
+    assert(!out.columns.contains("__qcand_n"))
+    assert(out.count() == 3)
+  }
+
   test("null values are ignored per SQL percentile convention") {
     import spark.implicits._
     val before = Seq(("a", Some(10.0)), ("a", None)).toDF("g", "v")
