@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for per-group TOP-K (round 13) — the
+  * sixth member of the IVM family: count/sum fold invertibly (ivm1),
+  * min/max re-aggregate broken groups from base rows (ivm2), distinct
+  * counts consult a pair dictionary (ivm3), join views expand
+  * bilinearly (ivm4), quantiles locate in invertible bucket counts
+  * (ivm5) — and "top K keys by count" (the maintained face of the
+  * `hh1` heavy-hitters query) splits cleanly in two:
+  *
+  *  - the COUNTS store (groupCols…, keyCol, cnt) folds INVERTIBLY —
+  *    deletes subtract exactly what inserts added, so unlike ivm2/ivm3
+  *    this fold NEVER consults base rows: the store is the finest
+  *    truth the view needs;
+  *  - the K-row VIEW is non-invertible only in which keys it shows,
+  *    and the refresh prunes by a monotonicity argument: in a group
+  *    whose delta is NET-NONNEGATIVE for every key, no unchanged
+  *    key can enter the top K (every old top-K member kept or grew
+  *    its count, so all K of them still order at-or-above any
+  *    unchanged outsider under (cnt DESC, key ASC)), hence the new
+  *    top K ⊆ old top K ∪ the delta's own keys — a candidate set of
+  *    ≤ K + |delta keys in group| rows. Only groups where some key
+  *    NET-DECREASED ("broken": the K-th threshold may fall, letting
+  *    an untouched outsider rise in) re-rank their slice of the
+  *    counts store — the ivm2 affected-group discipline, but against
+  *    the aggregate-sized store, never the fact table.
+  *
+  * Contract (the IvmFold discipline): delta ops are diffs vs the
+  * STORED view — a batch may not delete more occurrences of a
+  * (group, key) pair than the store holds, even if the same batch
+  * re-inserts them (a row inserted and deleted inside one batch never
+  * existed in any view; compress it away upstream). Violations fail
+  * loudly inside the plan, before the bad fold propagates.
+  *
+  * Scale shape per batch: one delta-sized aggregate, one full-outer
+  * merge of two aggregate frames (pruned-store contract: `stored._2`
+  * may be pre-sliced to any superset of the delta's pairs plus the
+  * broken groups — a partitioned upsert rewrites only those files),
+  * ONE pass over the merged store picking candidates through two
+  * broadcast marker joins (broken groups, clean-group candidates),
+  * and a rank over the candidates that rides
+  * [[ScalableRank.withRowNumberAuto]] — window-shaped while
+  * candidates are small, bucket-shaped if a broken group's slice is
+  * giant. The view itself is ≤ K rows per group.
+  */
+object IvmTopK {
+
+  private val Reserved = Seq("__tk_ord", "__tk_dw", "__tk_delc",
+    "__tk_broken", "__tk_cand", "__tk_rn", "__tk_n")
+
+  /** The K-row view of a counts store under (cnt DESC, keyCol ASC) —
+    * used to seed [[fold]] and by specs as the invariant check:
+    * topk ≡ viewOf(counts) at every step. `rnk` is the 1-based rank.
+    * Rides the auto rank shape, so a giant store picks the bucket
+    * form by estimate. */
+  def viewOf(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      k: Int,
+      cntCol: String = "cnt"): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    (Reserved :+ "rnk").foreach(c => require(!counts.columns.contains(c),
+      s"input already contains reserved/output column '$c'"))
+    ScalableRank.withRowNumberAuto(
+        counts.withColumn("__tk_ord", -col(cntCol)),
+        groupCols, "__tk_ord", Seq(keyCol),
+        rnCol = "__tk_rn", nCol = "__tk_n")
+      .filter(col("__tk_rn") <= k)
+      .withColumn("rnk", col("__tk_rn").cast("int"))
+      .drop("__tk_ord", "__tk_rn", "__tk_n")
+  }
+
+  /** The counts store of a base table — the initial state of a
+    * maintained view. */
+  def countsOf(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String): DataFrame =
+    df.groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a change `delta` (`opCol` ∈ {I, D}, loud otherwise) into the
+    * maintained (topk, counts) state; returns the state after the
+    * fold, both frames lazy plans over the inputs. `stored = None` is
+    * the empty view (first fold). Keys at count zero leave the store;
+    * negative counts (deletes the view never absorbed) fail loudly.
+    *
+    * Pruned-store contract (GROUP-level, coarser than IvmDistinct's
+    * pair-level one because the broken path reads whole group slices):
+    * both stored frames may be PRE-PRUNED to any superset of the
+    * delta's GROUPS — e.g. their group-hash bucket partitions, the
+    * StreamingIvmTopK layout. Untouched groups can neither change
+    * their counts nor their view rows, so the returned frames then
+    * cover only the pruned groups and the caller re-attaches the
+    * untouched remainder unread. */
+  def fold(
+      stored: Option[(DataFrame, DataFrame)],
+      delta: DataFrame,
+      groupCols: Seq[String],
+      opCol: String,
+      keyCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val pairCols = groupCols :+ keyCol
+    (Reserved :+ "cnt").foreach(c => require(!pairCols.contains(c),
+      s"group/key columns collide with reserved column '$c'"))
+
+    // op domain enforced INSIDE the weight expression (the IvmDistinct
+    // note: a standalone guard filter could be simplified against
+    // sibling predicates; a CASE else-branch raise cannot)
+    val w = when(col(opCol) === "I", lit(1L))
+      .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(
+        lit(s"delta op outside {I, D} (or NULL) in '$opCol' — " +
+          "refusing to fold a malformed delta into the view")))
+    val deltaAgg = delta
+      .groupBy(pairCols.map(col): _*)
+      .agg(sum(w).as("__tk_dw"),
+        sum(when(col(opCol) === "D", 1L).otherwise(0L)).as("__tk_delc"))
+
+    val (topk0, counts0) = stored.getOrElse {
+      val emptyCounts = delta.filter(lit(false))
+        .select(pairCols.map(col) :+ lit(0L).as("cnt"): _*)
+      (viewOf(emptyCounts, groupCols, keyCol, k), emptyCounts)
+    }
+
+    // invertible store merge — ivm1's shape, with the over-delete
+    // guard STRICTER than a negative-count check: stored cnt must
+    // cover the batch's delete count on its own (re-inserts cannot
+    // launder an over-delete into a plausible total)
+    val merged = counts0.join(deltaAgg, pairCols, "full_outer")
+      .select(pairCols.map(col) :+
+        when(coalesce(col("cnt"), lit(0L)) -
+            coalesce(col("__tk_delc"), lit(0L)) < 0,
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(batch delete count exceeds the stored count)")))
+          .otherwise(coalesce(col("cnt"), lit(0L)) +
+            coalesce(col("__tk_dw"), lit(0L)))
+          .as("cnt"): _*)
+    val counts1 = merged.filter(col("cnt") > 0)
+
+    // broken groups: some key net-decreased, so the K-th threshold may
+    // have fallen — delta-sized by construction
+    val broken = deltaAgg.filter(col("__tk_dw") < 0)
+      .select(groupCols.map(col): _*).distinct()
+    // clean-group candidates: old top-K keys ∪ the delta's own keys
+    val candPairs = topk0.select(pairCols.map(col): _*)
+      .unionByName(deltaAgg.select(pairCols.map(col): _*))
+      .distinct()
+
+    // ONE pass over the merged store: two broadcast marker joins
+    // (group-level broken list, pair-level candidate list — both
+    // distinct, so no row duplication), keep a row if its group is
+    // broken or it is a clean-path candidate
+    val candidates = counts1
+      .join(broadcast(broken.withColumn("__tk_broken", lit(1))),
+        groupCols, "left_outer")
+      .join(broadcast(candPairs.withColumn("__tk_cand", lit(1))),
+        pairCols, "left_outer")
+      .filter(col("__tk_broken") === 1 || col("__tk_cand") === 1)
+      .drop("__tk_broken", "__tk_cand")
+
+    (viewOf(candidates, groupCols, keyCol, k), counts1)
+  }
+}

@@ -572,6 +572,39 @@ object GovernanceQueries {
       IvmQuantile.percentileCont(counts1, rowsAfter,
           Seq("o_orderpriority"), "price", Seq(0.5, 0.9), lo, hi, b)
         .orderBy(col("o_orderpriority"), col("p"))
+    }),
+    "ivm6_topk_view" -> ((s, dir) => {
+      // TOP-K view IVM (round 13, sixth family member) — maintained
+      // per-priority top-3 customers by order count (the hh1 heavy-
+      // hitters shape, maintained instead of recomputed) under a CDC
+      // delta built to exercise BOTH refresh paths: urgent priorities
+      // (1-URGENT, 2-HIGH) lose every 97th customer's orders outright
+      // (net decreases → "broken" groups re-rank their slice of the
+      // counts STORE — never the fact table: counts fold invertibly,
+      // so the store is the finest truth the view needs), while every
+      // 101st order spawns a synthetic extra order by a fresh customer
+      // in its own priority (pure inserts → the other groups stay on
+      // the candidate path, provably old-topk ∪ delta keys). Oracle =
+      // full recompute over the modified table, bit-for-bit.
+      import graft.operators.IvmTopK
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").as("ck"))
+      val urgent = col("o_orderpriority") < "3"
+      val dropped = pmod(col("ck"), lit(97)) === 0 && urgent
+      val synth = pmod(col("o_orderkey"), lit(101)) === 0
+      val counts0 = IvmTopK.countsOf(base, Seq("o_orderpriority"), "ck")
+      val topk0 = IvmTopK.viewOf(counts0, Seq("o_orderpriority"), "ck", 3)
+      val dels = base.filter(dropped)
+        .select(col("o_orderpriority"), lit("D").as("op"), col("ck"))
+      val ins = base.filter(synth)
+        .select(col("o_orderpriority"), lit("I").as("op"),
+          (col("ck") + 1000000L).as("ck"))
+      val (topk1, _) = IvmTopK.fold(Some((topk0, counts0)),
+        dels.unionByName(ins), Seq("o_orderpriority"), "op", "ck", 3)
+      topk1.select(col("o_orderpriority"), col("rnk"), col("ck"),
+          col("cnt"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -866,6 +899,22 @@ object GovernanceQueries {
         |SELECT o_orderpriority, p,
         | CAST(vlo AS DOUBLE) + frac * CAST(vhi - vlo AS DOUBLE) AS value
         |FROM g ORDER BY 1, 2""".stripMargin,
+    "ivm6_topk_view" ->
+      """WITH modified AS (
+        | SELECT o_orderpriority, o_custkey AS ck FROM orders
+        | WHERE NOT (o_custkey % 97 = 0 AND o_orderpriority < '3')
+        | UNION ALL
+        | SELECT o_orderpriority, o_custkey + 1000000 FROM orders
+        | WHERE o_orderkey % 101 = 0),
+        |c AS (SELECT o_orderpriority, ck,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM modified GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, ck, cnt,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cnt DESC, ck) AS INTEGER) AS rnk
+        | FROM c)
+        |SELECT o_orderpriority, rnk, ck, cnt FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "ivm1_incremental_agg" ->
       """WITH modified AS (
         | SELECT o_orderstatus, o_totalprice FROM orders

@@ -753,4 +753,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // table: exactly one parquet scan feeds the whole plan
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
   }
+
+  test("ivm6 topk view: invertible counts merge, candidate pick via broadcast markers in ONE store pass, rank on the keyed window at test scale") {
+    val p = planOf("ivm6_topk_view")
+    // the counts store folds as an aggregate-frame full-outer merge
+    assert(p.contains("FullOuter"), p)
+    // broken-group and candidate-pair markers are BROADCAST outer
+    // joins against the merged store — never a shuffle of the store
+    // keyed on anything but its own aggregate
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    // the view rank rides withRowNumberAuto: at test scale the
+    // estimate picks the WINDOW form keyed by the group — none of the
+    // bucket lattice, no unpartitioned window, no cartesian
+    assert(!p.contains("__rank_b"), p)
+    assert(p.contains("hashpartitioning(o_orderpriority"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("No Partition Defined"), p)
+  }
 }

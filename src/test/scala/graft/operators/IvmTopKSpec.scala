@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IvmTopK.fold must equal the full top-k recompute over the
+  * post-delta rows — and keep its counts store ≡ countsOf(after) — on
+  * every shape that distinguishes the two refresh paths: pure inserts
+  * (clean candidate path, including a fresh key overtaking the old
+  * k-th and a brand-new group), net decreases (broken path: an
+  * untouched outsider must rise in when a top-k member falls — the
+  * case the candidate path alone would get WRONG, so it proves the
+  * broken detection), whole groups to zero, same-key delete+insert
+  * netting zero, and contract violations (loud). */
+class IvmTopKSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.GraftSession.local("4", "ivm-topk")
+
+  private def rows(t: (String, Long)*): DataFrame = {
+    import spark.implicits._
+    t.toSeq.toDF("g", "ck")
+  }
+
+  private def delta(t: (String, String, Long)*): DataFrame = {
+    import spark.implicits._
+    t.toSeq.toDF("g", "op", "ck")
+  }
+
+  private def state(before: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val c = IvmTopK.countsOf(before, Seq("g"), "ck")
+    (IvmTopK.viewOf(c, Seq("g"), "ck", k), c)
+  }
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  /** fold(state(before), delta) must equal the recompute over `after`:
+    * topk ≡ viewOf(countsOf(after)) and counts ≡ countsOf(after). */
+  private def check(before: DataFrame, d: DataFrame, after: DataFrame,
+      k: Int = 2): Unit = {
+    val (topk, counts) = IvmTopK.fold(Some(state(before, k)), d,
+      Seq("g"), "op", "ck", k)
+    val wantCounts = IvmTopK.countsOf(after, Seq("g"), "ck")
+    assert(sorted(counts) == sorted(wantCounts))
+    assert(sorted(topk) == sorted(IvmTopK.viewOf(wantCounts, Seq("g"), "ck", k)))
+  }
+
+  test("pure inserts: an existing key overtakes the k-th; candidates stay old-topk ∪ delta keys") {
+    // before: g has 1→3, 2→2, 3→1 rows; top-2 = {1, 2}
+    val before = rows(("g", 1L), ("g", 1L), ("g", 1L),
+      ("g", 2L), ("g", 2L), ("g", 3L))
+    // two inserts lift key 3 to 3 — it must displace key 2
+    check(before, delta(("g", "I", 3L), ("g", "I", 3L)),
+      rows(("g", 1L), ("g", 1L), ("g", 1L), ("g", 2L), ("g", 2L),
+        ("g", 3L), ("g", 3L), ("g", 3L)))
+  }
+
+  test("pure inserts: a brand-new key and a brand-new group") {
+    val before = rows(("g", 1L), ("g", 2L))
+    check(before,
+      delta(("g", "I", 9L), ("g", "I", 9L), ("h", "I", 7L)),
+      rows(("g", 1L), ("g", 2L), ("g", 9L), ("g", 9L), ("h", 7L)))
+  }
+
+  test("net decrease: an UNTOUCHED outsider rises into the top-k (broken-path proof)") {
+    // before: 1→3, 2→2, 3→1; top-2 = {1, 2}. Delete both rows of key 2:
+    // key 3 — absent from old top-2 AND from the delta — must appear.
+    val before = rows(("g", 1L), ("g", 1L), ("g", 1L),
+      ("g", 2L), ("g", 2L), ("g", 3L))
+    check(before, delta(("g", "D", 2L), ("g", "D", 2L)),
+      rows(("g", 1L), ("g", 1L), ("g", 1L), ("g", 3L)))
+  }
+
+  test("tie-break on equal counts is key ASC, matching the recompute") {
+    val before = rows(("g", 5L), ("g", 4L), ("g", 3L))
+    // all counts equal 1: top-2 = keys {3, 4}; delete key 3 → {4, 5}
+    check(before, delta(("g", "D", 3L)), rows(("g", 5L), ("g", 4L)))
+  }
+
+  test("whole group to zero disappears; other groups untouched") {
+    val before = rows(("g", 1L), ("g", 2L), ("h", 7L))
+    check(before, delta(("g", "D", 1L), ("g", "D", 2L)), rows(("h", 7L)))
+  }
+
+  test("same-key delete+insert netting zero leaves the view unchanged (clean group)") {
+    val before = rows(("g", 1L), ("g", 1L), ("g", 2L))
+    check(before, delta(("g", "D", 1L), ("g", "I", 1L)),
+      rows(("g", 1L), ("g", 1L), ("g", 2L)))
+  }
+
+  test("first fold (stored = None) builds the view from scratch") {
+    val (topk, counts) = IvmTopK.fold(None,
+      delta(("g", "I", 1L), ("g", "I", 1L), ("g", "I", 2L)),
+      Seq("g"), "op", "ck", 1)
+    val want = rows(("g", 1L), ("g", 1L), ("g", 2L))
+    assert(sorted(counts) == sorted(IvmTopK.countsOf(want, Seq("g"), "ck")))
+    assert(sorted(topk) ==
+      sorted(IvmTopK.viewOf(IvmTopK.countsOf(want, Seq("g"), "ck"),
+        Seq("g"), "ck", 1)))
+  }
+
+  test("over-delete fails loudly even when the same batch re-inserts the pair") {
+    val before = rows(("g", 1L))
+    val (topk, _) = IvmTopK.fold(Some(state(before, 1)),
+      delta(("g", "D", 1L), ("g", "D", 1L), ("g", "I", 1L)),
+      Seq("g"), "op", "ck", 1)
+    val e = intercept[Exception](topk.collect())
+    assert(e.getMessage.contains("never absorbed"), e.getMessage)
+  }
+
+  test("delete against a key the store never held fails loudly") {
+    val before = rows(("g", 1L))
+    val (topk, _) = IvmTopK.fold(Some(state(before, 1)),
+      delta(("g", "D", 2L)), Seq("g"), "op", "ck", 1)
+    val e = intercept[Exception](topk.collect())
+    assert(e.getMessage.contains("never absorbed"), e.getMessage)
+  }
+
+  test("op outside {I, D} fails loudly") {
+    val before = rows(("g", 1L))
+    val (topk, _) = IvmTopK.fold(Some(state(before, 1)),
+      delta(("g", "U", 1L)), Seq("g"), "op", "ck", 1)
+    val e = intercept[Exception](topk.collect())
+    assert(e.getMessage.contains("outside {I, D}"), e.getMessage)
+  }
+
+  test("chained folds: state threads through three batches exactly") {
+    val b0 = rows(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L))
+    var st = state(b0, 2)
+    // batch 1: insert key 3 twice (clean) → counts 1→2, 2→1, 3→3
+    st = IvmTopK.fold(Some(st), delta(("g", "I", 3L), ("g", "I", 3L)),
+      Seq("g"), "op", "ck", 2)
+    // batch 2: delete key 3 twice (broken) → 1→2, 2→1, 3→1
+    st = IvmTopK.fold(Some(st), delta(("g", "D", 3L), ("g", "D", 3L)),
+      Seq("g"), "op", "ck", 2)
+    // batch 3: insert key 2 (clean) → 1→2, 2→2, 3→1
+    st = IvmTopK.fold(Some(st), delta(("g", "I", 2L)),
+      Seq("g"), "op", "ck", 2)
+    val after = rows(("g", 1L), ("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L))
+    val wantCounts = IvmTopK.countsOf(after, Seq("g"), "ck")
+    assert(sorted(st._2) == sorted(wantCounts))
+    assert(sorted(st._1) ==
+      sorted(IvmTopK.viewOf(wantCounts, Seq("g"), "ck", 2)))
+  }
+}
