@@ -67,6 +67,27 @@ object CountMinSketch {
     Array.tabulate(a.length)(i => a(i) + b(i))
   }
 
+  /** JVM mirror of the cell addressing [[build]] uses — the exact
+    * (row-major) cell indexes one occurrence of `item` increments.
+    * Single definition point for the hash family on the JVM side
+    * (same md5 pair, h2 div 32, mod W as the column faces), so
+    * incremental holders of a sketch — the state-store variant in
+    * [[graft.streaming.StreamingHeavyHitters.sketchCounts]] — stay
+    * bit-compatible with batch-built matrices (CmsSpec pins it). */
+  def cellsJvm(item: String, width: Int): Array[Int] = {
+    val hp = graft.plans.HexHash60Pair.hashPair(
+      org.apache.spark.unsafe.types.UTF8String.fromString(item))
+    val h1 = hp.getLong(0)
+    val h2d = hp.getLong(1) >>> 5
+    Array.tabulate(Rows)(r =>
+      (r.toLong * width + (h1 + r * h2d) % width).toInt)
+  }
+
+  /** JVM point estimate over a row-major matrix: min over the R
+    * salted cells — the [[estimate]] arithmetic off-plan. */
+  def estimateJvm(matrix: Array[Long], item: String, width: Int): Long =
+    cellsJvm(item, width).map(matrix).min
+
   /** Matrices at or under this cell count embed as a plan literal
     * (codegen'd `element_at`, ≤ 128 KB serialized — inside the repo's
     * measured ≲100 KB-ish plan-literal comfort zone); wider matrices

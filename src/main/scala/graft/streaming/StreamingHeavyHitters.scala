@@ -26,12 +26,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * sublinear), and each micro-batch shuffles once on the composite
   * key. Each batch's emissions are bounded by its own distinct pairs,
   * not the vocabulary — an idle source emits nothing. For bounded
-  * state under adversarial vocabularies, the sketch route composes
-  * from the parts already shipped: [[graft.operators.CountMinSketch]]
-  * maintains mergeable approximate counts and a small exact candidate
-  * set rides beside it (the classic CMS + heap construction); the
-  * exact form here is the oracle such a deployment would verify
-  * against.
+  * state under adversarial vocabularies, [[sketchCounts]] below ships
+  * the classic CMS + candidate-list construction (constant state per
+  * source); the exact form here is the oracle it verifies against —
+  * the spec pins their top-K equal on the real corpus.
   */
 object StreamingHeavyHitters {
 
@@ -66,5 +64,88 @@ object StreamingHeavyHitters {
       .orderBy(col("cnt").desc, col("word"))
     current.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-source state of the BOUNDED variant: a Count-Min matrix plus
+    * the current candidate list (parallel word/estimate arrays) and a
+    * monotone batch sequence number. */
+  final case class SketchState(cells: Array[Long], candWords: Array[String],
+      candEsts: Array[Long], seq: Long)
+  final case class SketchEmit(source: String, word: String, est: Long, seq: Long)
+
+  /** The bounded-state variant the exact form's scaladoc names: per
+    * source, a Count-Min sketch (R × `width` longs) plus a
+    * ≤ `capacity` candidate list — TOTAL state is a constant
+    * ~R·width·8 bytes per source no matter how adversarial the
+    * vocabulary, where [[counts]]'s exact state grows with every
+    * distinct (source, word). The classic CMS + heap construction,
+    * batch-granular: each micro-batch increments the sketch cells for
+    * its occurrences (the EXACT addressing batch-built matrices use —
+    * [[graft.operators.CountMinSketch.cellsJvm]], so a state snapshot
+    * is mergeable with any batch sketch), then re-estimates the
+    * touched words plus the stored candidates and keeps the top
+    * `capacity` by (estimate DESC, word ASC).
+    *
+    * Guarantees, stated honestly: estimates are ONE-SIDED (never under
+    * the true count — CMS min over rows); candidate recall is the
+    * heap construction's — a word can only enter while it is in some
+    * batch's touched set, so a heavy hitter is missed only if every
+    * batch where it appeared had `capacity` words with higher
+    * estimates (for capacity comfortably over K and the usual skewed
+    * word distributions it holds; the spec pins exact equality with
+    * `hh1` on the real corpus). The exact [[counts]] face IS the
+    * oracle such a deployment verifies against.
+    *
+    * Emissions carry the per-source batch `seq`; the latest seq per
+    * source is the current candidate list ([[sketchTopK]]). */
+  def sketchCounts(
+      spark: SparkSession,
+      words: Dataset[SourceWord],
+      width: Int,
+      capacity: Int): Dataset[SketchEmit] = {
+    import spark.implicits._
+    import graft.operators.CountMinSketch
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+    words
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[SourceWord],
+            state: GroupState[SketchState]) => {
+          val st = state.getOption.getOrElse(SketchState(
+            new Array[Long](CountMinSketch.Rows * width),
+            Array.empty, Array.empty, 0L))
+          val cells = st.cells.clone()
+          val touched = scala.collection.mutable.LinkedHashSet[String]()
+          batch.foreach { w =>
+            touched += w.word
+            CountMinSketch.cellsJvm(w.word, width).foreach(cells(_) += 1)
+          }
+          val cand = (st.candWords.toSeq ++ touched).distinct
+            .map(w => w -> CountMinSketch.estimateJvm(cells, w, width))
+            .sortBy { case (w, e) => (-e, w) }
+            .take(capacity)
+          val seq = st.seq + 1
+          state.update(SketchState(cells,
+            cand.map(_._1).toArray, cand.map(_._2).toArray, seq))
+          cand.iterator.map { case (w, e) => SketchEmit(source, w, e, seq) }
+        })
+  }
+
+  /** Current top-K per source from any APPEND sink of [[sketchCounts]]
+    * emissions: the row set at the latest seq per source is the
+    * current candidate list; rank by (est DESC, word ASC) — the `hh1`
+    * output shape with `est` in place of the exact count. */
+  def sketchTopK(emissions: DataFrame, k: Int): DataFrame = {
+    val latest = emissions.groupBy(col("source")).agg(max(col("seq")).as("seq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("est").desc, col("word"))
+    emissions.join(broadcast(latest), Seq("source", "seq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("word"), col("est"), col("rank"))
   }
 }

@@ -90,4 +90,23 @@ class CountMinSketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       CountMinSketch.estimate(col("w"), new Array[Long](8), 64))
   }
+
+  test("JVM cell addressing is bit-compatible with the column-side build") {
+    // folding cellsJvm over the occurrences must reproduce build()'s
+    // matrix EXACTLY — the contract that lets a state-store holder
+    // (StreamingHeavyHitters.sketchCounts) merge with batch sketches
+    for (width <- Seq(32, 256)) {
+      val built = CountMinSketch.build(occurrences.toDF("w"), "w", width)
+      val folded = new Array[Long](CountMinSketch.Rows * width)
+      occurrences.foreach(w =>
+        CountMinSketch.cellsJvm(w, width).foreach(folded(_) += 1))
+      assert(built.toSeq == folded.toSeq, s"width $width")
+      // and the JVM estimate equals the column estimate per item
+      val colEst = exact.keys.toSeq.toDF("w")
+        .withColumn("est", CountMinSketch.estimate(col("w"), built, width))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.keys.foreach(w =>
+        assert(CountMinSketch.estimateJvm(folded, w, width) == colEst(w), w))
+    }
+  }
 }

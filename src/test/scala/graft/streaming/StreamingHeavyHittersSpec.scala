@@ -63,6 +63,78 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("bounded-state sketch face ≡ hh1 batch top-K on the real corpus, across checkpoint stop/restart") {
+    import spark.implicits._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("hhs-src"); val ck = tmp("hhs-ck"); val out = tmp("hhs-out")
+    val width = 16384 // ample: min-over-4-rows resolves this vocabulary exactly
+    val capacity = 64
+
+    val words = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.operators.TextOps.words(col("text"))).as("word"))
+    def writeSlice(m: Int): Unit =
+      words.filter(pmod(col("doc_id"), lit(3)) === m)
+        .select(col("source"), col("word"))
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def run(): Unit = {
+      val in = spark.readStream.schema("source STRING, word STRING")
+        .parquet(src).as[StreamingHeavyHitters.SourceWord]
+      val q = StreamingHeavyHitters.sketchCounts(spark, in, width, capacity)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingHeavyHitters.SketchEmit], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+
+    writeSlice(0); run()
+    writeSlice(1); writeSlice(2); run() // stop + restart from checkpoint
+
+    val got = StreamingHeavyHitters
+      .sketchTopK(spark.read.parquet(out), K)
+      .select(col("source"), col("word"), col("est").as("cnt"),
+        col("rank").cast("int").as("rank"))
+    val want = graft.SparkEntry.queries("hh1_heavy_hitters")(spark, dir)
+      .select(col("source"), col("word"), col("cnt"),
+        col("rank").cast("int").as("rank"))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
+  test("starved sketch width: estimates stay one-sided (never under the true count)") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingHeavyHitters.SourceWord](spark)
+    val occurrences = (1 to 30).flatMap(i =>
+      Seq.fill(90 / i)(StreamingHeavyHitters.SourceWord("s", s"w$i")))
+    val exact = occurrences.groupBy(_.word).view.mapValues(_.size.toLong).toMap
+    val out = java.nio.file.Files.createTempDirectory("hhs-tiny").toString
+    val q = StreamingHeavyHitters.sketchCounts(spark, input.toDS(), 16, 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingHeavyHitters.SketchEmit], _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    try {
+      occurrences.grouped(120).foreach { g =>
+        input.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val finalEsts = StreamingHeavyHitters
+      .sketchTopK(spark.read.parquet(out), 8)
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+    assert(finalEsts.nonEmpty)
+    finalEsts.foreach { case (w, est) =>
+      assert(est >= exact(w), s"$w under-counted: $est < ${exact(w)}")
+    }
+  }
+
   test("redelivered updates are harmless: max(cnt) per key is the current count by monotonicity") {
     import spark.implicits._
     val updates = Seq(
