@@ -50,10 +50,16 @@ import org.apache.spark.sql.types.StringType
   * nearly every row in one bucket — answers stay exact (the in-bucket
   * sort completes the order) but the "no data-sized single-task sort"
   * guarantee degrades toward the window form's cost. Rank is
-  * value-agnostic, so no fixed bucket function can dodge every
-  * adversarial distribution; if a profile is known to be that skewed,
+  * value-agnostic, so no FIXED bucket function can dodge every
+  * adversarial distribution; for a profile known to be that skewed,
+  * pass `equiDepth = true` — bucket boundaries then come from
+  * per-group `percentile_approx` inside the SAME stats aggregate
+  * (heap-ordered; each row descends them with log2(buckets)
+  * codegen'd comparisons), making bucket sizes distribution-
+  * independent up to ties and the sketch's rank error — or
   * pre-transform the value (rank is invariant under any strictly
-  * monotone map) or accept the window cost.
+  * monotone map). Answers are identical in every mode; only the
+  * balance guarantee differs.
   *
   * Bucket and offset frames are |parts|·≤`buckets` rows — they
   * broadcast by design, so the operator targets FEW GIANT partitions
@@ -83,7 +89,44 @@ import org.apache.spark.sql.types.StringType
 object ScalableRank {
 
   private val Reserved = Seq("__rank_b", "__rank_vmin",
-    "__rank_vmax", "__rank_cum", "__rank_bn", "__rank_np")
+    "__rank_vmax", "__rank_cum", "__rank_bn", "__rank_np", "__rank_bh")
+
+  /** Breadth-first (implicit-binary-tree) reorder of a SORTED boundary
+    * array, so [[heapSearch]] can descend with computed `element_at`
+    * indexes instead of a per-row linear scan. Length must be
+    * 2^d − 1 (a perfect tree — `buckets` a power of two). */
+  private[operators] def heapify(sorted: Seq[Double]): Seq[Double] = {
+    val n = sorted.length
+    require(((n + 1) & n) == 0, s"boundary count $n is not 2^d - 1")
+    val heap = new Array[Double](n)
+    var i = 0
+    def visit(node: Int): Unit = if (node <= n) {
+      visit(2 * node)
+      heap(node - 1) = sorted(i); i += 1
+      visit(2 * node + 1)
+    }
+    visit(1)
+    heap.toSeq
+  }
+
+  /** Branch-free heap descent: after log2(`buckets`) levels of
+    * `idx = 2·idx + [v ≥ heap(idx)]` the leaf index minus `buckets` is
+    * exactly |{boundaries ≤ v}| — the 0-based equi-depth bucket. Pure
+    * column arithmetic (log2(buckets) comparisons + element_at per
+    * row, whole-stage codegen'd), order-consistent by construction:
+    * v ≤ w ⇒ bucket(v) ≤ bucket(w) whatever the boundary quality. */
+  private[operators] def heapSearch(bh: Column, v: Column, buckets: Int): Column = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
+    var idx: Column = lit(1L)
+    var levels = buckets
+    while (levels > 1) {
+      idx = idx * 2 + when(v >= element_at(bh, idx.cast("int")), 1L)
+        .otherwise(0L)
+      levels >>= 1
+    }
+    idx - lit(buckets.toLong)
+  }
 
   /** Ceiling on |partition keys| × `buckets` for the broadcast stats /
     * offsets frames. 8M cells ≈ low hundreds of MB at worst-case row
@@ -143,8 +186,11 @@ object ScalableRank {
       buckets: Int = 4096,
       rnCol: String = "rn",
       nCol: String = "n",
-      maxBroadcastCells: Long = MaxBroadcastCells): DataFrame = {
+      maxBroadcastCells: Long = MaxBroadcastCells,
+      equiDepth: Boolean = false): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    if (equiDepth) require((buckets & (buckets - 1)) == 0,
+      s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
     require(rnCol != nCol, s"rnCol and nCol collide: '$rnCol'")
     (Reserved :+ rnCol :+ nCol).foreach(c =>
       require(!df.columns.contains(c),
@@ -160,13 +206,21 @@ object ScalableRank {
     // the exact shapes this operator exists to avoid. Here only the
     // 1-row stats cross-join and the ≤`buckets`-row offsets window are
     // global; the data-sized window stays keyed on the bucket.
+    // equi-depth mode adds per-group quantile boundaries to the SAME
+    // combinable stats aggregate (percentile_approx), heap-ordered for
+    // the per-row descent — the opt-in remedy for adversarial value
+    // skew, where equi-width concentrates nearly all rows in one
+    // bucket and the scale guarantee (never the answer) degrades
+    val heapifyUdf = udf((b: Seq[Double]) => heapify(b))
+    val baseAggs = Seq(count(lit(1)).as(nCol),
+      min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
+    val aggs = if (!equiDepth) baseAggs else baseAggs :+
+      heapifyUdf(percentile_approx(v,
+        lit((1 until buckets).map(_.toDouble / buckets).toArray),
+        lit(10000))).as("__rank_bh")
     val stats0 =
-      if (partCols.isEmpty)
-        df.agg(count(lit(1)).as(nCol),
-          min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
-      else df.groupBy(partCols.map(col): _*)
-        .agg(count(lit(1)).as(nCol),
-          min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
+      if (partCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     // the enforced broadcast contract: count the partition keys over
     // the STATS frame (one row per key — a single-task window over the
@@ -203,9 +257,11 @@ object ScalableRank {
        else df.join(broadcast(stats), partCols))
         .withColumn("__rank_b",
           when(col("__rank_vmin") === col("__rank_vmax"), lit(0L))
-            .otherwise(least(
-              floor((half - hmin) / (hmax - hmin) * buckets).cast("long"),
-              lit(buckets - 1L))))
+            .otherwise(
+              if (equiDepth) heapSearch(col("__rank_bh"), v, buckets)
+              else least(
+                floor((half - hmin) / (hmax - hmin) * buckets).cast("long"),
+                lit(buckets - 1L))))
 
     // cumulative count BELOW each bucket: windows over ≤`buckets` rows
     // per group — aggregate-sized, never data-sized (the global case's
@@ -230,7 +286,8 @@ object ScalableRank {
       .join(broadcast(offsets), partCols :+ "__rank_b")
       .withColumn(rnCol,
         col("__rank_cum") + row_number().over(localW).cast("long"))
-      .drop("__rank_b", "__rank_vmin", "__rank_vmax", "__rank_cum")
+      .drop("__rank_b", "__rank_vmin", "__rank_vmax", "__rank_cum",
+        "__rank_bh")
   }
 
   /** The window formulation of the same contract — `rnCol` =

@@ -277,4 +277,83 @@ class ScalableRankSpec extends AnyFunSuite {
     val bigPlan = withRowNumberAuto(big, Seq("g"), "v", Seq("id"))
     assert(bigPlan.queryExecution.optimizedPlan.toString.contains("__rank_b"))
   }
+
+  test("heapify is the breadth-first reorder; heapSearch counts boundaries <= v exactly") {
+    import spark.implicits._
+    assert(heapify(Seq(1d, 2d, 3d, 4d, 5d, 6d, 7d)) ==
+      Seq(4d, 2d, 6d, 1d, 3d, 5d, 7d))
+    assert(heapify(Seq(10d)) == Seq(10d))
+    intercept[IllegalArgumentException](heapify(Seq(1d, 2d)))
+    // descent result == |{boundaries ≤ v}| for every probe, ties and
+    // duplicate boundaries included
+    val rnd = new scala.util.Random(130313)
+    for (d <- Seq(2, 8, 16)) {
+      val sorted = Seq.fill(d - 1)(rnd.nextInt(20).toDouble).sorted
+      val probes = (-1 to 20).map(_.toDouble)
+      val got = probes.toDF("v")
+        .withColumn("b", heapSearch(typedlit(heapify(sorted)), col("v"), d))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      probes.foreach(v =>
+        assert(got(v) == sorted.count(_ <= v).toLong, s"d=$d v=$v"))
+    }
+  }
+
+  test("equi-depth mode: identical answers on adversarial skew, balanced buckets where equi-width collapses") {
+    import spark.implicits._
+    // pathological profile: 99% of the mass within 1e-9 of zero plus a
+    // lone huge outlier — equi-width puts everything in bucket 0
+    val df = ((0 until 2000).map(i => ("a", i.toDouble * 1e-12, i.toLong)) :+
+      (("a", 1e9, 9999L))).toDF("g", "v", "id")
+    val got = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 16,
+        equiDepth = true)
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    assertSameRows(got, want)
+    // balance, measured with each mode's own bucket function: the
+    // equi-width histogram concentrates ~everything in one bucket,
+    // the quantile-boundary histogram caps every bucket far below it
+    val stats = df.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      percentile_approx(col("v"),
+        lit((1 until 16).map(_.toDouble / 16).toArray), lit(10000)).as("bnd"))
+    val withStats = df.crossJoin(broadcast(stats))
+    def maxShare(bucket: org.apache.spark.sql.Column): Double = {
+      val counts = withStats.groupBy(bucket.as("b")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      counts.toDouble / df.count()
+    }
+    val widthBucket = least(floor((col("v") / 2 - col("mn") / 2) /
+      (col("mx") / 2 - col("mn") / 2) * 16).cast("long"), lit(15L))
+    val depthBucket = heapSearch(
+      udf((b: Seq[Double]) => heapify(b)).apply(col("bnd")), col("v"), 16)
+    assert(maxShare(widthBucket) > 0.99, "equi-width should collapse here")
+    assert(maxShare(depthBucket) < 0.25, "equi-depth should spread the mass")
+  }
+
+  test("equi-depth mode: parity on the tied multi-group frame and the string/global shapes") {
+    val df = frame(500)
+    val got = withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 8,
+        equiDepth = true)
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("id"), col("rn"), col("n"))
+    assertSameRows(got, want)
+    // global (no partition) + equi-depth
+    val gotG = withRowNumber(df, Nil, "v", Seq("id"), buckets = 4,
+        equiDepth = true).select(col("id"), col("rn"))
+    val wantG = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("rn"))
+    assertSameRows(gotG, wantG)
+    // non-power-of-two bucket count is refused up front
+    intercept[IllegalArgumentException](
+      withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 12,
+        equiDepth = true))
+  }
 }
