@@ -180,7 +180,8 @@ object Scaling {
     // replicas (the j11 pairing) so every fact keeps a matching dim
     "ivm4_join_view" -> Set("orders", "customer_aligned"),
     "ivm5_quantile_view" -> Set("orders"),
-    "ivm6_topk_view" -> Set("orders"))
+    "ivm6_topk_view" -> Set("orders"),
+    "ivm6w_weighted_topk" -> Set("orders"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -342,7 +343,7 @@ object Scaling {
       "hg1_histogram", "sk3_skew_profile", "v13_uniqueness",
       "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view",
       "ivm3_distinct_view", "ivm4_join_view", "ivm5_quantile_view",
-      "ivm6_topk_view")
+      "ivm6_topk_view", "ivm6w_weighted_topk")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")

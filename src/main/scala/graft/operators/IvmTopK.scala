@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for per-group TOP-K (round 13) — the
@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   * re-inserts them (a row inserted and deleted inside one batch never
   * existed in any view; compress it away upstream). Violations fail
   * loudly inside the plan, before the bad fold propagates.
+  *
+  * Weighted face: pass `weightCol` (positive LONG — scale money to a
+  * fixed point like cents) and the maintained measure becomes the
+  * per-key SUM of weights — "top customers by revenue, maintained".
+  * Every theorem above survives verbatim: the algebra only needs
+  * per-key net deltas to order the measure, and a count is a weight
+  * of 1.
   *
   * Scale shape per batch: one delta-sized aggregate, one full-outer
   * merge of two aggregate frames (pruned-store contract: `stored._2`
@@ -75,13 +82,33 @@ object IvmTopK {
   }
 
   /** The counts store of a base table — the initial state of a
-    * maintained view. */
+    * maintained view. With `weightCol` the maintained measure is the
+    * per-pair SUM of that column instead of the row count ("top
+    * customers by revenue"); same fold algebra, since a count is a
+    * weight of 1. */
   def countsOf(
       df: DataFrame,
       groupCols: Seq[String],
-      keyCol: String): DataFrame =
+      keyCol: String,
+      weightCol: Option[String] = None): DataFrame =
     df.groupBy((groupCols :+ keyCol).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(weightCol.fold(count(lit(1)))(c => sum(guardedWeight(df, c)))
+        .as("cnt"))
+
+  /** Weight discipline for the weighted variant: a LONG column (exact
+    * sums — route money through a fixed-point scale like cents),
+    * strictly positive (zero/negative weights would break both the
+    * clean-path monotonicity proof and the over-delete guard), checked
+    * loudly inside the plan. */
+  private def guardedWeight(df: DataFrame, c: String): Column = {
+    require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+      s"weight column '$c' must be LONG (exact sums; scale money to " +
+        s"cents first), got ${df.schema(c).dataType.simpleString}")
+    when(col(c).isNull || col(c) <= 0,
+      raise_error(concat(lit(s"weight in '$c' must be a positive long, got "),
+        col(c).cast("string"))))
+      .otherwise(col(c))
+  }
 
   /** Fold a change `delta` (`opCol` ∈ {I, D}, loud otherwise) into the
     * maintained (topk, counts) state; returns the state after the
@@ -103,7 +130,8 @@ object IvmTopK {
       groupCols: Seq[String],
       opCol: String,
       keyCol: String,
-      k: Int): (DataFrame, DataFrame) = {
+      k: Int,
+      weightCol: Option[String] = None): (DataFrame, DataFrame) = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val pairCols = groupCols :+ keyCol
     (Reserved :+ "cnt").foreach(c => require(!pairCols.contains(c),
@@ -111,16 +139,21 @@ object IvmTopK {
 
     // op domain enforced INSIDE the weight expression (the IvmDistinct
     // note: a standalone guard filter could be simplified against
-    // sibling predicates; a CASE else-branch raise cannot)
-    val w = when(col(opCol) === "I", lit(1L))
-      .when(col(opCol) === "D", lit(-1L))
+    // sibling predicates; a CASE else-branch raise cannot). The
+    // weighted variant folds ±weight instead of ±1 — every theorem
+    // below only uses that per-key net deltas order the measure, so
+    // positive-long weights inherit the whole discipline unchanged.
+    val unit = weightCol.fold(lit(1L))(c => guardedWeight(delta, c))
+    val w = when(col(opCol) === "I", unit)
+      .when(col(opCol) === "D", -unit)
       .otherwise(raise_error(
         lit(s"delta op outside {I, D} (or NULL) in '$opCol' — " +
           "refusing to fold a malformed delta into the view")))
     val deltaAgg = delta
       .groupBy(pairCols.map(col): _*)
       .agg(sum(w).as("__tk_dw"),
-        sum(when(col(opCol) === "D", 1L).otherwise(0L)).as("__tk_delc"))
+        sum(when(col(opCol) === "D", unit).otherwise(lit(0L)))
+          .as("__tk_delc"))
 
     val (topk0, counts0) = stored.getOrElse {
       val emptyCounts = delta.filter(lit(false))
@@ -137,7 +170,7 @@ object IvmTopK {
         when(coalesce(col("cnt"), lit(0L)) -
             coalesce(col("__tk_delc"), lit(0L)) < 0,
           raise_error(lit("delta deletes rows the view never absorbed " +
-            "(batch delete count exceeds the stored count)")))
+            "(batch deleted measure exceeds the stored measure)")))
           .otherwise(coalesce(col("cnt"), lit(0L)) +
             coalesce(col("__tk_dw"), lit(0L)))
           .as("cnt"): _*)

@@ -605,6 +605,39 @@ object GovernanceQueries {
       topk1.select(col("o_orderpriority"), col("rnk"), col("ck"),
           col("cnt"))
         .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+    "ivm6w_weighted_topk" -> ((s, dir) => {
+      // Weighted TOP-K view IVM — ivm6's fold with the measure
+      // generalized from row count to a maintained positive-long SUM:
+      // top-3 customers per priority by REVENUE (order value in
+      // cents — exact long arithmetic, the fixed-point money
+      // discipline). Same CDC shape as ivm6 so both refresh paths
+      // stay exercised; deletes carry each dropped order's own
+      // weight, so the store fold stays exactly invertible. Oracle =
+      // full recompute over the modified table, bit-for-bit.
+      import graft.operators.IvmTopK
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("w"))
+      val urgent = col("o_orderpriority") < "3"
+      val dropped = pmod(col("ck"), lit(97)) === 0 && urgent
+      val synth = pmod(col("o_orderkey"), lit(101)) === 0
+      val counts0 = IvmTopK.countsOf(base, Seq("o_orderpriority"), "ck",
+        Some("w"))
+      val topk0 = IvmTopK.viewOf(counts0, Seq("o_orderpriority"), "ck", 3)
+      val dels = base.filter(dropped)
+        .select(col("o_orderpriority"), lit("D").as("op"), col("ck"),
+          col("w"))
+      val ins = base.filter(synth)
+        .select(col("o_orderpriority"), lit("I").as("op"),
+          (col("ck") + 1000000L).as("ck"), col("w"))
+      val (topk1, _) = IvmTopK.fold(Some((topk0, counts0)),
+        dels.unionByName(ins), Seq("o_orderpriority"), "op", "ck", 3,
+        Some("w"))
+      topk1.select(col("o_orderpriority"), col("rnk"), col("ck"),
+          col("cnt"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -908,6 +941,25 @@ object GovernanceQueries {
         | WHERE o_orderkey % 101 = 0),
         |c AS (SELECT o_orderpriority, ck,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM modified GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, ck, cnt,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cnt DESC, ck) AS INTEGER) AS rnk
+        | FROM c)
+        |SELECT o_orderpriority, rnk, ck, cnt FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "ivm6w_weighted_topk" ->
+      """WITH modified AS (
+        | SELECT o_orderpriority, o_custkey AS ck,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS w
+        | FROM orders
+        | WHERE NOT (o_custkey % 97 = 0 AND o_orderpriority < '3')
+        | UNION ALL
+        | SELECT o_orderpriority, o_custkey + 1000000,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        | FROM orders WHERE o_orderkey % 101 = 0),
+        |c AS (SELECT o_orderpriority, ck,
+        |  CAST(SUM(w) AS BIGINT) AS cnt
         | FROM modified GROUP BY 1, 2),
         |r AS (SELECT o_orderpriority, ck, cnt,
         |  CAST(row_number() OVER (PARTITION BY o_orderpriority

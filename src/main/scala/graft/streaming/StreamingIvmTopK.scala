@@ -66,14 +66,19 @@ object StreamingIvmTopK {
     (committedIn(spark, dir, "counts") & committedIn(spark, dir, "topk"))
       .toSeq.sorted
 
-  /** Fold ONE static change batch (groupCols…, opCol, keyCol) into the
-    * maintained store as micro-batch `batchId`; returns the view's row
-    * count after the fold (-1 for an empty batch). */
+  /** Fold ONE static change batch (groupCols…, opCol, keyCol
+    * [, weightCol]) into the maintained store as micro-batch
+    * `batchId`; returns the view's row count after the fold (-1 for an
+    * empty batch). `weightCol` switches the maintained measure to the
+    * per-key positive-long weight SUM — [[IvmTopK]]'s weighted face
+    * (top customers by revenue); delete rows must carry the weight
+    * they remove. */
   def applyBatch(
       batch: DataFrame, batchId: Long,
       groupCols: Seq[String], opCol: String, keyCol: String, k: Int,
       dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      weightCol: Option[String] = None): Long = {
     val spark = batch.sparkSession
     val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
@@ -104,8 +109,9 @@ object StreamingIvmTopK {
     }
 
     val (topkAff, countsAff) = IvmTopK.fold(prevState,
-      batch.select((groupCols.map(col) :+ col(opCol)) :+ col(keyCol): _*),
-      groupCols, opCol, keyCol, k)
+      batch.select(((groupCols.map(col) :+ col(opCol)) :+ col(keyCol)) ++
+        weightCol.map(col): _*),
+      groupCols, opCol, keyCol, k, weightCol)
     def withRemainder(aff: DataFrame, prevAll: Option[DataFrame]): DataFrame =
       prevAll.map(p => aff.unionByName(
           p.filter(!col("__g_bucket").isin(deltaBuckets: _*))
@@ -136,11 +142,13 @@ object StreamingIvmTopK {
   def applyStream(
       changes: DataFrame, groupCols: Seq[String], opCol: String,
       keyCol: String, k: Int, dir: String,
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      weightCol: Option[String] = None): DataStreamWriter[Row] = {
     require(changes.isStreaming, "applyStream expects a streaming DataFrame " +
       "(use applyBatch for static deltas)")
     changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
-      onBatch(id, applyBatch(b.toDF(), id, groupCols, opCol, keyCol, k, dir))
+      onBatch(id, applyBatch(b.toDF(), id, groupCols, opCol, keyCol, k, dir,
+        weightCol = weightCol))
     }
   }
 

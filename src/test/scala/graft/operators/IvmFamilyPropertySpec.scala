@@ -172,4 +172,47 @@ class IvmFamilyPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IvmTopK weighted face tracks the model across random CDC sequences (seeded)") {
+    val rnd = new scala.util.Random(130305)
+    val K = 2
+    def modelTopK(state: Seq[(String, Long, Long)]): Set[(String, Int, Long, Long)] =
+      state.groupBy(_._1).flatMap { case (g, rows) =>
+        rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+          .sortBy { case (k, s) => (-s, k) }
+          .take(K).zipWithIndex
+          .map { case ((k, s), i) => (g, i + 1, k, s) }
+      }.toSet
+    for (scenario <- 1 to 5) {
+      val state = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      var st: Option[(DataFrame, DataFrame)] = None
+      for (step <- 1 to 3) {
+        val nDel = rnd.nextInt(math.min(4, state.size + 1))
+        val dels = rnd.shuffle(state.toList).take(nDel)
+        dels.foreach(d => state.remove(state.indexOf(d)))
+        val ins = Seq.fill(1 + rnd.nextInt(4))(
+          (Groups(rnd.nextInt(3)), rnd.nextInt(5).toLong,
+            1L + rnd.nextInt(5)))
+        ins.foreach(state += _)
+        val delta = (dels.map(t => (t._1, "D", t._2, t._3)) ++
+          ins.map(t => (t._1, "I", t._2, t._3))).toDF("g", "op", "ck", "w")
+        val (t, c) = IvmTopK.fold(st, delta, Seq("g"), "op", "ck", K,
+          Some("w"))
+        val tt = t.localCheckpoint(true); val cc = c.localCheckpoint(true)
+        st = Some((tt, cc))
+        val wantCounts = state.groupBy(r => (r._1, r._2)).view
+          .mapValues(_.map(_._3).sum).toSeq
+          .map { case ((g, k), s) => (g, k, s) }.toSet
+        val gotCounts = cc.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(gotCounts == wantCounts,
+          s"scenario $scenario step $step counts: $gotCounts vs $wantCounts")
+        val got = tt.collect()
+          .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getLong(2)))
+          .toSet
+        val want = modelTopK(state.toSeq)
+        assert(got == want, s"scenario $scenario step $step: $got vs $want")
+      }
+    }
+  }
 }

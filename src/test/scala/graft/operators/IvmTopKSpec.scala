@@ -124,6 +124,56 @@ class IvmTopKSpec extends AnyFunSuite {
     assert(e.getMessage.contains("outside {I, D}"), e.getMessage)
   }
 
+  test("weighted face: maintained revenue top-k equals the recompute on both refresh paths") {
+    import spark.implicits._
+    def wrows(t: (String, Long, Long)*): DataFrame =
+      t.toSeq.toDF("g", "ck", "w")
+    def wdelta(t: (String, String, Long, Long)*): DataFrame =
+      t.toSeq.toDF("g", "op", "ck", "w")
+    def wstate(before: DataFrame, k: Int): (DataFrame, DataFrame) = {
+      val c = IvmTopK.countsOf(before, Seq("g"), "ck", Some("w"))
+      (IvmTopK.viewOf(c, Seq("g"), "ck", k), c)
+    }
+    // before: key 1 → 30, key 2 → 20, key 3 → 15; top-2 = {1, 2}
+    val before = wrows(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 15L))
+    // clean path: insert lifts key 3 past key 2
+    val (t1, c1) = IvmTopK.fold(Some(wstate(before, 2)),
+      wdelta(("g", "I", 3L, 10L)), Seq("g"), "op", "ck", 2, Some("w"))
+    val after1 = wrows(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 25L))
+    assert(sorted(c1) == sorted(IvmTopK.countsOf(after1, Seq("g"), "ck", Some("w"))))
+    assert(sorted(t1) == sorted(IvmTopK.viewOf(
+      IvmTopK.countsOf(after1, Seq("g"), "ck", Some("w")), Seq("g"), "ck", 2)))
+    // broken path: delete part of key 1's weight — untouched key 3
+    // must rise in over the fallen key 1
+    val (t2, c2) = IvmTopK.fold(Some(wstate(before, 2)),
+      wdelta(("g", "D", 1L, 20L)), Seq("g"), "op", "ck", 2, Some("w"))
+    val after2 = wrows(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 15L))
+    assert(sorted(c2) == sorted(IvmTopK.countsOf(after2, Seq("g"), "ck", Some("w"))))
+    assert(sorted(t2) == sorted(IvmTopK.viewOf(
+      IvmTopK.countsOf(after2, Seq("g"), "ck", Some("w")), Seq("g"), "ck", 2)))
+  }
+
+  test("weighted face: over-delete of weight and non-positive weights fail loudly") {
+    import spark.implicits._
+    val before = Seq(("g", 1L, 10L)).toDF("g", "ck", "w")
+    val c0 = IvmTopK.countsOf(before, Seq("g"), "ck", Some("w"))
+    val st = (IvmTopK.viewOf(c0, Seq("g"), "ck", 1), c0)
+    val (t1, _) = IvmTopK.fold(Some(st),
+      Seq(("g", "D", 1L, 11L)).toDF("g", "op", "ck", "w"),
+      Seq("g"), "op", "ck", 1, Some("w"))
+    val e1 = intercept[Exception](t1.collect())
+    assert(e1.getMessage.contains("never absorbed"), e1.getMessage)
+    val (t2, _) = IvmTopK.fold(Some(st),
+      Seq(("g", "I", 2L, 0L)).toDF("g", "op", "ck", "w"),
+      Seq("g"), "op", "ck", 1, Some("w"))
+    val e2 = intercept[Exception](t2.collect())
+    assert(e2.getMessage.contains("positive long"), e2.getMessage)
+    // non-long weight column refused before any plan is built
+    val e3 = intercept[IllegalArgumentException](IvmTopK.countsOf(
+      Seq(("g", 1L, 1.5)).toDF("g", "ck", "w"), Seq("g"), "ck", Some("w")))
+    assert(e3.getMessage.contains("must be LONG"), e3.getMessage)
+  }
+
   test("chained folds: state threads through three batches exactly") {
     val b0 = rows(("g", 1L), ("g", 1L), ("g", 2L), ("g", 3L))
     var st = state(b0, 2)

@@ -111,6 +111,25 @@ class StreamingIvmTopKSpec extends AnyFunSuite {
     assert(read(dir) == recompute(2))
   }
 
+  test("weighted face: maintained revenue top-k ≡ recompute after every batch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivm6w").toString
+    // (group, op, key, weight): batch 0 seeds, batch 1 deletes part of
+    // key 1's weight so untouched key 3 rises in (broken path)
+    val wbatches = Seq(
+      Seq(("a", "I", 1L, 30L), ("a", "I", 2L, 20L), ("a", "I", 3L, 15L)),
+      Seq(("a", "D", 1L, 20L), ("a", "I", 4L, 5L)))
+    def applyW(b: Seq[(String, String, Long, Long)], id: Long): Long =
+      StreamingIvmTopK.applyBatch(b.toDF("g", "op", "ck", "w"), id,
+        Seq("g"), "op", "ck", K, dir, weightCol = Some("w"))
+    applyW(wbatches(0), 0L)
+    assert(read(dir).map(t => (t._1, t._2, t._4)) ==
+      Seq(("a", 1L, 1), ("a", 2L, 2))) // 1→30, 2→20 lead
+    applyW(wbatches(1), 1L)
+    // after: 1→10, 2→20, 3→15, 4→5 — top-2 = {2, 3}, key 3 untouched
+    assert(read(dir).map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq(("a", 2L, 20L, 1), ("a", 3L, 15L, 2)))
+  }
+
   test("malformed deltas fail loudly BEFORE anything commits") {
     val dir = java.nio.file.Files.createTempDirectory("ivm6-bad").toString
     val e1 = intercept[IllegalArgumentException](apply(
