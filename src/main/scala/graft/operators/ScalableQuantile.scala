@@ -42,7 +42,16 @@ import org.apache.spark.sql.functions._
   * Cost at 100 TB: three scans of the fact and keyed exchanges of
   * per-group/per-bucket aggregates — vs one scan feeding a sort that
   * cannot finish. The candidate pass reads only ~2·|ps| buckets per
-  * group ≈ 2·|ps|/`buckets` of the data.
+  * group ≈ 2·|ps|/`buckets` of the data — PROVIDED the buckets are
+  * roughly even. Under a value profile adversarial for equi-width
+  * (nearly all mass within an epsilon of one point), the candidate
+  * bucket holds ~the whole group and the candidate rank re-becomes a
+  * group-sized single-task sort; `equiDepth = true` draws the bucket
+  * boundaries from per-group `percentile_approx` in the same stats
+  * aggregate instead ([[ScalableRank]]'s shared heapify/heapSearch
+  * machinery), making candidate size distribution-independent up to
+  * ties. Answers are bit-identical in both modes — the locate uses
+  * EXACT bucket counts, so boundary quality never touches correctness.
   */
 object ScalableQuantile {
 
@@ -55,20 +64,36 @@ object ScalableQuantile {
       groupCol: String,
       valueCol: String,
       ps: Seq[Double],
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096,
+      equiDepth: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
     require(ps.distinct.size == ps.size,
       s"duplicate percentiles would duplicate output rows: $ps")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    if (equiDepth) require((buckets & (buckets - 1)) == 0,
+      s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
     require(groupCol != "p" && groupCol != "value",
       s"group column '$groupCol' collides with an output column name")
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
     val rows = df.select(g.as("g"), v.as("v")).filter(col("v").isNotNull)
 
-    val stats = rows.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    // equi-depth mode (the ScalableRank remedy, shared machinery):
+    // per-group percentile_approx boundaries in the SAME combinable
+    // stats aggregate, heap-ordered for the per-row descent. The
+    // locate below uses EXACT bucket counts either way, so boundary
+    // quality never touches correctness — only how many rows the
+    // candidate pass has to rank when the value distribution is
+    // adversarially skewed for equi-width.
+    val heapifyUdf = udf((b: Seq[Double]) => ScalableRank.heapify(b))
+    val baseAggs = Seq(count(lit(1)).as("n"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val aggs = if (!equiDepth) baseAggs else baseAggs :+
+      heapifyUdf(percentile_approx(col("v"),
+        lit((1 until buckets).map(_.toDouble / buckets).toArray),
+        lit(10000))).as("__q_bh")
+    val stats = rows.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
 
     // needed order-statistic ranks per (group, percentile)
     val targets = stats
@@ -90,12 +115,15 @@ object ScalableQuantile {
       val safe = when(isnan(value),
         raise_error(lit("NaN value cannot be ranked — filter NaNs first")))
         .otherwise(value)
-      least(
+      if (equiDepth) ScalableRank.heapSearch(col("__q_bh"), safe, buckets)
+      else least(
         floor((safe - vmin) / (vmax - vmin) * buckets).cast("long"),
         lit(buckets - 1L))
     }
 
-    val spanStats = spanned.select(col("g"), col("vmin"), col("vmax")).distinct()
+    val spanCols = Seq(col("g"), col("vmin"), col("vmax")) ++
+      (if (equiDepth) Seq(col("__q_bh")) else Nil)
+    val spanStats = spanned.select(spanCols: _*).distinct()
     val bucketed = rows.join(broadcast(spanStats), Seq("g"))
       .withColumn("b", bucketOf(col("v"), col("vmin"), col("vmax")))
     val bucketCounts = bucketed.groupBy(col("g"), col("b"))

@@ -123,4 +123,31 @@ class ScalableQuantileSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ScalableQuantile.percentileContWindow(df, "g", "v", Seq(1.5)))
   }
+
+  test("equi-depth mode: bit-identical on the equi-width-adversarial profile and the random groups") {
+    // the profile where equi-width's candidate bucket holds ~the whole
+    // group: 99.9% of the mass on tie-points within 1e-6 of zero, a
+    // few large outliers
+    val rnd = new scala.util.Random(130314)
+    val skewed = frame((0 until 3000).map(i =>
+      ("a", if (i % 500 == 0) i.toDouble * 1e6
+        else (i % 40).toDouble * 1e-9)) ++
+      (0 until 100).map(i => ("b", rnd.nextDouble())))
+    val want = windowQuantiles(skewed, Ps)
+    val got = ScalableQuantile.percentileCont(skewed, "g", "v", Ps,
+        buckets = 16, equiDepth = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got == want)
+    // constant group composes with the short-circuit in depth mode too
+    val withConst = frame(Seq(("c", 7.0), ("c", 7.0)) ++
+      (0 until 50).map(i => ("d", i.toDouble)))
+    assert(ScalableQuantile.percentileCont(withConst, "g", "v", Seq(0.5),
+        buckets = 8, equiDepth = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap == windowQuantiles(withConst, Seq(0.5)))
+    // non-power-of-two bucket count refused in depth mode
+    intercept[IllegalArgumentException](
+      ScalableQuantile.percentileCont(skewed, "g", "v", Ps, buckets = 12,
+        equiDepth = true))
+  }
 }
