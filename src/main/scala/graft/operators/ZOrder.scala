@@ -23,7 +23,7 @@ object ZOrder {
   /** Morton code of `cols`, each first rank-normalized to `bits` via
     * min/max scaling would need a pass; this variant interleaves the
     * RAW low `bits` of non-negative integer columns — right when the
-    * columns are already dense ids/ordinals (use [[zValueRanked]] for
+    * columns are already dense ids/ordinals (use [[zValueScaled]] for
     * arbitrary distributions). */
   def zValue(cols: Seq[Column], bits: Int = 21): Column = {
     require(cols.nonEmpty && cols.size * bits <= 63, "z-value must fit a long")

@@ -754,6 +754,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
   }
 
+  test("ivm6w weighted topk: the ±weight fold keeps ivm6's exact plan shape") {
+    val p = planOf("ivm6w_weighted_topk")
+    assert(p.contains("FullOuter"), p)
+    assert(p.split("BroadcastHashJoin").length >= 3, p)
+    assert(!p.contains("__rank_b"), p)
+    assert(p.contains("hashpartitioning(o_orderpriority"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
   test("ivm6 topk view: invertible counts merge, candidate pick via broadcast markers in ONE store pass, rank on the keyed window at test scale") {
     val p = planOf("ivm6_topk_view")
     // the counts store folds as an aggregate-frame full-outer merge
