@@ -113,9 +113,22 @@ object TrainPipeline {
   /** Run the curation flow over `sfDir`'s documents table, writing the
     * sharded train split under `outDir`. The benchmark set (for
     * decontamination) is the reference eval-suite stand-in used by c1:
-    * doc_id % 97 == 0; those rows are never training candidates. */
+    * doc_id % 97 == 0; those rows are never training candidates.
+    *
+    * `ledgerOut` (opt-in) writes the per-document DROP LEDGER as
+    * parquet (doc_id, stage, detail): the answer to "why is doc X not
+    * in my training set" — stage ∈ {quality_gate, exact_dup, near_dup,
+    * contaminated, lm_gate, pt_gate}, detail = the kept representative
+    * for near_dup losers (null elsewhere). The ledger is CONSERVED
+    * against the funnel by a loud in-run check: every dropped row
+    * appears exactly once, Σ ledger = rowsIn − afterPtGate. Costs one
+    * extra materialization per dropping stage (pieces must pin their
+    * rows before the stage checkpoint is released), so it is off by
+    * default; determinism of the stages makes re-runs reproduce the
+    * ledger bit-for-bit. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      shards: Int = 8, seed: Int = 17, minWords: Int = 10): Report = {
+      shards: Int = 8, seed: Int = 17, minWords: Int = 10,
+      ledgerOut: Option[String] = None): Report = {
     val t0 = System.nanoTime()
     val docs = Tables(spark, sfDir, "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -150,12 +163,28 @@ object TrainPipeline {
       n
     }
 
+    // drop-ledger pieces: each is checkpointed + counted BEFORE its
+    // stage advances (advance releases the blocks the piece reads —
+    // checkpoints have no lineage to recompute from), then written as
+    // one frame at the end of the funnel
+    val ledger = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def record(ids: DataFrame, stageName: String,
+        detail: org.apache.spark.sql.Column = lit(null).cast("long")): Unit =
+      if (ledgerOut.isDefined) {
+        val piece = ids.select(col("doc_id"), lit(stageName).as("stage"),
+          detail.as("detail")).localCheckpoint(false)
+        piece.count()
+        ledger += piece
+      }
+
     // any stage failure must release the current corpus-scale cache
     // before the throw escapes — Bench catches and keeps running
     try {
     val rowsIn = stage.count()
-    val afterQuality = advance(stage.filter(
-      QualityRules.gopherPass(TextOps.words(col("text")), Stops, minWords = minWords)))
+    val qualityPass =
+      QualityRules.gopherPass(TextOps.words(col("text")), Stops, minWords = minWords)
+    record(stage.filter(!qualityPass), "quality_gate")
+    val afterQuality = advance(stage.filter(qualityPass))
 
     // corpus-wide segment dedup: docs shrink (never drop); the
     // reassembled text is the working text from here on
@@ -173,19 +202,25 @@ object TrainPipeline {
     val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
     val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
 
-    val afterExact = advance(ExactDedup.dedup(
-      stage.drop("n_segments", "n_kept"), "doc_id", Seq("text")))
+    val exactKept = ExactDedup.dedup(
+      stage.drop("n_segments", "n_kept"), "doc_id", Seq("text"))
+    record(stage.join(exactKept.select(col("doc_id")), Seq("doc_id"),
+      "left_anti"), "exact_dup")
+    val afterExact = advance(exactKept)
     val clusters = MinHashLSH.nearDupClusters(
       stage, "doc_id", "text", NearDupThreshold)
-    val losers = clusters
+    val loserPairs = clusters
       .join(clusters.groupBy(col("comp")).agg(min(col("id")).as("keep")), Seq("comp"))
       .filter(col("id") =!= col("keep"))
-      .select(col("id").as("doc_id"))
+      .select(col("id").as("doc_id"), col("keep"))
+    record(loserPairs, "near_dup", col("keep"))
+    val losers = loserPairs.select(col("doc_id"))
     val afterNearDup = advance(stage.join(losers, Seq("doc_id"), "left_anti"))
     val bits = BloomContamination.buildBits(bench, "text", ContamN, BloomBits)
     val contaminated = BloomContamination
       .flagged(stage, "doc_id", "text", ContamN, bits)
       .select(col("id").as("doc_id"))
+    record(contaminated, "contaminated")
     val afterDecontam = advance(stage.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // split BEFORE the model gates: models fit on train rows only
@@ -219,14 +254,30 @@ object TrainPipeline {
       } catch { case t: Throwable => lmFailed.unpersist(); throw t }
 
     val afterLmGate =
-      try advance(stage.join(lmFailed, Seq("doc_id"), "left_anti"))
-      finally lmFailed.unpersist()
+      try {
+        record(lmFailed, "lm_gate")
+        advance(stage.join(lmFailed, Seq("doc_id"), "left_anti"))
+      } finally lmFailed.unpersist()
     val ptPassed = LinearClassifier.scoreWith(
       LinearClassifier.featureTable(stage, "doc_id", "text", "lang", "en"),
       ptWeights)
       .filter(col("score") > 0)
       .select(col("id").as("doc_id"))
+    record(stage.join(ptPassed, Seq("doc_id"), "left_anti"), "pt_gate")
     val afterPtGate = advance(stage.join(ptPassed, Seq("doc_id"), "left_semi"))
+
+    // write the conserved ledger, then drop the pieces' blocks — a
+    // loud identity check first: every dropped doc exactly once
+    ledgerOut.foreach { path =>
+      val all = ledger.reduce(_ unionByName _)
+      val n = all.count()
+      require(n == rowsIn - afterPtGate,
+        s"drop ledger not conserved: $n entries vs ${rowsIn - afterPtGate} dropped rows")
+      // no coalesce: the ledger is corpus-proportional in the worst
+      // case (every doc dropped) — let it write at full parallelism
+      all.write.mode("overwrite").parquet(path)
+      ledger.foreach(release)
+    }
 
     val splitCounts = stage.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

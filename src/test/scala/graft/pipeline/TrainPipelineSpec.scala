@@ -93,4 +93,42 @@ class TrainPipelineSpec extends AnyFunSuite {
       col("uid") =!= col("doc_id") * TrainPipeline.UidStride + col("copy_idx"))
     assert(broken.count() == 0)
   }
+
+  test("drop ledger: every dropped doc exactly once, stage counts match the funnel, near-dup losers name their kept rep") {
+    import org.apache.spark.sql.functions._
+    val ledgerDir = freshDir()
+    val r = TrainPipeline.run(spark, sfDir, freshDir(), shards = 4,
+      seed = 17, ledgerOut = Some(ledgerDir))
+    val ledger = spark.read.parquet(ledgerDir)
+    // ledgered report == the ledger-free run (the ledger observes,
+    // never changes the funnel)
+    assert(r.copy(totalSec = 0) == report.copy(totalSec = 0))
+    // conserved, and each doc at most once
+    assert(ledger.count() == r.rowsIn - r.afterPtGate)
+    assert(ledger.select(col("doc_id")).distinct().count() == ledger.count())
+    // per-stage counts are exactly the funnel's diffs
+    val byStage = ledger.groupBy(col("stage")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      .withDefaultValue(0L)
+    assert(byStage("quality_gate") == r.rowsIn - r.afterQuality)
+    assert(byStage("exact_dup") == r.afterQuality - r.afterExact)
+    assert(byStage("near_dup") == r.afterExact - r.afterNearDup)
+    assert(byStage("contaminated") == r.afterNearDup - r.afterDecontam)
+    assert(byStage("lm_gate") == r.afterDecontam - r.afterLmGate)
+    assert(byStage("pt_gate") == r.afterLmGate - r.afterPtGate)
+    // near-dup detail: the kept representative (cluster min — always a
+    // smaller id than the loser); other stages carry no detail
+    assert(ledger.filter(col("stage") === "near_dup" &&
+      (col("detail").isNull || col("detail") >= col("doc_id"))).count() == 0)
+    assert(ledger.filter(col("stage") =!= "near_dup" &&
+      col("detail").isNotNull).count() == 0)
+    // deterministic: a re-run reproduces the ledger bit-for-bit
+    val ledgerDir2 = freshDir()
+    TrainPipeline.run(spark, sfDir, freshDir(), shards = 4, seed = 17,
+      ledgerOut = Some(ledgerDir2))
+    val a = ledger.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val b = spark.read.parquet(ledgerDir2).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(a == b)
+  }
 }
