@@ -72,13 +72,15 @@ object DistributionValidator {
     * the side that HAS values). */
   private def quantiles(
       df: DataFrame, columns: Seq[String], ps: Seq[Double],
-      valueName: String, bucketLocate: Option[Boolean]): DataFrame = {
+      valueName: String, bucketLocate: Option[Boolean],
+      equiDepth: Boolean): DataFrame = {
     val stackExpr = columns.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
       .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, v)")
     val unpivoted = df.selectExpr(stackExpr)
     if (bucketLocate.getOrElse(autoBucketLocate(df)))
       return graft.operators.ScalableQuantile
-        .percentileCont(unpivoted, "column_name", "v", ps)
+        .percentileCont(unpivoted, "column_name", "v", ps,
+          equiDepth = equiDepth)
         .withColumnRenamed("value", valueName)
     val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
     unpivoted
@@ -113,12 +115,17 @@ object DistributionValidator {
       columns: Seq[String],
       ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
       pctThreshold: Double = 0.0,
-      bucketLocate: Option[Boolean] = None): DataFrame = {
+      bucketLocate: Option[Boolean] = None,
+      /** Equi-depth boundaries for the bucket-locate shape — the
+        * [[graft.operators.ScalableQuantile]] remedy when a profiled
+        * column's values are adversarially skewed for equi-width
+        * buckets (answers identical either way). */
+      equiDepth: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "no columns to profile")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0, 1], got $ps")
-    val s = quantiles(source, columns, ps, "source_value", bucketLocate)
-    val t = quantiles(target, columns, ps, "target_value", bucketLocate)
+    val s = quantiles(source, columns, ps, "source_value", bucketLocate, equiDepth)
+    val t = quantiles(target, columns, ps, "target_value", bucketLocate, equiDepth)
     val sv = col("source_value")
     val tv = col("target_value")
     val pct = when(sv === 0.0 && tv === 0.0, lit(0.0))

@@ -207,4 +207,22 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(!plan(rowsAt / 2).contains("cum_before"))
     assert(plan(rowsAt * 2).contains("cum_before"))
   }
+
+  test("DistributionValidator: equi-depth boundaries answer identically on a skew-adversarial column") {
+    import org.apache.spark.sql.functions._
+    // the equi-width collapse profile: mass on tie-points near zero
+    // plus sparse large outliers — both modes must agree bit-for-bit
+    // (and with the window shape, which autoBucketLocate would pick
+    // for a frame this small if not forced)
+    val df = spark.range(0, 2000).toDF("id")
+      .select(when(col("id") % 400 === 0, col("id").cast("double") * 1e6)
+        .otherwise((col("id") % 25).cast("double") * 1e-9).as("x"))
+    def rows(bucketLocate: Option[Boolean], equiDepth: Boolean) =
+      DistributionValidator.validate(df, df, Seq("x"),
+          bucketLocate = bucketLocate, equiDepth = equiDepth)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val window = rows(Some(false), equiDepth = false)
+    assert(rows(Some(true), equiDepth = true) == window)
+    assert(rows(Some(true), equiDepth = false) == window)
+  }
 }
