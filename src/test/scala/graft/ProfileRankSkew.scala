@@ -62,6 +62,31 @@ object ProfileRankSkew {
     println(f"skewed n=$n%d rows, $buckets%d buckets: " +
       f"equi-width(collapsed)=$tw%.2f s, equi-depth=$td%.2f s, " +
       f"speedup=${tw / td}%.2f x (median of $iters)")
+
+    // the quantile twin on the same profile: the candidate bucket for
+    // every middle percentile is the collapsed bucket 0 under
+    // equi-width, so the locate ranks ~the whole frame in one task
+    import graft.operators.ScalableQuantile
+    val qPs = Seq(0.25, 0.5, 0.9)
+    def qshape(equiDepth: Boolean) =
+      ScalableQuantile.percentileCont(
+        base.withColumn("g", lit("all")), "g", "v", qPs,
+        buckets = buckets, equiDepth = equiDepth)
+    val qw = qshape(equiDepth = false).collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    val qd = qshape(equiDepth = true).collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    require(qw == qd, s"quantile modes disagree: $qw vs $qd")
+    def qtime(equiDepth: Boolean): Double = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        qshape(equiDepth).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(iters / 2)
+    }
+    val qtw = qtime(equiDepth = false)
+    val qtd = qtime(equiDepth = true)
+    println(f"quantile twin, same profile: equi-width(collapsed)=$qtw%.2f s, " +
+      f"equi-depth=$qtd%.2f s, speedup=${qtw / qtd}%.2f x (median of $iters)")
     spark.stop()
   }
 }
