@@ -343,9 +343,11 @@ object ScalableRank {
       buckets: Int = 4096,
       rnCol: String = "rn",
       nCol: String = "n",
-      bucketRank: Option[Boolean] = None): DataFrame =
+      bucketRank: Option[Boolean] = None,
+      equiDepth: Boolean = false): DataFrame =
     if (bucketRank.getOrElse(autoBucketRank(df)))
-      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol)
+      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
+        equiDepth = equiDepth)
     else
       windowRowNumber(df, partCols, valueCol, tieCols, rnCol, nCol)
 
@@ -360,11 +362,13 @@ object ScalableRank {
       partCols: Seq[String],
       valueCol: String,
       tieCols: Seq[String],
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096,
+      equiDepth: Boolean = false): DataFrame = {
     Seq("rank", "peer_max").foreach(c =>
       require(!df.columns.contains(c),
         s"input already contains output column '$c'"))
-    val base = withRowNumber(df, partCols, valueCol, tieCols, buckets)
+    val base = withRowNumber(df, partCols, valueCol, tieCols, buckets,
+      equiDepth = equiDepth)
     val keys = partCols :+ valueCol
     val peers = base.groupBy(keys.map(col): _*)
       .agg(min(col("rn")).as("rank"), max(col("rn")).as("peer_max"))
@@ -408,9 +412,11 @@ object ScalableRank {
       k: Int,
       outCol: String,
       buckets: Int = 4096,
-      bucketRank: Option[Boolean] = None): DataFrame =
+      bucketRank: Option[Boolean] = None,
+      equiDepth: Boolean = false): DataFrame =
     withRowNumberAuto(df, Nil, valueCol, tieCols, buckets,
-      rnCol = "__rank_rn", nCol = "__rank_n", bucketRank = bucketRank)
+      rnCol = "__rank_rn", nCol = "__rank_n", bucketRank = bucketRank,
+      equiDepth = equiDepth)
       .withColumn(outCol, ntileOf(col("__rank_rn"), col("__rank_n"), k))
       .drop("__rank_rn", "__rank_n")
 }

@@ -356,4 +356,30 @@ class ScalableRankSpec extends AnyFunSuite {
       withRowNumber(df, Seq("g"), "v", Seq("id"), buckets = 12,
         equiDepth = true))
   }
+
+  test("equi-depth plumbs through the composed faces (withTiedRanks, ntileBand, auto)") {
+    val df = frame(400)
+    // tied ranks: depth-bucketed base must agree with the window peers
+    val got = withTiedRanks(df, Seq("g"), "v", Seq("id"), buckets = 8,
+        equiDepth = true)
+      .select(col("g"), col("id"), col("rank"), col("peer_max"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("rank",
+        min(col("rn")).over(Window.partitionBy(col("g"), col("v"))))
+      .withColumn("peer_max",
+        max(col("rn")).over(Window.partitionBy(col("g"), col("v"))))
+      .select(col("g"), col("id"), col("rank"), col("peer_max"))
+    assertSameRows(got, want)
+    // ntile band: forced bucket shape + equi-depth equals the window NTILE
+    val gotBand = ntileBand(df, "v", Seq("id"), 4, "band", buckets = 8,
+        bucketRank = Some(true), equiDepth = true)
+      .select(col("id"), col("band"))
+    val wantBand = df
+      .withColumn("band",
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("band"))
+    assertSameRows(gotBand, wantBand)
+  }
 }
