@@ -180,8 +180,22 @@ object IvmTopK {
     // have fallen — delta-sized by construction
     val broken = deltaAgg.filter(col("__tk_dw") < 0)
       .select(groupCols.map(col): _*).distinct()
-    // clean-group candidates: old top-K keys ∪ the delta's own keys
-    val candPairs = topk0.select(pairCols.map(col): _*)
+    // the delta's own groups — every candidate list below is bounded
+    // by THESE, not by the stored view: a caller passing an unpruned
+    // store with millions of groups must not turn candPairs into a
+    // K × |all groups| broadcast. Untouched groups (no delta rows)
+    // can change neither their counts nor their ranking, so their
+    // slice of the view passes through VERBATIM instead of riding the
+    // candidate machinery — their candidates would be exactly their
+    // own topk0 rows, re-ranked to themselves.
+    val touched = deltaAgg.select(groupCols.map(col): _*).distinct()
+    val topk0Touched = topk0
+      .join(broadcast(touched), groupCols, "left_semi")
+    val topk0Untouched = topk0
+      .join(broadcast(touched), groupCols, "left_anti")
+    // clean-group candidates: old top-K keys ∪ the delta's own keys —
+    // both delta-group-bounded now, ≤ |delta groups| × (K + batch keys)
+    val candPairs = topk0Touched.select(pairCols.map(col): _*)
       .unionByName(deltaAgg.select(pairCols.map(col): _*))
       .distinct()
 
@@ -197,6 +211,7 @@ object IvmTopK {
       .filter(col("__tk_broken") === 1 || col("__tk_cand") === 1)
       .drop("__tk_broken", "__tk_cand")
 
-    (viewOf(candidates, groupCols, keyCol, k), counts1)
+    (viewOf(candidates, groupCols, keyCol, k)
+      .unionByName(topk0Untouched), counts1)
   }
 }

@@ -123,7 +123,31 @@ object ScalableQuantile {
 
     val spanCols = Seq(col("g"), col("vmin"), col("vmax")) ++
       (if (equiDepth) Seq(col("__q_bh")) else Nil)
-    val spanStats = spanned.select(spanCols: _*).distinct()
+    val spanStats0 = spanned.select(spanCols: _*).distinct()
+    // equi-depth carries a (buckets-1)-double boundary array per group
+    // in the broadcast frame (~32 KB/group at 4096 buckets) — the same
+    // driver-OOM vector ScalableRank.MaxBroadcastCells guards on its
+    // stats/offsets frames. Enforce the |groups| × buckets cell bound
+    // HERE, plan-embedded (a single-task window over the aggregate-
+    // sized spanStats, riding a filter so pruning cannot elide it),
+    // before the broadcast build could grow unbounded. Without
+    // equiDepth the frame is 3 doubles/group — the plain broadcast
+    // regime, no guard needed.
+    val spanStats =
+      if (!equiDepth) spanStats0
+      else spanStats0
+        .withColumn("__q_np", count(lit(1)).over(Window.partitionBy()))
+        .filter(when(
+          col("__q_np") * buckets > ScalableRank.MaxBroadcastCells,
+          raise_error(concat(
+            lit("high-cardinality groups for equi-depth quantiles: "),
+            col("__q_np"),
+            lit(s" groups x $buckets boundary cells exceeds the " +
+              s"${ScalableRank.MaxBroadcastCells}-cell broadcast bound " +
+              "for the stats frame - many small groups are the window " +
+              "form's regime (percentileContWindow), or lower `buckets`"))))
+          .otherwise(lit(true)))
+        .drop("__q_np")
     val bucketed = rows.join(broadcast(spanStats), Seq("g"))
       .withColumn("b", bucketOf(col("v"), col("vmin"), col("vmax")))
     val bucketCounts = bucketed.groupBy(col("g"), col("b"))

@@ -202,11 +202,20 @@ object TrainPipeline {
     val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
     val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
 
-    val exactKept = ExactDedup.dedup(
-      stage.drop("n_segments", "n_kept"), "doc_id", Seq("text"))
-    record(stage.join(exactKept.select(col("doc_id")), Seq("doc_id"),
-      "left_anti"), "exact_dup")
-    val afterExact = advance(exactKept)
+    // the dedup's kept-id list is consulted twice when the ledger is
+    // on (record's anti-join, advance's kept rows) — pin the ids once
+    // (a narrow doc_id column) so the hash-groupBy dedup itself runs
+    // ONE pass, the lmFailed.cache() discipline
+    val keptIds = ExactDedup.dedup(
+        stage.drop("n_segments", "n_kept"), "doc_id", Seq("text"))
+      .select(col("doc_id")).cache()
+    val afterExact =
+      try {
+        keptIds.count()
+        record(stage.join(keptIds, Seq("doc_id"), "left_anti"), "exact_dup")
+        advance(stage.drop("n_segments", "n_kept")
+          .join(keptIds, Seq("doc_id"), "left_semi"))
+      } finally keptIds.unpersist()
     val clusters = MinHashLSH.nearDupClusters(
       stage, "doc_id", "text", NearDupThreshold)
     val loserPairs = clusters
@@ -258,13 +267,22 @@ object TrainPipeline {
         record(lmFailed, "lm_gate")
         advance(stage.join(lmFailed, Seq("doc_id"), "left_anti"))
       } finally lmFailed.unpersist()
+    // pin the gate's verdict (a narrow doc_id list) before the ledger
+    // anti-join and the advance semi-join both consult it — without
+    // the cache the featureTable + perceptron scoring pass over the
+    // corpus runs TWICE when the ledger is on
     val ptPassed = LinearClassifier.scoreWith(
       LinearClassifier.featureTable(stage, "doc_id", "text", "lang", "en"),
       ptWeights)
       .filter(col("score") > 0)
       .select(col("id").as("doc_id"))
-    record(stage.join(ptPassed, Seq("doc_id"), "left_anti"), "pt_gate")
-    val afterPtGate = advance(stage.join(ptPassed, Seq("doc_id"), "left_semi"))
+      .cache()
+    val afterPtGate =
+      try {
+        ptPassed.count()
+        record(stage.join(ptPassed, Seq("doc_id"), "left_anti"), "pt_gate")
+        advance(stage.join(ptPassed, Seq("doc_id"), "left_semi"))
+      } finally ptPassed.unpersist()
 
     // write the conserved ledger, then drop the pieces' blocks — a
     // loud identity check first: every dropped doc exactly once

@@ -138,12 +138,23 @@ object StreamingHeavyHitters {
   /** Current top-K per source from any APPEND sink of [[sketchCounts]]
     * emissions: the row set at the latest seq per source is the
     * current candidate list; rank by (est DESC, word ASC) — the `hh1`
-    * output shape with `est` in place of the exact count. */
+    * output shape with `est` in place of the exact count.
+    *
+    * Redelivery-safe: foreachBatch + append sinks are at-least-once,
+    * so a micro-batch replayed after a crash lands the same candidate
+    * list in the sink TWICE at the same (source, seq) — without dedup,
+    * row_number would count each duplicated word twice and displace
+    * the true k-th entry. Replayed emissions are bit-identical (the
+    * state store rolls back to the pre-batch version, so the re-run
+    * recomputes the same cells, candidates, and seq), which makes
+    * `dropDuplicates` exact, not a heuristic — the same idempotence
+    * the exact face gets from max(cnt) monotonicity. */
   def sketchTopK(emissions: DataFrame, k: Int): DataFrame = {
     val latest = emissions.groupBy(col("source")).agg(max(col("seq")).as("seq"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("est").desc, col("word"))
-    emissions.join(broadcast(latest), Seq("source", "seq"))
+    emissions.dropDuplicates("source", "seq", "word")
+      .join(broadcast(latest), Seq("source", "seq"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("source"), col("word"), col("est"), col("rank"))

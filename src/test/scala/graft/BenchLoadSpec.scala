@@ -134,6 +134,50 @@ class BenchLoadSpec extends AnyFunSuite {
       upgraded.contains("\"degraded\":true"))
   }
 
+  test("retrySlow: the symmetric vote — retry a factor ABOVE the median is suspect too") {
+    // the r13 driver-capture shape: d4 retry 76.288 s vs median 8.7 s
+    assert(Bench.retrySlow(median = 8.7, retry = 76.288))
+    // retry reproduces the median → no suspicion either way
+    assert(!Bench.retrySlow(median = 8.7, retry = 9.1))
+    // sub-floor gaps are jitter even at 2×+
+    assert(!Bench.retrySlow(median = 0.05, retry = 0.12))
+    // the FAST direction belongs to retryDisagrees, not retrySlow
+    assert(!Bench.retrySlow(median = 8.7, retry = 3.7))
+  }
+
+  test("slowRetryVerdict: dirty probe → degraded without a re-run") {
+    var reran = false
+    val (sec, failed, vote) = Bench.slowRetryVerdict(
+      median = 8.7, first = 76.288,
+      probeSec = Bench.CalibrationBoundSec + 0.01,
+      rerun = () => { reran = true; (3.7, false) })
+    assert(!reran, "a dirty probe must not waste a re-run under the same load window")
+    assert(sec === 76.288 && !failed && vote)
+  }
+
+  test("slowRetryVerdict: clean probe re-runs once; a fast re-run publishes and defers to retryDisagrees") {
+    val (sec, failed, vote) = Bench.slowRetryVerdict(
+      median = 8.7, first = 76.288, probeSec = 0.19,
+      rerun = () => (3.7, false))
+    assert(sec === 3.7 && !failed && !vote)
+    // the published 3.7 then triggers the standard fast-side vote
+    assert(Bench.retryDisagrees(median = 8.7, retry = 3.7))
+  }
+
+  test("slowRetryVerdict: clean probe but the re-run is STILL slow → degraded (irreconcilable samples)") {
+    val (sec, failed, vote) = Bench.slowRetryVerdict(
+      median = 8.7, first = 76.288, probeSec = 0.19,
+      rerun = () => (62.0, false))
+    assert(sec === 62.0 && !failed && vote)
+  }
+
+  test("slowRetryVerdict: a failed re-run publishes as failed and never votes") {
+    val (_, failed, vote) = Bench.slowRetryVerdict(
+      median = 8.7, first = 76.288, probeSec = 0.19,
+      rerun = () => (0.05, true))
+    assert(failed && !vote)
+  }
+
   test("a FAILED retry publishes null and never votes on degraded") {
     // (name, median, retrySec, failed): q_err threw fast — its 0.05 s
     // time-to-failure would read as massive disagreement if it voted

@@ -71,6 +71,25 @@ class IvmTopKSpec extends AnyFunSuite {
       rows(("g", 1L), ("g", 1L), ("g", 1L), ("g", 3L)))
   }
 
+  test("untouched groups pass through verbatim: a delta on one group leaves every other group's view rows (and ranks) intact") {
+    // round-14 candPairs bound: the candidate machinery is restricted
+    // to the DELTA's groups — an unpruned store with many untouched
+    // groups must neither broadcast their top-k pairs nor re-rank
+    // them, their slice of the view unions through unchanged
+    val before = rows(
+      ("a", 1L), ("a", 1L), ("a", 2L), // touched
+      ("b", 7L), ("b", 7L), ("b", 8L), // untouched, with a rank-2 key
+      ("c", 9L)) // untouched singleton
+    check(before, delta(("a", "I", 3L), ("a", "I", 3L), ("a", "I", 3L)),
+      rows(("a", 1L), ("a", 1L), ("a", 2L),
+        ("a", 3L), ("a", 3L), ("a", 3L),
+        ("b", 7L), ("b", 7L), ("b", 8L), ("c", 9L)))
+    // and a broken delta in one group must still not disturb the others
+    check(before, delta(("a", "D", 1L)),
+      rows(("a", 1L), ("a", 2L),
+        ("b", 7L), ("b", 7L), ("b", 8L), ("c", 9L)))
+  }
+
   test("tie-break on equal counts is key ASC, matching the recompute") {
     val before = rows(("g", 5L), ("g", 4L), ("g", 3L))
     // all counts equal 1: top-2 = keys {3, 4}; delete key 3 → {4, 5}

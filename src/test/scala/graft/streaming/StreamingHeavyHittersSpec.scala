@@ -135,6 +135,27 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("redelivered SKETCH emissions are harmless: a replayed batch's duplicate candidate list cannot displace the true k-th entry") {
+    import spark.implicits._
+    // an append sink after a crash-replayed micro-batch holds the same
+    // candidate list TWICE at the same (source, seq) — bit-identical,
+    // because the state store rolls back to the pre-batch version.
+    // Without dedup, row_number counts each duplicated word twice:
+    // top-2 of (a:9, b:7, c:5) would read (a, a) and drop b.
+    val emissions = Seq(
+      ("s", "a", 9L, 3L), ("s", "b", 7L, 3L), ("s", "c", 5L, 3L),
+      // the replay: identical rows, same seq
+      ("s", "a", 9L, 3L), ("s", "b", 7L, 3L), ("s", "c", 5L, 3L),
+      // an older seq that must not leak into the current view
+      ("s", "a", 4L, 2L)).toDF("source", "word", "est", "seq")
+    val top = StreamingHeavyHitters.sketchTopK(emissions, 2)
+      .select(col("source"), col("word"), col("est"),
+        col("rank").cast("int").as("rank"))
+      .collect().map(_.toSeq).sortBy(_.mkString)
+    assert(top.toSeq == Seq(
+      Seq("s", "a", 9L, 1), Seq("s", "b", 7L, 2)))
+  }
+
   test("redelivered updates are harmless: max(cnt) per key is the current count by monotonicity") {
     import spark.implicits._
     val updates = Seq(
