@@ -228,6 +228,16 @@ object Bench {
       s""""retry_degraded":$retryDegraded,"degraded":$degraded}"""
   }
 
+  /** Wrap an e2e result body with its own load stamp (round 14): the
+    * e2e blocks used to publish a bare wall time, so a loaded-host
+    * capture (r13 driver: 43.8 s migration vs 8.9 s clean) was only
+    * diagnosable by cross-referencing the sweep-level load block —
+    * which brackets the WHOLE run, not the e2e's own window. Each
+    * fragment now carries the same load/calibration object, sampled
+    * immediately around its own drain. */
+  def e2eFragment(name: String, body: String, loadFrag: String): String =
+    s""","$name":{$body,$loadFrag}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // parsed, not passed through: a non-numeric value (e.g. "*", valid
@@ -351,22 +361,36 @@ object Bench {
           try java.nio.file.Files.deleteIfExists(p) catch {
             case _: Exception => () })
       } catch { case _: Exception => () }
+    // each e2e block samples its OWN load window (round 14): loadavg +
+    // single-thread calibration probe immediately before and after the
+    // drain, emitted as a nested "load" object via loadJson — so a
+    // contended e2e number self-identifies without cross-referencing
+    // the sweep-level block (whose probes bracket the whole run)
+    def timedE2e(name: String, tmpPrefix: String)(
+        body: String => String): String = {
+      val root = java.nio.file.Files.createTempDirectory(tmpPrefix)
+      try {
+        val a0 = osBean.getSystemLoadAverage
+        val c0 = calibrationSec()
+        val b = body(root.toString)
+        val a1 = osBean.getSystemLoadAverage
+        val c1 = calibrationSec()
+        e2eFragment(name, b, loadJson(a0, a1, c0, c1))
+      } catch {
+        case e: Throwable =>
+          s""","$name":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(160))}"}"""
+      } finally deleteRecursively(root)
+    }
     val e2eJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
-      else {
-        val root = java.nio.file.Files.createTempDirectory("graft-e2e")
-        try {
-          val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root.toString)
-          def s3(d: Double) = math.rint(d * 1000) / 1000
-          s""","e2e":{"sec":${s3(r.totalSec)},"ddl_sec":${s3(r.ddlSec)},""" +
-            s""""data_dvt_sec":${s3(r.dataSec)},"tables":${graft.pipeline.E2ePipeline.TableKeys.size},""" +
-            s""""validations":${r.validations},"report_rows":${r.reportRows},""" +
-            s""""all_success":${r.allSuccess}}"""
-        } catch {
-          case e: Throwable =>
-            s""","e2e":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(160))}"}"""
-        } finally deleteRecursively(root)
+      else timedE2e("e2e", "graft-e2e") { root =>
+        val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root)
+        def s3(d: Double) = math.rint(d * 1000) / 1000
+        s""""sec":${s3(r.totalSec)},"ddl_sec":${s3(r.ddlSec)},""" +
+          s""""data_dvt_sec":${s3(r.dataSec)},"tables":${graft.pipeline.E2ePipeline.TableKeys.size},""" +
+          s""""validations":${r.validations},"report_rows":${r.reportRows},""" +
+          s""""all_success":${r.allSuccess}"""
       }
     // training-data curation flow (quality → segment dedup → exact +
     // near dedup → decontam → split → LM gate → perceptron gate →
@@ -375,23 +399,17 @@ object Bench {
     // time + the full attrition funnel.
     val trainJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
-      else {
-        val root = java.nio.file.Files.createTempDirectory("graft-e2e-train")
-        try {
-          val r = graft.pipeline.TrainPipeline.run(spark, sfDir, root.toString)
-          def s3(d: Double) = math.rint(d * 1000) / 1000
-          s""","e2e_train":{"sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
-            s""""after_quality":${r.afterQuality},"segments_in":${r.segmentsIn},""" +
-            s""""segments_kept":${r.segmentsKept},"after_exact":${r.afterExact},""" +
-            s""""after_near_dup":${r.afterNearDup},"after_decontam":${r.afterDecontam},""" +
-            s""""after_lm_gate":${r.afterLmGate},"after_pt_gate":${r.afterPtGate},""" +
-            s""""train_rows":${r.trainRows},"upsampled_rows":${r.upsampledRows},""" +
-            s""""batches":${r.batches},"shards":${r.shards}}"""
-        } catch {
-          case e: Throwable =>
-            s""","e2e_train":{"error":"${esc(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").take(160))}"}"""
-        } finally deleteRecursively(root)
+      else timedE2e("e2e_train", "graft-e2e-train") { root =>
+        val r = graft.pipeline.TrainPipeline.run(spark, sfDir, root)
+        def s3(d: Double) = math.rint(d * 1000) / 1000
+        s""""sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
+          s""""after_quality":${r.afterQuality},"segments_in":${r.segmentsIn},""" +
+          s""""segments_kept":${r.segmentsKept},"after_exact":${r.afterExact},""" +
+          s""""after_near_dup":${r.afterNearDup},"after_image_dedup":${r.afterImageDedup},""" +
+          s""""after_decontam":${r.afterDecontam},""" +
+          s""""after_lm_gate":${r.afterLmGate},"after_pt_gate":${r.afterPtGate},""" +
+          s""""train_rows":${r.trainRows},"upsampled_rows":${r.upsampledRows},""" +
+          s""""batches":${r.batches},"shards":${r.shards}"""
       }
     val loadEnd = osBean.getSystemLoadAverage
     val calEnd = calibrationSec()

@@ -42,32 +42,47 @@ object IvmFold {
     * rows (groupCols…, valueCol) — read only for affected groups via
     * a broadcast semi-join. Returns the maintained aggregate after the
     * fold; groups whose count reaches zero disappear. `stored = None`
-    * is the empty view (first fold). */
+    * is the empty view (first fold).
+    *
+    * `wideDecimal` (round 14) widens the store to decimal(38,6): the
+    * default decimal(18,4) raises loudly past |v| ≥ 1e14 — correct but
+    * a real cap for money-at-scale views (a cents-scaled 10-figure
+    * ledger approaches it); the wide store admits values to 1e32 with
+    * six fractional digits and THE SAME overflow raise at its own
+    * boundary. The stored `s` column must carry the matching type —
+    * seed the view with the same flag. */
   def foldMinMax(
       stored: Option[DataFrame],
       delta: DataFrame,
       rowsAfter: DataFrame,
       groupCols: Seq[String],
       opCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      wideDecimal: Boolean = false): DataFrame = {
     val spark = delta.sparkSession
     val g = groupCols.map(col)
     val isI = col(opCol) === "I"
     val v = col(valueCol)
-    // a value outside decimal(18,4) casts to NULL (non-ANSI) — without
-    // this raise the coalesce below would fold it into the maintained
-    // sum as 0, indistinguishable from the documented null-contributes-0
-    // convention: silent drift for |v| ≥ 1e14 in an operator billed as
-    // exact (and the n==0-with-remainder guard can't see it — an
+    // (precision, scale) of the value cast and of the running sum: the
+    // sum gets the headroom decimal arithmetic would otherwise widen
+    // away one fold at a time — except at 38, the type system's own cap
+    val (vp, vs) = if (wideDecimal) (38, 6) else (18, 4)
+    val sumType = if (wideDecimal) "decimal(38,6)" else "decimal(28,4)"
+    def decl(c: org.apache.spark.sql.Column) = dec(c, vp, vs)
+    // a value outside the store decimal casts to NULL (non-ANSI) —
+    // without this raise the coalesce below would fold it into the
+    // maintained sum as 0, indistinguishable from the documented
+    // null-contributes-0 convention: silent drift in an operator billed
+    // as exact (and the n==0-with-remainder guard can't see it — an
     // overflowed s is itself NULL). Same raise-loudly discipline as the
     // op-column check.
     def decChecked(c: org.apache.spark.sql.Column) =
-      when(c.isNotNull && dec(c).isNull,
+      when(c.isNotNull && decl(c).isNull,
         raise_error(concat(lit(s"value in '$valueCol' outside " +
-          "decimal(18,4) ("), c.cast("string"),
+          s"decimal($vp,$vs) ("), c.cast("string"),
           lit(") — the exact sum would silently drift; widen the " +
             "view's decimal or scale the value"))))
-        .otherwise(coalesce(dec(c), lit(0)))
+        .otherwise(coalesce(decl(c), lit(0)))
     val deltaAgg = delta
       .select((g :+ col(opCol)) :+ v.as("__v"): _*)
       .withColumn("__chk",
@@ -90,7 +105,7 @@ object IvmFold {
       // empty view with the contract schema, derived from the delta so
       // group/value types line up without a hand-built schema
       delta.filter(lit(false)).select(
-        (g :+ lit(0L).as("n")) :+ dec(v).as("s") :+
+        (g :+ lit(0L).as("n")) :+ decl(v).as("s") :+
           v.as("mn") :+ v.as("mx"): _*))
 
     val joined = storedDf.join(deltaAgg, groupCols, "full_outer")
@@ -124,7 +139,7 @@ object IvmFold {
       .join(broadcast(affected), groupCols, "left_semi")
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(decChecked(v)), lit(0).cast("decimal(18,4)")).as("s"),
+        coalesce(sum(decChecked(v)), lit(0).cast(s"decimal($vp,$vs)")).as("s"),
         min(v).as("mn"), max(v).as("mx"))
 
     // a negative count (or zero with a remainder sum) means the delta
@@ -141,7 +156,7 @@ object IvmFold {
           raise_error(lit("delta deletes rows the view never absorbed " +
             "(negative count or zero count with a remainder sum)")))
           .otherwise(col("n")))
-      .withColumn("s", col("s").cast("decimal(28,4)"))
+      .withColumn("s", col("s").cast(sumType))
       .filter(col("n") > 0)
   }
 }

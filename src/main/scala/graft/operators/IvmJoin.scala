@@ -57,46 +57,79 @@ object IvmJoin {
         lit(") — the exact sum would silently drift"))))
       .otherwise(coalesce(dec(c), lit(0)))
 
-  /** Fold CDC deltas on both sides of `R ⋈ S` (equi-join on
-    * `joinKeys`, shared column names) into the maintained per-group
-    * (n, s) view, where `groupCols` and `valueCol` are columns of the
-    * JOINED row (either side). Pass an empty-delta frame (not null)
-    * for a side with no changes. `stored = None` is the empty view.
-    * Returns the view after the fold; groups at zero disappear, a
-    * delta that deletes pairs the view never absorbed fails loudly
-    * (negative count / zero-with-remainder — only reachable on the
-    * merge path, which is total here). */
-  def foldSumView(
-      stored: Option[DataFrame],
+  /** The bilinear delta of `R ⋈ S` as a FIRST-CLASS CDC stream (round
+    * 14 — the composition face): joined rows carrying `outCols` plus
+    * `opCol` ∈ {I, D}, exactly the multiset change
+    * `(R+ΔR)⋈(S+ΔS) − R⋈S`. Because the output speaks the SAME delta
+    * contract the whole IVM family consumes, a join view composes:
+    * feed the result into [[foldAggSigned]] (maintained join→aggregate,
+    * the warehouse materialized view), into [[IvmTopK.fold]] (maintained
+    * join→top-k), or into ANOTHER `deltaJoin` as one of its delta sides
+    * (multi-way joins — each additional relation consumes the upstream
+    * delta as its ΔR, with the maintained intermediate join as its R).
+    *
+    * Sign bookkeeping: each emitted row's multiplicity is the product
+    * of its source signs — a (D, D) cross pair emits I, because
+    * deleting r and s subtracts their joined pair once through EACH
+    * linear term and the cross term adds it back. The raw stream may
+    * therefore carry cancelling rows for one tuple (e.g. a reprice
+    * whose order is deleted in the same batch emits 5 rows netting one
+    * D); downstream aggregates fold signs linearly so cancellation is
+    * free, and rows-store maintainers compress by net sign first
+    * ([[graft.streaming.StreamingIvmCompose]]).
+    *
+    * Scale shape: identical to [[foldSumView]]'s legs — each term
+    * broadcasts its delta side, the stored sides stream through one
+    * scan apiece (pruned to the delta's join-key buckets in the
+    * streaming deployment), the cross term is delta × delta. Output
+    * size ≤ |ΔR|·maxfan(S) + |ΔS|·maxfan(R) + |ΔR⋈ΔS| — delta-
+    * proportional for bounded fan-out. */
+  def deltaJoin(
       deltaR: DataFrame,
       deltaS: DataFrame,
       rBefore: DataFrame,
       sBefore: DataFrame,
       joinKeys: Seq[String],
-      groupCols: Seq[String],
-      valueCol: String,
-      opCol: String): DataFrame = {
-    val g = groupCols.map(col)
+      opCol: String,
+      outCols: Seq[String]): DataFrame = {
     def signed(d: DataFrame, w: String): DataFrame =
       d.withColumn(w, signOf(col(opCol), opCol)).drop(opCol)
-
     val dR = signed(deltaR, "__wr")
     val dS = signed(deltaS, "__ws")
     // the three bilinear terms — the DELTA side broadcasts in each, so
     // the stored sides stream through one scan apiece and the cross
     // term never touches a store at all
+    val out = outCols.map(col)
     val t1 = broadcast(dR).join(sBefore, joinKeys)
-      .select(g :+ col("__wr").as("__w") :+ col(valueCol).as("__v"): _*)
+      .select(out :+ col("__wr").as("__w"): _*)
     val t2 = rBefore.join(broadcast(dS), joinKeys)
-      .select(g :+ col("__ws").as("__w") :+ col(valueCol).as("__v"): _*)
+      .select(out :+ col("__ws").as("__w"): _*)
     val t3 = broadcast(dR).join(broadcast(dS), joinKeys)
-      .select(g :+ (col("__wr") * col("__ws")).as("__w") :+
-        col(valueCol).as("__v"): _*)
+      .select(out :+ (col("__wr") * col("__ws")).as("__w"): _*)
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn(opCol, when(col("__w") === 1, "I").otherwise("D"))
+      .drop("__w")
+  }
 
-    val deltaAgg = t1.unionByName(t2).unionByName(t3)
+  /** Fold a SIGNED CDC stream (`opCol` ∈ {I, D} — [[deltaJoin]]'s
+    * output, or any single-relation delta) into the maintained
+    * per-group (n, s) view: the ivm1 invertible merge, factored out so
+    * composed views reuse it verbatim. `stored = None` is the empty
+    * view. Groups at zero disappear; a delta that deletes rows the
+    * view never absorbed fails loudly (negative count /
+    * zero-with-remainder). */
+  def foldAggSigned(
+      stored: Option[DataFrame],
+      delta: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      opCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val deltaAgg = delta
+      .withColumn("__w", signOf(col(opCol), opCol))
       .groupBy(g: _*)
       .agg(sum(col("__w")).as("__dn"),
-        sum(col("__w") * decChecked(col("__v"), valueCol)).as("__ds"))
+        sum(col("__w") * decChecked(col(valueCol), valueCol)).as("__ds"))
 
     val storedDf = stored.getOrElse(
       deltaAgg.filter(lit(false))
@@ -116,4 +149,34 @@ object IvmJoin {
       .withColumn("s", col("s").cast("decimal(28,4)"))
       .filter(col("n") > 0)
   }
+
+  /** Fold CDC deltas on both sides of `R ⋈ S` (equi-join on
+    * `joinKeys`, shared column names) into the maintained per-group
+    * (n, s) view, where `groupCols` and `valueCol` are columns of the
+    * JOINED row (either side). Pass an empty-delta frame (not null)
+    * for a side with no changes. `stored = None` is the empty view.
+    * Returns the view after the fold; groups at zero disappear, a
+    * delta that deletes pairs the view never absorbed fails loudly
+    * (negative count / zero-with-remainder — only reachable on the
+    * merge path, which is total here).
+    *
+    * Since round 14 this IS the composition [[deltaJoin]] →
+    * [[foldAggSigned]] — the same plan the hand-fused original built
+    * (the op column round-trips through one codegen'd CASE each way;
+    * IvmJoinSpec's shapes pin the equality). */
+  def foldSumView(
+      stored: Option[DataFrame],
+      deltaR: DataFrame,
+      deltaS: DataFrame,
+      rBefore: DataFrame,
+      sBefore: DataFrame,
+      joinKeys: Seq[String],
+      groupCols: Seq[String],
+      valueCol: String,
+      opCol: String): DataFrame =
+    foldAggSigned(
+      stored,
+      deltaJoin(deltaR, deltaS, rBefore, sBefore, joinKeys, opCol,
+        groupCols :+ valueCol),
+      groupCols, valueCol, opCol)
 }

@@ -195,6 +195,16 @@ object ScalableRank {
       nCol: String = "n",
       maxBroadcastCells: Long = MaxBroadcastCells,
       equiDepth: Boolean = false): DataFrame = {
+    checkRankArgs(df, rnCol, nCol, buckets, equiDepth)
+    val v = checkedProxy(df, valueCol)
+    val stats = statsFrame(df, partCols, v, buckets, nCol, equiDepth,
+      maxBroadcastCells)
+    latticeFrom(df, stats, partCols, v, valueCol, tieCols, buckets,
+      rnCol, equiDepth, offsetsPre = None)
+  }
+
+  private def checkRankArgs(df: DataFrame, rnCol: String, nCol: String,
+      buckets: Int, equiDepth: Boolean): Unit = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     if (equiDepth) require((buckets & (buckets - 1)) == 0,
       s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
@@ -202,22 +212,33 @@ object ScalableRank {
     (Reserved :+ rnCol :+ nCol).foreach(c =>
       require(!df.columns.contains(c),
         s"input already contains reserved/output column '$c'"))
+  }
+
+  private def checkedProxy(df: DataFrame, valueCol: String): Column = {
     val v0 = orderProxy(df, valueCol)
-    val v = when(v0.isNull || isnan(v0),
+    when(v0.isNull || isnan(v0),
       raise_error(lit(s"null/NaN in rank value column '$valueCol' — " +
         "a total order cannot place it; filter first"))).otherwise(v0)
+  }
 
-    // the global (no-partition) band takes its own branch: a constant
-    // grouping key would be constant-folded into no-key joins
-    // (BroadcastNestedLoop over the DATA) and unpartitioned windows —
-    // the exact shapes this operator exists to avoid. Here only the
-    // 1-row stats cross-join and the ≤`buckets`-row offsets window are
-    // global; the data-sized window stays keyed on the bucket.
-    // equi-depth mode adds per-group quantile boundaries to the SAME
-    // combinable stats aggregate (percentile_approx), heap-ordered for
-    // the per-row descent — the opt-in remedy for adversarial value
-    // skew, where equi-width concentrates nearly all rows in one
-    // bucket and the scale guarantee (never the answer) degrades
+  /** The stats pass: count/min/max (+ heap-ordered equi-depth
+    * boundaries) per partition key, with the broadcast-cell guard
+    * plan-embedded.
+    *
+    * The global (no-partition) band takes its own branch: a constant
+    * grouping key would be constant-folded into no-key joins
+    * (BroadcastNestedLoop over the DATA) and unpartitioned windows —
+    * the exact shapes this operator exists to avoid. Here only the
+    * 1-row stats cross-join and the ≤`buckets`-row offsets window are
+    * global; the data-sized window stays keyed on the bucket.
+    * equi-depth mode adds per-group quantile boundaries to the SAME
+    * combinable stats aggregate (percentile_approx), heap-ordered for
+    * the per-row descent — the remedy for adversarial value skew,
+    * where equi-width concentrates nearly all rows in one bucket and
+    * the scale guarantee (never the answer) degrades. */
+  private def statsFrame(df: DataFrame, partCols: Seq[String], v: Column,
+      buckets: Int, nCol: String, equiDepth: Boolean,
+      maxBroadcastCells: Long): DataFrame = {
     val heapifyUdf = udf((b: Seq[Double]) => heapify(b))
     val baseAggs = Seq(count(lit(1)).as(nCol),
       min(v).as("__rank_vmin"), max(v).as("__rank_vmax"))
@@ -235,58 +256,76 @@ object ScalableRank {
     // before the offsets broadcast could grow to |parts|·buckets rows.
     // The check rides a filter so column pruning cannot elide it; the
     // global branch is 1 key by construction and skips it.
-    val stats =
-      if (partCols.isEmpty) stats0
-      else stats0
-        .withColumn("__rank_np",
-          count(lit(1)).over(Window.partitionBy()))
-        .filter(when(col("__rank_np") * buckets > maxBroadcastCells,
-          raise_error(concat(
-            lit("high-cardinality partition keys for the bucket-rank " +
-              "shape: "), col("__rank_np"),
-            lit(s" keys x $buckets buckets exceeds the " +
-              s"$maxBroadcastCells-cell broadcast bound for the " +
-              "stats/offsets frames - many small groups are the WINDOW " +
-              "form's regime (windowRowNumber / withRowNumberAuto), or " +
-              "lower `buckets`")))).otherwise(lit(true)))
-        .drop("__rank_np")
+    if (partCols.isEmpty) stats0
+    else stats0
+      .withColumn("__rank_np",
+        count(lit(1)).over(Window.partitionBy()))
+      .filter(when(col("__rank_np") * buckets > maxBroadcastCells,
+        raise_error(concat(
+          lit("high-cardinality partition keys for the bucket-rank " +
+            "shape: "), col("__rank_np"),
+          lit(s" keys x $buckets buckets exceeds the " +
+            s"$maxBroadcastCells-cell broadcast bound for the " +
+            "stats/offsets frames - many small groups are the WINDOW " +
+            "form's regime (windowRowNumber / withRowNumberAuto), or " +
+            "lower `buckets`")))).otherwise(lit(true)))
+      .drop("__rank_np")
+  }
 
-    // order-consistent equi-width bucket id; single-value groups
-    // (span 0) take bucket 0 directly — no 0/0 in sight. Operands are
-    // halved BEFORE subtracting so a span crossing the double range
-    // (vmax − vmin → Infinity) stays finite — halving is monotone, so
-    // bucket order consistency is untouched.
+  /** `df` joined to its stats, with the order-consistent bucket id;
+    * single-value groups (span 0) take bucket 0 directly — no 0/0 in
+    * sight. Operands are halved BEFORE subtracting so a span crossing
+    * the double range (vmax − vmin → Infinity) stays finite — halving
+    * is monotone, so bucket order consistency is untouched. */
+  private def bucketedFrame(df: DataFrame, stats: DataFrame,
+      partCols: Seq[String], v: Column, buckets: Int,
+      equiDepth: Boolean): DataFrame = {
     val half = v / 2.0
     val hmin = col("__rank_vmin") / 2.0
     val hmax = col("__rank_vmax") / 2.0
-    val bucketed =
-      (if (partCols.isEmpty) df.crossJoin(broadcast(stats))
-       else df.join(broadcast(stats), partCols))
-        .withColumn("__rank_b",
-          when(col("__rank_vmin") === col("__rank_vmax"), lit(0L))
-            .otherwise(
-              if (equiDepth) heapSearch(col("__rank_bh"), v, buckets)
-              else least(
-                floor((half - hmin) / (hmax - hmin) * buckets).cast("long"),
-                lit(buckets - 1L))))
+    (if (partCols.isEmpty) df.crossJoin(broadcast(stats))
+     else df.join(broadcast(stats), partCols))
+      .withColumn("__rank_b",
+        when(col("__rank_vmin") === col("__rank_vmax"), lit(0L))
+          .otherwise(
+            if (equiDepth) heapSearch(col("__rank_bh"), v, buckets)
+            else least(
+              floor((half - hmin) / (hmax - hmin) * buckets).cast("long"),
+              lit(buckets - 1L))))
+  }
 
-    // cumulative count BELOW each bucket: windows over ≤`buckets` rows
-    // per group — aggregate-sized, never data-sized (the global case's
-    // single partition holds at most `buckets` rows by construction)
+  /** Per-(part, bucket) counts and the cumulative count BELOW each
+    * bucket: windows over ≤`buckets` rows per group — aggregate-sized,
+    * never data-sized (the global case's single partition holds at
+    * most `buckets` rows by construction). `keepBn` retains the raw
+    * bucket count for the skew probe. */
+  private def offsetsOf(bucketed: DataFrame, partCols: Seq[String],
+      keepBn: Boolean = false): DataFrame = {
     val cumW = (if (partCols.isEmpty) Window.partitionBy()
                 else Window.partitionBy(partCols.map(col): _*))
       .orderBy(col("__rank_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy((partCols :+ "__rank_b").map(col): _*)
+    val keep = partCols :+ "__rank_b" :+ "__rank_cum"
+    bucketed.groupBy((partCols :+ "__rank_b").map(col): _*)
       .agg(count(lit(1)).as("__rank_bn"))
       .withColumn("__rank_cum",
         coalesce(sum(col("__rank_bn")).over(cumW), lit(0L)))
-      .select((partCols :+ "__rank_b" :+ "__rank_cum").map(col): _*)
+      .select((if (keepBn) keep :+ "__rank_bn" else keep).map(col): _*)
+  }
 
-    // the ONE data exchange: hash on (part, bucket); each task sorts
-    // only its bucket slice — 1/`buckets` of the group. The offsets
-    // broadcast is bounded by the stats guard above (offsets rows ≤
-    // |parts| × buckets ≤ maxBroadcastCells by construction).
+  /** The final lattice: the ONE data exchange, hashed on (part,
+    * bucket); each task sorts only its bucket slice — 1/`buckets` of
+    * the group. The offsets broadcast is bounded by the stats guard
+    * (offsets rows ≤ |parts| × buckets ≤ maxBroadcastCells by
+    * construction). `offsetsPre` threads a pre-materialized offsets
+    * frame (the skew probe's — already computed, aggregate-sized) so
+    * the clean probe path costs no extra pass. */
+  private def latticeFrom(df: DataFrame, stats: DataFrame,
+      partCols: Seq[String], v: Column, valueCol: String,
+      tieCols: Seq[String], buckets: Int, rnCol: String,
+      equiDepth: Boolean, offsetsPre: Option[DataFrame]): DataFrame = {
+    val bucketed = bucketedFrame(df, stats, partCols, v, buckets, equiDepth)
+    val offsets = offsetsPre.getOrElse(offsetsOf(bucketed, partCols))
     val localW = Window.partitionBy((partCols :+ "__rank_b").map(col): _*)
       .orderBy(col(valueCol) +: tieCols.map(col): _*)
     bucketed
@@ -329,12 +368,42 @@ object ScalableRank {
       .withColumn(nCol, count(lit(1)).over(Window.partitionBy(parts: _*)))
   }
 
+  /** Largest tolerated max-bucket share among span>0 groups before
+    * [[withRowNumberAuto]]'s probe switches the bucket shape onto
+    * equi-depth boundaries. A balanced profile sits near 1/`buckets`
+    * (~0.00024 at the default 4096); the collapsed profile
+    * ProfileRankSkew measures (2.4–3.8× slower than equi-depth at
+    * 20M/60M rows) reads ~1.0. Half is the regime boundary where "one
+    * bucket's sort" is no longer meaningfully smaller than "the
+    * group's sort" — mild skew below it costs a bounded constant, so
+    * the probe only reshapes the genuinely pathological profile. */
+  val SkewShareThreshold = 0.5
+
   /** Shape-picking face: the window form below [[AutoBucketRankBytes]]
     * (per Catalyst's estimate of `df`), the bucket form above it —
     * `DistributionValidator.autoBucketLocate`'s exact discipline
     * applied to rank. Pass `bucketRank = Some(...)` to force one shape
     * (the SCALING.md contrast measurements do). Answers are identical
-    * either way (RankParitySpec); only the plan changes. */
+    * everywhere (RankParitySpec, RankSkewAutoSpec); only the plan
+    * changes.
+    *
+    * Round 14: the bucket shape SELF-DEFENDS against adversarial value
+    * skew. Unless `equiDepth` is already forced, it materializes the
+    * equi-width stats and offsets frames it needs ANYWAY
+    * (aggregate-sized, ≤ [[MaxBroadcastCells]] cells by the guard —
+    * eager localCheckpoints, so the probe's two passes over the data
+    * are the same two the equi-width lattice performs) and reads the
+    * max bucket share among span>0 groups off the offsets. A clean
+    * profile (share ≤ [[SkewShareThreshold]]) threads the
+    * already-computed frames into the final lattice — SAME total scan
+    * count, same plan shape as before the probe existed; a collapsed
+    * profile pays one extra stats pass (percentile_approx boundaries)
+    * and ranks equi-depth, turning the silent single-task-sort
+    * degradation into a measured 2.4–3.8× win (SCALING.md). Ties the
+    * probe cannot fix (one VALUE holding a bucket) may recompute
+    * boundaries without benefit — bounded cost, answers identical.
+    * The probe runs when the frame is built (the DAG-build-time
+    * discipline the iterative operators already follow). */
   def withRowNumberAuto(
       df: DataFrame,
       partCols: Seq[String],
@@ -345,11 +414,40 @@ object ScalableRank {
       nCol: String = "n",
       bucketRank: Option[Boolean] = None,
       equiDepth: Boolean = false): DataFrame =
-    if (bucketRank.getOrElse(autoBucketRank(df)))
-      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
-        equiDepth = equiDepth)
-    else
+    if (!bucketRank.getOrElse(autoBucketRank(df)))
       windowRowNumber(df, partCols, valueCol, tieCols, rnCol, nCol)
+    else if (equiDepth)
+      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
+        equiDepth = true)
+    else {
+      checkRankArgs(df, rnCol, nCol, buckets, equiDepth = false)
+      val v = checkedProxy(df, valueCol)
+      val stats = statsFrame(df, partCols, v, buckets, nCol,
+        equiDepth = false, MaxBroadcastCells).localCheckpoint()
+      val bucketed = bucketedFrame(df, stats, partCols, v, buckets,
+        equiDepth = false)
+      val offsets = offsetsOf(bucketed, partCols, keepBn = true)
+        .localCheckpoint()
+      // max bucket share among span>0 groups (span-0 groups hold all
+      // rows in bucket 0 BY DESIGN — the constant short-circuit — and
+      // equi-depth could not spread pure ties anyway); aggregate-sized
+      // arithmetic over the two materialized frames, no data touched
+      val spanned = stats.filter(col("__rank_vmin") =!= col("__rank_vmax"))
+        .select((partCols :+ nCol).map(col): _*)
+      val shareRow =
+        (if (partCols.isEmpty) offsets.crossJoin(broadcast(spanned))
+         else offsets.join(broadcast(spanned), partCols))
+          .agg(max(col("__rank_bn").cast("double") / col(nCol)))
+          .head()
+      val maxShare = if (shareRow.isNullAt(0)) 0.0 else shareRow.getDouble(0)
+      if (maxShare > SkewShareThreshold)
+        withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
+          equiDepth = true)
+      else
+        latticeFrom(df, stats, partCols, v, valueCol, tieCols, buckets,
+          rnCol, equiDepth = false,
+          offsetsPre = Some(offsets.drop("__rank_bn")))
+    }
 
   /** Tie-aware SQL ranks for ORDER BY `valueCol` alone (peers = equal
     * values): adds `rank` (= min rn over peers — the window `rank()`)

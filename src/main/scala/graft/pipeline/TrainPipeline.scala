@@ -14,7 +14,9 @@ import graft.operators.{BloomContamination, ExactDedup, LanguageModel, LinearCla
   *
   *   corpus → Gopher quality gate → corpus-wide segment dedup
   *   (documents shrink, boilerplate survives once) → exact dedup →
-  *   near-dup drop (MinHash+LSH clusters, keep lowest id) → Bloom
+  *   near-dup drop (MinHash+LSH clusters, keep lowest id) → IMAGE
+  *   near-dup drop (perceptual-hash clusters over each doc's asset
+  *   payload — the m4/m5 multimodal face, round 14) → Bloom
   *   decontamination against the held-out benchmark set →
   *   deterministic train/val/test split → bigram-LM quality gate
   *   (model frozen on the TRAIN split only — val/test never touch
@@ -99,6 +101,7 @@ object TrainPipeline {
       segmentsKept: Long,
       afterExact: Long,
       afterNearDup: Long,
+      afterImageDedup: Long,
       afterDecontam: Long,
       afterLmGate: Long,
       afterPtGate: Long,
@@ -118,8 +121,9 @@ object TrainPipeline {
     * `ledgerOut` (opt-in) writes the per-document DROP LEDGER as
     * parquet (doc_id, stage, detail): the answer to "why is doc X not
     * in my training set" — stage ∈ {quality_gate, exact_dup, near_dup,
-    * contaminated, lm_gate, pt_gate}, detail = the kept representative
-    * for near_dup losers (null elsewhere). The ledger is CONSERVED
+    * image_near_dup, contaminated, lm_gate, pt_gate}, detail = the
+    * kept representative for near_dup/image_near_dup losers (null
+    * elsewhere). The ledger is CONSERVED
     * against the funnel by a loud in-run check: every dropped row
     * appears exactly once, Σ ledger = rowsIn − afterPtGate. Costs one
     * extra materialization per dropping stage (pieces must pin their
@@ -225,6 +229,27 @@ object TrainPipeline {
     record(loserPairs, "near_dup", col("keep"))
     val losers = loserPairs.select(col("doc_id"))
     val afterNearDup = advance(stage.join(losers, Seq("doc_id"), "left_anti"))
+
+    // ---- image near-dup gate (the m4/m5 multimodal face) -----------
+    // each document's payload doubles as its image asset (the repo's
+    // stub-codec convention — real JDK codecs engage on real mimes);
+    // perceptual-hash clusters keep only the lowest-id representative,
+    // and the losers get the SAME ledger treatment as the text
+    // near-dup: a mixed-modality curation run must answer "why is
+    // image X gone" from one ledger
+    val assets = graft.multimodal.Multimodal.assetsFrom(
+      spark, stage, "doc_id", "text", "image/fake")
+    val iclusters = graft.operators.SimHash.nearDupClusters(
+      graft.multimodal.Multimodal.perceptualHashes(assets), maxDist = 3)
+    val iLoserPairs = iclusters
+      .join(iclusters.groupBy(col("comp")).agg(min(col("id")).as("keep")),
+        Seq("comp"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"), col("keep"))
+    record(iLoserPairs, "image_near_dup", col("keep"))
+    val afterImageDedup = advance(
+      stage.join(iLoserPairs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+
     val bits = BloomContamination.buildBits(bench, "text", ContamN, BloomBits)
     val contaminated = BloomContamination
       .flagged(stage, "doc_id", "text", ContamN, bits)
@@ -330,7 +355,8 @@ object TrainPipeline {
       val batches = export.select(col("bucket"), col("batch_idx")).distinct().count()
       ShuffleShard.writeShards(export, "uid", shards, seed, outDir)
       Report(rowsIn, afterQuality, segmentsIn, segmentsKept, afterExact,
-        afterNearDup, afterDecontam, afterLmGate, afterPtGate, ptWeights,
+        afterNearDup, afterImageDedup, afterDecontam, afterLmGate,
+        afterPtGate, ptWeights,
         splitCounts, trainRows, upsampledRows, batches, shards,
         (System.nanoTime() - t0) / 1e9)
     } finally export.unpersist()

@@ -638,9 +638,89 @@ object GovernanceQueries {
       topk1.select(col("o_orderpriority"), col("rnk"), col("ck"),
           col("cnt"))
         .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+    "ivm7_composed_view" -> ((s, dir) => {
+      // COMPOSED IVM (round 14) — the canonical warehouse materialized
+      // view: a MULTI-WAY JOIN feeding an AGGREGATE (revenue per
+      // nation over lineitem ⋈ orders ⋈ customer), maintained
+      // end-to-end by COMPOSITION of the family members instead of a
+      // bespoke operator. IvmJoin.deltaJoin emits the joined relation's
+      // own CDC stream (signed I/D rows, the same delta contract every
+      // fold consumes), so the pipeline chains: Δ(L⋈O) from the
+      // stage-1 bilinear expansion, that delta re-enters stage 2 AS
+      // ΔR against the maintained intermediate join and customer, and
+      // the final signed stream folds invertibly into the stored
+      // (n, s) view. One change batch touches all three bases: every
+      // 101st lineitem repriced +10 (delete+insert on the deepest
+      // fact), every 97th order deleted outright (their lines vanish
+      // from the view — and a repriced line whose order dies in the
+      // SAME batch exercises the stage-1 ΔL⋈ΔO cross term), every
+      // 89th customer re-pointed to the next nation (delete+insert on
+      // the dim — stage 2's ΔR⋈ΔS cross term fires where an upstream
+      // delta row lands on a moved customer). Every leg broadcasts
+      // only delta-sized frames; the stored relations stream through
+      // one scan apiece. Oracle = full recompute of the three-way
+      // join over all three modified tables, bit-for-bit.
+      import graft.operators.IvmJoin
+      val l = T(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_extendedprice").as("price"))
+      val o = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"))
+      val c = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nation"))
+      val repriced = pmod(col("ok"), lit(101)) === 0
+      val odropped = pmod(col("ok"), lit(97)) === 0
+      val moved = pmod(col("ck"), lit(89)) === 0
+      val dL = l.filter(repriced)
+        .select(col("ok"), col("ln"), col("price"), lit("D").as("op"))
+        .unionByName(l.filter(repriced)
+          .select(col("ok"), col("ln"), (col("price") + 10.0).as("price"),
+            lit("I").as("op")))
+      val dO = o.filter(odropped)
+        .select(col("ok"), col("ck"), lit("D").as("op"))
+      val dC = c.filter(moved)
+        .select(col("ck"), col("nation"), lit("D").as("op"))
+        .unionByName(c.filter(moved)
+          .select(col("ck"), pmod(col("nation") + 1L, lit(25L)).as("nation"),
+            lit("I").as("op")))
+      // stage 1: the joined fact's own CDC stream
+      val d1 = IvmJoin.deltaJoin(dL, dO, l, o, Seq("ok"), "op",
+        Seq("ck", "price"))
+      // stage 2: upstream delta AS this join's ΔR; its R is the
+      // maintained intermediate join (recomputed here as the stand-in
+      // for the stored intermediate — StreamingIvmCompose keeps it as
+      // a rows store in the deployment shape)
+      val lo = l.join(o, Seq("ok")).select(col("ck"), col("price"))
+      val d2 = IvmJoin.deltaJoin(d1, dC, lo, c, Seq("ck"), "op",
+        Seq("nation", "price"))
+      import graft.core.Exact.dec
+      val stored = lo.join(c, Seq("ck")).groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("price"))).as("s"))
+      IvmJoin.foldAggSigned(Some(stored), d2, Seq("nation"), "price", "op")
+        .select(col("nation"), col("n"),
+          col("s").cast("double").as("sum_price"))
+        .orderBy(col("nation"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "ivm7_composed_view" ->
+      """WITH l2 AS (
+        | SELECT l_orderkey AS ok,
+        |  CASE WHEN l_orderkey % 101 = 0 THEN l_extendedprice + 10.0
+        |       ELSE l_extendedprice END AS price
+        | FROM lineitem),
+        |o2 AS (
+        | SELECT o_orderkey AS ok, o_custkey AS ck FROM orders
+        | WHERE o_orderkey % 97 <> 0),
+        |c2 AS (
+        | SELECT c_custkey AS ck,
+        |  CAST(CASE WHEN c_custkey % 89 = 0 THEN (c_nationkey + 1) % 25
+        |       ELSE c_nationkey END AS BIGINT) AS nation
+        | FROM customer)
+        |SELECT nation, COUNT(*) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM l2 JOIN o2 USING (ok) JOIN c2 USING (ck)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "del1_forget_audit" ->
       """WITH fk AS (
         | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

@@ -63,8 +63,10 @@ object StreamingIvmJoin {
 
   /** Per-side CDC validation + surviving-rows computation — the
     * StreamingIvmMinMax key discipline, applied to one side's slice of
-    * the batch. Returns the post-delta rows for the side. */
-  private def applySide(
+    * the batch. Returns the post-delta rows for the side. Shared with
+    * [[StreamingIvmCompose]], which applies it to three base relations
+    * plus the maintained intermediate join. */
+  private[streaming] def applySide(
       sideDelta: DataFrame, prevRows: DataFrame, keyCol: String,
       batchId: Long, side: String): DataFrame = {
     val dataCols = prevRows.columns.toSeq

@@ -87,6 +87,21 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(node.get("load").get("cal_start_sec").asDouble() === 0.19)
   }
 
+  test("e2e fragments carry their OWN load object and parse as strict JSON (round 14)") {
+    // the r13 driver capture's e2e (43.8 s vs 8.9 s clean) was only
+    // diagnosable via the sweep-level load block; the fragment now
+    // stamps its own window
+    val frag = Bench.e2eFragment("e2e",
+      """"sec":8.903,"tables":8,"all_success":true""",
+      Bench.loadJson(0.2, 3.4, 0.19, 0.21))
+    val line = s"""{"metric":"total","value":1.0${frag}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.get("e2e").get("sec").asDouble() === 8.903)
+    assert(node.get("e2e").get("load").get("avg_end").asDouble() === 3.4)
+    assert(node.get("e2e").get("load").get("degraded").isBoolean)
+  }
+
   test("queryStatsJson carries median AND per-iteration min for every query") {
     val j = Bench.queryStatsJson(Seq(
       ("h1_hll_distinct", 5.0915, 0.9614), ("d1_exact_dedup", 0.2342, 0.2301)))

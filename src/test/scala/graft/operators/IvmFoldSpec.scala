@@ -195,4 +195,49 @@ class IvmFoldSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("n") == 3L)
     assert(r0.getAs[java.math.BigDecimal]("s").doubleValue() == 5.0)
   }
+
+  test("wideDecimal store folds exactly AT the default boundary, keeps the raise at its own (r14)") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // 1e14 is exactly the value the default decimal(18,4) store refuses
+    val before = rows(("a", 1L, 1e14), ("a", 2L, 7.0),
+      ("b", 3L, 1e14), ("b", 4L, 2.0))
+    // group a: merge path (insert above the old max); group b: re-agg
+    // path (delete the max — an overflowing-by-default survivor stays)
+    val d = delta(("a", "I", 2e14), ("b", "D", 1e14))
+    val after = rows(("a", 1L, 1e14), ("a", 2L, 7.0), ("a", 5L, 2e14),
+      ("b", 4L, 2.0))
+    def wideAgg(df: DataFrame): DataFrame =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(dec(col("v"), 38, 6)).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val got = IvmFold.foldMinMax(Some(wideAgg(before)), d,
+        after.select(col("g"), col("v")), Seq("g"), "op", "v",
+        wideDecimal = true)
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+    val want = wideAgg(after)
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+    assert(got.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      want.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the same fold under the DEFAULT store refuses — the r13 raise
+    val e1 = intercept[Exception] {
+      IvmFold.foldMinMax(Some(agg(before)), d,
+        after.select(col("g"), col("v")), Seq("g"), "op", "v").collect()
+    }
+    assert(msgChain(e1).contains("decimal(18,4)") ||
+      msgChain(e1).contains("Decimal(18, 4)"), msgChain(e1))
+    // and the wide store keeps the discipline at ITS boundary (1e33 >
+    // 10^32, the decimal(38,6) integral cap) — never a silent 0
+    val e2 = intercept[Exception] {
+      IvmFold.foldMinMax(Some(wideAgg(before)),
+        delta(("a", "I", 1e33)),
+        after.select(col("g"), col("v")), Seq("g"), "op", "v",
+        wideDecimal = true).collect()
+    }
+    assert(msgChain(e2).contains("decimal(38,6)") ||
+      msgChain(e2).contains("Decimal(38, 6)"), msgChain(e2))
+  }
 }

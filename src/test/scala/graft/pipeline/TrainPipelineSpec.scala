@@ -24,7 +24,8 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(r.rowsIn >= r.afterQuality)
     assert(r.afterQuality >= r.afterExact)
     assert(r.afterExact >= r.afterNearDup)
-    assert(r.afterNearDup >= r.afterDecontam)
+    assert(r.afterNearDup >= r.afterImageDedup)
+    assert(r.afterImageDedup >= r.afterDecontam)
     assert(r.afterDecontam >= r.afterLmGate)
     assert(r.afterLmGate >= r.afterPtGate)
     assert(r.afterPtGate > 0, r.toString)
@@ -113,14 +114,17 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(byStage("quality_gate") == r.rowsIn - r.afterQuality)
     assert(byStage("exact_dup") == r.afterQuality - r.afterExact)
     assert(byStage("near_dup") == r.afterExact - r.afterNearDup)
-    assert(byStage("contaminated") == r.afterNearDup - r.afterDecontam)
+    assert(byStage("image_near_dup") == r.afterNearDup - r.afterImageDedup)
+    assert(byStage("contaminated") == r.afterImageDedup - r.afterDecontam)
     assert(byStage("lm_gate") == r.afterDecontam - r.afterLmGate)
     assert(byStage("pt_gate") == r.afterLmGate - r.afterPtGate)
-    // near-dup detail: the kept representative (cluster min — always a
-    // smaller id than the loser); other stages carry no detail
-    assert(ledger.filter(col("stage") === "near_dup" &&
+    // near-dup details (text AND image): the kept representative
+    // (cluster min — always a smaller id than the loser); other stages
+    // carry no detail
+    val dupStages = Seq("near_dup", "image_near_dup")
+    assert(ledger.filter(col("stage").isin(dupStages: _*) &&
       (col("detail").isNull || col("detail") >= col("doc_id"))).count() == 0)
-    assert(ledger.filter(col("stage") =!= "near_dup" &&
+    assert(ledger.filter(!col("stage").isin(dupStages: _*) &&
       col("detail").isNotNull).count() == 0)
     // deterministic: a re-run reproduces the ledger bit-for-bit
     val ledgerDir2 = freshDir()
