@@ -181,7 +181,13 @@ object Scaling {
     "ivm4_join_view" -> Set("orders", "customer_aligned"),
     "ivm5_quantile_view" -> Set("orders"),
     "ivm6_topk_view" -> Set("orders"),
-    "ivm6w_weighted_topk" -> Set("orders"))
+    "ivm6w_weighted_topk" -> Set("orders"),
+    // ivm7 chains lineitem⋈orders⋈customer: lineitem/orders key-offset
+    // replicas + the ALIGNED customers (the ivm4/j11 pairing, one join
+    // deeper) — every fact keeps a matching dim and the CDC conditions
+    // (%101 lines, %97 orders, %89 customers) keep their density per
+    // replica while membership shifts with the offset keys
+    "ivm7_composed_view" -> Set("orders", "lineitem", "customer_aligned"))
 
   private def generate(spark: SparkSession, base: String, out: String,
       factor: Int, tables: Set[String]): Unit = {
@@ -343,7 +349,7 @@ object Scaling {
       "hg1_histogram", "sk3_skew_profile", "v13_uniqueness",
       "v12_distribution", "j11_null_safe_join", "ivm2_minmax_view",
       "ivm3_distinct_view", "ivm4_join_view", "ivm5_quantile_view",
-      "ivm6_topk_view", "ivm6w_weighted_topk")
+      "ivm6_topk_view", "ivm6w_weighted_topk", "ivm7_composed_view")
     val allEager = Seq("bpe1_merges", "pc1_pca_power", "pr1_purchase_rank",
       "bpe3_compression", "em1_centroid_dist", "h2_hierarchy_flatten",
       "h4_hierarchy_paths", "g1_bfs_distance", "cms1_sketch_counts")
