@@ -215,4 +215,111 @@ class IvmFamilyPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("composed pipeline (deltaJoin → compress → deltaJoin → foldAggSigned) tracks the three-way model (seeded)") {
+    // the ivm7/StreamingIvmCompose algebra under arbitrary CDC
+    // interleavings on ALL THREE bases at once — reprices landing on
+    // dying orders (stage-1 cross-term cancellations), upstream deltas
+    // landing on moved dims (stage-2 cross term), groups emptying and
+    // reappearing. Two invariants per step: the COMPRESSED stage-1
+    // delta equals the model's signed multiset diff of L⋈O, and the
+    // maintained view equals the three-way recompute.
+    val rnd = new scala.util.Random(130314)
+    // rows: L = (lk, ok, price), O = (ok, ck), C = (ck, g) — plain
+    // tuple types (a method-local type alias has no TypeTag, so the
+    // implicit toDF enrichment would not resolve)
+    def joinLO(l: Seq[(Long, Long, Double)],
+        o: Seq[(Long, Long)]): Seq[(Long, Long, Double)] =
+      for { (lk, ok, p) <- l; (ok2, ck) <- o if ok == ok2 } yield (lk, ck, p)
+    def modelView(l: Seq[(Long, Long, Double)], o: Seq[(Long, Long)],
+        c: Seq[(Long, String)]): Map[String, (Long, Double)] =
+      (for { (_, ck, p) <- joinLO(l, o); (ck2, g) <- c if ck == ck2 }
+        yield (g, p))
+        .groupBy(_._1).view.mapValues(rows =>
+          (rows.size.toLong, rows.map(t => BigDecimal(t._2)).sum.toDouble))
+        .toMap
+    for (scenario <- 1 to 5) {
+      val lState = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val oState = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val cState = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var view: Option[DataFrame] = None
+      for (step <- 1 to 3) {
+        val lBefore = lState.toSeq; val oBefore = oState.toSeq
+        val cBefore = cState.toSeq
+        // deletes sampled from live state; inserts pick keys free AFTER
+        // the deletes, so a key deleted and re-inserted in one batch (a
+        // reprice / re-point) is a reachable, regularly-hit case
+        val lDels = rnd.shuffle(lState.toList)
+          .take(rnd.nextInt(math.min(3, lState.size + 1)))
+        lDels.foreach(d => lState.remove(lState.indexOf(d)))
+        val lIns = rnd.shuffle(
+            (0L to 9L).filterNot(k => lState.exists(_._1 == k)).toList)
+          .take(1 + rnd.nextInt(3))
+          .map(lk => (lk, rnd.nextInt(4).toLong, (rnd.nextInt(400) + 1) / 4.0))
+        lIns.foreach(lState += _)
+        val oDels = rnd.shuffle(oState.toList)
+          .take(rnd.nextInt(math.min(2, oState.size + 1)))
+        oDels.foreach(d => oState.remove(oState.indexOf(d)))
+        val oIns = rnd.shuffle(
+            (0L to 3L).filterNot(k => oState.exists(_._1 == k)).toList)
+          .take(rnd.nextInt(3))
+          .map(ok => (ok, rnd.nextInt(3).toLong))
+        oIns.foreach(oState += _)
+        val cDels = rnd.shuffle(cState.toList)
+          .take(rnd.nextInt(math.min(2, cState.size + 1)))
+        cDels.foreach(d => cState.remove(cState.indexOf(d)))
+        val cIns = rnd.shuffle(
+            (0L to 2L).filterNot(k => cState.exists(_._1 == k)).toList)
+          .take(rnd.nextInt(3))
+          .map(ck => (ck, Groups(rnd.nextInt(3))))
+        cIns.foreach(cState += _)
+
+        val dL = (lDels.map(t => (t._1, t._2, t._3, "D")) ++
+          lIns.map(t => (t._1, t._2, t._3, "I")))
+          .toDF("lk", "ok", "price", "op")
+        val dO = (oDels.map(t => (t._1, t._2, "D")) ++
+          oIns.map(t => (t._1, t._2, "I"))).toDF("ok", "ck", "op")
+        val dC = (cDels.map(t => (t._1, t._2, "D")) ++
+          cIns.map(t => (t._1, t._2, "I"))).toDF("ck", "g", "op")
+
+        // stage 1 + net-compress (the StreamingIvmCompose step)
+        val d1 = IvmJoin.deltaJoin(dL, dO,
+          lBefore.toDF("lk", "ok", "price"), oBefore.toDF("ok", "ck"),
+          Seq("ok"), "op", Seq("lk", "ck", "price"))
+        val dlo = d1
+          .withColumn("__w", when(col("op") === "I", 1L).otherwise(-1L))
+          .groupBy(col("lk"), col("ck"), col("price"))
+          .agg(sum(col("__w")).as("__net"))
+          .filter(col("__net") =!= 0)
+          .withColumn("op", when(col("__net") === 1, "I").otherwise("D"))
+          .drop("__net")
+          .localCheckpoint(true)
+        // invariant 1: compressed stage-1 delta ≡ the model's signed
+        // multiset diff of L⋈O (lk unique ⇒ every net is ±1)
+        val loB = joinLO(lBefore, oBefore)
+        val loA = joinLO(lState.toSeq, oState.toSeq)
+        val wantDlo = ((loA.toSet -- loB.toSet).map(t => t -> 1L) ++
+          (loB.toSet -- loA.toSet).map(t => t -> -1L)).toMap
+        val gotDlo = dlo.collect().map(r =>
+          ((r.getLong(0), r.getLong(1), r.getDouble(2)),
+            if (r.getString(3) == "I") 1L else -1L)).toMap
+        assert(gotDlo == wantDlo,
+          s"scenario $scenario step $step dlo: $gotDlo vs $wantDlo")
+
+        // stage 2 + fold — upstream delta as this join's ΔR, the
+        // PRE-step intermediate as its R
+        val d2 = IvmJoin.deltaJoin(dlo, dC,
+          loB.toDF("lk", "ck", "price"), cBefore.toDF("ck", "g"),
+          Seq("ck"), "op", Seq("g", "price"))
+        val folded = IvmJoin.foldAggSigned(view, d2, Seq("g"), "price", "op")
+          .localCheckpoint(true)
+        view = Some(folded)
+        val got = folded.collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+        val want = modelView(lState.toSeq, oState.toSeq, cState.toSeq)
+        assert(got == want, s"scenario $scenario step $step: $got vs $want")
+      }
+    }
+  }
 }
