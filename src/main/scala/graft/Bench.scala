@@ -405,7 +405,7 @@ object Bench {
         s""""sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
           s""""after_quality":${r.afterQuality},"segments_in":${r.segmentsIn},""" +
           s""""segments_kept":${r.segmentsKept},"after_exact":${r.afterExact},""" +
-          s""""after_near_dup":${r.afterNearDup},"after_image_dedup":${r.afterImageDedup},""" +
+          s""""after_image_dedup":${r.afterImageDedup},"after_near_dup":${r.afterNearDup},""" +
           s""""after_decontam":${r.afterDecontam},""" +
           s""""after_lm_gate":${r.afterLmGate},"after_pt_gate":${r.afterPtGate},""" +
           s""""train_rows":${r.trainRows},"upsampled_rows":${r.upsampledRows},""" +

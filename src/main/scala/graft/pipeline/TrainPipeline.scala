@@ -14,9 +14,10 @@ import graft.operators.{BloomContamination, ExactDedup, LanguageModel, LinearCla
   *
   *   corpus → Gopher quality gate → corpus-wide segment dedup
   *   (documents shrink, boilerplate survives once) → exact dedup →
-  *   near-dup drop (MinHash+LSH clusters, keep lowest id) → IMAGE
-  *   near-dup drop (perceptual-hash clusters over each doc's asset
-  *   payload — the m4/m5 multimodal face, round 14) → Bloom
+  *   IMAGE near-dup drop (perceptual-hash clusters over each doc's
+  *   thumbnail asset — the m4/m5 multimodal face, round 14; the cheap
+  *   hash screen runs before the expensive shingle pass) → text
+  *   near-dup drop (MinHash+LSH clusters, keep lowest id) → Bloom
   *   decontamination against the held-out benchmark set →
   *   deterministic train/val/test split → bigram-LM quality gate
   *   (model frozen on the TRAIN split only — val/test never touch
@@ -100,8 +101,8 @@ object TrainPipeline {
       segmentsIn: Long,
       segmentsKept: Long,
       afterExact: Long,
-      afterNearDup: Long,
       afterImageDedup: Long,
+      afterNearDup: Long,
       afterDecontam: Long,
       afterLmGate: Long,
       afterPtGate: Long,
@@ -220,25 +221,22 @@ object TrainPipeline {
         advance(stage.drop("n_segments", "n_kept")
           .join(keptIds, Seq("doc_id"), "left_semi"))
       } finally keptIds.unpersist()
-    val clusters = MinHashLSH.nearDupClusters(
-      stage, "doc_id", "text", NearDupThreshold)
-    val loserPairs = clusters
-      .join(clusters.groupBy(col("comp")).agg(min(col("id")).as("keep")), Seq("comp"))
-      .filter(col("id") =!= col("keep"))
-      .select(col("id").as("doc_id"), col("keep"))
-    record(loserPairs, "near_dup", col("keep"))
-    val losers = loserPairs.select(col("doc_id"))
-    val afterNearDup = advance(stage.join(losers, Seq("doc_id"), "left_anti"))
-
     // ---- image near-dup gate (the m4/m5 multimodal face) -----------
-    // each document's payload doubles as its image asset (the repo's
-    // stub-codec convention — real JDK codecs engage on real mimes);
-    // perceptual-hash clusters keep only the lowest-id representative,
-    // and the losers get the SAME ledger treatment as the text
-    // near-dup: a mixed-modality curation run must answer "why is
-    // image X gone" from one ledger
+    // each document's THUMBNAIL doubles as its image asset: the
+    // 64-char head of the text stands in for the rendered cover image
+    // (the repo's stub-codec convention — real JDK codecs engage on
+    // real mimes). The gate runs BEFORE the text near-dup on purpose:
+    // a perceptual-hash screen is the CHEAP pass (one batch decode +
+    // banded hash grouping, no shingle/LSH machinery), so it removes
+    // same-cover documents first and the expensive MinHash pass only
+    // shingles what survives — the screen-cheap-before-expensive
+    // ordering every curation stack uses. Clusters keep only the
+    // lowest-id representative; the losers get the SAME ledger
+    // treatment as the text near-dup, so "why is image X gone" answers
+    // from one conserved ledger.
     val assets = graft.multimodal.Multimodal.assetsFrom(
-      spark, stage, "doc_id", "text", "image/fake")
+      spark, stage.withColumn("__thumb", substring(col("text"), 1, 64)),
+      "doc_id", "__thumb", "image/fake")
     val iclusters = graft.operators.SimHash.nearDupClusters(
       graft.multimodal.Multimodal.perceptualHashes(assets), maxDist = 3)
     val iLoserPairs = iclusters
@@ -249,6 +247,16 @@ object TrainPipeline {
     record(iLoserPairs, "image_near_dup", col("keep"))
     val afterImageDedup = advance(
       stage.join(iLoserPairs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+
+    val clusters = MinHashLSH.nearDupClusters(
+      stage, "doc_id", "text", NearDupThreshold)
+    val loserPairs = clusters
+      .join(clusters.groupBy(col("comp")).agg(min(col("id")).as("keep")), Seq("comp"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"), col("keep"))
+    record(loserPairs, "near_dup", col("keep"))
+    val losers = loserPairs.select(col("doc_id"))
+    val afterNearDup = advance(stage.join(losers, Seq("doc_id"), "left_anti"))
 
     val bits = BloomContamination.buildBits(bench, "text", ContamN, BloomBits)
     val contaminated = BloomContamination
@@ -355,7 +363,7 @@ object TrainPipeline {
       val batches = export.select(col("bucket"), col("batch_idx")).distinct().count()
       ShuffleShard.writeShards(export, "uid", shards, seed, outDir)
       Report(rowsIn, afterQuality, segmentsIn, segmentsKept, afterExact,
-        afterNearDup, afterImageDedup, afterDecontam, afterLmGate,
+        afterImageDedup, afterNearDup, afterDecontam, afterLmGate,
         afterPtGate, ptWeights,
         splitCounts, trainRows, upsampledRows, batches, shards,
         (System.nanoTime() - t0) / 1e9)
