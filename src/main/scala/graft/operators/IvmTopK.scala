@@ -47,7 +47,10 @@ import org.apache.spark.sql.functions._
   * may be pre-sliced to any superset of the delta's pairs plus the
   * broken groups — a partitioned upsert rewrites only those files),
   * ONE pass over the merged store picking candidates through two
-  * broadcast marker joins (broken groups, clean-group candidates),
+  * broadcast marker joins (broken groups, clean-group candidates —
+  * the candidate broadcast is CELL-GUARDED in-plan: an unpruned
+  * million-group store refuses loudly with the pruned-store remedy
+  * named instead of OOMing the driver inside the broadcast build),
   * and a rank over the candidates that rides
   * [[ScalableRank.withRowNumberAuto]] — window-shaped while
   * candidates are small, bucket-shaped if a broken group's slice is
@@ -56,7 +59,7 @@ import org.apache.spark.sql.functions._
 object IvmTopK {
 
   private val Reserved = Seq("__tk_ord", "__tk_dw", "__tk_delc",
-    "__tk_broken", "__tk_cand", "__tk_rn", "__tk_n")
+    "__tk_broken", "__tk_cand", "__tk_intop", "__tk_rn", "__tk_n")
 
   /** The K-row view of a counts store under (cnt DESC, keyCol ASC) —
     * used to seed [[fold]] and by specs as the invariant check:
@@ -131,7 +134,8 @@ object IvmTopK {
       opCol: String,
       keyCol: String,
       k: Int,
-      weightCol: Option[String] = None): (DataFrame, DataFrame) = {
+      weightCol: Option[String] = None,
+      maxBroadcastCells: Long = ScalableRank.MaxBroadcastCells): (DataFrame, DataFrame) = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     val pairCols = groupCols :+ keyCol
     (Reserved :+ "cnt").foreach(c => require(!pairCols.contains(c),
@@ -180,24 +184,35 @@ object IvmTopK {
     // have fallen — delta-sized by construction
     val broken = deltaAgg.filter(col("__tk_dw") < 0)
       .select(groupCols.map(col): _*).distinct()
-    // the delta's own groups — every candidate list below is bounded
-    // by THESE, not by the stored view: a caller passing an unpruned
-    // store with millions of groups must not turn candPairs into a
-    // K × |all groups| broadcast. Untouched groups (no delta rows)
-    // can change neither their counts nor their ranking, so their
-    // slice of the view passes through VERBATIM instead of riding the
-    // candidate machinery — their candidates would be exactly their
-    // own topk0 rows, re-ranked to themselves.
-    val touched = deltaAgg.select(groupCols.map(col): _*).distinct()
-    val topk0Touched = topk0
-      .join(broadcast(touched), groupCols, "left_semi")
-    val topk0Untouched = topk0
-      .join(broadcast(touched), groupCols, "left_anti")
-    // clean-group candidates: old top-K keys ∪ the delta's own keys —
-    // both delta-group-bounded now, ≤ |delta groups| × (K + batch keys)
-    val candPairs = topk0Touched.select(pairCols.map(col): _*)
+    // clean-group candidates: old top-K keys ∪ the delta's own keys.
+    // The old-view side makes this frame K × |stored groups| in the
+    // worst case, so the broadcast build is GUARDED in-plan (round 14,
+    // the ScalableRank.MaxBroadcastCells discipline): a single-task
+    // window counts the candidate rows off the frame itself —
+    // aggregate-sized, evaluated once inside the same plan — and
+    // refuses loudly, naming the pruned-store remedy, before an
+    // unpruned million-group store could OOM the driver inside an
+    // anonymous broadcast. (Bounding by REFORMULATION was tried and
+    // measured: splitting topk0 into touched/untouched re-ran the
+    // stored-view rank twice, 1.4×; testing view membership by a plain
+    // join serialized behind the merge, 5×. The guard keeps the r13
+    // plan — one broadcast, one store pass — and converts the silent
+    // OOM into a named contract.)
+    val candPairs = topk0.select(pairCols.map(col): _*)
       .unionByName(deltaAgg.select(pairCols.map(col): _*))
       .distinct()
+      .withColumn("__tk_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(when(col("__tk_n") > maxBroadcastCells,
+        raise_error(concat(
+          lit("top-k candidate frame too large to broadcast: "),
+          col("__tk_n"),
+          lit(s" pairs exceeds the $maxBroadcastCells-cell bound - " +
+            "pass stores PRE-PRUNED to the delta's groups plus the " +
+            "broken groups (the pruned-store contract; the " +
+            "StreamingIvmTopK bucket layout does this by construction)"))))
+        .otherwise(lit(true)))
+      .drop("__tk_n")
 
     // ONE pass over the merged store: two broadcast marker joins
     // (group-level broken list, pair-level candidate list — both
@@ -211,7 +226,6 @@ object IvmTopK {
       .filter(col("__tk_broken") === 1 || col("__tk_cand") === 1)
       .drop("__tk_broken", "__tk_cand")
 
-    (viewOf(candidates, groupCols, keyCol, k)
-      .unionByName(topk0Untouched), counts1)
+    (viewOf(candidates, groupCols, keyCol, k), counts1)
   }
 }

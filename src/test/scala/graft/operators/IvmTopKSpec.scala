@@ -71,11 +71,10 @@ class IvmTopKSpec extends AnyFunSuite {
       rows(("g", 1L), ("g", 1L), ("g", 1L), ("g", 3L)))
   }
 
-  test("untouched groups pass through verbatim: a delta on one group leaves every other group's view rows (and ranks) intact") {
-    // round-14 candPairs bound: the candidate machinery is restricted
-    // to the DELTA's groups — an unpruned store with many untouched
-    // groups must neither broadcast their top-k pairs nor re-rank
-    // them, their slice of the view unions through unchanged
+  test("untouched groups keep their view rows (and ranks) intact under a delta on another group") {
+    // untouched groups' candidates are exactly their own topk0 rows,
+    // which re-rank to themselves — a delta on one group must leave
+    // every other group's view identical
     val before = rows(
       ("a", 1L), ("a", 1L), ("a", 2L), // touched
       ("b", 7L), ("b", 7L), ("b", 8L), // untouched, with a rank-2 key
@@ -88,6 +87,27 @@ class IvmTopKSpec extends AnyFunSuite {
     check(before, delta(("a", "D", 1L)),
       rows(("a", 1L), ("a", 2L),
         ("b", 7L), ("b", 7L), ("b", 8L), ("c", 9L)))
+  }
+
+  test("the candidate broadcast is cell-guarded: an oversized frame refuses loudly, naming the pruned-store remedy") {
+    // round-14 ADVICE bound: a caller passing an unpruned store with
+    // millions of groups must not build a K × |groups| broadcast —
+    // the guard rides the candidate frame itself (plan-embedded, a
+    // single-task window over the aggregate-sized frame)
+    val before = rows(("a", 1L), ("a", 2L), ("b", 7L), ("c", 9L))
+    val (topk, _) = IvmTopK.fold(Some(state(before, 2)),
+      delta(("a", "I", 3L)), Seq("g"), "op", "ck", 2,
+      maxBroadcastCells = 3L) // 4 stored view rows + 1 delta pair > 3
+    val e = intercept[Exception](topk.collect())
+    def chain(t: Throwable): String =
+      Iterator.iterate(t.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("PRE-PRUNED"), chain(e))
+    // and the same fold under the default bound folds fine
+    val (ok, _) = IvmTopK.fold(Some(state(before, 2)),
+      delta(("a", "I", 3L)), Seq("g"), "op", "ck", 2)
+    assert(ok.count() > 0)
   }
 
   test("tie-break on equal counts is key ASC, matching the recompute") {
