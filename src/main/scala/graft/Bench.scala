@@ -205,6 +205,17 @@ object Bench {
     if (calParStart < 0 || calParEnd < 0 || calStart <= 0 || calEnd <= 0) -1.0
     else (calParStart + calParEnd) / (calStart + calEnd)
 
+  /** Degraded bound for [[calParRatio]] (round 14 — the par probe's
+    * vote, now that an idle baseline is COMMITTED for this host
+    * class): the r13 and r14 clean closing captures read 1.137 and
+    * 1.155; every capture this round's attribution calls contended
+    * read 1.75–2.24 (and the r11 contention window 1.5–2.2). 1.6
+    * sits between the regimes with margin on both sides — multi-core
+    * contention the single-thread probe cannot see now flips
+    * `degraded` instead of hiding in an informational field. The -1
+    * not-measured sentinel never votes. */
+  val CalParRatioBound = 1.6
+
   /** The `"load"` fragment of the bench artifact, factored out so the
     * spec can assert its shape without a full bench run. Negative load
     * averages (the MXBean's "unavailable" sentinel) are passed through
@@ -215,16 +226,16 @@ object Bench {
                retryDegraded: Boolean = false,
                calParStart: Double = -1.0, calParEnd: Double = -1.0): String = {
     def s3(d: Double) = math.rint(d * 1000) / 1000
+    val parRatio = calParRatio(calStart, calEnd, calParStart, calParEnd)
     val degraded = calStart > CalibrationBoundSec ||
-      calEnd > CalibrationBoundSec || retryDegraded
-    // the par probes are informational stamps (no degraded vote yet —
-    // their idle baseline is host-class-specific); -1 = not measured,
-    // the same sentinel convention as the MXBean load averages
+      calEnd > CalibrationBoundSec || retryDegraded ||
+      parRatio > CalParRatioBound // -1 sentinel never votes
     s""""load":{"avg_start":${s3(avgStart)},"avg_end":${s3(avgEnd)},""" +
       s""""cal_start_sec":${s3(calStart)},"cal_end_sec":${s3(calEnd)},""" +
       s""""cal_par_start_sec":${s3(calParStart)},"cal_par_end_sec":${s3(calParEnd)},""" +
-      s""""cal_par_ratio":${s3(calParRatio(calStart, calEnd, calParStart, calParEnd))},""" +
+      s""""cal_par_ratio":${s3(parRatio)},""" +
       s""""cal_bound_sec":$CalibrationBoundSec,""" +
+      s""""cal_par_ratio_bound":$CalParRatioBound,""" +
       s""""retry_degraded":$retryDegraded,"degraded":$degraded}"""
   }
 

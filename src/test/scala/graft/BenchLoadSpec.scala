@@ -46,11 +46,24 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(j.contains("\"cal_par_end_sec\":-1"))
     assert(j.contains("\"cal_par_ratio\":-1"))
     assert(j.contains("\"degraded\":false"))
-    // even an elevated par probe is informational-only this round (no
-    // committed idle baseline for the host class yet)
+  }
+
+  test("the par-ratio VOTES on degraded past the committed idle baseline (round 14)") {
+    // idle baseline committed: r13/r14 clean closing captures read
+    // 1.137 / 1.155; the contended r14 captures 1.75-2.24 and the r11
+    // window 1.5-2.2. The bound (1.6) sits between the regimes.
     val hot = Bench.loadJson(0.1, 0.1, 0.19, 0.19,
-      calParStart = 9.9, calParEnd = 9.9)
-    assert(hot.contains("\"degraded\":false"))
+      calParStart = 9.9, calParEnd = 9.9) // ratio ~52
+    assert(hot.contains("\"degraded\":true"))
+    assert(hot.contains(s""""cal_par_ratio_bound":${Bench.CalParRatioBound}"""))
+    // the r14 contended-capture shape (ratio 2.21) flips the flag...
+    val contended = Bench.loadJson(1.5, 5.8, 0.209, 0.194,
+      calParStart = 0.381, calParEnd = 0.512)
+    assert(contended.contains("\"degraded\":true"))
+    // ...the clean-capture shape (ratio ~1.15) does not
+    val clean = Bench.loadJson(2.3, 5.5, 0.188, 0.186,
+      calParStart = 0.21, calParEnd = 0.222)
+    assert(clean.contains("\"degraded\":false"))
   }
 
   test("the parallel probe exists and scales: wall time within sane bounds of the single probe") {
