@@ -44,13 +44,22 @@ object IvmFold {
     * fold; groups whose count reaches zero disappear. `stored = None`
     * is the empty view (first fold).
     *
-    * `wideDecimal` (round 14) widens the store to decimal(38,6): the
-    * default decimal(18,4) raises loudly past |v| ≥ 1e14 — correct but
-    * a real cap for money-at-scale views (a cents-scaled 10-figure
-    * ledger approaches it); the wide store admits values to 1e32 with
-    * six fractional digits and THE SAME overflow raise at its own
-    * boundary. The stored `s` column must carry the matching type —
-    * seed the view with the same flag. */
+    * `wideDecimal` (round 14, headroom fixed round 15) widens the
+    * store: the default decimal(18,4) values raise loudly past
+    * |v| ≥ 1e14 — correct but a real cap for money-at-scale views (a
+    * cents-scaled 10-figure ledger approaches it); the wide mode
+    * admits values to 1e22 (decimal(28,6)) accumulating into a
+    * decimal(38,6) sum — the SAME ten digits of headroom the default
+    * mode keeps (18,4 values into a 28,4 sum), so a single fold can
+    * absorb ~1e10 max-magnitude values before the sum type is at
+    * risk. Values keep the overflow raise at their own boundary, and
+    * the SUM now has one too: an accumulated sum crossing the sum
+    * type's cap used to overflow to NULL under non-ANSI arithmetic
+    * (the re-agg path then silently folded it as 0 — exactly the
+    * drift the value raise was built to prevent); both paths now
+    * raise loudly when a group with rows produces a NULL sum. The
+    * stored `s` column must carry the matching type — seed the view
+    * with the same flag. */
   def foldMinMax(
       stored: Option[DataFrame],
       delta: DataFrame,
@@ -64,9 +73,11 @@ object IvmFold {
     val isI = col(opCol) === "I"
     val v = col(valueCol)
     // (precision, scale) of the value cast and of the running sum: the
-    // sum gets the headroom decimal arithmetic would otherwise widen
-    // away one fold at a time — except at 38, the type system's own cap
-    val (vp, vs) = if (wideDecimal) (38, 6) else (18, 4)
+    // sum gets ten digits of headroom over the value type in BOTH
+    // modes — widening the values all the way to the sum's precision
+    // would leave an accumulated sum zero room before the type
+    // system's decimal-38 cap
+    val (vp, vs) = if (wideDecimal) (28, 6) else (18, 4)
     val sumType = if (wideDecimal) "decimal(38,6)" else "decimal(28,4)"
     def decl(c: org.apache.spark.sql.Column) = dec(c, vp, vs)
     // a value outside the store decimal casts to NULL (non-ANSI) —
@@ -139,7 +150,11 @@ object IvmFold {
       .join(broadcast(affected), groupCols, "left_semi")
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(decChecked(v)), lit(0).cast(s"decimal($vp,$vs)")).as("s"),
+        // decChecked never yields NULL (genuine NULLs coalesce to 0),
+        // and every re-agg group has rows — a NULL sum here can ONLY
+        // be an accumulated overflow, caught by the shared guard below
+        // instead of the old silent coalesce-to-0
+        sum(decChecked(v)).as("s"),
         min(v).as("mn"), max(v).as("mx"))
 
     // a negative count (or zero with a remainder sum) means the delta
@@ -156,7 +171,17 @@ object IvmFold {
           raise_error(lit("delta deletes rows the view never absorbed " +
             "(negative count or zero count with a remainder sum)")))
           .otherwise(col("n")))
-      .withColumn("s", col("s").cast(sumType))
+      // every leg coalesces genuine NULLs to 0, so a NULL sum for a
+      // surviving group is necessarily decimal overflow of the RUNNING
+      // sum (merge-path add or re-agg accumulation) — raise instead of
+      // letting non-ANSI arithmetic carry the NULL (merge) or a silent
+      // 0 (the old re-agg coalesce) into the maintained view
+      .withColumn("s",
+        when(col("n") > 0 && col("s").isNull,
+          raise_error(lit(s"maintained sum overflowed $sumType — the " +
+            "exact sum would silently drift; widen the view's decimal " +
+            "or scale the value")))
+          .otherwise(col("s").cast(sumType)))
       .filter(col("n") > 0)
   }
 }

@@ -75,10 +75,15 @@ object IvmTopK {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     (Reserved :+ "rnk").foreach(c => require(!counts.columns.contains(c),
       s"input already contains reserved/output column '$c'"))
+    // skewProbe off: this runs once per maintained-view fold (a hot
+    // per-batch path) — the probe's build-time checkpoints would
+    // accumulate block-manager memory across batches, and the fold's
+    // candidate frames are delta/K-bounded anyway (r15, the documented
+    // eager-contract opt-out)
     ScalableRank.withRowNumberAuto(
         counts.withColumn("__tk_ord", -col(cntCol)),
         groupCols, "__tk_ord", Seq(keyCol),
-        rnCol = "__tk_rn", nCol = "__tk_n")
+        rnCol = "__tk_rn", nCol = "__tk_n", skewProbe = false)
       .filter(col("__tk_rn") <= k)
       .withColumn("rnk", col("__tk_rn").cast("int"))
       .drop("__tk_ord", "__tk_rn", "__tk_n")

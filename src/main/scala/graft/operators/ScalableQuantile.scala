@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,40 +52,20 @@ import org.apache.spark.sql.functions._
   * machinery), making candidate size distribution-independent up to
   * ties. Answers are bit-identical in both modes — the locate uses
   * EXACT bucket counts, so boundary quality never touches correctness.
+  *
+  * Round 15: [[percentileContAuto]] makes that defense AUTOMATIC, the
+  * same discipline as [[ScalableRank.withRowNumberAuto]] — it reads
+  * the max bucket share off the EXACT bucket counts the locate
+  * computes anyway, and only a collapsed profile (share >
+  * [[ScalableRank.SkewShareThreshold]]) pays the equi-depth rebuild.
   */
 object ScalableQuantile {
 
-  /** Exact interpolated quantiles of `valueCol` per `groupCol` at
-    * percentiles `ps`: (group, p, value) — bit-identical to the qt2
-    * window formulation. Null values are excluded per SQL convention;
-    * a group with no non-null values yields no rows. */
-  def percentileCont(
-      df: DataFrame,
-      groupCol: String,
-      valueCol: String,
-      ps: Seq[Double],
-      buckets: Int = 4096,
-      equiDepth: Boolean = false): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"percentiles must lie in [0, 1], got $ps")
-    require(ps.distinct.size == ps.size,
-      s"duplicate percentiles would duplicate output rows: $ps")
-    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
-    if (equiDepth) require((buckets & (buckets - 1)) == 0,
-      s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
-    require(groupCol != "p" && groupCol != "value",
-      s"group column '$groupCol' collides with an output column name")
-    val g = col(groupCol)
-    val v = col(valueCol).cast("double")
-    val rows = df.select(g.as("g"), v.as("v")).filter(col("v").isNotNull)
-
-    // equi-depth mode (the ScalableRank remedy, shared machinery):
-    // per-group percentile_approx boundaries in the SAME combinable
-    // stats aggregate, heap-ordered for the per-row descent. The
-    // locate below uses EXACT bucket counts either way, so boundary
-    // quality never touches correctness — only how many rows the
-    // candidate pass has to rank when the value distribution is
-    // adversarially skewed for equi-width.
+  /** (g, n, vmin, vmax [, __q_bh]) per group — one combinable pass.
+    * equi-depth adds heap-ordered per-group percentile_approx
+    * boundaries to the SAME aggregate. */
+  private def statsOf(rows: DataFrame, buckets: Int,
+      equiDepth: Boolean): DataFrame = {
     val heapifyUdf = udf((b: Seq[Double]) => ScalableRank.heapify(b))
     val baseAggs = Seq(count(lit(1)).as("n"),
       min(col("v")).as("vmin"), max(col("v")).as("vmax"))
@@ -93,8 +73,80 @@ object ScalableQuantile {
       heapifyUdf(percentile_approx(col("v"),
         lit((1 until buckets).map(_.toDouble / buckets).toArray),
         lit(10000))).as("__q_bh")
-    val stats = rows.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+    rows.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+  }
 
+  /** Order-consistent bucket id; vmax clamps into the top bucket so
+    * the id stays in [0, buckets). NaN raises per-row. */
+  private def bucketOf(value: Column, vmin: Column, vmax: Column,
+      buckets: Int, equiDepth: Boolean): Column = {
+    val safe = when(isnan(value),
+      raise_error(lit("NaN value cannot be ranked — filter NaNs first")))
+      .otherwise(value)
+    if (equiDepth) ScalableRank.heapSearch(col("__q_bh"), safe, buckets)
+    else least(
+      floor((safe - vmin) / (vmax - vmin) * buckets).cast("long"),
+      lit(buckets - 1L))
+  }
+
+  /** The broadcast side of the bucket pass: span>0 groups' (g, vmin,
+    * vmax [, boundaries]), with the cell-bound guard in equi-depth
+    * mode.
+    *
+    * equi-depth carries a (buckets-1)-double boundary array per group
+    * in the broadcast frame (~32 KB/group at 4096 buckets) — the same
+    * driver-OOM vector ScalableRank.MaxBroadcastCells guards on its
+    * stats/offsets frames. Enforce the |groups| × buckets cell bound
+    * HERE, plan-embedded (a single-task window over the aggregate-
+    * sized spanStats, riding a filter so pruning cannot elide it),
+    * before the broadcast build could grow unbounded. Without
+    * equiDepth the frame is 3 doubles/group — the plain broadcast
+    * regime, no guard needed. */
+  private def spanStatsOf(stats: DataFrame, buckets: Int,
+      equiDepth: Boolean): DataFrame = {
+    val spanCols = Seq(col("g"), col("vmin"), col("vmax")) ++
+      (if (equiDepth) Seq(col("__q_bh")) else Nil)
+    val spanStats0 = stats.filter(col("vmin") =!= col("vmax"))
+      .select(spanCols: _*)
+    if (!equiDepth) spanStats0
+    else spanStats0
+      .withColumn("__q_np", count(lit(1)).over(Window.partitionBy()))
+      .filter(when(
+        col("__q_np") * buckets > ScalableRank.MaxBroadcastCells,
+        raise_error(concat(
+          lit("high-cardinality groups for equi-depth quantiles: "),
+          col("__q_np"),
+          lit(s" groups x $buckets boundary cells exceeds the " +
+            s"${ScalableRank.MaxBroadcastCells}-cell broadcast bound " +
+            "for the stats frame - many small groups are the window " +
+            "form's regime (percentileContWindow), or lower `buckets`"))))
+        .otherwise(lit(true)))
+      .drop("__q_np")
+  }
+
+  /** Rows of span>0 groups with their bucket id. */
+  private def bucketedOf(rows: DataFrame, spanStats: DataFrame,
+      buckets: Int, equiDepth: Boolean): DataFrame =
+    rows.join(broadcast(spanStats), Seq("g"))
+      .withColumn("b",
+        bucketOf(col("v"), col("vmin"), col("vmax"), buckets, equiDepth))
+
+  /** EXACT per-(group, bucket) counts plus the cumulative count BELOW
+    * each bucket: a window over ≤`buckets` rows per group, never
+    * row-sized. */
+  private def bucketCountsOf(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("cum_before",
+        coalesce(sum(col("bn")).over(Window.partitionBy(col("g"))
+          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+
+  /** Locate + candidate passes given the (possibly pre-materialized)
+    * stats and bucket counts; returns the (g, p, value) frame. */
+  private def finish(rows: DataFrame, stats: DataFrame,
+      spanStats: DataFrame, bucketCounts: DataFrame, groupCol: String,
+      ps: Seq[Double], buckets: Int, equiDepth: Boolean): DataFrame = {
     // needed order-statistic ranks per (group, percentile)
     val targets = stats
       .withColumn("p", explode(array(ps.map(lit): _*)))
@@ -106,57 +158,6 @@ object ScalableQuantile {
     val constant = targets.filter(col("vmin") === col("vmax"))
       .select(col("g"), col("p"), col("vmin").as("value"))
     val spanned = targets.filter(col("vmin") =!= col("vmax"))
-
-    // order-consistent equi-width bucket id; vmax clamps into the top
-    // bucket so the id stays in [0, buckets)
-    def bucketOf(value: org.apache.spark.sql.Column,
-        vmin: org.apache.spark.sql.Column,
-        vmax: org.apache.spark.sql.Column) = {
-      val safe = when(isnan(value),
-        raise_error(lit("NaN value cannot be ranked — filter NaNs first")))
-        .otherwise(value)
-      if (equiDepth) ScalableRank.heapSearch(col("__q_bh"), safe, buckets)
-      else least(
-        floor((safe - vmin) / (vmax - vmin) * buckets).cast("long"),
-        lit(buckets - 1L))
-    }
-
-    val spanCols = Seq(col("g"), col("vmin"), col("vmax")) ++
-      (if (equiDepth) Seq(col("__q_bh")) else Nil)
-    val spanStats0 = spanned.select(spanCols: _*).distinct()
-    // equi-depth carries a (buckets-1)-double boundary array per group
-    // in the broadcast frame (~32 KB/group at 4096 buckets) — the same
-    // driver-OOM vector ScalableRank.MaxBroadcastCells guards on its
-    // stats/offsets frames. Enforce the |groups| × buckets cell bound
-    // HERE, plan-embedded (a single-task window over the aggregate-
-    // sized spanStats, riding a filter so pruning cannot elide it),
-    // before the broadcast build could grow unbounded. Without
-    // equiDepth the frame is 3 doubles/group — the plain broadcast
-    // regime, no guard needed.
-    val spanStats =
-      if (!equiDepth) spanStats0
-      else spanStats0
-        .withColumn("__q_np", count(lit(1)).over(Window.partitionBy()))
-        .filter(when(
-          col("__q_np") * buckets > ScalableRank.MaxBroadcastCells,
-          raise_error(concat(
-            lit("high-cardinality groups for equi-depth quantiles: "),
-            col("__q_np"),
-            lit(s" groups x $buckets boundary cells exceeds the " +
-              s"${ScalableRank.MaxBroadcastCells}-cell broadcast bound " +
-              "for the stats frame - many small groups are the window " +
-              "form's regime (percentileContWindow), or lower `buckets`"))))
-          .otherwise(lit(true)))
-        .drop("__q_np")
-    val bucketed = rows.join(broadcast(spanStats), Seq("g"))
-      .withColumn("b", bucketOf(col("v"), col("vmin"), col("vmax")))
-    val bucketCounts = bucketed.groupBy(col("g"), col("b"))
-      .agg(count(lit(1)).as("bn"))
-      // cumulative count BELOW each bucket: window over ≤`buckets`
-      // rows per group, never row-sized
-      .withColumn("cum_before",
-        coalesce(sum(col("bn")).over(Window.partitionBy(col("g"))
-          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
     // which bucket holds each needed rank (both lo and hi) — the
     // targets frame is 2·|ps| rows per group: always broadcastable
@@ -172,10 +173,11 @@ object ScalableQuantile {
     // rank only within candidate buckets: the semi-join keeps
     // ~2·|ps| buckets per group; window partitions are bucket-sized
     val candBuckets = needed.select(col("g"), col("b")).distinct()
-    val ranked = bucketed
+    val ranked = bucketedOf(rows, spanStats, buckets, equiDepth)
       .join(broadcast(candBuckets), Seq("g", "b"), "left_semi")
       .withColumn("rk",
-        row_number().over(Window.partitionBy(col("g"), col("b")).orderBy(col("v")))
+        row_number().over(
+          Window.partitionBy(col("g"), col("b")).orderBy(col("v")))
           .cast("long"))
 
     val picked = ranked
@@ -183,7 +185,8 @@ object ScalableQuantile {
       .filter(col("rk") === col("rank") - col("cum_before"))
       .groupBy(col("g"), col("p"))
       .agg(
-        max(when(col("rank") === floor(col("idx")).cast("long") + 1, col("v"))).as("vlo"),
+        max(when(col("rank") === floor(col("idx")).cast("long") + 1,
+          col("v"))).as("vlo"),
         max(col("v")).as("vany"),
         max(col("idx") - floor(col("idx")).cast("double")).as("frac"),
         max(col("rank")).as("rmax"),
@@ -197,6 +200,97 @@ object ScalableQuantile {
 
     picked.unionByName(constant)
       .withColumnRenamed("g", groupCol)
+  }
+
+  private def checkArgs(groupCol: String, ps: Seq[Double], buckets: Int,
+      equiDepth: Boolean): Unit = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"duplicate percentiles would duplicate output rows: $ps")
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    if (equiDepth) require((buckets & (buckets - 1)) == 0,
+      s"equi-depth bucketing needs a power-of-two bucket count, got $buckets")
+    require(groupCol != "p" && groupCol != "value",
+      s"group column '$groupCol' collides with an output column name")
+  }
+
+  private def rowsOf(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+  /** Exact interpolated quantiles of `valueCol` per `groupCol` at
+    * percentiles `ps`: (group, p, value) — bit-identical to the qt2
+    * window formulation. Null values are excluded per SQL convention;
+    * a group with no non-null values yields no rows. */
+  def percentileCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      buckets: Int = 4096,
+      equiDepth: Boolean = false): DataFrame = {
+    checkArgs(groupCol, ps, buckets, equiDepth)
+    val rows = rowsOf(df, groupCol, valueCol)
+    val stats = statsOf(rows, buckets, equiDepth)
+    val spanStats = spanStatsOf(stats, buckets, equiDepth)
+    val bucketCounts =
+      bucketCountsOf(bucketedOf(rows, spanStats, buckets, equiDepth))
+    finish(rows, stats, spanStats, bucketCounts, groupCol, ps, buckets,
+      equiDepth)
+  }
+
+  /** [[percentileCont]] with the SKEW SELF-DEFENSE of
+    * [[ScalableRank.withRowNumberAuto]] (round 15): materialize the
+    * equi-width stats and exact bucket counts the locate needs ANYWAY
+    * (two eager localCheckpoints — the same two data scans the lazy
+    * plan performs), read the max bucket share among span>0 groups off
+    * them, and only a collapsed profile (share >
+    * [[ScalableRank.SkewShareThreshold]] — the candidate pass would
+    * re-become a group-sized single-task sort) pays the equi-depth
+    * rebuild, with `buckets` rounded UP to a power of two for the heap
+    * descent. A clean profile threads the already-computed frames into
+    * the locate: SAME total scan count as percentileCont. Answers are
+    * bit-identical in all paths; only the candidate-size balance
+    * guarantee differs.
+    *
+    * EAGER contract: builds run Spark jobs at DAG-build time (the
+    * checkpoints + the aggregate-sized share read) — NaN refusal fires
+    * then, and the switch branch releases its probe blocks eagerly
+    * while the clean branch's live until the returned plan's RDDs go
+    * unreachable. Not for hot per-batch callers. */
+  def percentileContAuto(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      buckets: Int = 4096): DataFrame = {
+    checkArgs(groupCol, ps, buckets, equiDepth = false)
+    val rows = rowsOf(df, groupCol, valueCol)
+    val stats = statsOf(rows, buckets, equiDepth = false).localCheckpoint()
+    val spanStats = spanStatsOf(stats, buckets, equiDepth = false)
+    val bucketCounts = bucketCountsOf(
+      bucketedOf(rows, spanStats, buckets, equiDepth = false))
+      .localCheckpoint()
+    // max bucket share among span>0 groups — aggregate-sized
+    // arithmetic over the two materialized frames, no data touched
+    // (span-0 groups hold all rows in the constant short-circuit by
+    // design; equi-depth could not spread pure ties anyway)
+    val shareRow = bucketCounts
+      .join(broadcast(stats.select(col("g"), col("n"))), Seq("g"))
+      .agg(max(col("bn").cast("double") / col("n")))
+      .head()
+    val maxShare = if (shareRow.isNullAt(0)) 0.0 else shareRow.getDouble(0)
+    if (maxShare > ScalableRank.SkewShareThreshold) {
+      // the equi-depth rebuild reads neither probe frame — release
+      // their checkpoint blocks now instead of waiting out the GC
+      ScalableRank.release(stats); ScalableRank.release(bucketCounts)
+      percentileCont(df, groupCol, valueCol, ps,
+        ScalableRank.nextPow2(buckets), equiDepth = true)
+    } else
+      finish(rows, stats, spanStats, bucketCounts, groupCol, ps, buckets,
+        equiDepth = false)
   }
 
   /** The WINDOW formulation of the same interpolation — one keyed

@@ -91,6 +91,22 @@ object ScalableRank {
   private val Reserved = Seq("__rank_b", "__rank_vmin",
     "__rank_vmax", "__rank_cum", "__rank_bn", "__rank_np", "__rank_bh")
 
+  /** Eagerly release a localCheckpoint's blocks (the TrainPipeline
+    * discipline — GC-driven cleanup would let per-call aggregate-sized
+    * frames pile up in the block manager across repeated callers;
+    * fallback: no-op, the ContextCleaner gets unreachable ones). */
+  private[graft] def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
+  /** Smallest power of two ≥ `n` — the equi-depth heap descent needs a
+    * perfect tree, and the auto probe must not turn a previously-valid
+    * bucket count into a data-dependent require() failure that fires
+    * only when the input happens to be skewed. */
+  private[operators] def nextPow2(n: Int): Int =
+    if ((n & (n - 1)) == 0) n else Integer.highestOneBit(n) << 1
+
   /** Breadth-first (implicit-binary-tree) reorder of a SORTED boundary
     * array, so [[heapSearch]] can descend with computed `element_at`
     * indexes instead of a per-row linear scan. Length must be
@@ -402,8 +418,25 @@ object ScalableRank {
     * degradation into a measured 2.4–3.8× win (SCALING.md). Ties the
     * probe cannot fix (one VALUE holding a bucket) may recompute
     * boundaries without benefit — bounded cost, answers identical.
-    * The probe runs when the frame is built (the DAG-build-time
-    * discipline the iterative operators already follow). */
+    *
+    * EAGER contract (round 15, explicit): with the probe on, building
+    * the bucket-branch frame runs Spark jobs at DAG-BUILD time (the
+    * localCheckpoints of the stats and offsets frames plus the
+    * aggregate-sized share read) — so the null/NaN refusal and the
+    * broadcast-cell bound raise when the frame is BUILT, not when it
+    * is first acted on. On the switch branch the probe's checkpoint
+    * blocks are released immediately (they are not in the returned
+    * plan); on the clean branch they ARE the returned plan's inputs —
+    * they live until the plan's RDDs go unreachable (ContextCleaner).
+    * Hot per-batch callers that build many of these frames (the
+    * IvmTopK fold) pass `skewProbe = false`: the pre-probe lazy
+    * equi-width lattice, zero build-time jobs, no checkpoint
+    * accumulation — answers identical, only the adversarial-skew
+    * balance defense is waived. The switch rounds a non-power-of-two
+    * `buckets` UP to the next power of two (the heap descent needs a
+    * perfect tree) instead of letting a previously-valid count become
+    * a data-dependent failure — at most 2× the guarded broadcast
+    * cells, still raised loudly if that crosses the bound. */
   def withRowNumberAuto(
       df: DataFrame,
       partCols: Seq[String],
@@ -413,12 +446,15 @@ object ScalableRank {
       rnCol: String = "rn",
       nCol: String = "n",
       bucketRank: Option[Boolean] = None,
-      equiDepth: Boolean = false): DataFrame =
+      equiDepth: Boolean = false,
+      skewProbe: Boolean = true): DataFrame =
     if (!bucketRank.getOrElse(autoBucketRank(df)))
       windowRowNumber(df, partCols, valueCol, tieCols, rnCol, nCol)
     else if (equiDepth)
       withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
         equiDepth = true)
+    else if (!skewProbe)
+      withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol)
     else {
       checkRankArgs(df, rnCol, nCol, buckets, equiDepth = false)
       val v = checkedProxy(df, valueCol)
@@ -440,10 +476,13 @@ object ScalableRank {
           .agg(max(col("__rank_bn").cast("double") / col(nCol)))
           .head()
       val maxShare = if (shareRow.isNullAt(0)) 0.0 else shareRow.getDouble(0)
-      if (maxShare > SkewShareThreshold)
-        withRowNumber(df, partCols, valueCol, tieCols, buckets, rnCol, nCol,
-          equiDepth = true)
-      else
+      if (maxShare > SkewShareThreshold) {
+        // the equi-depth rebuild reads neither probe frame — release
+        // their checkpoint blocks now instead of waiting out the GC
+        release(stats); release(offsets)
+        withRowNumber(df, partCols, valueCol, tieCols, nextPow2(buckets),
+          rnCol, nCol, equiDepth = true)
+      } else
         latticeFrom(df, stats, partCols, v, valueCol, tieCols, buckets,
           rnCol, equiDepth = false,
           offsetsPre = Some(offsets.drop("__rank_bn")))

@@ -133,7 +133,12 @@ object TrainPipeline {
     * ledger bit-for-bit. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       shards: Int = 8, seed: Int = 17, minWords: Int = 10,
-      ledgerOut: Option[String] = None): Report = {
+      ledgerOut: Option[String] = None,
+      /** Image near-dup gate toggle (r15): the stub-codec thumbnail is
+        * a text-prefix hash — corpora without genuine image assets but
+        * with boilerplate openings should pass `false` to keep
+        * prefix-similar distinct documents. */
+      imageDedup: Boolean = true): Report = {
     val t0 = System.nanoTime()
     val docs = Tables(spark, sfDir, "documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -233,20 +238,28 @@ object TrainPipeline {
     // ordering every curation stack uses. Clusters keep only the
     // lowest-id representative; the losers get the SAME ledger
     // treatment as the text near-dup, so "why is image X gone" answers
-    // from one conserved ledger.
-    val assets = graft.multimodal.Multimodal.assetsFrom(
-      spark, stage.withColumn("__thumb", substring(col("text"), 1, 64)),
-      "doc_id", "__thumb", "image/fake")
-    val iclusters = graft.operators.SimHash.nearDupClusters(
-      graft.multimodal.Multimodal.perceptualHashes(assets), maxDist = 3)
-    val iLoserPairs = iclusters
-      .join(iclusters.groupBy(col("comp")).agg(min(col("id")).as("keep")),
-        Seq("comp"))
-      .filter(col("id") =!= col("keep"))
-      .select(col("id").as("doc_id"), col("keep"))
-    record(iLoserPairs, "image_near_dup", col("keep"))
-    val afterImageDedup = advance(
-      stage.join(iLoserPairs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    // from one conserved ledger. OPT-OUT (r15): under the stub-codec
+    // convention the signal is a text-PREFIX hash — far weaker than the
+    // MinHash body comparison — so corpora without genuine image assets
+    // but with boilerplate openings (templated headers) would lose
+    // distinct documents to it; pass `imageDedup = false` to skip the
+    // stage entirely (afterImageDedup then equals afterExact and the
+    // ledger carries no image_near_dup rows).
+    val afterImageDedup = if (!imageDedup) afterExact else {
+      val assets = graft.multimodal.Multimodal.assetsFrom(
+        spark, stage.withColumn("__thumb", substring(col("text"), 1, 64)),
+        "doc_id", "__thumb", "image/fake")
+      val iclusters = graft.operators.SimHash.nearDupClusters(
+        graft.multimodal.Multimodal.perceptualHashes(assets), maxDist = 3)
+      val iLoserPairs = iclusters
+        .join(iclusters.groupBy(col("comp")).agg(min(col("id")).as("keep")),
+          Seq("comp"))
+        .filter(col("id") =!= col("keep"))
+        .select(col("id").as("doc_id"), col("keep"))
+      record(iLoserPairs, "image_near_dup", col("keep"))
+      advance(
+        stage.join(iLoserPairs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }
 
     val clusters = MinHashLSH.nearDupClusters(
       stage, "doc_id", "text", NearDupThreshold)

@@ -78,9 +78,18 @@ object DistributionValidator {
       .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, v)")
     val unpivoted = df.selectExpr(stackExpr)
     if (bucketLocate.getOrElse(autoBucketLocate(df)))
-      return graft.operators.ScalableQuantile
-        .percentileCont(unpivoted, "column_name", "v", ps,
-          equiDepth = equiDepth)
+      // equi-depth on caller demand; otherwise the bucket path
+      // SELF-DEFENDS (r15): percentileContAuto reads the max bucket
+      // share off the exact bucket counts the locate computes anyway
+      // and only a collapsed profile pays the equi-depth rebuild —
+      // answers bit-identical in every path
+      return (if (equiDepth)
+        graft.operators.ScalableQuantile
+          .percentileCont(unpivoted, "column_name", "v", ps,
+            equiDepth = true)
+      else
+        graft.operators.ScalableQuantile
+          .percentileContAuto(unpivoted, "column_name", "v", ps))
         .withColumnRenamed("value", valueName)
     val w = Window.partitionBy(col("column_name")).orderBy(col("v"))
     unpivoted

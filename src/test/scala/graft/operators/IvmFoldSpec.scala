@@ -229,15 +229,75 @@ class IvmFoldSpec extends AnyFunSuite {
     }
     assert(msgChain(e1).contains("decimal(18,4)") ||
       msgChain(e1).contains("Decimal(18, 4)"), msgChain(e1))
-    // and the wide store keeps the discipline at ITS boundary (1e33 >
-    // 10^32, the decimal(38,6) integral cap) — never a silent 0
+    // and the wide store keeps the discipline at ITS value boundary
+    // (1e23 > 10^22, the decimal(28,6) integral cap — values stay ten
+    // digits below the decimal(38,6) sum so the running sum has the
+    // same headroom the default mode keeps) — never a silent 0
     val e2 = intercept[Exception] {
       IvmFold.foldMinMax(Some(wideAgg(before)),
-        delta(("a", "I", 1e33)),
+        delta(("a", "I", 1e23)),
         after.select(col("g"), col("v")), Seq("g"), "op", "v",
         wideDecimal = true).collect()
     }
-    assert(msgChain(e2).contains("decimal(38,6)") ||
-      msgChain(e2).contains("Decimal(38, 6)"), msgChain(e2))
+    assert(msgChain(e2).contains("decimal(28,6)") ||
+      msgChain(e2).contains("Decimal(28, 6)"), msgChain(e2))
+  }
+
+  test("accumulated sum crossing the SUM type raises, never NULL/0 drift (r15)") {
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a stored view whose running sum sits AT the decimal(38,6) cap —
+    // built by accumulation over many folds in real life, literal here;
+    // each incoming value is individually valid (well under 1e22) but
+    // the merge-path add overflows the sum type to NULL under non-ANSI
+    // arithmetic. Pre-r15 that NULL rode into the view (merge) or
+    // coalesced to 0 (re-agg); now both paths raise.
+    val atCap = "99999999999999999999999999999999.000000"
+    val stored = spark.range(1).select(
+      lit("a").as("g"), lit(2L).as("n"),
+      lit(atCap).cast("decimal(38,6)").as("s"),
+      lit(1.0).as("mn"), lit(2.0).as("mx"))
+    assert(stored.collect().head.getAs[java.math.BigDecimal]("s") != null,
+      "test setup: the at-cap literal itself must fit decimal(38,6)")
+    // merge path: an insert-only delta never touches an extremum.
+    // Under ANSI (the session default) the decimal add raises natively;
+    // the fold's OWN guard exists for non-ANSI mode, where the add
+    // yields NULL instead — exercise that mode explicitly, like the
+    // value-raise test above does.
+    val was = spark.conf.get("spark.sql.ansi.enabled")
+    val e1 = try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      intercept[Exception] {
+        IvmFold.foldMinMax(Some(stored), delta(("a", "I", 1e21)),
+          rows(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 1e21))
+            .select(col("g"), col("v")),
+          Seq("g"), "op", "v", wideDecimal = true).collect()
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", was)
+    assert(msgChain(e1).contains("overflowed decimal(38,6)"), msgChain(e1))
+    // and under ANSI the same fold still fails loudly (natively) —
+    // never a silent NULL/0 in either mode
+    val e1a = intercept[Exception] {
+      IvmFold.foldMinMax(Some(stored), delta(("a", "I", 1e21)),
+        rows(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 1e21))
+          .select(col("g"), col("v")),
+        Seq("g"), "op", "v", wideDecimal = true).collect()
+    }
+    assert(msgChain(e1a).contains("overflowed decimal(38,6)") ||
+      msgChain(e1a).contains("NUMERIC_VALUE_OUT_OF_RANGE"), msgChain(e1a))
+    // and a fold that stays under the cap against the same at-cap-ish
+    // store still succeeds exactly (the guard fires only on overflow)
+    val nearCap = "9999999999999999999999999999999.000000" // one digit down
+    val storedOk = spark.range(1).select(
+      lit("a").as("g"), lit(2L).as("n"),
+      lit(nearCap).cast("decimal(38,6)").as("s"),
+      lit(1.0).as("mn"), lit(2.0).as("mx"))
+    val ok = IvmFold.foldMinMax(Some(storedOk), delta(("a", "I", 1e21)),
+      rows(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 1e21))
+        .select(col("g"), col("v")),
+      Seq("g"), "op", "v", wideDecimal = true).collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("n") == 3L &&
+      ok.head.getAs[java.math.BigDecimal]("s") != null)
   }
 }

@@ -78,6 +78,31 @@ class RankSkewAutoSpec extends AnyFunSuite {
     assert(sorted(auto) == sorted(want))
   }
 
+  test("non-power-of-two buckets survive the switch (rounded up, never a data-dependent require) (r15)") {
+    // 48 buckets was always valid for the equi-width/auto path; the
+    // equi-depth switch must not turn it into a require() failure that
+    // fires only when the input happens to be skewed
+    val df = skewed(20000)
+    val auto = withRowNumberAuto(df, Nil, "v", Seq("id"), buckets = 48,
+      bucketRank = Some(true))
+    assert(auto.queryExecution.analyzed.toString.contains("percentile_approx"))
+    assert(sorted(auto) == sorted(windowTruth(df)))
+  }
+
+  test("skewProbe = false keeps the lazy pre-probe equi-width lattice — no build-time jobs, same answers (r15)") {
+    val df = skewed(20000)
+    val auto = withRowNumberAuto(df, Nil, "v", Seq("id"), buckets = 64,
+      bucketRank = Some(true), skewProbe = false)
+    // no probe: no boundary machinery AND no materialized probe frames
+    // (the plan holds no checkpointed LogicalRDD scans)
+    val plan = auto.queryExecution.analyzed
+    assert(!plan.toString.contains("percentile_approx"))
+    assert(!plan.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "skewProbe = false must not checkpoint probe frames")
+    assert(sorted(auto) == sorted(windowTruth(df)))
+  }
+
   test("single-value groups never trigger the switch (pure ties are bucket 0 by design)") {
     val df = spark.range(4000).toDF("id")
       .select(col("id"), lit(7.5).as("v"))

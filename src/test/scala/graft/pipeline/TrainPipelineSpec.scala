@@ -38,6 +38,23 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(r.totalSec > 0)
   }
 
+  test("imageDedup = false skips the prefix-hash gate: no image drops, ledger carries no image_near_dup rows (r15)") {
+    // the stub-codec thumbnail is a text-prefix signal — corpora
+    // without genuine image assets must be able to opt out without
+    // losing prefix-similar distinct documents
+    val out = freshDir()
+    val ledgerPath = freshDir() + "/ledger"
+    val r = TrainPipeline.run(spark, sfDir, out, shards = 4, seed = 17,
+      ledgerOut = Some(ledgerPath), imageDedup = false)
+    assert(r.afterImageDedup == r.afterExact, r.toString)
+    val stages = spark.read.parquet(ledgerPath)
+      .select(org.apache.spark.sql.functions.col("stage"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!stages.contains("image_near_dup"), stages.toString)
+    // the text near-dup pass still does its own work
+    assert(r.afterNearDup < r.afterImageDedup, r.toString)
+  }
+
   test("segment dedup shrinks segments but never drops documents") {
     val r = report
     assert(r.segmentsIn >= r.segmentsKept, r.toString)
