@@ -111,7 +111,7 @@ object E2eScale {
 
     val section =
       f"""
-         |## ${factor}× scale point — migration e2e (round 14)
+         |## ${factor}× scale point — migration e2e
          |
          |The full GraftApp migration (ddl drop + 8-table load + 24 DVT
          |validations + report) driven by E2ePipeline at the bench scale

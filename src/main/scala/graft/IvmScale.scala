@@ -639,6 +639,164 @@ object IvmScale {
            |""".stripMargin
     }
 
+    // ---- round 15: WRITE-side proportionality — the manifest-linked
+    // partitioned upsert (BucketStore) replacing the full five-family
+    // snapshot rewrite per batch in StreamingIvmCompose. Measured on
+    // the REAL deployment path (applyBatch end to end): bytes written
+    // by a fixed mixed delta batch must stay flat while every store
+    // grows 10×.
+    if (on("r15w")) {
+      import graft.streaming.StreamingIvmCompose
+      val nOrdersOf = (n: Long) => n / cOrdersPer
+      def seedDir(n: Long, buckets: Int): String = {
+        val dir = s"$out/w15_${n}_$buckets"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val nOrders = nOrdersOf(n)
+        val lSeed = spark.range(0L, n).select(lit("L").as("side"),
+          lit("I").as("op"), col("id").as("lk"),
+          (col("id") % nOrders).as("ok"), lit(null).cast("long").as("ck"),
+          col("id").cast("double").as("price"),
+          lit(null).cast("string").as("g"))
+        val oSeed = spark.range(0L, nOrders).select(lit("O").as("side"),
+          lit("I").as("op"), lit(null).cast("long").as("lk"),
+          col("id").as("ok"), (col("id") % cDims).as("ck"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("g"))
+        val cSeed = spark.range(0L, cDims).select(lit("C").as("side"),
+          lit("I").as("op"), lit(null).cast("long").as("lk"),
+          lit(null).cast("long").as("ok"), col("id").as("ck"),
+          lit(null).cast("double").as("price"),
+          (col("id") % 100).cast("string").as("g"))
+        StreamingIvmCompose.applyBatch(
+          lSeed.unionByName(oSeed).unionByName(cSeed), 0L, "side", "op",
+          Seq("lk", "ok", "price"), Seq("ok", "ck"), Seq("ck", "g"),
+          "lk", "ok", "ck", Seq("ok"), Seq("ck"), Seq("g"), "price", dir,
+          storeBuckets = buckets)
+        dir
+      }
+      def mixedDelta(n: Long): DataFrame = {
+        val nOrders = nOrdersOf(n)
+        // 25 lines repriced (D+I), 2 orders deleted outright, 5
+        // customers moved — the composedFold delta, tagged
+        val lt = spark.range(n / 2, n / 2 + 25)
+          .select(col("id").as("lk"), (col("id") % nOrders).as("ok"),
+            col("id").cast("double").as("price"))
+        val dL = lt.select(lit("L").as("side"), lit("D").as("op"),
+            col("lk"), col("ok"), lit(null).cast("long").as("ck"),
+            col("price"), lit(null).cast("string").as("g"))
+          .unionByName(lt.select(lit("L").as("side"), lit("I").as("op"),
+            col("lk"), col("ok"), lit(null).cast("long").as("ck"),
+            (col("price") + 0.5).as("price"),
+            lit(null).cast("string").as("g")))
+        val dO = spark.range(0L, 2L).select(lit("O").as("side"),
+          lit("D").as("op"), lit(null).cast("long").as("lk"),
+          col("id").as("ok"), (col("id") % cDims).as("ck"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("g"))
+        val ct = spark.range(10L, 15L).select(col("id").as("ck"),
+          (col("id") % 100).cast("string").as("g"))
+        val dC = ct.select(lit("C").as("side"), lit("D").as("op"),
+            lit(null).cast("long").as("lk"), lit(null).cast("long").as("ok"),
+            col("ck"), lit(null).cast("double").as("price"), col("g"))
+          .unionByName(ct.select(lit("C").as("side"), lit("I").as("op"),
+            lit(null).cast("long").as("lk"), lit(null).cast("long").as("ok"),
+            col("ck"), lit(null).cast("double").as("price"),
+            lit("moved").as("g")))
+        dL.unionByName(dO).unionByName(dC)
+      }
+      def bytesOfBatch(dir: String, id: Long): Long = {
+        def du(f: java.io.File): Long =
+          if (!f.exists) 0L
+          else if (f.isFile) f.length
+          else f.listFiles().map(du).sum
+        Seq("rows_l", "rows_o", "rows_lo", "rows_c", "agg")
+          .map(fam => du(new java.io.File(s"$dir/$fam/batch=$id"))).sum
+      }
+      def foldW(n: Long, dir: String, buckets: Int): (Double, Long) = {
+        val d = mixedDelta(n)
+        // redelivery of the same id per iteration: reads the same
+        // committed base state, overwrites identical bytes — stable
+        // timing AND a stable byte count
+        val samples = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          StreamingIvmCompose.applyBatch(d, 1L, "side", "op",
+            Seq("lk", "ok", "price"), Seq("ok", "ck"), Seq("ck", "g"),
+            "lk", "ok", "ck", Seq("ok"), Seq("ck"), Seq("g"), "price", dir,
+            storeBuckets = buckets)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (median(samples), bytesOfBatch(dir, 1L))
+      }
+      // two bucket configurations, because the upsert's write grain IS
+      // the bucket: with the bucket COUNT fixed across the growth the
+      // touched buckets themselves grow store-proportionally (an honest
+      // anti-claim), while the deployment discipline — size
+      // storeBuckets so a bucket stays a bounded scan, i.e. hold the
+      // bucket SIZE fixed — makes the delta batch's write flat
+      val fixedB = 256
+      val scaledB = 2560 // 10× buckets for the 10× store: same rows/bucket
+      val dirF1 = seedDir(baseN, fixedB)
+      val dirF10 = seedDir(baseN * 10, fixedB)
+      val dirS10 = seedDir(baseN * 10, scaledB)
+      val seed1 = bytesOfBatch(dirF1, 0L)
+      val seed10 = bytesOfBatch(dirF10, 0L)
+      foldW(baseN, dirF1, fixedB) // warm, untimed (redelivered below)
+      val (wt1, wb1) = foldW(baseN, dirF1, fixedB)
+      val (wtF10, wbF10) = foldW(baseN * 10, dirF10, fixedB)
+      val (wtS10, wbS10) = foldW(baseN * 10, dirS10, scaledB)
+      def mb(b: Long) = b / 1e6
+      sections +=
+        f"""
+           |## Batch-proportional snapshot WRITES — manifest-linked upsert (round 15)
+           |
+           |Round 14's one structural 100-TB liability: per-batch COMPUTE
+           |was delta-proportional and reads bucket-pruned, but every
+           |StreamingIvmCompose commit rewrote all five snapshot families
+           |in full — store-sized bytes per batch, unconditionally. The
+           |BucketStore layout writes ONLY the buckets a batch touched
+           |and links every untouched bucket from the previous manifest
+           |(≤ storeBuckets pointer lines per family), keeping the
+           |all-families-marker commit and the recompute-from-latest-
+           |committed redelivery contract. The write grain is the
+           |BUCKET, so the honest contract is: bytes per batch ∝
+           |(touched buckets × bucket size) — delta-proportional exactly
+           |when the deployment holds the bucket SIZE bounded by sizing
+           |`storeBuckets` to the store (the layout's documented sizing
+           |rule). Measured END TO END on StreamingIvmCompose.applyBatch
+           |(CDC validation, both deltaJoin stages, fold, write, commit,
+           |GC) with the composedFold mixed delta while every store
+           |grows 10× ($baseN → ${baseN * 10} L rows; seed snapshots
+           |${mb(seed1)}%.1f → ${mb(seed10)}%.1f MB at $fixedB buckets):
+           |
+           || configuration | delta-batch bytes written | vs full rewrite | delta-batch sec |
+           ||---|---|---|---|
+           || small store, $fixedB buckets | ${mb(wb1)}%.2f MB | ${r1(100.0 * wb1 / seed1)}%% of store | $wt1%.2f |
+           || 10× store, $fixedB buckets (bucket size grew 10×) | ${mb(wbF10)}%.2f MB | ${r1(100.0 * wbF10 / seed10)}%% of store | $wtF10%.2f |
+           || 10× store, $scaledB buckets (bucket size held fixed) | ${mb(wbS10)}%.2f MB | ${r1(100.0 * wbS10 / seed10)}%% of store | $wtS10%.2f |
+           |
+           |With the bucket size held fixed (the sizing rule), the 10×
+           |store's delta batch writes ${r1(wbS10.toDouble / wb1)}× the small store's
+           |bytes — flat, while the old layout's write cost grew 10×
+           |with the store. The fixed-bucket-count row is the anti-claim
+           |that motivates the rule: the same delta rewrites
+           |${r1(wbF10.toDouble / wb1)}× the bytes because each touched bucket is
+           |itself 10× larger. An untouched family writes a manifest and
+           |a marker only (BucketStoreUpsertSpec pins that at the
+           |filesystem level, plus GC safety for linked directories).
+           |Wall time is test-scale overhead dominated (dozens of small
+           |eager jobs per batch); the pruned reads resolve wanted
+           |buckets as EXPLICIT manifest paths, so driver listing is
+           |touched-bucket-bounded too — the first cut filtered over a
+           |full directory listing and the 2560-bucket store paid 3.5×
+           |wall for it (76 s), which is what this path now avoids.
+           |
+           |Reproduce: `SPARK_GRAFT_IVM_SECTIONS=r15w sbt "runMain
+           |graft.IvmScale /tmp/graft_ivm_scale"`.
+           |""".stripMargin
+    }
+
     val p = Paths.get("SCALING.md")
     Files.writeString(p, Files.readString(p) + sections.mkString)
     sections.foreach(println)

@@ -111,6 +111,94 @@ object IvmJoin {
       .drop("__w")
   }
 
+  /** The bilinear delta of a MULTISET join (round 15 — the
+    * general-multiplicity composition face): [[deltaJoin]] generalized
+    * from ±1 CDC rows and set stores to integer-weighted deltas and
+    * multiplicity-carrying stores. `deltaR`/`deltaS` carry `wCol`
+    * (signed net multiplicities — any nonzero integer, not just ±1);
+    * `rBefore`/`sBefore` carry `multCol` (the PRE-delta multiplicity
+    * of each distinct row — pass `lit(1)` frames for plain set
+    * stores). Output: `outCols` + `wCol`, where each term's weight is
+    * the PRODUCT of its inputs' weights — exactly the multiset
+    * identity `(R+ΔR)⋈(S+ΔS) − R⋈S` with multiplicities
+    * `m_{r⋈s} = m_r · m_s`. This is what lets a composed chain keep a
+    * many-to-many intermediate: the intermediate store holds
+    * (row-payload, multiplicity) instead of pk-keyed rows, and its
+    * delta is a net-weighted stream that chains into further
+    * weighted joins or [[foldAggWeighted]].
+    *
+    * Scale shape: identical to [[deltaJoin]] — each term broadcasts
+    * its delta side, the stored sides stream through one (pruned) scan
+    * apiece, the cross term is delta × delta. */
+  def deltaJoinWeighted(
+      deltaR: DataFrame,
+      deltaS: DataFrame,
+      rBefore: DataFrame,
+      sBefore: DataFrame,
+      joinKeys: Seq[String],
+      wCol: String,
+      multCol: String,
+      outCols: Seq[String]): DataFrame = {
+    val out = outCols.map(col)
+    def wChecked(c: Column, name: String): Column =
+      when(c.isNull || c === 0,
+        raise_error(lit(s"zero/NULL multiplicity in '$name' — a weighted " +
+          "delta must carry nonzero net weights (compress first)")))
+        .otherwise(c)
+    val dR = deltaR.withColumn("__dwr", wChecked(col(wCol), wCol)).drop(wCol)
+    val dS = deltaS.withColumn("__dws", wChecked(col(wCol), wCol)).drop(wCol)
+    val rB = rBefore.withColumn("__mr", col(multCol)).drop(multCol)
+    val sB = sBefore.withColumn("__ms", col(multCol)).drop(multCol)
+    val t1 = broadcast(dR).join(sB, joinKeys)
+      .select(out :+ (col("__dwr") * col("__ms")).as(wCol): _*)
+    val t2 = rB.join(broadcast(dS), joinKeys)
+      .select(out :+ (col("__mr") * col("__dws")).as(wCol): _*)
+    val t3 = broadcast(dR).join(broadcast(dS), joinKeys)
+      .select(out :+ (col("__dwr") * col("__dws")).as(wCol): _*)
+    t1.unionByName(t2).unionByName(t3)
+  }
+
+  /** Fold an integer-WEIGHTED delta stream (`wCol` — net signed
+    * multiplicities, [[deltaJoinWeighted]]'s output) into the
+    * maintained per-group (n, s) view: n absorbs Σw, s absorbs
+    * Σ w·value. [[foldAggSigned]] is the ±1 instance. Same loud
+    * refusals: zero/NULL weights, negative count,
+    * zero-with-remainder. */
+  def foldAggWeighted(
+      stored: Option[DataFrame],
+      delta: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      wCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val w = when(col(wCol).isNull || col(wCol) === 0,
+      raise_error(lit(s"zero/NULL multiplicity in '$wCol' — refusing to " +
+        "fold a malformed weighted delta into the view")))
+      .otherwise(col(wCol))
+    val deltaAgg = delta
+      .groupBy(g: _*)
+      .agg(sum(w).as("__dn"),
+        sum(w * decChecked(col(valueCol), valueCol)).as("__ds"))
+
+    val storedDf = stored.getOrElse(
+      deltaAgg.filter(lit(false))
+        .select(g :+ lit(0L).as("n") :+
+          lit(0).cast("decimal(28,4)").as("s"): _*))
+
+    storedDf.join(deltaAgg, groupCols, "full_outer")
+      .select(g :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n") :+
+        (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s"): _*)
+      .withColumn("n",
+        when(col("n") < 0 ||
+          (col("n") === 0 && coalesce(col("s") =!= 0, lit(false))),
+          raise_error(lit("delta deletes join pairs the view never " +
+            "absorbed (negative count or zero count with a remainder sum)")))
+          .otherwise(col("n")))
+      .withColumn("s", col("s").cast("decimal(28,4)"))
+      .filter(col("n") > 0)
+  }
+
   /** Fold a SIGNED CDC stream (`opCol` ∈ {I, D} — [[deltaJoin]]'s
     * output, or any single-relation delta) into the maintained
     * per-group (n, s) view: the ivm1 invertible merge, factored out so

@@ -700,6 +700,69 @@ object GovernanceQueries {
         .select(col("nation"), col("n"),
           col("s").cast("double").as("sum_price"))
         .orderBy(col("nation"))
+    }),
+    "ivm8_multiset_view" -> ((s, dir) => {
+      // MULTISET composed IVM (round 15) — ivm7's composition WITHOUT
+      // the many-to-one restriction: both stages of
+      // supplier ⋈ customer (on nationkey — many suppliers meet many
+      // customers per nation) ⋈ orders (on custkey — many intermediate
+      // rows meet many orders per customer) are MANY-TO-MANY, so the
+      // maintained intermediate has no primary key and is kept as a
+      // (payload, multiplicity) multiset instead. The algebra is
+      // IvmJoin.deltaJoinWeighted (the bilinear expansion with
+      // multiplicity PRODUCTS — deltas carry net signed weights, store
+      // legs carry multiplicities) chaining into foldAggWeighted
+      // (n += Σw, s += Σ w·value) — the StreamingIvmComposeN batch
+      // algebra, oracle-checked. One change batch touches all three
+      // bases: every 31st supplier's balance repriced +10 (D+I),
+      // every 89th customer deleted outright (their whole fan-out
+      // leaves the view), every 101st order re-prioritized (D+I on
+      // the outer base). Oracle = full recompute of the three-way
+      // many-to-many join over the modified tables, bit-for-bit.
+      import graft.operators.IvmJoin
+      val sup = T(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"), col("s_acctbal").as("bal"))
+      val cus = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("prio"))
+      val repriced = pmod(col("sk"), lit(31)) === 0
+      val cdropped = pmod(col("ck"), lit(89)) === 0
+      val omoved = pmod(col("ok"), lit(101)) === 0
+      val dS = sup.filter(repriced)
+        .select(col("sk"), col("nk"), col("bal"), lit(-1L).as("__w"))
+        .unionByName(sup.filter(repriced)
+          .select(col("sk"), col("nk"), (col("bal") + 10.0).as("bal"),
+            lit(1L).as("__w")))
+      val dC = cus.filter(cdropped)
+        .select(col("ck"), col("nk"), lit(-1L).as("__w"))
+      val dO = ord.filter(omoved)
+        .select(col("ok"), col("ck"), col("prio"), lit(-1L).as("__w"))
+        .unionByName(ord.filter(omoved)
+          .select(col("ok"), col("ck"),
+            concat(lit("moved-"), col("prio")).as("prio"),
+            lit(1L).as("__w")))
+      def asSet(df: DataFrame) = df.withColumn("__mult", lit(1L))
+      // stage 1 (many-to-many): Δ(S⋈C) as a net-weighted multiset
+      // stream; the PRE-delta intermediate is the projected multiset
+      // (ck, bal) with counted multiplicity — the stand-in for the
+      // stored inter_1 family StreamingIvmComposeN maintains
+      val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
+        Seq("nk"), "__w", "__mult", Seq("ck", "bal"))
+      val dlo = d1.groupBy(col("ck"), col("bal"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val lo = sup.join(cus, Seq("nk"))
+        .groupBy(col("ck"), col("bal")).agg(count(lit(1)).as("__mult"))
+      // stage 2 (also many-to-many): upstream delta AS this join's ΔR
+      val d2 = IvmJoin.deltaJoinWeighted(dlo, dO, lo, asSet(ord),
+        Seq("ck"), "__w", "__mult", Seq("prio", "bal"))
+      import graft.core.Exact.dec
+      val stored = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("bal"))).as("s"))
+      IvmJoin.foldAggWeighted(Some(stored), d2, Seq("prio"), "bal", "__w")
+        .select(col("prio"), col("n"), col("s").cast("double").as("sum_bal"))
+        .orderBy(col("prio"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -720,6 +783,25 @@ object GovernanceQueries {
         |SELECT nation, COUNT(*) AS n,
         | CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM l2 JOIN o2 USING (ok) JOIN c2 USING (ck)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm8_multiset_view" ->
+      """WITH s2 AS (
+        | SELECT s_nationkey AS nk,
+        |  CASE WHEN s_suppkey % 31 = 0 THEN s_acctbal + 10.0
+        |       ELSE s_acctbal END AS bal
+        | FROM supplier),
+        |c2 AS (
+        | SELECT c_custkey AS ck, c_nationkey AS nk FROM customer
+        | WHERE c_custkey % 89 <> 0),
+        |o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0
+        |       THEN 'moved-' || o_orderpriority
+        |       ELSE o_orderpriority END AS prio
+        | FROM orders)
+        |SELECT prio, COUNT(*) AS n,
+        | CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "del1_forget_audit" ->
       """WITH fk AS (

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.core.Exact.dec
 
@@ -13,13 +12,18 @@ import graft.core.Exact.dec
   * `stored ⊕ delta`, never re-aggregating the base data. Updates
   * travel as delete+insert pairs (the ivm1/applyCdc convention).
   *
-  * Storage is one COMPLETE aggregate snapshot per batch
-  * (`<aggDir>/snap/batch=<id>/` — aggregate-sized, tiny), the
-  * [[StreamingScd2]] exactly-once discipline: a batch always recomputes
-  * from the latest COMMITTED snapshot with id < its own (`_SUCCESS` =
-  * commit), so a redelivered batch reads the same input and overwrites
-  * its own snapshot with identical bytes — idempotent at any crash
-  * point, no WAL. Older snapshots are GC'd; steady state holds two.
+  * Storage is ONE [[BucketStore]] family per view
+  * (`<aggDir>/snap/batch=<id>/`, bucketed by the group hash), the
+  * shared exactly-once discipline: a batch always recomputes from the
+  * latest COMMITTED snapshot with id < its own (`_SUCCESS` = commit),
+  * so a redelivered batch reads the same input and overwrites its own
+  * snapshot with identical bytes — idempotent at any crash point, no
+  * WAL. Older snapshots are GC'd; steady state holds the directories
+  * the last two manifests reference. Round 15: the snapshot writes
+  * through the store's manifest-linked PARTITIONED UPSERT — only the
+  * delta's groups' buckets merge and rewrite; at 100 TB the
+  * group-count-sized view is itself big, and the old complete rewrite
+  * per batch was its write-side scale wall.
   *
   * Contract (StreamingIvmSpec): after batch N commits, [[readAgg]]
   * equals the full recompute over every surviving row delivered so far,
@@ -30,25 +34,16 @@ import graft.core.Exact.dec
   */
 object StreamingIvm {
 
-  private def snapRoot(aggDir: String) = new HPath(aggDir, "snap")
-
-  private def committed(spark: SparkSession, aggDir: String): Seq[Long] = {
-    val root = snapRoot(aggDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
-  }
+  private def committed(spark: SparkSession, aggDir: String): Seq[Long] =
+    BucketStore.committedIn(spark, aggDir, "snap").toSeq.sorted
 
   /** Fold ONE static change batch into the maintained aggregate as
     * micro-batch `batchId`; returns the group count after the fold. */
   def applyBatch(
       batch: DataFrame, batchId: Long, groupCols: Seq[String],
-      opCol: String, valueCol: String, aggDir: String): Long = {
+      opCol: String, valueCol: String, aggDir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
     val spark = batch.sparkSession
-    val fs = new HPath(aggDir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L // no state change; snapshot ids may skip
     // fail loudly on an op outside {I, D} — including NULL, which
     // filters silently out of BOTH legs of any when() split
@@ -64,8 +59,13 @@ object StreamingIvm {
             .otherwise(-dec(col(valueCol)))).as("__p"): _*)
       .groupBy(g: _*)
       .agg(sum(col("__w")).as("__dn"), sum(col("__p")).as("__ds"))
-    val prior = committed(spark, aggDir).filter(_ < batchId)
-    val merged = prior.lastOption match {
+    val prevId = committed(spark, aggDir).filter(_ < batchId).lastOption
+    // only the delta's groups' buckets read and merge — untouched
+    // groups stay linked through the manifest, unread and unwritten
+    val touched = BucketStore.bucketsOf(batch, groupCols, storeBuckets)
+    val aggTemplate = batch.filter(lit(false))
+      .select(g :+ lit(0L).as("n") :+ lit(0).cast("decimal(28,4)").as("s"): _*)
+    val merged = prevId match {
       case None =>
         // coalesce here too: a first-batch group whose valueCol rows are
         // all NULL sums to s = NULL, which slips past the corruption
@@ -74,9 +74,10 @@ object StreamingIvm {
         // merges would coalesce it to 0, the first snapshot would not
         delta.select((g :+ coalesce(col("__dn"), lit(0L)).as("n")) :+
           coalesce(col("__ds"), lit(0)).as("s"): _*)
-      case Some(prev) =>
-        val stored = spark.read.parquet(
-          new HPath(snapRoot(aggDir), s"batch=$prev").toString)
+      case Some(_) =>
+        val stored = BucketStore.readBuckets(spark, aggDir, "snap", prevId,
+            touched, aggTemplate)
+          .select((groupCols :+ "n" :+ "s").map(col): _*)
         stored.join(delta, groupCols, "full_outer")
           .select((g :+
             (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) :+
@@ -95,11 +96,16 @@ object StreamingIvm {
         "(negative count or zero count with a remainder sum) — " +
         "refusing to fold an inconsistent delta into the view")
     val survivors = next.filter(col("n") > 0)
-    val nGroups = survivors.count()
-    survivors.write.mode("overwrite")
-      .parquet(new HPath(snapRoot(aggDir), s"batch=$batchId").toString)
-    prior.dropRight(1).foreach(id =>
-      fs.delete(new HPath(snapRoot(aggDir), s"batch=$id"), true))
+    BucketStore.upsert(spark, aggDir, "snap", batchId, prevId,
+      survivors.withColumn("__g_bucket",
+        BucketStore.bucketize(groupCols, storeBuckets)),
+      touched)
+    BucketStore.commit(spark, aggDir, "snap", batchId)
+    BucketStore.gc(spark, aggDir, "snap", prevId.toSeq :+ batchId)
+    val nGroups =
+      BucketStore.readAll(spark, aggDir, "snap", Some(batchId), aggTemplate)
+        .count()
+    graft.operators.ScalableRank.release(next)
     nGroups
   }
 
@@ -124,6 +130,7 @@ object StreamingIvm {
   def readAgg(spark: SparkSession, aggDir: String): DataFrame = {
     val snaps = committed(spark, aggDir)
     require(snaps.nonEmpty, s"no committed aggregate under $aggDir")
-    spark.read.parquet(new HPath(snapRoot(aggDir), s"batch=${snaps.last}").toString)
+    BucketStore.readAllNonEmpty(spark, aggDir, "snap", snaps.last)
+      .drop("__g_bucket")
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.operators.IvmJoin
 
@@ -29,57 +28,48 @@ import graft.operators.IvmJoin
   * at most one O row — the fact→dim snowflake shape), so the
   * intermediate inherits L's primary key and stage-1 deltas net to
   * |multiplicity| ≤ 1 per intermediate row; a violation raises inside
-  * the compress step, before anything is written. Input stream: one
-  * tagged change frame — `sideCol` ∈ {L, O, C}, `opCol` ∈ {I, D},
-  * each side carrying its own payload columns (others null); batches
-  * may mix sides freely — the per-stage cross terms make that exact.
+  * the compress step, before anything is written. A many-to-many base
+  * pair (no PK on the intermediate) deploys through
+  * [[StreamingIvmComposeN]]'s multiset intermediates instead. Input
+  * stream: one tagged change frame — `sideCol` ∈ {L, O, C}, `opCol` ∈
+  * {I, D}, each side carrying its own payload columns (others null);
+  * batches may mix sides freely — the per-stage cross terms make that
+  * exact.
   *
-  * Storage is FIVE snapshot families per batch under `<dir>`:
-  * `rows_l`/`rows_o` (partitioned by a stage-1-join-key hash bucket),
-  * `rows_lo`/`rows_c` (partitioned by the stage-2 key bucket) and
-  * `agg`; commit = all five `_SUCCESS`, recompute-from-latest-
-  * committed on redelivery — the family's exactly-once discipline.
+  * Storage is FIVE [[BucketStore]] families under `<dir>`:
+  * `rows_l`/`rows_o` (bucketed by the stage-1 join key), `rows_lo`/
+  * `rows_c` (by the stage-2 key) and `agg` (by the group key). Round
+  * 15: every family writes through the store's manifest-linked
+  * PARTITIONED UPSERT — a batch writes only the buckets its delta
+  * touched (plus a ≤`storeBuckets`-line manifest per family), so bytes
+  * written per batch are ∝ |delta|, never ∝ |store| — the r14
+  * "test-scale simplification" (full five-family rewrite per commit)
+  * is gone; IvmScale measures the write-side proportionality across
+  * 10× store growth. Commit = all five family markers,
+  * recompute-from-latest-committed on redelivery — the family's
+  * exactly-once discipline, unchanged.
   *
   * Per-batch compute is delta-proportional: every deltaJoin leg
   * broadcasts a (compressed) delta; each stored side is consulted only
-  * against the OTHER side's delta keys, so its read prunes to those
-  * buckets (batch-bounded driver lists) — an L-only batch reads zero
-  * rows_c files beyond its own downstream keys, a C-only batch reads
-  * zero rows_l/rows_o files at all. The snapshot rewrite of untouched
-  * buckets is the documented test-scale simplification (partitioned
-  * upsert in production — the affected/untouched split is already
-  * explicit).
+  * against the OTHER side's delta keys, so its read touches only those
+  * buckets' files (manifest-resolved — an L-only batch reads zero
+  * rows_c data beyond its own downstream keys, a C-only batch reads
+  * zero rows_l/rows_o data at all).
   *
   * Contract (StreamingIvmComposeSpec): after batch N commits,
   * [[readView]] equals the full `(L⋈O)⋈C` aggregate recompute over
   * surviving delivered rows — L-only, O-only, C-only and mixed
   * batches, both stage cross terms included — `rows_lo` equals the
-  * recomputed join, restart recovers from the snapshot quintuple, and
-  * per-side CDC violations fail loudly before anything commits.
+  * recomputed join, restart recovers from the snapshot families, and
+  * per-side CDC violations fail loudly before anything commits
+  * (every side validates before any side writes; markers write last).
   */
 object StreamingIvmCompose {
 
   private val Families = Seq("rows_l", "rows_o", "rows_lo", "rows_c", "agg")
 
-  private def snapRoot(dir: String, family: String) =
-    new HPath(new HPath(dir), family)
-
-  private def snapPath(dir: String, family: String, id: Long) =
-    new HPath(snapRoot(dir, family), s"batch=$id")
-
-  private def committedIn(
-      spark: SparkSession, dir: String, family: String): Set[Long] = {
-    val root = snapRoot(dir, family)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
-  }
-
   private def committed(spark: SparkSession, dir: String): Seq[Long] =
-    Families.map(committedIn(spark, dir, _)).reduce(_ & _).toSeq.sorted
+    BucketStore.committedAll(spark, dir, Families)
 
   /** Fold ONE static tagged change batch into the maintained stores as
     * micro-batch `batchId`. `lCols`/`oCols`/`cCols` name each side's
@@ -99,9 +89,8 @@ object StreamingIvmCompose {
       dir: String,
       storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
     val spark = batch.sparkSession
-    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
-    Seq("__g_bucket", "__op", "__w", "__net").foreach(c =>
+    Seq("__g_bucket", "__k_bucket", "__op", "__w", "__net").foreach(c =>
       require(!batch.columns.contains(c),
         s"change batch already contains reserved column '$c'"))
     val bad = batch.filter(col(opCol).isNull ||
@@ -116,29 +105,18 @@ object StreamingIvmCompose {
     // the intermediate join's rows: L's pk (so deletes pair exactly)
     // plus everything stage 2 consumes
     val loCols = (Seq(keyColL) ++ joinKeys2 ++ Seq(valueCol)).distinct
-    val prior = committed(spark, dir).filter(_ < batchId)
-    def bucketize(keys: Seq[String]) =
-      pmod(xxhash64(keys.map(col): _*), lit(storeBuckets.toLong)).cast("int")
-
-    def prevRowsOf(family: String, cols: Seq[String]): DataFrame =
-      prior.lastOption
-        .map(id => spark.read.parquet(snapPath(dir, family, id).toString)
-          .select(cols.map(col): _*))
-        .getOrElse(batch.filter(lit(false)).select(cols.map(col): _*))
-    // previous snapshots re-read WITH the bucket column, pruned to the
-    // probing delta's buckets (batch-bounded driver lists) — the fold
-    // uses PRE-delta states per the bilinear formula, so prune the
-    // PREVIOUS snapshots, not the ones written this batch
+    val prevId = committed(spark, dir).filter(_ < batchId).lastOption
+    def template(cols: Seq[String]): DataFrame =
+      batch.filter(lit(false)).select(cols.map(col): _*)
+    // PRE-delta store reads, pruned to the probing delta's buckets
+    // (batch-bounded driver lists) — the fold uses the pre-delta states
+    // per the bilinear formula, and the manifest resolves each bucket
+    // to the batch directory that last wrote it
     def prevBucketed(family: String, cols: Seq[String], bs: Seq[Int]): DataFrame =
-      prior.lastOption.map { id =>
-        val full = spark.read.parquet(snapPath(dir, family, id).toString)
-        (if (bs.isEmpty) full.filter(lit(false))
-         else full.filter(col("__g_bucket").isin(bs: _*)))
-          .select(cols.map(col): _*)
-      }.getOrElse(batch.filter(lit(false)).select(cols.map(col): _*))
+      BucketStore.readBuckets(spark, dir, family, prevId, bs, template(cols))
+        .select(cols.map(col): _*)
     def bucketsOf(d: DataFrame, keys: Seq[String]): Seq[Int] =
-      d.select(bucketize(keys).as("__b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      BucketStore.bucketsOf(d, keys, storeBuckets)
 
     val dL = batch.filter(col(sideCol) === "L")
       .select(lCols.map(col) :+ col(opCol).as("__op"): _*)
@@ -147,13 +125,14 @@ object StreamingIvmCompose {
     val dC = batch.filter(col(sideCol) === "C")
       .select(cCols.map(col) :+ col(opCol).as("__op"): _*)
 
-    val prevL = prevRowsOf("rows_l", lCols)
-    val prevO = prevRowsOf("rows_o", oCols)
-    val prevC = prevRowsOf("rows_c", cCols)
-    val prevLO = prevRowsOf("rows_lo", loCols)
-    val afterL = StreamingIvmJoin.applySide(dL, prevL, keyColL, batchId, "L")
-    val afterO = StreamingIvmJoin.applySide(dO, prevO, keyColO, batchId, "O")
-    val afterC = StreamingIvmJoin.applySide(dC, prevC, keyColC, batchId, "C")
+    // validate EVERY side before anything writes — refusals leave the
+    // store exactly as the last committed batch left it
+    val pL = BucketStore.prepareCdcUpsert(dL, lCols, Seq(keyColL),
+      joinKeys1, dir, "rows_l", batchId, prevId, storeBuckets, "L")
+    val pO = BucketStore.prepareCdcUpsert(dO, oCols, Seq(keyColO),
+      joinKeys1, dir, "rows_o", batchId, prevId, storeBuckets, "O")
+    val pC = BucketStore.prepareCdcUpsert(dC, cCols, Seq(keyColC),
+      joinKeys2, dir, "rows_c", batchId, prevId, storeBuckets, "C")
 
     // ---- stage 1: Δ(L⋈O), bilinear, both store legs delta-pruned ----
     val d1 = IvmJoin.deltaJoin(dL, dO,
@@ -163,7 +142,8 @@ object StreamingIvmCompose {
     // compress raw bilinear rows (a reprice whose order dies in the
     // same batch emits 5 rows netting one D) to net multiplicities —
     // |net| > 1 would mean the L⋈O join is not many-to-one and the
-    // intermediate store has no primary key: refuse loudly. The
+    // intermediate store has no primary key: refuse loudly (the
+    // many-to-many shape deploys through StreamingIvmComposeN). The
     // compressed delta is consulted several times below (store apply,
     // stage-2 legs, bucket lists) — pin it, batch-sized.
     val dlo = d1
@@ -181,34 +161,40 @@ object StreamingIvmCompose {
       .drop("__net")
       .cache()
     try {
-      val afterLO =
-        StreamingIvmJoin.applySide(dlo, prevLO, keyColL, batchId, "LO")
+      val pLO = BucketStore.prepareCdcUpsert(dlo, loCols, Seq(keyColL),
+        joinKeys2, dir, "rows_lo", batchId, prevId, storeBuckets, "LO")
 
       // ---- stage 2: Δ((L⋈O)⋈C) — upstream delta AS this join's ΔR ----
       val d2 = IvmJoin.deltaJoin(dlo, dC,
         prevBucketed("rows_lo", loCols, bucketsOf(dC, joinKeys2)),
         prevBucketed("rows_c", cCols, bucketsOf(dlo, joinKeys2)),
         joinKeys2, "__op", groupCols :+ valueCol)
-      val prevAgg = prior.lastOption
-        .map(id => spark.read.parquet(snapPath(dir, "agg", id).toString))
-      val agg1 = IvmJoin.foldAggSigned(prevAgg, d2, groupCols, valueCol, "__op")
+      // the view upserts by group bucket: only the delta's groups'
+      // buckets re-aggregate and rewrite
+      val aggTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ lit(0L).as("n") :+
+          lit(0).cast("decimal(28,4)").as("s"): _*)
+      val touchedAgg = bucketsOf(d2.select(groupCols.map(col): _*), groupCols)
+      val prevAggSlice = BucketStore.readBuckets(spark, dir, "agg", prevId,
+          touchedAgg, aggTemplate)
+        .select((groupCols :+ "n" :+ "s").map(col): _*)
+      val agg1 = IvmJoin.foldAggSigned(Some(prevAggSlice), d2, groupCols,
+        valueCol, "__op")
 
-      def writeRows(family: String, rows: DataFrame, keys: Seq[String]): Unit =
-        rows.withColumn("__g_bucket", bucketize(keys))
-          .repartition(col("__g_bucket"))
-          .write.mode("overwrite").partitionBy("__g_bucket")
-          .parquet(snapPath(dir, family, batchId).toString)
-      writeRows("rows_l", afterL, joinKeys1)
-      writeRows("rows_o", afterO, joinKeys1)
-      writeRows("rows_lo", afterLO, joinKeys2)
-      writeRows("rows_c", afterC, joinKeys2)
-      agg1.write.mode("overwrite")
-        .parquet(snapPath(dir, "agg", batchId).toString)
+      // writes: touched buckets + manifests only, then the five commit
+      // markers, then GC of unreferenced batch directories
+      Seq(pL, pO, pLO, pC).foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      BucketStore.upsert(spark, dir, "agg", batchId, prevId,
+        agg1.withColumn("__g_bucket",
+          BucketStore.bucketize(groupCols, storeBuckets)),
+        touchedAgg)
+      Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
+      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+        .count()
     } finally dlo.unpersist()
-    prior.dropRight(1).foreach { id =>
-      Families.foreach(f => fs.delete(snapPath(dir, f, id), true))
-    }
-    spark.read.parquet(snapPath(dir, "agg", batchId).toString).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING tagged change frame;
@@ -238,7 +224,8 @@ object StreamingIvmCompose {
   def readView(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed composed view under $dir")
-    spark.read.parquet(snapPath(dir, "agg", snaps.last).toString)
+    BucketStore.readAllNonEmpty(spark, dir, "agg", snaps.last)
+      .drop("__g_bucket")
   }
 
   /** Surviving rows of one family ("rows_l" / "rows_o" / "rows_lo" /
@@ -246,7 +233,7 @@ object StreamingIvmCompose {
   def readRows(spark: SparkSession, dir: String, family: String): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed rows store under $dir")
-    spark.read.parquet(snapPath(dir, family, snaps.last).toString)
+    BucketStore.readAllNonEmpty(spark, dir, family, snaps.last)
       .drop("__g_bucket")
   }
 }

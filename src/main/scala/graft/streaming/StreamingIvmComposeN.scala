@@ -1,0 +1,282 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.IvmJoin
+
+/** Streaming N-WAY composed IVM with GENERAL multiplicities (round 15
+  * — the verdict's #2 and #3): a maintained aggregate over the
+  * left-deep join chain
+  *
+  *   I₁ = B₀ ⋈ B₁, I₂ = I₁ ⋈ B₂, …, view = γ(groupCols; n, Σ value)
+  *
+  * under a CDC stream that changes ANY base, for ANY number of bases
+  * (≥ 2) and WITHOUT the many-to-one restriction
+  * [[StreamingIvmCompose]] imposes on its stage-1 join.
+  *
+  * The two generalizations over the fixed 3-way face:
+  *
+  *  - **Multiset intermediates.** A many-to-many stage gives the
+  *    intermediate no primary key, so pk-keyed rows stores cannot hold
+  *    it. Each intermediate is maintained as (row-payload,
+  *    multiplicity) instead: stage deltas are net-WEIGHTED streams
+  *    (any nonzero integer, not just ±1), folded additively into the
+  *    stored multiplicity ([[BucketStore.prepareMultisetUpsert]] —
+  *    delete = decrement, rows drop at zero, negative raises loudly).
+  *    The bilinear expansion holds verbatim for multisets with
+  *    multiplicity products ([[IvmJoin.deltaJoinWeighted]]), and the
+  *    view folds Σw / Σw·value ([[IvmJoin.foldAggWeighted]]).
+  *  - **Derived families.** The chain is a `Seq[BaseSpec]` +
+  *    per-stage join keys; stores and their bucket keys derive from
+  *    it: base b is bucketed by the keys of the stage that PROBES it,
+  *    intermediate Iₛ by the keys of the stage that consumes it, the
+  *    view by its group columns. `ivm7` stays the 3-way
+  *    [[StreamingIvmCompose]] instance (whose many-to-one contract is
+  *    tighter and spec-pinned separately); a 4-way chain is just a
+  *    4-element spec.
+  *
+  * Storage and scale shape are [[BucketStore]]'s throughout: every
+  * family manifest-linked partitioned-upsert (bytes written per batch
+  * ∝ delta), every store leg of every stage read pruned to the probing
+  * delta's buckets, every deltaJoin leg broadcasting a compressed
+  * delta; commit = all family markers, recompute-from-latest-committed
+  * on redelivery.
+  *
+  * Contract (StreamingIvmComposeNSpec): after batch N commits,
+  * [[readView]] equals the full chain recompute over surviving
+  * delivered rows — per-base and mixed batches, many-to-many stages
+  * included — each intermediate's (payload, multiplicity) store equals
+  * the recomputed prefix join's multiset, restart recovers from the
+  * committed families, and per-base CDC violations fail loudly before
+  * anything commits. */
+object StreamingIvmComposeN {
+
+  /** One base relation: `name` is both the `sideCol` tag and the store
+    * family suffix; `cols` the payload columns (join keys included);
+    * `keyCol` the primary key for the per-base CDC discipline. */
+  case class BaseSpec(name: String, cols: Seq[String], keyCol: String)
+
+  private def baseFamily(b: BaseSpec) = s"rows_${b.name}"
+  private def interFamily(s: Int) = s"inter_$s"
+
+  private def families(bases: Seq[BaseSpec]): Seq[String] =
+    bases.map(baseFamily) ++
+      (1 to bases.size - 2).map(interFamily) :+ "agg"
+
+  private def committed(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): Seq[Long] =
+    BucketStore.committedAll(spark, dir, families(bases))
+
+  /** The payload columns intermediate I_{s+1} (stage `s`'s output)
+    * must carry: everything later stages join on plus what the view
+    * consumes — restricted to columns the prefix join has. */
+  private def interCols(bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String, s: Int): Seq[String] = {
+    val avail = bases.take(s + 2).flatMap(_.cols).distinct
+    val needed = (stageKeys.drop(s + 1).flatten ++ groupCols :+ valueCol)
+      .distinct
+    needed.filter(avail.contains)
+  }
+
+  /** Fold ONE static tagged change batch (`sideCol` ∈ base names,
+    * `opCol` ∈ {I, D}) into the maintained stores as micro-batch
+    * `batchId`; returns the view's group count after the fold (-1 for
+    * an empty batch). */
+  def applyBatch(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+    val spark = batch.sparkSession
+    val m = bases.size
+    require(m >= 2, s"composed chain needs at least 2 bases, got $m")
+    require(stageKeys.size == m - 1,
+      s"chain of $m bases needs ${m - 1} stage key sets, got ${stageKeys.size}")
+    require(bases.map(_.name).distinct.size == m, "base names must be unique")
+    stageKeys.zipWithIndex.foreach { case (ks, s) =>
+      val leftAvail = bases.take(s + 1).flatMap(_.cols).distinct
+      ks.foreach { k =>
+        require(leftAvail.contains(k) && bases(s + 1).cols.contains(k),
+          s"stage $s join key '$k' must appear on both sides of the stage")
+      }
+      // non-key column collisions would make the stage's using-join
+      // output ambiguous — refuse up front with the stage named
+      val leftCols = if (s == 0) bases.head.cols
+        else interCols(bases, stageKeys, groupCols, valueCol, s - 1)
+      val overlap = leftCols.intersect(bases(s + 1).cols).diff(ks)
+      require(overlap.isEmpty,
+        s"stage $s sides share non-join columns ${overlap.mkString(", ")} — " +
+          "rename them; only the stage's join keys may repeat")
+    }
+    val finalAvail = bases.flatMap(_.cols).distinct
+    (groupCols :+ valueCol).foreach(c => require(finalAvail.contains(c),
+      s"view column '$c' is not produced by any base"))
+    if (batch.isEmpty) return -1L
+    Seq("__g_bucket", "__k_bucket", "__op", "__w", "__mult", "__dm")
+      .foreach(c => require(!batch.columns.contains(c),
+        s"change batch already contains reserved column '$c'"))
+    val names = bases.map(_.name)
+    val sideOk = names.foldLeft(lit(false))((acc, n) =>
+      acc || col(sideCol) === n)
+    val bad = batch.filter(col(opCol).isNull ||
+      (col(opCol) =!= "I" && col(opCol) =!= "D") ||
+      col(sideCol).isNull || !sideOk).limit(1).count()
+    require(bad == 0L,
+      s"change batch $batchId has rows with op outside {I, D} or side " +
+        s"outside ${names.mkString("{", ", ", "}")} — refusing to fold a " +
+        "malformed delta into the view")
+
+    val prevId = committed(spark, dir, bases).filter(_ < batchId).lastOption
+    def bucketsOf(d: DataFrame, keys: Seq[String]): Seq[Int] =
+      BucketStore.bucketsOf(d, keys, storeBuckets)
+    def template(cols: Seq[String]): DataFrame =
+      batch.filter(lit(false)).select(cols.map(col): _*)
+
+    // per-base CDC deltas + their compressed weighted forms; base b is
+    // probed by stage (b-1) for b ≥ 1 and by stage 0 for b = 0, so it
+    // buckets by that stage's keys
+    def probeKeys(b: Int): Seq[String] = stageKeys(math.max(0, b - 1))
+    val deltas = bases.map { b =>
+      batch.filter(col(sideCol) === b.name)
+        .select(b.cols.map(col) :+ col(opCol).as("__op"): _*)
+    }
+    // validate EVERY base before anything writes
+    val prepared = bases.zip(deltas).zipWithIndex.map { case ((b, d), i) =>
+      BucketStore.prepareCdcUpsert(d, b.cols, Seq(b.keyCol), probeKeys(i),
+        dir, baseFamily(b), batchId, prevId, storeBuckets, b.name)
+    }
+    def weighted(d: DataFrame, cols: Seq[String]): DataFrame =
+      d.withColumn("__w",
+          when(col("__op") === "I", 1L).otherwise(-1L)).drop("__op")
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
+    try {
+      val interUpserts =
+        scala.collection.mutable.ArrayBuffer[(String, DataFrame, Seq[Int])]()
+      // the running upstream delta (net-weighted) and its columns
+      var deltaCur = pin(weighted(deltas.head, bases.head.cols))
+      var curCols = bases.head.cols
+      for (s <- 0 until m - 1) {
+        val right = bases(s + 1)
+        val ks = stageKeys(s)
+        val outCols =
+          if (s == m - 2) (groupCols :+ valueCol).distinct
+          else interCols(bases, stageKeys, groupCols, valueCol, s)
+        val dRight = pin(weighted(deltas(s + 1), right.cols))
+        // PRE-delta store legs, each pruned to the OTHER side's delta
+        // buckets (batch-bounded driver lists through the manifests)
+        val leftPre =
+          if (s == 0)
+            BucketStore.readBuckets(spark, dir, baseFamily(bases.head),
+                prevId, bucketsOf(dRight, ks), template(bases.head.cols))
+              .select(bases.head.cols.map(col): _*)
+              .withColumn("__mult", lit(1L))
+          else
+            BucketStore.readBuckets(spark, dir, interFamily(s), prevId,
+                bucketsOf(dRight, ks),
+                deltaCur.filter(lit(false))
+                  .select(curCols.map(col) :+ lit(0L).as("__mult"): _*))
+              .select(curCols.map(col) :+ col("__mult"): _*)
+        val rightPre = BucketStore.readBuckets(spark, dir,
+            baseFamily(right), prevId, bucketsOf(deltaCur, ks),
+            template(right.cols))
+          .select(right.cols.map(col): _*)
+          .withColumn("__mult", lit(1L))
+        val dj = IvmJoin.deltaJoinWeighted(deltaCur, dRight, leftPre,
+          rightPre, ks, "__w", "__mult", outCols)
+        val net = pin(dj.groupBy(outCols.map(col): _*)
+          .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0))
+        if (s < m - 2) {
+          val (rows, touched) = BucketStore.prepareMultisetUpsert(net,
+            outCols, "__w", stageKeys(s + 1), dir, interFamily(s + 1),
+            prevId, storeBuckets)
+          interUpserts += ((interFamily(s + 1), rows, touched))
+        }
+        deltaCur = net
+        curCols = outCols
+      }
+
+      // the view upserts by group bucket
+      val aggTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ lit(0L).as("n") :+
+          lit(0).cast("decimal(28,4)").as("s"): _*)
+      val touchedAgg =
+        bucketsOf(deltaCur.select(groupCols.map(col): _*), groupCols)
+      val prevAggSlice = BucketStore.readBuckets(spark, dir, "agg", prevId,
+          touchedAgg, aggTemplate)
+        .select((groupCols :+ "n" :+ "s").map(col): _*)
+      val agg1 = IvmJoin.foldAggWeighted(Some(prevAggSlice), deltaCur,
+        groupCols, valueCol, "__w")
+
+      prepared.foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      interUpserts.foreach { case (family, rows, touched) =>
+        BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touched)
+      }
+      BucketStore.upsert(spark, dir, "agg", batchId, prevId,
+        agg1.withColumn("__g_bucket",
+          BucketStore.bucketize(groupCols, storeBuckets)),
+        touchedAgg)
+      families(bases).foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      families(bases).foreach(f => BucketStore.gc(spark, dir, f, keep))
+      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+        .count()
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** Wire the per-batch fold onto a STREAMING tagged change frame;
+    * `onBatch` observes (batchId, groupCount). Call `.start()`. */
+  def applyStream(
+      changes: DataFrame, sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStream expects a streaming DataFrame " +
+      "(use applyBatch for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatch(b.toDF(), id, sideCol, opCol, bases, stageKeys,
+        groupCols, valueCol, dir))
+    }
+  }
+
+  def hasCommitted(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): Boolean =
+    committed(spark, dir, bases).nonEmpty
+
+  /** The maintained view as of the latest committed batch:
+    * (groupCols…, n, s). */
+  def readView(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): DataFrame = {
+    val snaps = committed(spark, dir, bases)
+    require(snaps.nonEmpty, s"no committed composed view under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, "agg", snaps.last)
+      .drop("__g_bucket")
+  }
+
+  /** Surviving rows of one base's store, bucket column dropped. */
+  def readBase(spark: SparkSession, dir: String, bases: Seq[BaseSpec],
+      name: String): DataFrame = {
+    val snaps = committed(spark, dir, bases)
+    require(snaps.nonEmpty, s"no committed store under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, s"rows_$name", snaps.last)
+      .drop("__g_bucket")
+  }
+
+  /** Intermediate Iₛ's maintained multiset — (payload…, __mult). */
+  def readInter(spark: SparkSession, dir: String, bases: Seq[BaseSpec],
+      s: Int): DataFrame = {
+    val snaps = committed(spark, dir, bases)
+    require(snaps.nonEmpty, s"no committed store under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, interFamily(s), snaps.last)
+      .drop("__g_bucket")
+  }
+}

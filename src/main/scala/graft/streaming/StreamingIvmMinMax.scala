@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.operators.IvmFold
 
@@ -14,41 +13,35 @@ import graft.operators.IvmFold
   * ([[IvmFold.foldMinMax]]). The re-agg source is a maintained ROWS
   * store — keyed surviving rows, updated per batch by the applyCdc
   * convention (updates travel as delete+insert pairs; delete images
-  * carry the full row) — read through a broadcast semi-join on the
-  * delta-bounded affected-group list, so an unaffected 100-TB store is
-  * never re-scanned... the affected groups are, which is the price of
-  * non-invertibility (min/max have no subtraction).
+  * carry the full row) — read only for the delete rows' buckets, so an
+  * unaffected 100-TB store is never re-scanned... the affected groups
+  * are, which is the price of non-invertibility (min/max have no
+  * subtraction).
   *
-  * Storage is TWO snapshot families per batch under `<dir>`:
-  * `rows/batch=<id>` (surviving rows) and `agg/batch=<id>` (the
-  * aggregate), written in that order; a batch is committed only when
-  * BOTH carry `_SUCCESS`, and every fold recomputes from the latest
-  * COMMITTED pair with id < its own — so a crash at any point (between
-  * the two writes included) makes redelivery read the same input and
-  * overwrite identical bytes, the [[StreamingIvm]]/[[StreamingScd2]]
-  * exactly-once discipline without a WAL. Steady state holds two
-  * snapshot pairs. The rows snapshot is data-sized: at test scale a
-  * full rewrite per batch is fine; a production deployment keys the
-  * rows store through a partitioned upsert (the ChangeApplier shape)
-  * and keeps only the aggregate snapshot-per-batch — the fold logic is
-  * unchanged.
-  *
-  * Round 13 — the rows store is KEYED: snapshots are written
-  * partitioned by `__g_bucket = pmod(xxhash64(groupCols…),
-  * storeBuckets)`, and the fold's re-agg source is pruned to the
-  * DELETE rows' buckets before the plan is built (affected groups ⊆
-  * delete groups ⊆ delete buckets — a batch-bounded driver list of at
-  * most `storeBuckets` ints, the audited-collect discipline). The
-  * extremum-breaking path therefore reads |affected buckets| /
-  * `storeBuckets` of the store as guaranteed partition pruning on the
-  * scan — not a store-sized pass — and insert-only batches read ZERO
-  * store files (IvmScale's keyed-store row measures it).
+  * Storage is TWO [[BucketStore]] families under `<dir>`: `rows`
+  * (surviving rows, bucketed by the group-hash — the round-13 keyed
+  * layout) and `agg` (the aggregate, bucketed the same way). Round 15:
+  * both write through the store's manifest-linked PARTITIONED UPSERT —
+  * a batch writes only its delta's buckets plus a pointer manifest per
+  * family, so bytes written per batch are ∝ |delta|, never ∝ |store|
+  * (the full-rows-rewrite "test-scale simplification" is gone). Commit
+  * = both family markers, recompute-from-latest-committed on
+  * redelivery — the family's exactly-once discipline without a WAL,
+  * unchanged. The re-agg leg still reads the rows snapshot just
+  * WRITTEN (through the new batch's own manifest), so the aggregate
+  * provably derives from the bytes the next batch will read; its read
+  * prunes to the delete rows' buckets (affected groups ⊆ delete groups
+  * ⊆ delete buckets — a batch-bounded driver list), and insert-only
+  * batches read ZERO store files (IvmScale's keyed-store row measures
+  * it).
   *
   * Contract (StreamingIvmMinMaxSpec): after batch N commits,
   * [[readAgg]] equals the full min/max recompute over every surviving
   * delivered row; fully-deleted groups disappear; a delete whose row
-  * the store never held, an insert colliding with a live key, or an op
-  * outside {I, D} fails the batch loudly BEFORE anything is written.
+  * the store never held, an insert colliding with a live key (exactly
+  * — via the store's pk index, even when the colliding row lives in
+  * another group bucket), or an op outside {I, D} fails the batch
+  * loudly BEFORE anything commits.
   */
 object StreamingIvmMinMax {
 
@@ -59,26 +52,10 @@ object StreamingIvmMinMax {
     * volume. */
   val StoreBuckets: Int = 256
 
-  private def snapRoot(dir: String, family: String) =
-    new HPath(new HPath(dir), family)
-
-  private def snapPath(dir: String, family: String, id: Long) =
-    new HPath(snapRoot(dir, family), s"batch=$id")
-
-  private def committedIn(
-      spark: SparkSession, dir: String, family: String): Set[Long] = {
-    val root = snapRoot(dir, family)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
-  }
+  private val Families = Seq("rows", "agg")
 
   private def committed(spark: SparkSession, dir: String): Seq[Long] =
-    (committedIn(spark, dir, "rows") & committedIn(spark, dir, "agg"))
-      .toSeq.sorted
+    BucketStore.committedAll(spark, dir, Families)
 
   /** Fold ONE static change batch (keyCol, groupCols…, opCol,
     * valueCol) into the maintained store as micro-batch `batchId`;
@@ -88,79 +65,64 @@ object StreamingIvmMinMax {
       groupCols: Seq[String], opCol: String, valueCol: String,
       dir: String, storeBuckets: Int = StoreBuckets): Long = {
     val spark = batch.sparkSession
-    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
-    require(!batch.columns.contains("__g_bucket"),
-      "change batch already contains reserved column '__g_bucket'")
+    Seq("__g_bucket", "__k_bucket", "__op").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"change batch already contains reserved column '$c'"))
     val bad = batch.filter(col(opCol).isNull ||
       (col(opCol) =!= "I" && col(opCol) =!= "D")).limit(1).count()
     require(bad == 0L,
       s"change batch $batchId has rows with op outside {I, D} (or NULL) " +
         s"in '$opCol' — refusing to fold a malformed delta into the view")
 
-    val prior = committed(spark, dir).filter(_ < batchId)
+    val prevId = committed(spark, dir).filter(_ < batchId).lastOption
     val dataCols = batch.columns.filterNot(_ == opCol).toSeq
-    val prevRows = prior.lastOption
-      .map(id => spark.read.parquet(snapPath(dir, "rows", id).toString)
-        .select(dataCols.map(col): _*))
-      .getOrElse(batch.filter(lit(false)).select(dataCols.map(col): _*))
-    val dels = batch.filter(col(opCol) === "D").select(dataCols.map(col): _*)
-    val ins = batch.filter(col(opCol) === "I").select(dataCols.map(col): _*)
+    val delta = batch.select(dataCols.map(col) :+ col(opCol).as("__op"): _*)
 
-    // delete images must match a stored row EXACTLY (key + group +
-    // value): a drifting image would subtract the wrong value from the
-    // sum and dodge (or spuriously fire) the extremum trigger
-    val unmatched = dels.join(prevRows, dataCols, "left_anti").limit(1).count()
-    require(unmatched == 0L,
-      s"change batch $batchId deletes rows the store never held " +
-        "(unknown key, or a delete image disagreeing with the stored row)")
-    val afterDel = prevRows
-      .join(dels.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val collide = ins.join(afterDel.select(col(keyCol)), Seq(keyCol),
-      "left_semi").limit(1).count()
-    require(collide == 0L,
-      s"change batch $batchId inserts a key the store still holds — " +
-        "updates must travel as delete+insert pairs")
-    val dupIns = ins.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).limit(1).count()
-    require(dupIns == 0L,
-      s"change batch $batchId inserts the same key twice")
+    // CDC validation (delete images, pk collisions via the key index,
+    // duplicate inserts) — eagerly, before any write
+    val prepared = BucketStore.prepareCdcUpsert(delta, dataCols,
+      Seq(keyCol), groupCols, dir, "rows", batchId, prevId, storeBuckets,
+      "rows")
+    BucketStore.writePrepared(spark, dir, batchId, prevId, prepared)
 
-    // keyed store: one file per group-hash bucket (repartition keeps
-    // the test-scale full rewrite from spraying buckets × tasks files;
-    // a production deployment upserts per bucket instead)
-    val bucketize =
-      pmod(xxhash64(groupCols.map(col): _*), lit(storeBuckets.toLong)).cast("int")
-    afterDel.unionByName(ins)
-      .withColumn("__g_bucket", bucketize)
-      .repartition(col("__g_bucket"))
-      .write.mode("overwrite").partitionBy("__g_bucket")
-      .parquet(snapPath(dir, "rows", batchId).toString)
-    // the fold's re-agg leg reads the rows snapshot just WRITTEN — no
-    // recomputation of the union, and the aggregate provably derives
-    // from the bytes the next batch will read — PRUNED to the delete
-    // rows' buckets: affected groups ⊆ delete groups, so their buckets
-    // are a subset of this batch-bounded list (≤ storeBuckets ints)
-    val delBuckets = batch.filter(col(opCol) === "D")
-      .select(bucketize.as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val rowsAfterAll =
-      spark.read.parquet(snapPath(dir, "rows", batchId).toString)
-    val rowsForFold =
-      if (delBuckets.isEmpty) rowsAfterAll.filter(lit(false))
-      else rowsAfterAll.filter(col("__g_bucket").isin(delBuckets: _*))
-    val prevAgg = prior.lastOption
-      .map(id => spark.read.parquet(snapPath(dir, "agg", id).toString))
-    IvmFold.foldMinMax(prevAgg,
-        batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
-        rowsForFold.select((groupCols.map(col) :+ col(valueCol)): _*),
-        groupCols, opCol, valueCol)
-      .write.mode("overwrite").parquet(snapPath(dir, "agg", batchId).toString)
-    prior.dropRight(1).foreach { id =>
-      fs.delete(snapPath(dir, "rows", id), true)
-      fs.delete(snapPath(dir, "agg", id), true)
-    }
-    spark.read.parquet(snapPath(dir, "agg", batchId).toString).count()
+    // the fold's re-agg leg reads the rows just WRITTEN — through the
+    // new batch's own manifest, pruned to the delete rows' buckets
+    // (affected groups ⊆ delete groups, so their buckets are a subset
+    // of this batch-bounded list)
+    val delBuckets = BucketStore.bucketsOf(
+      batch.filter(col(opCol) === "D"), groupCols, storeBuckets)
+    val rowsTemplate = batch.filter(lit(false))
+      .select(dataCols.map(col): _*)
+    val rowsForFold = BucketStore.readBuckets(spark, dir, "rows",
+        Some(batchId), delBuckets, rowsTemplate)
+      .select(dataCols.map(col): _*)
+
+    // the aggregate upserts by the same group buckets the delta
+    // touched: foldMinMax only needs the stored rows of the delta's
+    // groups (untouched groups stay linked, unread and unwritten)
+    val touchedAgg = BucketStore.bucketsOf(delta, groupCols, storeBuckets)
+    val v = col(valueCol)
+    val aggTemplate = batch.filter(lit(false))
+      .select(groupCols.map(col) :+ lit(0L).as("n") :+
+        lit(0).cast("decimal(28,4)").as("s") :+
+        v.as("mn") :+ v.as("mx"): _*)
+    val prevAggSlice = BucketStore.readBuckets(spark, dir, "agg", prevId,
+        touchedAgg, aggTemplate)
+      .select((groupCols ++ Seq("n", "s", "mn", "mx")).map(col): _*)
+    val agg1 = IvmFold.foldMinMax(Some(prevAggSlice),
+      batch.select((groupCols.map(col) :+ col(opCol)) :+ v: _*),
+      rowsForFold.select(groupCols.map(col) :+ v: _*),
+      groupCols, opCol, valueCol)
+    BucketStore.upsert(spark, dir, "agg", batchId, prevId,
+      agg1.withColumn("__g_bucket",
+        BucketStore.bucketize(groupCols, storeBuckets)),
+      touchedAgg)
+    Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+    val keep = prevId.toSeq :+ batchId
+    Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
+    BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+      .count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`
@@ -185,7 +147,8 @@ object StreamingIvmMinMax {
   def readAgg(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed aggregate under $dir")
-    spark.read.parquet(snapPath(dir, "agg", snaps.last).toString)
+    BucketStore.readAllNonEmpty(spark, dir, "agg", snaps.last)
+      .drop("__g_bucket")
   }
 
   /** The surviving rows as of the latest committed batch (the
@@ -193,7 +156,7 @@ object StreamingIvmMinMax {
   def readRows(spark: SparkSession, dir: String): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed rows store under $dir")
-    spark.read.parquet(snapPath(dir, "rows", snaps.last).toString)
+    BucketStore.readAllNonEmpty(spark, dir, "rows", snaps.last)
       .drop("__g_bucket")
   }
 }

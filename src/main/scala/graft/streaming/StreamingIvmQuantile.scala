@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.hadoop.fs.{Path => HPath}
 
 import graft.operators.IvmQuantile
 
@@ -14,49 +13,39 @@ import graft.operators.IvmQuantile
   * min/max and distinct faces the fold NEVER reads any store, no
   * matter what the delta deletes.
   *
-  * Storage is TWO snapshot families per batch under `<dir>`:
-  * `rows/batch=<id>` (surviving rows, partitioned by the VALUE bucket
-  * `__qb` — the read path's pruning key) and `counts/batch=<id>`; the
-  * usual commit/redelivery discipline (both `_SUCCESS`, recompute from
-  * latest committed, overwrite-idempotent).
+  * Storage is TWO [[BucketStore]] families under `<dir>`: `rows`
+  * (surviving rows, bucketed by the VALUE bucket — the read path's
+  * pruning key; null values land bucket -1) and `counts` (bucketed by
+  * the group hash). Round 15: both write through the store's
+  * manifest-linked PARTITIONED UPSERT — a batch writes only the value
+  * buckets / group buckets its delta touched plus a pointer manifest
+  * per family, so bytes written per batch are ∝ |delta|, never
+  * ∝ |store|. Commit = both family markers,
+  * recompute-from-latest-committed on redelivery — the usual
+  * exactly-once discipline, unchanged.
   *
   * [[readPercentiles]] answers any `ps` from the latest snapshot: the
   * counts name each rank's candidate bucket(s), their `__qb` ids are
   * collected (≤ buckets ints) and the rows read prunes to exactly
-  * those partitions — ≈ n/`buckets` rows per requested rank touched,
-  * the rest of the store never opened. Domain params (lo, hi, buckets)
-  * are the view's identity — pass the creation-time values to every
-  * call (a mismatch re-buckets history and the counts invariant
-  * breaks loudly at the next fold's negative-count guard).
+  * those value buckets' files (manifest-resolved) — ≈ n/`buckets` rows
+  * per requested rank touched, the rest of the store never opened.
+  * Domain params (lo, hi, buckets) are the view's identity — pass the
+  * creation-time values to every call (a mismatch re-buckets history
+  * and the counts invariant breaks loudly at the next fold's
+  * negative-count guard).
   *
   * Contract (StreamingIvmQuantileSpec): after batch N commits,
   * readPercentiles ≡ the sort-based PERCENTILE_CONT recompute over
   * every surviving delivered row, bit-for-bit, across checkpoint
   * stop/restart; malformed deltas fail the batch loudly BEFORE
-  * anything is written.
+  * anything commits.
   */
 object StreamingIvmQuantile {
 
-  private def snapRoot(dir: String, family: String) =
-    new HPath(new HPath(dir), family)
-
-  private def snapPath(dir: String, family: String, id: Long) =
-    new HPath(snapRoot(dir, family), s"batch=$id")
-
-  private def committedIn(
-      spark: SparkSession, dir: String, family: String): Set[Long] = {
-    val root = snapRoot(dir, family)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
-  }
+  private val Families = Seq("rows", "counts")
 
   private def committed(spark: SparkSession, dir: String): Seq[Long] =
-    (committedIn(spark, dir, "rows") & committedIn(spark, dir, "counts"))
-      .toSeq.sorted
+    BucketStore.committedAll(spark, dir, Families)
 
   /** Fold ONE static change batch (keyCol, groupCols…, opCol,
     * valueCol) into the maintained store as micro-batch `batchId`;
@@ -64,61 +53,55 @@ object StreamingIvmQuantile {
   def applyBatch(
       batch: DataFrame, batchId: Long, keyCol: String,
       groupCols: Seq[String], opCol: String, valueCol: String,
-      dir: String, lo: Double, hi: Double, buckets: Int): Long = {
+      dir: String, lo: Double, hi: Double, buckets: Int,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
     val spark = batch.sparkSession
-    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (batch.isEmpty) return -1L
-    require(!batch.columns.contains("__qb"),
-      "change batch already contains reserved column '__qb'")
+    Seq("__qb", "__g_bucket", "__k_bucket", "__op").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"change batch already contains reserved column '$c'"))
     val bad = batch.filter(col(opCol).isNull ||
       (col(opCol) =!= "I" && col(opCol) =!= "D")).limit(1).count()
     require(bad == 0L,
       s"change batch $batchId has rows with op outside {I, D} (or NULL) " +
         s"in '$opCol' — refusing to fold a malformed delta into the view")
 
-    val prior = committed(spark, dir).filter(_ < batchId)
+    val prevId = committed(spark, dir).filter(_ < batchId).lastOption
     val dataCols = batch.columns.filterNot(_ == opCol).toSeq
-    val prevRows = prior.lastOption
-      .map(id => spark.read.parquet(snapPath(dir, "rows", id).toString)
-        .select(dataCols.map(col): _*))
-      .getOrElse(batch.filter(lit(false)).select(dataCols.map(col): _*))
-    val dels = batch.filter(col(opCol) === "D").select(dataCols.map(col): _*)
-    val ins = batch.filter(col(opCol) === "I").select(dataCols.map(col): _*)
-    val unmatched = dels.join(prevRows, dataCols, "left_anti").limit(1).count()
-    require(unmatched == 0L,
-      s"change batch $batchId deletes rows the store never held " +
-        "(unknown key, or a delete image disagreeing with the stored row)")
-    val afterDel = prevRows
-      .join(dels.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val collide = ins.join(afterDel.select(col(keyCol)), Seq(keyCol),
-      "left_semi").limit(1).count()
-    require(collide == 0L,
-      s"change batch $batchId inserts a key the store still holds — " +
-        "updates must travel as delete+insert pairs")
+    val delta = batch.select(dataCols.map(col) :+ col(opCol).as("__op"): _*)
 
     // rows keyed by the VALUE bucket — the read path's pruning key;
     // null values land bucket -1 (SQL percentile ignores them, but the
-    // store keeps the full row set)
+    // store keeps the full row set). A pure function of the row's own
+    // columns, so delete images determine their bucket and the slice
+    // validation stays exact.
     val qb = when(col(valueCol).isNull, lit(-1L))
       .otherwise(IvmQuantile.bucketIdOf(col(valueCol), lo, hi, buckets))
-    afterDel.unionByName(ins)
-      .withColumn("__qb", qb)
-      .repartition(col("__qb"))
-      .write.mode("overwrite").partitionBy("__qb")
-      .parquet(snapPath(dir, "rows", batchId).toString)
+    val prepared = BucketStore.prepareCdcUpsertExpr(delta, dataCols,
+      Seq(keyCol), qb, dir, "rows", batchId, prevId, storeBuckets, "rows")
+    BucketStore.writePrepared(spark, dir, batchId, prevId, prepared)
 
-    val prevCounts = prior.lastOption
-      .map(id => spark.read.parquet(snapPath(dir, "counts", id).toString))
-    IvmQuantile.foldCounts(prevCounts,
-        batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
-        groupCols, opCol, valueCol, lo, hi, buckets)
-      .write.mode("overwrite")
-      .parquet(snapPath(dir, "counts", batchId).toString)
-    prior.dropRight(1).foreach { id =>
-      fs.delete(snapPath(dir, "rows", id), true)
-      fs.delete(snapPath(dir, "counts", id), true)
-    }
-    spark.read.parquet(snapPath(dir, "counts", batchId).toString).count()
+    // the counts view upserts by group bucket: the invertible fold
+    // needs only the delta's groups' slice; untouched groups link
+    val touchedCounts = BucketStore.bucketsOf(delta, groupCols, storeBuckets)
+    val countsTemplate = batch.filter(lit(false))
+      .select(groupCols.map(col) :+ lit(0L).as("__qb") :+
+        lit(0L).as("cnt"): _*)
+    val prevCountsSlice = BucketStore.readBuckets(spark, dir, "counts",
+        prevId, touchedCounts, countsTemplate)
+      .select((groupCols :+ "__qb" :+ "cnt").map(col): _*)
+    val counts = IvmQuantile.foldCounts(Some(prevCountsSlice),
+      batch.select((groupCols.map(col) :+ col(opCol)) :+ col(valueCol): _*),
+      groupCols, opCol, valueCol, lo, hi, buckets)
+    BucketStore.upsert(spark, dir, "counts", batchId, prevId,
+      counts.withColumn("__g_bucket",
+        BucketStore.bucketize(groupCols, storeBuckets)),
+      touchedCounts)
+    Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+    val keep = prevId.toSeq :+ batchId
+    Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
+    BucketStore.readAll(spark, dir, "counts", Some(batchId), countsTemplate)
+      .count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`
@@ -140,21 +123,24 @@ object StreamingIvmQuantile {
     committed(spark, dir).nonEmpty
 
   /** Exact PERCENTILE_CONT at `ps` per group, as of the latest
-    * committed batch — rows read PRUNED to the candidate buckets. */
+    * committed batch — rows read PRUNED to the candidate value
+    * buckets' files through the manifest. */
   def readPercentiles(
       spark: SparkSession, dir: String,
       groupCols: Seq[String], valueCol: String, ps: Seq[Double],
       lo: Double, hi: Double, buckets: Int): DataFrame = {
     val snaps = committed(spark, dir)
     require(snaps.nonEmpty, s"no committed quantile view under $dir")
-    val counts = spark.read
-      .parquet(snapPath(dir, "counts", snaps.last).toString)
+    val counts = BucketStore.readAllNonEmpty(spark, dir, "counts", snaps.last)
+      .drop("__g_bucket")
     val candQb = IvmQuantile.candidates(counts, groupCols, ps)
       .select(col("__qb")).distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ buckets ids — bounded
-    val rows = spark.read
-      .parquet(snapPath(dir, "rows", snaps.last).toString)
-      .filter(col("__qb").isin(candQb: _*)) // partition-pruned
+      .collect().map(_.getLong(0).toInt).toSeq // ≤ buckets ids — bounded
+    // the template frame is never consulted: every candidate bucket
+    // holds at least one counted value by construction, so the
+    // manifest resolves it to real files
+    val rows = BucketStore.readBuckets(spark, dir, "rows", Some(snaps.last),
+        candQb, counts)
       .select((groupCols :+ valueCol).map(col): _*)
     IvmQuantile.percentileCont(counts, rows, groupCols, valueCol, ps,
       lo, hi, buckets)
