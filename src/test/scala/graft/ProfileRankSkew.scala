@@ -87,6 +87,27 @@ object ProfileRankSkew {
     val qtd = qtime(equiDepth = true)
     println(f"quantile twin, same profile: equi-width(collapsed)=$qtw%.2f s, " +
       f"equi-depth=$qtd%.2f s, speedup=${qtw / qtd}%.2f x (median of $iters)")
+
+    // the round-15 AUTO face: percentileContAuto must detect this
+    // profile off the exact bucket counts it computes anyway and land
+    // on the equi-depth plan + number (plus the probe's bounded
+    // overhead — one materialized stats+counts pass it would run
+    // regardless, never the collapsed single-task sort)
+    def qauto() = ScalableQuantile.percentileContAuto(
+      base.withColumn("g", lit("all")), "g", "v", qPs, buckets = buckets)
+    val qa = qauto().collect().map(_.toSeq).sortBy(_.mkString).toSeq
+    require(qa == qd, s"auto mode disagrees: $qa vs $qd")
+    val qta = {
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        qauto().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(iters / 2)
+    }
+    println(f"quantile AUTO (probe + switch): $qta%.2f s vs forced " +
+      f"equi-depth $qtd%.2f s and collapsed equi-width $qtw%.2f s " +
+      f"(median of $iters)")
     spark.stop()
   }
 }
