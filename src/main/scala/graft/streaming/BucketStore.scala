@@ -250,6 +250,52 @@ object BucketStore {
       .close()
   }
 
+  /** Rewrite every live bucket of each family into ONE batch directory
+    * `batchId`, collapsing the manifest's link fan-out — the
+    * maintenance face of the upsert layout. Cold buckets otherwise
+    * keep pointing at ever-older batch directories: correct (GC keeps
+    * whatever a live manifest references) and bounded by
+    * `storeBuckets`, but a full read then unions up to that many
+    * pruned scans. Compaction is a rewrite, so it costs store-sized
+    * I/O by design — schedule it like any warehouse OPTIMIZE, between
+    * folds, at a fresh batch id (folds skip ids freely).
+    *
+    * Exactly-once: content derives deterministically from the latest
+    * committed manifests below `batchId`, the id commits only when all
+    * `families` carry markers, and a crash/redelivery overwrites
+    * identical bytes — the same discipline as a fold. Old directories
+    * fall out of reach once the NEXT fold's GC runs with both its
+    * keep-manifests pointing at (or past) the compacted directory. */
+  def compactAll(spark: SparkSession, dir: String, families: Seq[String],
+      batchId: Long): Unit = {
+    val prior = committedAll(spark, dir, families).filter(_ < batchId)
+    require(prior.nonEmpty, s"nothing committed under $dir to compact")
+    val prevId = Some(prior.last)
+    families.foreach { family =>
+      def rewrite(sub: String, bucketCol: String, kind: String): Unit = {
+        val manifest = readManifest(spark, dir, family, prevId, kind)
+        val all =
+          if (manifest.isEmpty) None
+          else Some(readVia(spark, dir, family, manifest, None, sub,
+            bucketCol, spark.emptyDataFrame))
+        val bd = batchDir(dir, family, batchId)
+        val fs = fsOf(spark, dir)
+        all.foreach(rows =>
+          rows.repartition(col(bucketCol))
+            .write.mode("overwrite").partitionBy(bucketCol)
+            .parquet(new HPath(bd, sub).toString))
+        // every bucket now lives here; dead buckets were already off
+        // the manifest
+        writeManifest(fs, new HPath(bd, kind),
+          manifest.keys.map(_ -> batchId).toMap)
+      }
+      rewrite("data", "__g_bucket", "manifest")
+      rewrite("keys", "__k_bucket", "keys_manifest")
+    }
+    families.foreach(f => commit(spark, dir, f, batchId))
+    families.foreach(f => gc(spark, dir, f, prior.lastOption.toSeq :+ batchId))
+  }
+
   /** Delete batch directories no longer reachable: keep `keepIds`
     * themselves plus every batch their manifests (data AND keys) still
     * point into. Call with the last two committed ids — redelivery of

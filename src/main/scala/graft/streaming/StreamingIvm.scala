@@ -125,6 +125,12 @@ object StreamingIvm {
   def hasCommitted(spark: SparkSession, aggDir: String): Boolean =
     committed(spark, aggDir).nonEmpty
 
+  /** Collapse the manifest's link fan-out by rewriting every live
+    * bucket into one batch directory — see
+    * [[BucketStore.compactAll]]; run between folds at a fresh id. */
+  def compact(spark: SparkSession, aggDir: String, batchId: Long): Unit =
+    BucketStore.compactAll(spark, aggDir, Seq("snap"), batchId)
+
   /** The maintained aggregate as of the latest committed batch:
     * (groupCols…, n, s) with s the exact decimal sum. */
   def readAgg(spark: SparkSession, aggDir: String): DataFrame = {

@@ -219,6 +219,12 @@ object StreamingIvmCompose {
   def hasCommitted(spark: SparkSession, dir: String): Boolean =
     committed(spark, dir).nonEmpty
 
+  /** Collapse the manifests' link fan-out by rewriting every live
+    * bucket of every family into one batch directory — see
+    * [[BucketStore.compactAll]]; run between folds at a fresh id. */
+  def compact(spark: SparkSession, dir: String, batchId: Long): Unit =
+    BucketStore.compactAll(spark, dir, Families, batchId)
+
   /** The maintained view as of the latest committed batch:
     * (groupCols…, n, s). */
   def readView(spark: SparkSession, dir: String): DataFrame = {

@@ -252,6 +252,13 @@ object StreamingIvmComposeN {
       bases: Seq[BaseSpec]): Boolean =
     committed(spark, dir, bases).nonEmpty
 
+  /** Collapse the manifests' link fan-out by rewriting every live
+    * bucket of every derived family into one batch directory — see
+    * [[BucketStore.compactAll]]; run between folds at a fresh id. */
+  def compact(spark: SparkSession, dir: String, bases: Seq[BaseSpec],
+      batchId: Long): Unit =
+    BucketStore.compactAll(spark, dir, families(bases), batchId)
+
   /** The maintained view as of the latest committed batch:
     * (groupCols…, n, s). */
   def readView(spark: SparkSession, dir: String,

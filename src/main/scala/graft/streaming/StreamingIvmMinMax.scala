@@ -142,6 +142,12 @@ object StreamingIvmMinMax {
   def hasCommitted(spark: SparkSession, dir: String): Boolean =
     committed(spark, dir).nonEmpty
 
+  /** Collapse the manifests' link fan-out by rewriting every live
+    * bucket of every family into one batch directory — see
+    * [[BucketStore.compactAll]]; run between folds at a fresh id. */
+  def compact(spark: SparkSession, dir: String, batchId: Long): Unit =
+    BucketStore.compactAll(spark, dir, Families, batchId)
+
   /** The maintained aggregate as of the latest committed batch:
     * (groupCols…, n, s, mn, mx) — s the exact decimal sum. */
   def readAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -122,6 +122,12 @@ object StreamingIvmQuantile {
   def hasCommitted(spark: SparkSession, dir: String): Boolean =
     committed(spark, dir).nonEmpty
 
+  /** Collapse the manifests' link fan-out by rewriting every live
+    * bucket of every family into one batch directory — see
+    * [[BucketStore.compactAll]]; run between folds at a fresh id. */
+  def compact(spark: SparkSession, dir: String, batchId: Long): Unit =
+    BucketStore.compactAll(spark, dir, Families, batchId)
+
   /** Exact PERCENTILE_CONT at `ps` per group, as of the latest
     * committed batch — rows read PRUNED to the candidate value
     * buckets' files through the manifest. */

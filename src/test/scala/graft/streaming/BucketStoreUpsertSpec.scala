@@ -94,6 +94,41 @@ class BucketStoreUpsertSpec extends AnyFunSuite {
     assert(view == Seq(("b", 1L), ("z", 2L)), view.toString)
   }
 
+  test("compaction collapses the link fan-out; reads identical; folds continue; redelivery idempotent (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert-compact").toString
+    seed(dir)
+    apply(Seq(c("D", 100, "a"), c("I", 100, "x")), 1L, dir)
+    apply(Seq(l("D", 2, 10, 7.0)), 2L, dir)
+    // rows_l's manifest now points into at least two batch dirs
+    val spread = BucketStore.readManifest(spark, dir, "rows_l", Some(2L))
+      .values.toSet
+    assert(spread.size >= 2, spread.toString)
+    val before = StreamingIvmCompose.readView(spark, dir)
+      .select("g", "n").as[(String, Long)].collect().sortBy(_._1).toSeq
+    StreamingIvmCompose.compact(spark, dir, 3L)
+    // every family's manifest now points at the compacted dir only
+    Seq("rows_l", "rows_o", "rows_lo", "rows_c", "agg").foreach { fam =>
+      val m = BucketStore.readManifest(spark, dir, fam, Some(3L))
+      assert(m.nonEmpty && m.values.toSet == Set(3L), s"$fam: $m")
+    }
+    assert(StreamingIvmCompose.readView(spark, dir)
+      .select("g", "n").as[(String, Long)].collect().sortBy(_._1).toSeq
+      == before)
+    // crash-replay of the compaction: same id, identical state
+    StreamingIvmCompose.compact(spark, dir, 3L)
+    assert(StreamingIvmCompose.readView(spark, dir)
+      .select("g", "n").as[(String, Long)].collect().sortBy(_._1).toSeq
+      == before)
+    // a later fold runs against the compacted state, and ITS GC drops
+    // the pre-compaction dirs nothing references anymore
+    apply(Seq(l("I", 4, 20, 2.0)), 4L, dir)
+    assert(ls(s"$dir/rows_l").forall(n => n != "batch=0"),
+      ls(s"$dir/rows_l").toString)
+    val after = StreamingIvmCompose.readView(spark, dir)
+      .select("g", "n").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(after == Seq(("b", 2L), ("x", 1L)), after.toString)
+  }
+
   test("a failed batch leaves no marker and the next fold GCs its debris") {
     val dir = java.nio.file.Files.createTempDirectory("upsert-fail").toString
     seed(dir)
