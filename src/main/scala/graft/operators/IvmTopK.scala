@@ -185,6 +185,82 @@ object IvmTopK {
           .as("cnt"): _*)
     val counts1 = merged.filter(col("cnt") > 0)
 
+    refresh(topk0, counts1, deltaAgg, groupCols, keyCol, k,
+      maxBroadcastCells)
+  }
+
+  /** Fold a NET-WEIGHTED delta stream into the maintained (topk,
+    * counts) state — the composed-chain contract (round 16): rows
+    * carry `wCol`, a signed NONZERO net multiplicity (the
+    * [[IvmJoin.deltaJoinWeighted]] output shape), instead of per-row
+    * I/D ops. The maintained measure per (group, key) is Σ w (count
+    * view — each joined derivation counts its multiplicity) or, with
+    * `valueCol` (positive LONG — the fixed-point money discipline),
+    * Σ w·value ("top customers by maintained revenue over a join
+    * chain"). Everything else is [[fold]] verbatim: the counts store
+    * merges invertibly, broken groups (net-decreased keys) re-rank
+    * their store slice, clean groups ride the old-top-K ∪ delta-keys
+    * candidate proof — the monotonicity theorem only needs per-key
+    * NET deltas to order the measure, and a net-weighted stream IS
+    * the per-key net delta. Over-deletes guard at the merge (a
+    * negative merged measure); the ±1 face's stricter delete-count
+    * guard has no analogue here because a net stream is already
+    * compressed — there is no same-batch re-insert left to launder an
+    * over-delete. Same pruned-store (group-level) contract. */
+  def foldWeighted(
+      stored: Option[(DataFrame, DataFrame)],
+      netDelta: DataFrame,
+      groupCols: Seq[String],
+      wCol: String,
+      keyCol: String,
+      k: Int,
+      valueCol: Option[String] = None,
+      maxBroadcastCells: Long = ScalableRank.MaxBroadcastCells): (DataFrame, DataFrame) = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val pairCols = groupCols :+ keyCol
+    (Reserved :+ "cnt").foreach(c => require(!pairCols.contains(c),
+      s"group/key columns collide with reserved column '$c'"))
+    // zero/NULL net weights refused INSIDE the plan (the IvmDistinct
+    // optimizer-hazard note) — a compressed stream never carries them
+    val w = when(col(wCol).isNull || col(wCol) === 0,
+      raise_error(lit(s"zero/NULL multiplicity in '$wCol' — refusing " +
+        "to fold a malformed weighted delta into the view")))
+      .otherwise(col(wCol))
+    val unit = valueCol.fold(lit(1L))(c => guardedWeight(netDelta, c))
+    val deltaAgg = netDelta
+      .groupBy(pairCols.map(col): _*)
+      .agg(sum(w * unit).as("__tk_dw"))
+
+    val (topk0, counts0) = stored.getOrElse {
+      val emptyCounts = netDelta.filter(lit(false))
+        .select(pairCols.map(col) :+ lit(0L).as("cnt"): _*)
+      (viewOf(emptyCounts, groupCols, keyCol, k), emptyCounts)
+    }
+
+    val mergedMeasure =
+      coalesce(col("cnt"), lit(0L)) + coalesce(col("__tk_dw"), lit(0L))
+    val merged = counts0.join(deltaAgg, pairCols, "full_outer")
+      .select(pairCols.map(col) :+
+        when(mergedMeasure < 0,
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(the merged measure went negative)")))
+          .otherwise(mergedMeasure)
+          .as("cnt"): _*)
+    val counts1 = merged.filter(col("cnt") > 0)
+
+    refresh(topk0, counts1, deltaAgg, groupCols, keyCol, k,
+      maxBroadcastCells)
+  }
+
+  /** The shared view-refresh tail of [[fold]] and [[foldWeighted]]:
+    * broken-group re-rank + clean-group candidate pass over the merged
+    * counts, one store scan, guarded broadcasts. `deltaAgg` carries
+    * (pairCols…, __tk_dw net measure delta). */
+  private def refresh(
+      topk0: DataFrame, counts1: DataFrame, deltaAgg: DataFrame,
+      groupCols: Seq[String], keyCol: String, k: Int,
+      maxBroadcastCells: Long): (DataFrame, DataFrame) = {
+    val pairCols = groupCols :+ keyCol
     // broken groups: some key net-decreased, so the K-th threshold may
     // have fallen — delta-sized by construction
     val broken = deltaAgg.filter(col("__tk_dw") < 0)

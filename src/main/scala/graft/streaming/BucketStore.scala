@@ -58,8 +58,45 @@ import java.nio.charset.StandardCharsets
   * `keys/` index closes that hole exactly and delta-proportionally:
   * it maintains every live pk bucketed by PK hash, so the collide
   * check reads only the inserted pks' index buckets.
+  *
+  * Round 16 hardening:
+  *  - **Redelivery drops the stale marker first.** A redelivered batch
+  *    (at-least-once foreachBatch) rewrites a batch directory that may
+  *    already carry `_SUCCESS`; the first write for the id now deletes
+  *    that marker BEFORE touching anything, so a crash mid-rewrite
+  *    reads as uncommitted and recovery falls back to the previous
+  *    committed id — the old whole-directory layout got this for free
+  *    from Spark's overwrite, the upsert layout has to do it itself.
+  *  - **Auto-compaction inside the fold.** A long-lived stream's cold
+  *    buckets otherwise accumulate manifest links to ever-older batch
+  *    dirs (full reads union one pruned scan per link). When a write
+  *    would leave more than `maxLinks` distinct pointed batches, the
+  *    fold ABSORBS the untouched live buckets into its own batch
+  *    directory — a full rewrite, amortized O(store/maxLinks-ish),
+  *    under the SAME batch id and commit discipline, so exactly-once
+  *    and redelivery determinism are untouched and the separate-id
+  *    hazard of out-of-band [[compactAll]] (stream checkpoint ids are
+  *    consecutive and can collide with or stay below a side-channel
+  *    compaction id) never arises. [[compactAll]] remains for manual
+  *    one-shot maintenance.
+  *  - **GC keeps the future.** [[gc]] additionally retains every
+  *    COMMITTED id ≥ max(keepIds) (and everything those manifests
+  *    reference) — an out-of-band compaction committed above the
+  *    stream's current id can no longer be deleted by the next fold's
+  *    keep-two window while reads still resolve it.
+  *  - **Committed-but-empty is readable.** The first write of each
+  *    (family, sub) persists a `schema0_<sub>` stub (an empty parquet
+  *    carrying the layout's schema), so [[readAllNonEmpty]] on a view
+  *    whose every row was legitimately deleted returns an empty frame
+  *    instead of refusing — "never committed" still raises.
   */
 object BucketStore {
+
+  /** Default bound on a family manifest's distinct pointed batch
+    * directories before a fold absorbs the untouched buckets into its
+    * own batch dir (in-fold auto-compaction). A full read unions at
+    * most this many pruned scans. */
+  val DefaultMaxLinks: Int = 16
 
   /** The shared group-hash bucket expression (the StreamingIvmMinMax
     * convention). */
@@ -173,15 +210,20 @@ object BucketStore {
       None, "data", "__g_bucket", template)
 
   /** [[readAll]] for callers with no schema template at hand (the
-    * read-side public APIs): requires at least one live bucket — a
-    * family whose every row has been deleted has no parquet footer
-    * left to speak its schema. */
+    * read-side public APIs). A family whose every row has been
+    * legitimately deleted returns an EMPTY frame with the layout's
+    * schema (spoken by the `_schema_data` stub the first write
+    * persisted) — only a family that truly never wrote raises. */
   def readAllNonEmpty(spark: SparkSession, dir: String, family: String,
       id: Long): DataFrame = {
     val manifest = readManifest(spark, dir, family, Some(id))
-    require(manifest.nonEmpty,
-      s"store family '$family' under $dir is empty as of batch $id " +
-        "(every row deleted) — no rows, and no schema, to read")
+    if (manifest.isEmpty) {
+      val stub = schemaStub(dir, family, "data")
+      require(fsOf(spark, dir).exists(stub),
+        s"store family '$family' under $dir is empty as of batch $id " +
+          "and carries no schema stub — nothing was ever written")
+      return spark.read.parquet(stub.toString)
+    }
     readVia(spark, dir, family, manifest, None, "data", "__g_bucket",
       // template is never consulted on a non-empty manifest
       spark.emptyDataFrame)
@@ -201,15 +243,45 @@ object BucketStore {
     df.select(bucketize(keys, storeBuckets).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
+  // NOT underscore-prefixed: Spark's file index treats _-prefixed
+  // paths as hidden metadata and would ignore the stub's files
+  private def schemaStub(dir: String, family: String, sub: String) =
+    new HPath(familyRoot(dir, family), s"schema0_$sub")
+
   private def writeSlice(spark: SparkSession, dir: String, family: String,
       batchId: Long, prevId: Option[Long], rows: DataFrame,
       touched: Seq[Int], sub: String, bucketCol: String,
-      manifestKind: String): Unit = {
+      manifestKind: String, maxLinks: Int): Unit = {
     val fs = fsOf(spark, dir)
     val bd = batchDir(dir, family, batchId)
+    // REDELIVERY GUARD (r16): if this batch id was already committed
+    // (at-least-once redelivery after a post-commit crash upstream),
+    // drop its marker BEFORE rewriting anything — a crash mid-rewrite
+    // must read as uncommitted, not as a committed batch with partial
+    // data under a stale marker
+    fs.delete(new HPath(bd, "_SUCCESS"), false)
+    // schema stub (once per family/sub lifetime): lets committed-but-
+    // empty states speak their schema after every live bucket is gone
+    val stub = schemaStub(dir, family, sub)
+    if (!fs.exists(stub))
+      rows.limit(0).write.mode("overwrite").parquet(stub.toString)
+    val prev = readManifest(spark, dir, family, prevId, manifestKind)
+    // in-fold auto-compaction: if carrying the untouched links forward
+    // would leave more than maxLinks distinct pointed batch dirs,
+    // absorb the untouched live buckets into THIS batch's write — same
+    // id, same commit discipline, deterministic on redelivery (the
+    // decision is a pure function of prev manifest + touched)
+    val carried = prev -- touched
+    val linksAfter =
+      carried.values.toSet.size + (if (touched.nonEmpty) 1 else 0)
+    val (allRows, allTouched) =
+      if (linksAfter > maxLinks && carried.nonEmpty)
+        (rows.unionByName(readVia(spark, dir, family, carried, None, sub,
+          bucketCol, rows)), touched ++ carried.keys)
+      else (rows, touched)
     val dataPath = new HPath(bd, sub)
-    if (touched.nonEmpty)
-      rows.repartition(col(bucketCol))
+    if (allTouched.nonEmpty)
+      allRows.repartition(col(bucketCol))
         .write.mode("overwrite").partitionBy(bucketCol)
         .parquet(dataPath.toString)
     // buckets actually PRESENT after the write (a touched bucket whose
@@ -220,8 +292,7 @@ object BucketStore {
       else fs.listStatus(dataPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol="))
         .map(_.getPath.getName.stripPrefix(s"$bucketCol=").toInt).toSet
-    val prev = readManifest(spark, dir, family, prevId, manifestKind)
-    val entries = (prev -- touched) ++ present.iterator.map(_ -> batchId)
+    val entries = (prev -- allTouched) ++ present.iterator.map(_ -> batchId)
     writeManifest(fs, new HPath(bd, manifestKind), entries)
   }
 
@@ -232,15 +303,15 @@ object BucketStore {
     * the batch has written. */
   def upsert(spark: SparkSession, dir: String, family: String,
       batchId: Long, prevId: Option[Long], rows: DataFrame,
-      touched: Seq[Int]): Unit =
+      touched: Seq[Int], maxLinks: Int = DefaultMaxLinks): Unit =
     writeSlice(spark, dir, family, batchId, prevId, rows, touched,
-      "data", "__g_bucket", "manifest")
+      "data", "__g_bucket", "manifest", maxLinks)
 
   private def upsertKeys(spark: SparkSession, dir: String, family: String,
       batchId: Long, prevId: Option[Long], keys: DataFrame,
-      touched: Seq[Int]): Unit =
+      touched: Seq[Int], maxLinks: Int = DefaultMaxLinks): Unit =
     writeSlice(spark, dir, family, batchId, prevId, keys, touched,
-      "keys", "__k_bucket", "keys_manifest")
+      "keys", "__k_bucket", "keys_manifest", maxLinks)
 
   /** Write the family's commit marker — the LAST step of its batch. */
   def commit(spark: SparkSession, dir: String, family: String,
@@ -268,10 +339,21 @@ object BucketStore {
     * keep-manifests pointing at (or past) the compacted directory. */
   def compactAll(spark: SparkSession, dir: String, families: Seq[String],
       batchId: Long): Unit = {
-    val prior = committedAll(spark, dir, families).filter(_ < batchId)
+    val committed = committedAll(spark, dir, families)
+    val prior = committed.filter(_ < batchId)
     require(prior.nonEmpty, s"nothing committed under $dir to compact")
+    // a compaction id BELOW an existing committed id would leave two
+    // divergent "latest" states racing (reads resolve max committed,
+    // folds resolve max committed below their own id) — refuse
+    require(committed.forall(_ <= batchId),
+      s"compaction id $batchId is below an already-committed batch " +
+        s"(${committed.max}) — compact at an id above every committed one")
     val prevId = Some(prior.last)
     families.foreach { family =>
+      // redelivery guard (r16): same discipline as writeSlice — a
+      // replayed compaction must not rewrite under a live marker
+      fsOf(spark, dir).delete(
+        new HPath(batchDir(dir, family, batchId), "_SUCCESS"), false)
       def rewrite(sub: String, bucketCol: String, kind: String): Unit = {
         val manifest = readManifest(spark, dir, family, prevId, kind)
         val all =
@@ -297,15 +379,21 @@ object BucketStore {
   }
 
   /** Delete batch directories no longer reachable: keep `keepIds`
-    * themselves plus every batch their manifests (data AND keys) still
-    * point into. Call with the last two committed ids — redelivery of
-    * the newest replays against the previous. */
+    * themselves, every COMMITTED id at or above max(keepIds) (an
+    * out-of-band compaction committed above the stream's current id
+    * must survive the keep-two window — the r16 hardening), plus every
+    * batch any kept manifest (data AND keys) still points into. Call
+    * with the last two committed ids — redelivery of the newest
+    * replays against the previous. */
   def gc(spark: SparkSession, dir: String, family: String,
       keepIds: Seq[Long]): Unit = {
+    if (keepIds.isEmpty) return
     val fs = fsOf(spark, dir)
     val root = familyRoot(dir, family)
     if (!fs.exists(root)) return
-    val referenced = keepIds.toSet ++ keepIds.flatMap { id =>
+    val keep = keepIds.toSet ++
+      committedIn(spark, dir, family).filter(_ >= keepIds.max)
+    val referenced = keep ++ keep.flatMap { id =>
       readManifest(spark, dir, family, Some(id)).values ++
         readManifest(spark, dir, family, Some(id), "keys_manifest").values
     }
@@ -371,11 +459,6 @@ object BucketStore {
 
     val prevSlice = readBuckets(spark, dir, family, prevId, touchedData,
       template).select(dataCols.map(col): _*)
-    val unmatched = dels.join(prevSlice, dataCols, "left_anti")
-      .limit(1).count()
-    require(unmatched == 0L,
-      s"change batch $batchId ($side side) deletes rows the store never " +
-        "held (unknown key, or a delete image disagreeing with the stored row)")
     val afterDel = prevSlice
       .join(dels.select(keyCols.map(col): _*), keyCols, "left_anti")
 
@@ -383,15 +466,23 @@ object BucketStore {
       keysTemplate).select(keyCols.map(col): _*)
     val liveAfterDel = prevKeys
       .join(dels.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val collide = ins.join(liveAfterDel, keyCols, "left_semi")
-      .limit(1).count()
-    require(collide == 0L,
-      s"change batch $batchId ($side side) inserts a key the store still " +
-        "holds — updates must travel as delete+insert pairs")
-    val dupIns = ins.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
-    require(dupIns == 0L,
-      s"change batch $batchId ($side side) inserts the same key twice")
+    // all three refusals evaluated in ONE Spark job (r16 — the r15w
+    // breakdown attributed most of the upsert layout's per-batch wall
+    // overhead to eager validation probes, three jobs per side; the
+    // union collapses them into one action whose subplans share the
+    // already-pruned slice reads)
+    val viols = dels.join(prevSlice, dataCols, "left_anti")
+      .select(lit("deletes rows the store never held (unknown key, or a " +
+        "delete image disagreeing with the stored row)").as("__viol"))
+      .unionByName(ins.join(liveAfterDel, keyCols, "left_semi")
+        .select(lit("inserts a key the store still holds — updates must " +
+          "travel as delete+insert pairs").as("__viol")))
+      .unionByName(ins.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .select(lit("inserts the same key twice").as("__viol")))
+      .distinct().collect().map(_.getString(0))
+    require(viols.isEmpty,
+      s"change batch $batchId ($side side) ${viols.mkString("; and ")}")
 
     Prepared(family,
       afterDel.unionByName(ins)
@@ -405,9 +496,11 @@ object BucketStore {
   /** Write a [[Prepared]] side's data + keys slices and manifests (no
     * commit marker — [[commit]] is the caller's last step). */
   def writePrepared(spark: SparkSession, dir: String, batchId: Long,
-      prevId: Option[Long], p: Prepared): Unit = {
-    upsert(spark, dir, p.family, batchId, prevId, p.rows, p.touched)
-    upsertKeys(spark, dir, p.family, batchId, prevId, p.keys, p.touchedKeys)
+      prevId: Option[Long], p: Prepared,
+      maxLinks: Int = DefaultMaxLinks): Unit = {
+    upsert(spark, dir, p.family, batchId, prevId, p.rows, p.touched, maxLinks)
+    upsertKeys(spark, dir, p.family, batchId, prevId, p.keys, p.touchedKeys,
+      maxLinks)
   }
 
   // ---- the multiset upsert (no pk — (payload, __mult) rows) ---------

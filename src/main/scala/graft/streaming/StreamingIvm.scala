@@ -38,11 +38,17 @@ object StreamingIvm {
     BucketStore.committedIn(spark, aggDir, "snap").toSeq.sorted
 
   /** Fold ONE static change batch into the maintained aggregate as
-    * micro-batch `batchId`; returns the group count after the fold. */
+    * micro-batch `batchId`; returns the surviving group count of the
+    * TOUCHED slice after the fold (delta-sized to compute). Pass
+    * `fullCount = true` for the whole store's group count — a
+    * manifest-resolved scan over every live bucket, store-proportional
+    * per batch, so keep it out of hot per-batch callbacks (r16, the
+    * ADVICE read-cost item). */
   def applyBatch(
       batch: DataFrame, batchId: Long, groupCols: Seq[String],
       opCol: String, valueCol: String, aggDir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L // no state change; snapshot ids may skip
     // fail loudly on an op outside {I, D} — including NULL, which
@@ -103,8 +109,10 @@ object StreamingIvm {
     BucketStore.commit(spark, aggDir, "snap", batchId)
     BucketStore.gc(spark, aggDir, "snap", prevId.toSeq :+ batchId)
     val nGroups =
-      BucketStore.readAll(spark, aggDir, "snap", Some(batchId), aggTemplate)
-        .count()
+      if (fullCount)
+        BucketStore.readAll(spark, aggDir, "snap", Some(batchId), aggTemplate)
+          .count()
+      else survivors.count() // the touched slice — `next` is checkpointed
     graft.operators.ScalableRank.release(next)
     nGroups
   }

@@ -87,7 +87,8 @@ object StreamingIvmCompose {
       joinKeys1: Seq[String], joinKeys2: Seq[String],
       groupCols: Seq[String], valueCol: String,
       dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__g_bucket", "__k_bucket", "__op", "__w", "__net").foreach(c =>
@@ -192,8 +193,12 @@ object StreamingIvmCompose {
       Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
       val keep = prevId.toSeq :+ batchId
       Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
-        .count()
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+          .count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+          aggTemplate).count()
     } finally dlo.unpersist()
   }
 

@@ -90,7 +90,8 @@ object StreamingIvmComposeN {
       bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
       groupCols: Seq[String], valueCol: String,
       dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     val m = bases.size
     require(m >= 2, s"composed chain needs at least 2 bases, got $m")
@@ -227,8 +228,12 @@ object StreamingIvmComposeN {
       families(bases).foreach(f => BucketStore.commit(spark, dir, f, batchId))
       val keep = prevId.toSeq :+ batchId
       families(bases).foreach(f => BucketStore.gc(spark, dir, f, keep))
-      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
-        .count()
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+          .count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+          aggTemplate).count()
     } finally pinned.foreach(_.unpersist())
   }
 

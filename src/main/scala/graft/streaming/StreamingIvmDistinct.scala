@@ -54,7 +54,8 @@ object StreamingIvmDistinct {
       batch: DataFrame, batchId: Long, keyCol: String,
       groupCols: Seq[String], opCol: String, valueCol: String,
       dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__g_bucket", "__k_bucket", "__op").foreach(c =>
@@ -126,8 +127,12 @@ object StreamingIvmDistinct {
     Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
     val keep = prevId.toSeq :+ batchId
     Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-    BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
-      .count()
+    if (fullCount)
+      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+        .count()
+    else // just-written touched buckets only — delta-proportional
+      BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+        aggTemplate).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`

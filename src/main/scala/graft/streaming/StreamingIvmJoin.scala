@@ -61,7 +61,8 @@ object StreamingIvmJoin {
       keyColR: String, keyColS: String,
       joinKeys: Seq[String], groupCols: Seq[String], valueCol: String,
       dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__g_bucket", "__k_bucket", "__op", "__w").foreach(c =>
@@ -122,8 +123,12 @@ object StreamingIvmJoin {
     Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
     val keep = prevId.toSeq :+ batchId
     Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-    BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
-      .count()
+    if (fullCount)
+      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+        .count()
+    else // just-written touched buckets only — delta-proportional
+      BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+        aggTemplate).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING tagged change frame;

@@ -59,11 +59,15 @@ object StreamingIvmMinMax {
 
   /** Fold ONE static change batch (keyCol, groupCols…, opCol,
     * valueCol) into the maintained store as micro-batch `batchId`;
-    * returns the group count after the fold (-1 for an empty batch). */
+    * returns the group count of the TOUCHED slice after the fold (-1
+    * for an empty batch) — `fullCount = true` opts into the whole
+    * store's group count, a store-proportional read per batch (r16,
+    * the ADVICE read-cost item; same toggle on every face). */
   def applyBatch(
       batch: DataFrame, batchId: Long, keyCol: String,
       groupCols: Seq[String], opCol: String, valueCol: String,
-      dir: String, storeBuckets: Int = StoreBuckets): Long = {
+      dir: String, storeBuckets: Int = StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__g_bucket", "__k_bucket", "__op").foreach(c =>
@@ -121,8 +125,12 @@ object StreamingIvmMinMax {
     Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
     val keep = prevId.toSeq :+ batchId
     Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-    BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
-      .count()
+    if (fullCount)
+      BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+        .count()
+    else // just-written touched buckets only — delta-proportional
+      BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+        aggTemplate).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`

@@ -54,7 +54,8 @@ object StreamingIvmQuantile {
       batch: DataFrame, batchId: Long, keyCol: String,
       groupCols: Seq[String], opCol: String, valueCol: String,
       dir: String, lo: Double, hi: Double, buckets: Int,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets): Long = {
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__qb", "__g_bucket", "__k_bucket", "__op").foreach(c =>
@@ -100,8 +101,12 @@ object StreamingIvmQuantile {
     Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
     val keep = prevId.toSeq :+ batchId
     Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-    BucketStore.readAll(spark, dir, "counts", Some(batchId), countsTemplate)
-      .count()
+    if (fullCount)
+      BucketStore.readAll(spark, dir, "counts", Some(batchId), countsTemplate)
+        .count()
+    else // just-written touched buckets only — delta-proportional
+      BucketStore.readBuckets(spark, dir, "counts", Some(batchId),
+        touchedCounts, countsTemplate).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`
@@ -142,9 +147,20 @@ object StreamingIvmQuantile {
     val candQb = IvmQuantile.candidates(counts, groupCols, ps)
       .select(col("__qb")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq // ≤ buckets ids — bounded
-    // the template frame is never consulted: every candidate bucket
-    // holds at least one counted value by construction, so the
-    // manifest resolves it to real files
+    // every candidate bucket holds at least one counted value by
+    // construction, so the manifest must resolve it to real files —
+    // a miss means the caller's (lo, hi, buckets) disagree with the
+    // creation-time values and re-bucketed the candidates; refuse with
+    // the domain-param mismatch NAMED instead of letting the
+    // template-schema fallback fail on an unrelated missing column
+    // (r16, the ADVICE diagnosability item)
+    val rowsManifest = BucketStore.readManifest(spark, dir, "rows",
+      Some(snaps.last))
+    val unresolved = candQb.filterNot(rowsManifest.contains)
+    require(unresolved.isEmpty,
+      s"candidate value buckets ${unresolved.sorted.mkString(",")} resolve " +
+        "to no stored rows — (lo, hi, buckets) must be the view's " +
+        "creation-time values (a mismatch re-buckets history)")
     val rows = BucketStore.readBuckets(spark, dir, "rows", Some(snaps.last),
         candQb, counts)
       .select((groupCols :+ valueCol).map(col): _*)

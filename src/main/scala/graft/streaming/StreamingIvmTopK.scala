@@ -53,7 +53,8 @@ object StreamingIvmTopK {
       groupCols: Seq[String], opCol: String, keyCol: String, k: Int,
       dir: String,
       storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
-      weightCol: Option[String] = None): Long = {
+      weightCol: Option[String] = None,
+      fullCount: Boolean = false): Long = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return -1L
     Seq("__g_bucket", "__k_bucket").foreach(c =>
@@ -97,8 +98,12 @@ object StreamingIvmTopK {
     Families.foreach(f => BucketStore.commit(spark, dir, f, batchId))
     val keep = prevId.toSeq :+ batchId
     Families.foreach(f => BucketStore.gc(spark, dir, f, keep))
-    BucketStore.readAll(spark, dir, "topk", Some(batchId), topkTemplate)
-      .count()
+    if (fullCount)
+      BucketStore.readAll(spark, dir, "topk", Some(batchId), topkTemplate)
+        .count()
+    else // just-written touched buckets only — delta-proportional
+      BucketStore.readBuckets(spark, dir, "topk", Some(batchId),
+        deltaBuckets, topkTemplate).count()
   }
 
   /** Wire the per-batch fold onto a STREAMING change frame; `onBatch`
