@@ -763,6 +763,78 @@ object GovernanceQueries {
       IvmJoin.foldAggWeighted(Some(stored), d2, Seq("prio"), "bal", "__w")
         .select(col("prio"), col("n"), col("s").cast("double").as("sum_bal"))
         .orderBy(col("prio"))
+    }),
+    "ivm9_composed_topk" -> ((s, dir) => {
+      // COMPOSED TOP-K IVM (round 16) — a NON-INVERTIBLE aggregate at
+      // the top of the weighted composed chain: maintained top-3
+      // nations per order priority by total order revenue (cents —
+      // exact fixed-point longs) over the many-to-many chain
+      // supplier ⋈ customer (on nationkey) ⋈ orders (on custkey),
+      // where each joined (supplier, customer, order) derivation
+      // contributes the order's cents once — multiset semantics, so
+      // a nation's measure scales with its supplier fan-out. The
+      // chain emits a net-weighted delta stream
+      // (IvmJoin.deltaJoinWeighted, ivm8's algebra) and
+      // IvmTopK.foldWeighted consumes it directly: the monotonicity
+      // proof only needs per-key NET measure deltas, and a compressed
+      // weighted stream IS that. One batch touches all three bases:
+      // every 31st supplier MOVES to the next nation (D+I at stage 1
+      // — both nations' measures shift in every priority), every 89th
+      // customer deleted (net decreases → broken groups re-rank their
+      // counts-store slice), every 101st order re-prioritized to a
+      // fresh 'moved-' priority (insert-only new groups → the
+      // clean-path candidate proof). Oracle = full recompute + rank
+      // over the modified tables, bit-for-bit. Deployment shape:
+      // StreamingIvmComposeN.applyBatchTopK maintains the same fold
+      // over BucketStore families (spec-pinned with restart).
+      import graft.operators.{IvmJoin, IvmTopK}
+      val sup = T(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"))
+      val cus = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val smoved = pmod(col("sk"), lit(31)) === 0
+      val cdropped = pmod(col("ck"), lit(89)) === 0
+      val omoved = pmod(col("ok"), lit(101)) === 0
+      val dS = sup.filter(smoved)
+        .select(col("sk"), col("nk"), lit(-1L).as("__w"))
+        .unionByName(sup.filter(smoved)
+          .select(col("sk"), pmod(col("nk") + 1, lit(25)).as("nk"),
+            lit(1L).as("__w")))
+      val dC = cus.filter(cdropped)
+        .select(col("ck"), col("nk"), lit(-1L).as("__w"))
+      val dO = ord.filter(omoved)
+        .select(col("ok"), col("ck"), col("prio"), col("cents"),
+          lit(-1L).as("__w"))
+        .unionByName(ord.filter(omoved)
+          .select(col("ok"), col("ck"),
+            concat(lit("moved-"), col("prio")).as("prio"), col("cents"),
+            lit(1L).as("__w")))
+      def asSet(df: DataFrame) = df.withColumn("__mult", lit(1L))
+      // stage 1 (many-to-many on nation): Δ(S⋈C) projected to
+      // (ck, nk) — multiplicity = the customer's nation's supplier
+      // fan; the stored intermediate stand-in is the counted multiset
+      val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
+        Seq("nk"), "__w", "__mult", Seq("ck", "nk"))
+      val dlo = d1.groupBy(col("ck"), col("nk"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val lo = sup.join(cus, Seq("nk"))
+        .groupBy(col("ck"), col("nk")).agg(count(lit(1)).as("__mult"))
+      // stage 2: upstream delta AS this join's ΔR against orders
+      val d2 = IvmJoin.deltaJoinWeighted(dlo, dO, lo, asSet(ord),
+        Seq("ck"), "__w", "__mult", Seq("prio", "nk", "cents"))
+      val net = d2.groupBy(col("prio"), col("nk"), col("cents"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val joined = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
+      val counts0 = IvmTopK.countsOf(joined, Seq("prio"), "nk",
+        Some("cents"))
+      val topk0 = IvmTopK.viewOf(counts0, Seq("prio"), "nk", 3)
+      val (topk1, _) = IvmTopK.foldWeighted(Some((topk0, counts0)), net,
+        Seq("prio"), "__w", "nk", 3, Some("cents"))
+      topk1.select(col("prio"), col("rnk"), col("nk"), col("cnt"))
+        .orderBy(col("prio"), col("rnk"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -803,6 +875,33 @@ object GovernanceQueries {
         | CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm9_composed_topk" ->
+      """WITH s2 AS (
+        | SELECT CAST(CASE WHEN s_suppkey % 31 = 0
+        |       THEN (s_nationkey + 1) % 25
+        |       ELSE s_nationkey END AS INTEGER) AS nk
+        | FROM supplier),
+        |c2 AS (
+        | SELECT c_custkey AS ck, CAST(c_nationkey AS INTEGER) AS nk
+        | FROM customer WHERE c_custkey % 89 <> 0),
+        |o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0
+        |       THEN 'moved-' || o_orderpriority
+        |       ELSE o_orderpriority END AS prio,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |m AS (
+        | SELECT prio, nk, CAST(SUM(cents) AS BIGINT) AS cnt
+        | FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT prio, nk, cnt,
+        |  CAST(row_number() OVER (PARTITION BY prio
+        |    ORDER BY cnt DESC, nk) AS INTEGER) AS rnk
+        | FROM m)
+        |SELECT prio, rnk, nk, cnt FROM r WHERE rnk <= 3
+        |ORDER BY prio, rnk""".stripMargin,
     "del1_forget_audit" ->
       """WITH fk AS (
         | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

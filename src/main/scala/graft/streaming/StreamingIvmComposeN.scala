@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.IvmJoin
+import graft.operators.{IvmJoin, IvmTopK}
 
 /** Streaming N-WAY composed IVM with GENERAL multiplicities (round 15
   * — the verdict's #2 and #3): a maintained aggregate over the
@@ -61,37 +61,55 @@ object StreamingIvmComposeN {
   private def baseFamily(b: BaseSpec) = s"rows_${b.name}"
   private def interFamily(s: Int) = s"inter_$s"
 
-  private def families(bases: Seq[BaseSpec]): Seq[String] =
+  private def families(bases: Seq[BaseSpec],
+      viewFamilies: Seq[String] = Seq("agg")): Seq[String] =
     bases.map(baseFamily) ++
-      (1 to bases.size - 2).map(interFamily) :+ "agg"
+      (1 to bases.size - 2).map(interFamily) ++ viewFamilies
 
   private def committed(spark: SparkSession, dir: String,
-      bases: Seq[BaseSpec]): Seq[Long] =
-    BucketStore.committedAll(spark, dir, families(bases))
+      bases: Seq[BaseSpec],
+      viewFamilies: Seq[String] = Seq("agg")): Seq[Long] =
+    BucketStore.committedAll(spark, dir, families(bases, viewFamilies))
 
   /** The payload columns intermediate I_{s+1} (stage `s`'s output)
     * must carry: everything later stages join on plus what the view
-    * consumes — restricted to columns the prefix join has. */
+    * consumes (`finalCols`) — restricted to columns the prefix join
+    * has. */
   private def interCols(bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
-      groupCols: Seq[String], valueCol: String, s: Int): Seq[String] = {
+      finalCols: Seq[String], s: Int): Seq[String] = {
     val avail = bases.take(s + 2).flatMap(_.cols).distinct
-    val needed = (stageKeys.drop(s + 1).flatten ++ groupCols :+ valueCol)
-      .distinct
+    val needed = (stageKeys.drop(s + 1).flatten ++ finalCols).distinct
     needed.filter(avail.contains)
   }
 
-  /** Fold ONE static tagged change batch (`sideCol` ∈ base names,
-    * `opCol` ∈ {I, D}) into the maintained stores as micro-batch
-    * `batchId`; returns the view's group count after the fold (-1 for
-    * an empty batch). */
-  def applyBatch(
+  /** What the shared chain front-end hands each view face: the
+    * previous committed id, the validated per-base CDC writes, the
+    * intermediate-store writes, and the chain's final NET-WEIGHTED
+    * delta — (`finalCols`…, __w), compressed (no zero weights) —
+    * exactly the [[graft.operators.IvmJoin.deltaJoinWeighted]]
+    * contract every weighted fold consumes. */
+  private case class ChainDelta(
+      prevId: Option[Long],
+      prepared: Seq[BucketStore.Prepared],
+      interUpserts: Seq[(String, DataFrame, Seq[Int])],
+      delta: DataFrame)
+
+  /** The shared chain FRONT-END of every composed view face (round 16
+    * — the weighted-fold generalization): validates the chain spec and
+    * the tagged batch, prepares (but does not write) the per-base CDC
+    * upserts, runs the weighted stage loop against the maintained
+    * bases/intermediates, and returns the final net-weighted delta
+    * over `finalCols`. Returns None for an empty batch. `pin` caches
+    * intermediates; the CALLER unpersists everything pinned — after
+    * its own writes, since the prepared frames close over pinned
+    * deltas. */
+  private def chainDelta(
       batch: DataFrame, batchId: Long,
       sideCol: String, opCol: String,
       bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
-      groupCols: Seq[String], valueCol: String,
-      dir: String,
-      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
-      fullCount: Boolean = false): Long = {
+      finalCols: Seq[String], viewFamilies: Seq[String],
+      dir: String, storeBuckets: Int,
+      pin: DataFrame => DataFrame): Option[ChainDelta] = {
     val spark = batch.sparkSession
     val m = bases.size
     require(m >= 2, s"composed chain needs at least 2 bases, got $m")
@@ -107,16 +125,16 @@ object StreamingIvmComposeN {
       // non-key column collisions would make the stage's using-join
       // output ambiguous — refuse up front with the stage named
       val leftCols = if (s == 0) bases.head.cols
-        else interCols(bases, stageKeys, groupCols, valueCol, s - 1)
+        else interCols(bases, stageKeys, finalCols, s - 1)
       val overlap = leftCols.intersect(bases(s + 1).cols).diff(ks)
       require(overlap.isEmpty,
         s"stage $s sides share non-join columns ${overlap.mkString(", ")} — " +
           "rename them; only the stage's join keys may repeat")
     }
     val finalAvail = bases.flatMap(_.cols).distinct
-    (groupCols :+ valueCol).foreach(c => require(finalAvail.contains(c),
+    finalCols.foreach(c => require(finalAvail.contains(c),
       s"view column '$c' is not produced by any base"))
-    if (batch.isEmpty) return -1L
+    if (batch.isEmpty) return None
     Seq("__g_bucket", "__k_bucket", "__op", "__w", "__mult", "__dm")
       .foreach(c => require(!batch.columns.contains(c),
         s"change batch already contains reserved column '$c'"))
@@ -131,7 +149,8 @@ object StreamingIvmComposeN {
         s"outside ${names.mkString("{", ", ", "}")} — refusing to fold a " +
         "malformed delta into the view")
 
-    val prevId = committed(spark, dir, bases).filter(_ < batchId).lastOption
+    val prevId =
+      committed(spark, dir, bases, viewFamilies).filter(_ < batchId).lastOption
     def bucketsOf(d: DataFrame, keys: Seq[String]): Seq[Int] =
       BucketStore.bucketsOf(d, keys, storeBuckets)
     def template(cols: Seq[String]): DataFrame =
@@ -156,69 +175,90 @@ object StreamingIvmComposeN {
         .groupBy(cols.map(col): _*)
         .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
 
+    val interUpserts =
+      scala.collection.mutable.ArrayBuffer[(String, DataFrame, Seq[Int])]()
+    // the running upstream delta (net-weighted) and its columns
+    var deltaCur = pin(weighted(deltas.head, bases.head.cols))
+    var curCols = bases.head.cols
+    for (s <- 0 until m - 1) {
+      val right = bases(s + 1)
+      val ks = stageKeys(s)
+      val outCols =
+        if (s == m - 2) finalCols
+        else interCols(bases, stageKeys, finalCols, s)
+      val dRight = pin(weighted(deltas(s + 1), right.cols))
+      // PRE-delta store legs, each pruned to the OTHER side's delta
+      // buckets (batch-bounded driver lists through the manifests)
+      val leftPre =
+        if (s == 0)
+          BucketStore.readBuckets(spark, dir, baseFamily(bases.head),
+              prevId, bucketsOf(dRight, ks), template(bases.head.cols))
+            .select(bases.head.cols.map(col): _*)
+            .withColumn("__mult", lit(1L))
+        else
+          BucketStore.readBuckets(spark, dir, interFamily(s), prevId,
+              bucketsOf(dRight, ks),
+              deltaCur.filter(lit(false))
+                .select(curCols.map(col) :+ lit(0L).as("__mult"): _*))
+            .select(curCols.map(col) :+ col("__mult"): _*)
+      val rightPre = BucketStore.readBuckets(spark, dir,
+          baseFamily(right), prevId, bucketsOf(deltaCur, ks),
+          template(right.cols))
+        .select(right.cols.map(col): _*)
+        .withColumn("__mult", lit(1L))
+      val dj = IvmJoin.deltaJoinWeighted(deltaCur, dRight, leftPre,
+        rightPre, ks, "__w", "__mult", outCols)
+      val net = pin(dj.groupBy(outCols.map(col): _*)
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0))
+      if (s < m - 2) {
+        val (rows, touched) = BucketStore.prepareMultisetUpsert(net,
+          outCols, "__w", stageKeys(s + 1), dir, interFamily(s + 1),
+          prevId, storeBuckets)
+        interUpserts += ((interFamily(s + 1), rows, touched))
+      }
+      deltaCur = net
+      curCols = outCols
+    }
+    Some(ChainDelta(prevId, prepared, interUpserts.toSeq, deltaCur))
+  }
+
+  /** Fold ONE static tagged change batch (`sideCol` ∈ base names,
+    * `opCol` ∈ {I, D}) into the maintained stores as micro-batch
+    * `batchId`; returns the view's group count after the fold (-1 for
+    * an empty batch). */
+  def applyBatch(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
+    val spark = batch.sparkSession
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
     try {
-      val interUpserts =
-        scala.collection.mutable.ArrayBuffer[(String, DataFrame, Seq[Int])]()
-      // the running upstream delta (net-weighted) and its columns
-      var deltaCur = pin(weighted(deltas.head, bases.head.cols))
-      var curCols = bases.head.cols
-      for (s <- 0 until m - 1) {
-        val right = bases(s + 1)
-        val ks = stageKeys(s)
-        val outCols =
-          if (s == m - 2) (groupCols :+ valueCol).distinct
-          else interCols(bases, stageKeys, groupCols, valueCol, s)
-        val dRight = pin(weighted(deltas(s + 1), right.cols))
-        // PRE-delta store legs, each pruned to the OTHER side's delta
-        // buckets (batch-bounded driver lists through the manifests)
-        val leftPre =
-          if (s == 0)
-            BucketStore.readBuckets(spark, dir, baseFamily(bases.head),
-                prevId, bucketsOf(dRight, ks), template(bases.head.cols))
-              .select(bases.head.cols.map(col): _*)
-              .withColumn("__mult", lit(1L))
-          else
-            BucketStore.readBuckets(spark, dir, interFamily(s), prevId,
-                bucketsOf(dRight, ks),
-                deltaCur.filter(lit(false))
-                  .select(curCols.map(col) :+ lit(0L).as("__mult"): _*))
-              .select(curCols.map(col) :+ col("__mult"): _*)
-        val rightPre = BucketStore.readBuckets(spark, dir,
-            baseFamily(right), prevId, bucketsOf(deltaCur, ks),
-            template(right.cols))
-          .select(right.cols.map(col): _*)
-          .withColumn("__mult", lit(1L))
-        val dj = IvmJoin.deltaJoinWeighted(deltaCur, dRight, leftPre,
-          rightPre, ks, "__w", "__mult", outCols)
-        val net = pin(dj.groupBy(outCols.map(col): _*)
-          .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0))
-        if (s < m - 2) {
-          val (rows, touched) = BucketStore.prepareMultisetUpsert(net,
-            outCols, "__w", stageKeys(s + 1), dir, interFamily(s + 1),
-            prevId, storeBuckets)
-          interUpserts += ((interFamily(s + 1), rows, touched))
-        }
-        deltaCur = net
-        curCols = outCols
-      }
+      val chain = chainDelta(batch, batchId, sideCol, opCol, bases,
+        stageKeys, (groupCols :+ valueCol).distinct, Seq("agg"), dir,
+        storeBuckets, pin).getOrElse(return -1L)
+      val prevId = chain.prevId
+      val deltaCur = chain.delta
 
       // the view upserts by group bucket
       val aggTemplate = batch.filter(lit(false))
         .select(groupCols.map(col) :+ lit(0L).as("n") :+
           lit(0).cast("decimal(28,4)").as("s"): _*)
-      val touchedAgg =
-        bucketsOf(deltaCur.select(groupCols.map(col): _*), groupCols)
+      val touchedAgg = BucketStore.bucketsOf(
+        deltaCur.select(groupCols.map(col): _*), groupCols, storeBuckets)
       val prevAggSlice = BucketStore.readBuckets(spark, dir, "agg", prevId,
           touchedAgg, aggTemplate)
         .select((groupCols :+ "n" :+ "s").map(col): _*)
       val agg1 = IvmJoin.foldAggWeighted(Some(prevAggSlice), deltaCur,
         groupCols, valueCol, "__w")
 
-      prepared.foreach(p =>
+      chain.prepared.foreach(p =>
         BucketStore.writePrepared(spark, dir, batchId, prevId, p))
-      interUpserts.foreach { case (family, rows, touched) =>
+      chain.interUpserts.foreach { case (family, rows, touched) =>
         BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touched)
       }
       BucketStore.upsert(spark, dir, "agg", batchId, prevId,
@@ -234,6 +274,84 @@ object StreamingIvmComposeN {
       else // just-written touched buckets only — delta-proportional
         BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
           aggTemplate).count()
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  private val TopKFamilies = Seq("counts", "topk")
+
+  /** Fold ONE static tagged change batch into a maintained TOP-K view
+    * over the composed chain (round 16 — a NON-INVERTIBLE aggregate at
+    * the top of the weighted algebra): per `groupCols` group, the top
+    * `k` values of `keyCol` by maintained measure — Σ of joined-row
+    * multiplicities (each derivation counts its weight), or with
+    * `valueCol` (positive LONG — the fixed-point money discipline)
+    * Σ multiplicity · value: "top nations per priority by maintained
+    * revenue over a 3-way many-to-many chain". The chain front-end is
+    * [[applyBatch]]'s verbatim; the view tail is
+    * [[IvmTopK.foldWeighted]] — the chain's net-weighted delta IS the
+    * per-key net delta the top-k monotonicity proof needs, so the
+    * counts store folds invertibly and only net-decreased groups
+    * re-rank their store slice. Stores are `counts` + `topk` families
+    * bucketed by group hash (the [[StreamingIvmTopK]] layout), both
+    * pruned to the delta's group buckets per fold (the fold's
+    * group-level pruned-store contract). Returns the view's row count
+    * over the touched slice (-1 for an empty batch). */
+  def applyBatchTopK(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], keyCol: String, k: Int,
+      valueCol: Option[String],
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
+    val spark = batch.sparkSession
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
+    try {
+      val finalCols = ((groupCols :+ keyCol) ++ valueCol).distinct
+      val chain = chainDelta(batch, batchId, sideCol, opCol, bases,
+        stageKeys, finalCols, TopKFamilies, dir, storeBuckets, pin)
+        .getOrElse(return -1L)
+      val prevId = chain.prevId
+      val deltaCur = chain.delta
+
+      val countsTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ col(keyCol) :+ lit(0L).as("cnt"): _*)
+      val topkTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ col(keyCol) :+ lit(0L).as("cnt") :+
+          lit(0).as("rnk"): _*)
+      val touched = BucketStore.bucketsOf(
+        deltaCur.select(groupCols.map(col): _*), groupCols, storeBuckets)
+      val prevState = prevId.map { _ =>
+        (BucketStore.readBuckets(spark, dir, "topk", prevId, touched,
+            topkTemplate).drop("__g_bucket"),
+          BucketStore.readBuckets(spark, dir, "counts", prevId, touched,
+            countsTemplate).drop("__g_bucket"))
+      }
+      val (topkAff, countsAff) = IvmTopK.foldWeighted(prevState, deltaCur,
+        groupCols, "__w", keyCol, k, valueCol)
+
+      chain.prepared.foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      chain.interUpserts.foreach { case (family, rows, touchedI) =>
+        BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touchedI)
+      }
+      val bucketize = BucketStore.bucketize(groupCols, storeBuckets)
+      BucketStore.upsert(spark, dir, "counts", batchId, prevId,
+        countsAff.withColumn("__g_bucket", bucketize), touched)
+      BucketStore.upsert(spark, dir, "topk", batchId, prevId,
+        topkAff.withColumn("__g_bucket", bucketize), touched)
+      val fams = families(bases, TopKFamilies)
+      fams.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      fams.foreach(f => BucketStore.gc(spark, dir, f, keep))
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "topk", Some(batchId), topkTemplate)
+          .count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "topk", Some(batchId), touched,
+          topkTemplate).count()
     } finally pinned.foreach(_.unpersist())
   }
 
@@ -253,9 +371,46 @@ object StreamingIvmComposeN {
     }
   }
 
+  /** Wire the TOP-K per-batch fold onto a STREAMING tagged change
+    * frame; `onBatch` observes (batchId, viewRowCount). Call
+    * `.start()`. */
+  def applyStreamTopK(
+      changes: DataFrame, sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], keyCol: String, k: Int,
+      valueCol: Option[String], dir: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStreamTopK expects a streaming " +
+      "DataFrame (use applyBatchTopK for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatchTopK(b.toDF(), id, sideCol, opCol, bases,
+        stageKeys, groupCols, keyCol, k, valueCol, dir))
+    }
+  }
+
   def hasCommitted(spark: SparkSession, dir: String,
       bases: Seq[BaseSpec]): Boolean =
     committed(spark, dir, bases).nonEmpty
+
+  /** The maintained composed TOP-K view as of the latest committed
+    * batch: (groupCols…, keyCol, cnt, rnk). */
+  def readTopKView(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): DataFrame = {
+    val snaps = committed(spark, dir, bases, TopKFamilies)
+    require(snaps.nonEmpty, s"no committed composed top-k view under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, "topk", snaps.last)
+      .drop("__g_bucket")
+  }
+
+  /** The maintained composed counts store as of the latest committed
+    * batch: (groupCols…, keyCol, cnt). */
+  def readCountsStore(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): DataFrame = {
+    val snaps = committed(spark, dir, bases, TopKFamilies)
+    require(snaps.nonEmpty, s"no committed composed counts store under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, "counts", snaps.last)
+      .drop("__g_bucket")
+  }
 
   /** Collapse the manifests' link fan-out by rewriting every live
     * bucket of every derived family into one batch directory — see

@@ -231,4 +231,69 @@ class IvmTopKSpec extends AnyFunSuite {
     assert(sorted(st._1) ==
       sorted(IvmTopK.viewOf(wantCounts, Seq("g"), "ck", 2)))
   }
+
+  // ---- foldWeighted: the composed-chain net-weighted contract -------
+
+  private def wdelta(t: (String, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    t.toSeq.toDF("g", "ck", "w")
+  }
+
+  test("foldWeighted ≡ fold on an expanded ±1 stream (count measure, both refresh paths)") {
+    // net weights expand to |w| unit ops of the matching sign — the two
+    // faces must land on identical state. Delta: +3 on a fresh key
+    // (clean), −2 on the current leader of another group (broken).
+    val before = rows(("a", 1L), ("a", 1L), ("a", 2L), ("b", 9L),
+      ("b", 9L), ("b", 9L), ("b", 8L), ("b", 7L))
+    val st0 = state(before, 2)
+    val dW = wdelta(("a", 5L, 3L), ("b", 9L, -2L))
+    val dOps = delta(("a", "I", 5L), ("a", "I", 5L), ("a", "I", 5L),
+      ("b", "D", 9L), ("b", "D", 9L))
+    val (tW, cW) = IvmTopK.foldWeighted(Some(st0), dW, Seq("g"), "w", "ck", 2)
+    val (tO, cO) = IvmTopK.fold(Some(st0), dOps, Seq("g"), "op", "ck", 2)
+    assert(sorted(cW) == sorted(cO))
+    assert(sorted(tW) == sorted(tO))
+    // and the broken path genuinely fired: b's old outsider 8 rose in
+    assert(sorted(tW).exists(r => r.head == "b" && r(1) == 8L))
+  }
+
+  test("foldWeighted with valueCol: maintained Σ w·value measure equals the recompute") {
+    import spark.implicits._
+    // occurrences (g, ck, cents); measure per (g, ck) = Σ cents
+    val before = Seq(("g", 1L, 100L), ("g", 1L, 50L), ("g", 2L, 120L),
+      ("g", 3L, 110L)).toDF("g", "ck", "cents")
+    val counts0 = IvmTopK.countsOf(before, Seq("g"), "ck", Some("cents"))
+    val topk0 = IvmTopK.viewOf(counts0, Seq("g"), "ck", 2)
+    // net delta: ck=3 gains an occurrence worth 80 twice (w=2),
+    // ck=1 loses the 100-cent occurrence (w=−1)
+    val d = Seq(("g", 3L, 2L, 80L), ("g", 1L, -1L, 100L))
+      .toDF("g", "ck", "w", "cents")
+    val (topk1, counts1) = IvmTopK.foldWeighted(Some((topk0, counts0)), d,
+      Seq("g"), "w", "ck", 2, Some("cents"))
+    val after = Seq(("g", 1L, 50L), ("g", 2L, 120L), ("g", 3L, 110L),
+      ("g", 3L, 80L), ("g", 3L, 80L)).toDF("g", "ck", "cents")
+    val wantCounts = IvmTopK.countsOf(after, Seq("g"), "ck", Some("cents"))
+    assert(sorted(counts1) == sorted(wantCounts))
+    assert(sorted(topk1) ==
+      sorted(IvmTopK.viewOf(wantCounts, Seq("g"), "ck", 2)))
+  }
+
+  test("foldWeighted refusals: zero/NULL weight, over-delete, bad value type") {
+    val before = rows(("g", 1L))
+    val st = state(before, 2)
+    val eZero = intercept[Exception](
+      IvmTopK.foldWeighted(Some(st), wdelta(("g", 1L, 0L)),
+        Seq("g"), "w", "ck", 2)._2.collect())
+    assert(eZero.getMessage.contains("zero/NULL multiplicity"))
+    val eOver = intercept[Exception](
+      IvmTopK.foldWeighted(Some(st), wdelta(("g", 1L, -2L)),
+        Seq("g"), "w", "ck", 2)._2.collect())
+    assert(eOver.getMessage.contains("went negative"))
+    import spark.implicits._
+    val eType = intercept[IllegalArgumentException](
+      IvmTopK.foldWeighted(Some(st),
+        Seq(("g", 1L, 1L, 1.5)).toDF("g", "ck", "w", "cents"),
+        Seq("g"), "w", "ck", 2, Some("cents")))
+    assert(eType.getMessage.contains("must be LONG"))
+  }
 }
