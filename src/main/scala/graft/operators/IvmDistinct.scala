@@ -172,4 +172,88 @@ object IvmDistinct {
       .unionByName(newPairs)
     (counts, dict)
   }
+
+  /** [[fold]] for a NET-WEIGHTED delta stream — the composed-chain
+    * contract (round 16): delta rows carry `wCol` (signed NONZERO net
+    * multiplicities, the [[IvmJoin.deltaJoinWeighted]] output shape)
+    * and the dictionary carries the pair's MULTIPLICITY (`mCol` — how
+    * many joined derivations produce the (group, value) pair), which
+    * makes the whole fold INVERTIBLE: unlike the ±1 face, a weighted
+    * dict never consults a rows store at all — the multiplicity IS
+    * the survival arbiter (a pair leaves the view exactly when its
+    * multiplicity reaches zero), so there is no `rowsAfter` argument.
+    * State is (counts (groupCols…, n_distinct), wdict (groupCols…,
+    * valueCol, mCol)); NULL values are ignored (SQL COUNT(DISTINCT)).
+    * Refusals: zero/NULL input weights, a fold driving a pair's
+    * multiplicity negative (deletes derivations the view never
+    * absorbed), all inside the plan.
+    *
+    * Pruned-store contract (pair-level, the [[fold]] discipline):
+    * `stored._2` may be pre-pruned to any superset of the delta's
+    * pairs, `stored._1` to any superset of the delta's groups; the
+    * returned frames then cover only the pruned slices and the caller
+    * re-attaches the untouched remainder (a partitioned upsert does
+    * this by construction). */
+  def foldWeighted(
+      stored: Option[(DataFrame, DataFrame)],
+      netDelta: DataFrame,
+      groupCols: Seq[String],
+      wCol: String,
+      valueCol: String,
+      mCol: String = "__mult"): (DataFrame, DataFrame) = {
+    val pairCols = groupCols :+ valueCol
+    val g = groupCols.map(col)
+    val w = when(col(wCol).isNull || col(wCol) === 0,
+      raise_error(lit(s"zero/NULL multiplicity in '$wCol' — refusing " +
+        "to fold a malformed weighted delta into the view")))
+      .otherwise(col(wCol))
+    // compress to one row per pair (the merge's full-outer join needs
+    // it); pairs netting to zero change nothing and drop here
+    val dAgg = netDelta.filter(col(valueCol).isNotNull)
+      .groupBy(pairCols.map(col): _*)
+      .agg(sum(w).as("__dm")).filter(col("__dm") =!= 0)
+
+    val (counts0, wdict0) = stored.getOrElse {
+      val emptyDict = netDelta.filter(lit(false))
+        .select(pairCols.map(col) :+ lit(0L).as(mCol): _*)
+      (viewOf(emptyDict, groupCols), emptyDict)
+    }
+
+    val merged = wdict0.join(dAgg, pairCols, "full_outer")
+      .select(pairCols.map(col) :+ col(mCol).as("__m0") :+
+        when(coalesce(col(mCol), lit(0L)) + coalesce(col("__dm"), lit(0L)) < 0,
+          raise_error(lit("weighted fold drives a pair's multiplicity " +
+            "negative — the delta deletes derivations the view never " +
+            "absorbed")))
+          .otherwise(coalesce(col(mCol), lit(0L)) +
+            coalesce(col("__dm"), lit(0L)))
+          .as("__m1") :+ col("__dm"): _*)
+    val dict1 = merged.filter(col("__m1") > 0)
+      .select(pairCols.map(col) :+ col("__m1").as(mCol): _*)
+
+    // per-group distinct-count change: +1 for a pair entering (no
+    // stored multiplicity), −1 for a pair leaving (multiplicity to
+    // zero) — then ivm1's invertible aggregate-frame merge
+    val pairDelta = merged.filter(col("__dm").isNotNull)
+      .select(g :+
+        (when(col("__m0").isNull, 1L)
+          .when(col("__m1") === 0, -1L)
+          .otherwise(0L)).as("__chg"): _*)
+      .groupBy(g: _*)
+      .agg(sum(col("__chg")).as("__dn"))
+      .filter(col("__dn") =!= 0)
+
+    val counts1 = counts0.join(pairDelta, groupCols, "full_outer")
+      .select(g :+
+        (coalesce(col("n_distinct"), lit(0L)) +
+          coalesce(col("__dn"), lit(0L))).as("n_distinct"): _*)
+      .withColumn("n_distinct",
+        when(col("n_distinct") < 0,
+          raise_error(lit("distinct count went negative — the wdict and " +
+            "counts views have diverged (corrupt state)")))
+          .otherwise(col("n_distinct")))
+      .filter(col("n_distinct") > 0)
+
+    (counts1, dict1)
+  }
 }

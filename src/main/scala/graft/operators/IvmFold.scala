@@ -184,4 +184,106 @@ object IvmFold {
           .otherwise(col("s").cast(sumType)))
       .filter(col("n") > 0)
   }
+
+  /** [[foldMinMax]] for a NET-WEIGHTED delta stream — the composed-
+    * chain contract (round 16): delta rows carry `wCol` (signed
+    * NONZERO net multiplicities, the
+    * [[IvmJoin.deltaJoinWeighted]] output shape) instead of per-row
+    * I/D ops, and the re-agg truth is `multisetAfter` — the POST-delta
+    * (groupCols…, valueCol, `multCol`) MULTISET of the maintained
+    * joined relation (the [[graft.streaming.BucketStore]] final-family
+    * slice in the deployment shape), because over a join chain there
+    * is no base table to re-read: the maintained multiset IS the
+    * finest truth. The algebra is foldMinMax's verbatim with counts
+    * scaled by multiplicity: n += Σw, s += Σ w·value, inserts
+    * (w > 0) merge through least/greatest, a delete (w < 0) touching
+    * a stored extremum re-aggregates ONLY that group from the
+    * multiset (n = Σ mult, s = Σ mult·value, mn/mx over distinct
+    * values — multiplicity cannot change an extremum, only its
+    * survival). Pruned contract: `multisetAfter` may be pre-pruned to
+    * any superset of the delta's groups. Same loud refusals, plus
+    * zero/NULL weights. */
+  def foldMinMaxWeighted(
+      stored: Option[DataFrame],
+      netDelta: DataFrame,
+      multisetAfter: DataFrame,
+      groupCols: Seq[String],
+      wCol: String,
+      valueCol: String,
+      multCol: String = "__mult",
+      wideDecimal: Boolean = false): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val (vp, vs) = if (wideDecimal) (28, 6) else (18, 4)
+    val sumType = if (wideDecimal) "decimal(38,6)" else "decimal(28,4)"
+    def decl(c: org.apache.spark.sql.Column) = dec(c, vp, vs)
+    def decChecked(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull && decl(c).isNull,
+        raise_error(concat(lit(s"value in '$valueCol' outside " +
+          s"decimal($vp,$vs) ("), c.cast("string"),
+          lit(") — the exact sum would silently drift; widen the " +
+            "view's decimal or scale the value"))))
+        .otherwise(coalesce(decl(c), lit(0)))
+    // zero/NULL net weights refused INSIDE the plan (the IvmDistinct
+    // optimizer-hazard note) — a compressed stream never carries them
+    val w = when(col(wCol).isNull || col(wCol) === 0,
+      raise_error(lit(s"zero/NULL multiplicity in '$wCol' — refusing " +
+        "to fold a malformed weighted delta into the view")))
+      .otherwise(col(wCol))
+    val deltaAgg = netDelta
+      .select((g :+ w.as("__w")) :+ v.as("__v"): _*)
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__w")).as("__dn"),
+        sum(when(col("__w") < 0, -col("__w")).otherwise(0L)).as("__delc"),
+        sum(col("__w") * decChecked(col("__v"))).as("__ds"),
+        min(when(col("__w") > 0, col("__v"))).as("__ins_min"),
+        max(when(col("__w") > 0, col("__v"))).as("__ins_max"),
+        min(when(col("__w") < 0, col("__v"))).as("__del_min"),
+        max(when(col("__w") < 0, col("__v"))).as("__del_max"))
+
+    val storedDf = stored.getOrElse(
+      netDelta.filter(lit(false)).select(
+        (g :+ lit(0L).as("n")) :+ decl(v).as("s") :+
+          v.as("mn") :+ v.as("mx"): _*))
+
+    val joined = storedDf.join(deltaAgg, groupCols, "full_outer")
+    val touchesExtremum =
+      coalesce(col("__del_min") <= col("mn"), lit(false)) ||
+        coalesce(col("__del_max") >= col("mx"), lit(false))
+
+    val merged = joined.filter(!touchesExtremum)
+      .select((g :+
+        when(col("n").isNull && coalesce(col("__delc"), lit(0L)) > 0,
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(deletes against a group with no stored row)")))
+          .otherwise(coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n")) :+
+        (coalesce(col("s"), lit(0)) + coalesce(col("__ds"), lit(0))).as("s") :+
+        least(col("mn"), col("__ins_min")).as("mn") :+
+        greatest(col("mx"), col("__ins_max")).as("mx"): _*)
+
+    val affected = joined.filter(touchesExtremum).select(g: _*)
+    val reagg = multisetAfter
+      .join(broadcast(affected), groupCols, "left_semi")
+      .groupBy(g: _*)
+      .agg(sum(col(multCol)).as("n"),
+        sum(col(multCol) * decChecked(v)).as("s"),
+        min(v).as("mn"), max(v).as("mx"))
+
+    merged.unionByName(reagg)
+      .withColumn("n",
+        when(col("n") < 0 ||
+          (col("n") === 0 && coalesce(col("s") =!= 0, lit(false))),
+          raise_error(lit("delta deletes rows the view never absorbed " +
+            "(negative count or zero count with a remainder sum)")))
+          .otherwise(col("n")))
+      .withColumn("s",
+        when(col("n") > 0 && col("s").isNull,
+          raise_error(lit(s"maintained sum overflowed $sumType — the " +
+            "exact sum would silently drift; widen the view's decimal " +
+            "or scale the value")))
+          .otherwise(col("s").cast(sumType)))
+      .filter(col("n") > 0)
+  }
 }

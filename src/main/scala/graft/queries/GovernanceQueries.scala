@@ -835,6 +835,134 @@ object GovernanceQueries {
         Seq("prio"), "__w", "nk", 3, Some("cents"))
       topk1.select(col("prio"), col("rnk"), col("nk"), col("cnt"))
         .orderBy(col("prio"), col("rnk"))
+    }),
+    "ivm10_composed_minmax" -> ((s, dir) => {
+      // COMPOSED MIN/MAX IVM (round 16) — the extremum (ivm2's
+      // non-invertible face) maintained OVER the ivm8 many-to-many
+      // chain: per order priority, (n, Σ, min, max) of supplier
+      // balance across all joined (supplier, customer, order)
+      // derivations. There is no base table to re-aggregate a broken
+      // extremum from — the chain maintains the FINAL joined multiset
+      // itself, and IvmFold.foldMinMaxWeighted re-aggs broken groups
+      // from exactly that multiset (multiplicity scales n and Σ;
+      // extremes range over surviving distinct values). Same CDC
+      // batch as ivm8: supplier balances repriced +10 (the D leg can
+      // delete a group's max → broken re-agg), customers deleted,
+      // orders re-prioritized (fresh groups, insert-only). Oracle =
+      // full recompute over the modified tables, bit-for-bit.
+      // Deployment shape: StreamingIvmComposeN.applyBatchMinMax
+      // (final+agg BucketStore families, spec-pinned).
+      import graft.operators.{IvmJoin, IvmFold}
+      import graft.core.Exact.dec
+      val sup = T(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"), col("s_acctbal").as("bal"))
+      val cus = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("prio"))
+      val repriced = pmod(col("sk"), lit(31)) === 0
+      val cdropped = pmod(col("ck"), lit(89)) === 0
+      val omoved = pmod(col("ok"), lit(101)) === 0
+      val dS = sup.filter(repriced)
+        .select(col("sk"), col("nk"), col("bal"), lit(-1L).as("__w"))
+        .unionByName(sup.filter(repriced)
+          .select(col("sk"), col("nk"), (col("bal") + 10.0).as("bal"),
+            lit(1L).as("__w")))
+      val dC = cus.filter(cdropped)
+        .select(col("ck"), col("nk"), lit(-1L).as("__w"))
+      val dO = ord.filter(omoved)
+        .select(col("ok"), col("ck"), col("prio"), lit(-1L).as("__w"))
+        .unionByName(ord.filter(omoved)
+          .select(col("ok"), col("ck"),
+            concat(lit("moved-"), col("prio")).as("prio"),
+            lit(1L).as("__w")))
+      def asSet(df: DataFrame) = df.withColumn("__mult", lit(1L))
+      val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
+        Seq("nk"), "__w", "__mult", Seq("ck", "bal"))
+      val dlo = d1.groupBy(col("ck"), col("bal"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val lo = sup.join(cus, Seq("nk"))
+        .groupBy(col("ck"), col("bal")).agg(count(lit(1)).as("__mult"))
+      val d2 = IvmJoin.deltaJoinWeighted(dlo, dO, lo, asSet(ord),
+        Seq("ck"), "__w", "__mult", Seq("prio", "bal"))
+      val net = d2.groupBy(col("prio"), col("bal"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val stored = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("bal"))).cast("decimal(28,4)").as("s"),
+          min(col("bal")).as("mn"), max(col("bal")).as("mx"))
+      // the POST-delta final multiset — the stand-in for the
+      // maintained `final` family's touched slice
+      val sup2 = sup.select(col("sk"), col("nk"),
+        when(repriced, col("bal") + 10.0).otherwise(col("bal")).as("bal"))
+      val cus2 = cus.filter(!cdropped)
+      val ord2 = ord.select(col("ok"), col("ck"),
+        when(omoved, concat(lit("moved-"), col("prio")))
+          .otherwise(col("prio")).as("prio"))
+      val multisetAfter = sup2.join(cus2, Seq("nk")).join(ord2, Seq("ck"))
+        .groupBy(col("prio"), col("bal")).agg(count(lit(1)).as("__mult"))
+      IvmFold.foldMinMaxWeighted(Some(stored), net, multisetAfter,
+          Seq("prio"), "__w", "bal")
+        .select(col("prio"), col("n"),
+          col("s").cast("double").as("sum_bal"),
+          col("mn").as("mn_bal"), col("mx").as("mx_bal"))
+        .orderBy(col("prio"))
+    }),
+    "ivm11_composed_distinct" -> ((s, dir) => {
+      // COMPOSED DISTINCT-COUNT IVM (round 16) — COUNT(DISTINCT
+      // balance) per priority maintained over the ivm8 chain. The
+      // weighted dictionary (pair → derivation multiplicity) makes
+      // the fold fully INVERTIBLE — no rows store consulted:
+      // multiplicity is the survival arbiter (a balance leaves a
+      // priority exactly when its last joined derivation does), so
+      // IvmDistinct.foldWeighted folds the chain's net-weighted
+      // stream with nothing store-sized. Same CDC batch as ivm8.
+      // Oracle = full COUNT(DISTINCT) recompute, bit-for-bit.
+      // Deployment shape: StreamingIvmComposeN.applyBatchDistinct
+      // (wdict+agg BucketStore families, spec-pinned).
+      import graft.operators.{IvmJoin, IvmDistinct}
+      val sup = T(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"), col("s_acctbal").as("bal"))
+      val cus = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("prio"))
+      val repriced = pmod(col("sk"), lit(31)) === 0
+      val cdropped = pmod(col("ck"), lit(89)) === 0
+      val omoved = pmod(col("ok"), lit(101)) === 0
+      val dS = sup.filter(repriced)
+        .select(col("sk"), col("nk"), col("bal"), lit(-1L).as("__w"))
+        .unionByName(sup.filter(repriced)
+          .select(col("sk"), col("nk"), (col("bal") + 10.0).as("bal"),
+            lit(1L).as("__w")))
+      val dC = cus.filter(cdropped)
+        .select(col("ck"), col("nk"), lit(-1L).as("__w"))
+      val dO = ord.filter(omoved)
+        .select(col("ok"), col("ck"), col("prio"), lit(-1L).as("__w"))
+        .unionByName(ord.filter(omoved)
+          .select(col("ok"), col("ck"),
+            concat(lit("moved-"), col("prio")).as("prio"),
+            lit(1L).as("__w")))
+      def asSet(df: DataFrame) = df.withColumn("__mult", lit(1L))
+      val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
+        Seq("nk"), "__w", "__mult", Seq("ck", "bal"))
+      val dlo = d1.groupBy(col("ck"), col("bal"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val lo = sup.join(cus, Seq("nk"))
+        .groupBy(col("ck"), col("bal")).agg(count(lit(1)).as("__mult"))
+      val d2 = IvmJoin.deltaJoinWeighted(dlo, dO, lo, asSet(ord),
+        Seq("ck"), "__w", "__mult", Seq("prio", "bal"))
+      val net = d2.groupBy(col("prio"), col("bal"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      // stored stand-in: the maintained weighted dict + its view
+      val dict0 = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
+        .groupBy(col("prio"), col("bal")).agg(count(lit(1)).as("__mult"))
+      val counts0 = IvmDistinct.viewOf(dict0, Seq("prio"))
+      val (counts1, _) = IvmDistinct.foldWeighted(Some((counts0, dict0)),
+        net, Seq("prio"), "__w", "bal")
+      counts1.select(col("prio"), col("n_distinct"))
+        .orderBy(col("prio"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -902,6 +1030,44 @@ object GovernanceQueries {
         | FROM m)
         |SELECT prio, rnk, nk, cnt FROM r WHERE rnk <= 3
         |ORDER BY prio, rnk""".stripMargin,
+    "ivm10_composed_minmax" ->
+      """WITH s2 AS (
+        | SELECT s_nationkey AS nk,
+        |  CASE WHEN s_suppkey % 31 = 0 THEN s_acctbal + 10.0
+        |       ELSE s_acctbal END AS bal
+        | FROM supplier),
+        |c2 AS (
+        | SELECT c_custkey AS ck, c_nationkey AS nk FROM customer
+        | WHERE c_custkey % 89 <> 0),
+        |o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0
+        |       THEN 'moved-' || o_orderpriority
+        |       ELSE o_orderpriority END AS prio
+        | FROM orders)
+        |SELECT prio, COUNT(*) AS n,
+        | CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        | MIN(bal) AS mn_bal, MAX(bal) AS mx_bal
+        |FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm11_composed_distinct" ->
+      """WITH s2 AS (
+        | SELECT s_nationkey AS nk,
+        |  CASE WHEN s_suppkey % 31 = 0 THEN s_acctbal + 10.0
+        |       ELSE s_acctbal END AS bal
+        | FROM supplier),
+        |c2 AS (
+        | SELECT c_custkey AS ck, c_nationkey AS nk FROM customer
+        | WHERE c_custkey % 89 <> 0),
+        |o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0
+        |       THEN 'moved-' || o_orderpriority
+        |       ELSE o_orderpriority END AS prio
+        | FROM orders)
+        |SELECT prio, CAST(COUNT(DISTINCT bal) AS BIGINT) AS n_distinct
+        |FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "del1_forget_audit" ->
       """WITH fk AS (
         | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

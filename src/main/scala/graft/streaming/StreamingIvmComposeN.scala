@@ -371,6 +371,210 @@ object StreamingIvmComposeN {
     }
   }
 
+  private val MinMaxFamilies = Seq("final", "agg")
+
+  /** Fold ONE static tagged change batch into a maintained MIN/MAX
+    * aggregate over the composed chain (round 16): per `groupCols`
+    * group, (n, s, mn, mx) of `valueCol` over the joined multiset —
+    * n and s weight-scaled (each derivation counts its multiplicity),
+    * mn/mx the extremes of the surviving values. The extremum is
+    * non-invertible, and over a chain there is no base to re-read —
+    * so the fold maintains the FINAL joined multiset itself as a
+    * `final` BucketStore family (group-hash bucketed, multiset upsert)
+    * and [[graft.operators.IvmFold.foldMinMaxWeighted]] re-aggregates
+    * a broken group from exactly that family's just-computed touched
+    * slice: delta-proportional writes, group-slice-bounded re-ag
+    * reads, nothing store-sized. Returns the view's group count over
+    * the touched slice (-1 for an empty batch). */
+  def applyBatchMinMax(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
+    val spark = batch.sparkSession
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
+    try {
+      val finalCols = (groupCols :+ valueCol).distinct
+      val chain = chainDelta(batch, batchId, sideCol, opCol, bases,
+        stageKeys, finalCols, MinMaxFamilies, dir, storeBuckets, pin)
+        .getOrElse(return -1L)
+      val prevId = chain.prevId
+      val deltaCur = chain.delta
+
+      // the maintained final multiset: post-state of the delta's group
+      // buckets — the re-agg truth for broken groups
+      val (finalRows0, touchedFinal) = BucketStore.prepareMultisetUpsert(
+        deltaCur, finalCols, "__w", groupCols, dir, "final", prevId,
+        storeBuckets)
+      val finalRows = pin(finalRows0)
+
+      val aggTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ lit(0L).as("n") :+
+          lit(0).cast("decimal(28,4)").as("s") :+
+          col(valueCol).as("mn") :+ col(valueCol).as("mx"): _*)
+      val prevAggSlice = BucketStore.readBuckets(spark, dir, "agg", prevId,
+          touchedFinal, aggTemplate)
+        .select((groupCols :+ "n" :+ "s" :+ "mn" :+ "mx").map(col): _*)
+      val agg1 = graft.operators.IvmFold.foldMinMaxWeighted(
+        Some(prevAggSlice), deltaCur, finalRows, groupCols, "__w", valueCol)
+
+      chain.prepared.foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      chain.interUpserts.foreach { case (family, rows, touchedI) =>
+        BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touchedI)
+      }
+      BucketStore.upsert(spark, dir, "final", batchId, prevId, finalRows,
+        touchedFinal)
+      BucketStore.upsert(spark, dir, "agg", batchId, prevId,
+        agg1.withColumn("__g_bucket",
+          BucketStore.bucketize(groupCols, storeBuckets)),
+        touchedFinal)
+      val fams = families(bases, MinMaxFamilies)
+      fams.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      fams.foreach(f => BucketStore.gc(spark, dir, f, keep))
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "agg", Some(batchId), aggTemplate)
+          .count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "agg", Some(batchId),
+          touchedFinal, aggTemplate).count()
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** Wire the MIN/MAX per-batch fold onto a STREAMING tagged change
+    * frame; `onBatch` observes (batchId, groupCount). Call
+    * `.start()`. */
+  def applyStreamMinMax(
+      changes: DataFrame, sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String, dir: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStreamMinMax expects a streaming " +
+      "DataFrame (use applyBatchMinMax for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatchMinMax(b.toDF(), id, sideCol, opCol, bases,
+        stageKeys, groupCols, valueCol, dir))
+    }
+  }
+
+  /** The maintained composed MIN/MAX view as of the latest committed
+    * batch: (groupCols…, n, s, mn, mx). */
+  def readMinMaxView(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): DataFrame = {
+    val snaps = committed(spark, dir, bases, MinMaxFamilies)
+    require(snaps.nonEmpty, s"no committed composed min/max view under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, "agg", snaps.last)
+      .drop("__g_bucket")
+  }
+
+  private val DistinctFamilies = Seq("wdict", "agg")
+
+  /** Fold ONE static tagged change batch into a maintained
+    * COUNT(DISTINCT `valueCol`) view over the composed chain (round
+    * 16): the weighted dictionary (`wdict` family — (groupCols…,
+    * valueCol, __mult), PAIR-hash bucketed) holds each surviving
+    * pair's derivation multiplicity, which makes the whole fold
+    * invertible ([[graft.operators.IvmDistinct.foldWeighted]] — no
+    * rows store consulted, multiplicity is the survival arbiter); the
+    * counts view (`agg` family, group-hash bucketed) folds ±1 per
+    * pair entering/leaving. Dict reads prune to the delta's PAIR
+    * buckets, counts reads to the delta's group buckets. Returns the
+    * view's group count over the touched slice (-1 for an empty
+    * batch). */
+  def applyBatchDistinct(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
+    val spark = batch.sparkSession
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
+    try {
+      val finalCols = (groupCols :+ valueCol).distinct
+      val pairCols = groupCols :+ valueCol
+      val chain = chainDelta(batch, batchId, sideCol, opCol, bases,
+        stageKeys, finalCols, DistinctFamilies, dir, storeBuckets, pin)
+        .getOrElse(return -1L)
+      val prevId = chain.prevId
+      val deltaCur = chain.delta
+
+      val wdictTemplate = batch.filter(lit(false))
+        .select(pairCols.map(col) :+ lit(0L).as("__mult"): _*)
+      val countsTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ lit(0L).as("n_distinct"): _*)
+      val touchedDict =
+        BucketStore.bucketsOf(deltaCur, pairCols, storeBuckets)
+      val touchedAgg = BucketStore.bucketsOf(
+        deltaCur.select(groupCols.map(col): _*), groupCols, storeBuckets)
+      val prevWdict = BucketStore.readBuckets(spark, dir, "wdict", prevId,
+          touchedDict, wdictTemplate)
+        .select(pairCols.map(col) :+ col("__mult"): _*)
+      val prevCounts = BucketStore.readBuckets(spark, dir, "agg", prevId,
+          touchedAgg, countsTemplate)
+        .select((groupCols :+ "n_distinct").map(col): _*)
+      val (counts1, dict1) = graft.operators.IvmDistinct.foldWeighted(
+        Some((prevCounts, prevWdict)), deltaCur, groupCols, "__w", valueCol)
+
+      chain.prepared.foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      chain.interUpserts.foreach { case (family, rows, touchedI) =>
+        BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touchedI)
+      }
+      BucketStore.upsert(spark, dir, "wdict", batchId, prevId,
+        dict1.withColumn("__g_bucket",
+          BucketStore.bucketize(pairCols, storeBuckets)),
+        touchedDict)
+      BucketStore.upsert(spark, dir, "agg", batchId, prevId,
+        counts1.withColumn("__g_bucket",
+          BucketStore.bucketize(groupCols, storeBuckets)),
+        touchedAgg)
+      val fams = families(bases, DistinctFamilies)
+      fams.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      fams.foreach(f => BucketStore.gc(spark, dir, f, keep))
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "agg", Some(batchId), countsTemplate)
+          .count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "agg", Some(batchId), touchedAgg,
+          countsTemplate).count()
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** Wire the DISTINCT-count per-batch fold onto a STREAMING tagged
+    * change frame; `onBatch` observes (batchId, groupCount). Call
+    * `.start()`. */
+  def applyStreamDistinct(
+      changes: DataFrame, sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String, dir: String,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStreamDistinct expects a streaming " +
+      "DataFrame (use applyBatchDistinct for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatchDistinct(b.toDF(), id, sideCol, opCol, bases,
+        stageKeys, groupCols, valueCol, dir))
+    }
+  }
+
+  /** The maintained composed DISTINCT-count view as of the latest
+    * committed batch: (groupCols…, n_distinct). */
+  def readDistinctView(spark: SparkSession, dir: String,
+      bases: Seq[BaseSpec]): DataFrame = {
+    val snaps = committed(spark, dir, bases, DistinctFamilies)
+    require(snaps.nonEmpty, s"no committed composed distinct view under $dir")
+    BucketStore.readAllNonEmpty(spark, dir, "agg", snaps.last)
+      .drop("__g_bucket")
+  }
+
   /** Wire the TOP-K per-batch fold onto a STREAMING tagged change
     * frame; `onBatch` observes (batchId, viewRowCount). Call
     * `.start()`. */

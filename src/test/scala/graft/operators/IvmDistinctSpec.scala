@@ -186,4 +186,67 @@ class IvmDistinctSpec extends AnyFunSuite {
       .groupBy(col("g")).agg(HllSketchAgg.hll(col("v")).as("est"))
     assert(sorted(got) == sorted(want)) // doubles bitwise-equal
   }
+
+  // ---- foldWeighted: the composed-chain multiset contract -----------
+  // the weighted dict is invertible on its own: multiplicity is the
+  // survival arbiter, so no rows store is ever consulted
+
+  private def wstate(ms: Seq[(String, Long, Long)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val dict = ms.toDF("g", "v", "__mult")
+    (IvmDistinct.viewOf(dict, Seq("g")), dict)
+  }
+
+  private def wcheck(before: Seq[(String, Long, Long)],
+      d: Seq[(String, Long, Long)],
+      after: Seq[(String, Long, Long)]): Unit = {
+    import spark.implicits._
+    val (counts, dict) = IvmDistinct.foldWeighted(Some(wstate(before)),
+      d.toDF("g", "v", "w"), Seq("g"), "w", "v")
+    val wantDict = after.toDF("g", "v", "__mult")
+    assert(sorted(dict) == sorted(wantDict))
+    assert(sorted(counts) == sorted(IvmDistinct.viewOf(wantDict, Seq("g"))))
+  }
+
+  test("weighted: multiplicity changes that keep a pair alive are view no-ops; pairs entering/leaving fold ±1") {
+    wcheck(
+      before = Seq(("a", 1L, 3L), ("a", 2L, 1L), ("b", 5L, 2L)),
+      // (a,1) drops to 1 (alive — no view change), (a,2) leaves (−1),
+      // (a,9) enters at weight 4 (+1), (b,7) enters (+1)
+      d = Seq(("a", 1L, -2L), ("a", 2L, -1L), ("a", 9L, 4L), ("b", 7L, 1L)),
+      after = Seq(("a", 1L, 1L), ("a", 9L, 4L), ("b", 5L, 2L), ("b", 7L, 1L)))
+  }
+
+  test("weighted: group to zero disappears; same-batch rows netting zero change nothing") {
+    wcheck(
+      before = Seq(("a", 1L, 2L), ("b", 5L, 1L)),
+      // b's only pair leaves; (a,3) carries +1 and −1 rows netting 0
+      d = Seq(("b", 5L, -1L), ("a", 3L, 1L), ("a", 3L, -1L)),
+      after = Seq(("a", 1L, 2L)))
+  }
+
+  test("weighted: first fold (stored = None) and NULL values ignored") {
+    import spark.implicits._
+    val d = Seq(("a", Some(1L), 2L), ("a", Some(2L), 1L),
+      ("a", None, 5L), ("b", None, 3L))
+      .toDF("g", "v", "w")
+    val (counts, dict) = IvmDistinct.foldWeighted(None, d, Seq("g"), "w", "v")
+    assert(sorted(dict) == Seq(Seq("a", 1L, 2L), Seq("a", 2L, 1L)))
+    assert(sorted(counts) == Seq(Seq("a", 2L)))
+  }
+
+  test("weighted refusals: zero weight and over-delete fail loudly") {
+    import spark.implicits._
+    val st = wstate(Seq(("a", 1L, 1L)))
+    val eZero = intercept[Exception](
+      IvmDistinct.foldWeighted(Some(st),
+        Seq(("a", 1L, 0L)).toDF("g", "v", "w"),
+        Seq("g"), "w", "v")._2.collect())
+    assert(eZero.getMessage.contains("zero/NULL multiplicity"))
+    val eOver = intercept[Exception](
+      IvmDistinct.foldWeighted(Some(st),
+        Seq(("a", 1L, -2L)).toDF("g", "v", "w"),
+        Seq("g"), "w", "v")._2.collect())
+    assert(eOver.getMessage.contains("multiplicity negative"))
+  }
 }

@@ -300,4 +300,74 @@ class IvmFoldSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok.head.getAs[Long]("n") == 3L &&
       ok.head.getAs[java.math.BigDecimal]("s") != null)
   }
+
+  // ---- foldMinMaxWeighted: the composed-chain multiset contract ----
+
+  /** A weighted multiset: (g, v, mult). Its aggregate truth scales n
+    * and s by multiplicity; mn/mx range over the distinct values. */
+  private def maggOf(ms: Seq[(String, Double, Long)]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("g", "v", "__mult").groupBy(col("g"))
+      .agg(sum(col("__mult")).as("n"),
+        sum(col("__mult") * dec(col("v"))).cast("decimal(28,4)").as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+  }
+
+  private def wcheck(before: Seq[(String, Double, Long)],
+      d: Seq[(String, Double, Long)],
+      after: Seq[(String, Double, Long)]): Unit = {
+    import spark.implicits._
+    val got = IvmFold.foldMinMaxWeighted(Some(maggOf(before)),
+        d.toDF("g", "v", "w"),
+        after.toDF("g", "v", "__mult"), Seq("g"), "w", "v")
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = maggOf(after)
+      .select(col("g"), col("n"), col("s").cast("double").as("s"),
+        col("mn"), col("mx"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("weighted: extremum deleted through its multiplicity — re-agg reads the maintained multiset, not a base") {
+    // group a: value 9.0 (the max) at multiplicity 2 net-deleted to
+    // zero → broken, re-agg from the post-delta multiset; group b:
+    // a weight-3 insert merges without re-agg
+    wcheck(
+      before = Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("b", 1.0, 4L)),
+      d = Seq(("a", 9.0, -2L), ("b", 2.0, 3L)),
+      after = Seq(("a", 5.0, 1L), ("b", 1.0, 4L), ("b", 2.0, 3L)))
+  }
+
+  test("weighted: partial multiplicity decrease of the extremum — conservative re-agg still exact") {
+    wcheck(
+      before = Seq(("a", 2.0, 3L), ("a", 8.0, 1L)),
+      d = Seq(("a", 2.0, -1L)),
+      after = Seq(("a", 2.0, 2L), ("a", 8.0, 1L)))
+  }
+
+  test("weighted: brand-new group, group to zero, and mixed-sign batch") {
+    wcheck(
+      before = Seq(("a", 1.0, 1L), ("b", 4.0, 2L)),
+      d = Seq(("c", 7.0, 2L), ("b", 4.0, -2L), ("a", 3.0, 1L)),
+      after = Seq(("a", 1.0, 1L), ("a", 3.0, 1L), ("c", 7.0, 2L)))
+  }
+
+  test("weighted refusals: zero weight, deletes against a missing group") {
+    import spark.implicits._
+    val st = maggOf(Seq(("a", 1.0, 1L)))
+    val eZero = intercept[Exception](
+      IvmFold.foldMinMaxWeighted(Some(st),
+        Seq(("a", 1.0, 0L)).toDF("g", "v", "w"),
+        Seq.empty[(String, Double, Long)].toDF("g", "v", "__mult"),
+        Seq("g"), "w", "v").collect())
+    assert(eZero.getMessage.contains("zero/NULL multiplicity"))
+    val ePhantom = intercept[Exception](
+      IvmFold.foldMinMaxWeighted(Some(st),
+        Seq(("z", 5.0, -1L)).toDF("g", "v", "w"),
+        Seq.empty[(String, Double, Long)].toDF("g", "v", "__mult"),
+        Seq("g"), "w", "v").collect())
+    assert(ePhantom.getMessage.contains("never absorbed"))
+  }
 }
