@@ -175,6 +175,22 @@ object Multimodal {
       col(payloadCol).cast("binary").as("data"))
       .as[ImageAsset]
   }
+
+  /** [[assetsFrom]] with a PER-ROW mime column — the shape of a mixed-
+    * modality corpus whose asset column carries heterogeneous payloads
+    * (decodable mimes take the real-codec path, the rest the stub). */
+  def assetsFromCols(
+      spark: SparkSession, df: DataFrame, idCol: String, payloadCol: String,
+      mimeCol: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      concat(lit("mem://"), col(idCol).cast("string")).as("uri"),
+      coalesce(col(mimeCol).cast("string"),
+        lit("application/octet-stream")).as("mime"),
+      col(payloadCol).cast("binary").as("data"))
+      .as[ImageAsset]
+  }
 }
 
 object ImageCodec {

@@ -134,13 +134,22 @@ object TrainPipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String,
       shards: Int = 8, seed: Int = 17, minWords: Int = 10,
       ledgerOut: Option[String] = None,
-      /** Image near-dup gate toggle (r15): the stub-codec thumbnail is
-        * a text-prefix hash — corpora without genuine image assets but
-        * with boilerplate openings should pass `false` to keep
-        * prefix-similar distinct documents. */
-      imageDedup: Boolean = true): Report = {
+      /** Image near-dup gate (r16, signal-honest): the gate keys on a
+        * REAL binary asset column (+ optional per-row mime column) and
+        * engages ONLY when the corpus carries that column — a
+        * text-only corpus has no image signal, so the gate is OFF and
+        * loses zero documents (the r15 `imageDedup` flag faked the
+        * signal from a 64-char text prefix and defaulted ON, which
+        * cost prefix-similar distinct documents on text-only
+        * corpora). Rows whose asset is NULL never enter the gate;
+        * decodable mimes (png/jpeg/bmp) hash real pixels, the rest
+        * take the deterministic stub. Point these at a different
+        * asset layout per corpus. */
+      assetCol: String = "asset_bytes",
+      assetMimeCol: String = "asset_mime"): Report = {
     val t0 = System.nanoTime()
     val docs = Tables(spark, sfDir, "documents")
+    val hasAssets = docs.columns.contains(assetCol)
     val bench = docs.filter(col("doc_id") % 97 === 0)
     var stage = docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
@@ -227,28 +236,33 @@ object TrainPipeline {
           .join(keptIds, Seq("doc_id"), "left_semi"))
       } finally keptIds.unpersist()
     // ---- image near-dup gate (the m4/m5 multimodal face) -----------
-    // each document's THUMBNAIL doubles as its image asset: the
-    // 64-char head of the text stands in for the rendered cover image
-    // (the repo's stub-codec convention — real JDK codecs engage on
-    // real mimes). The gate runs BEFORE the text near-dup on purpose:
-    // a perceptual-hash screen is the CHEAP pass (one batch decode +
-    // banded hash grouping, no shingle/LSH machinery), so it removes
-    // same-cover documents first and the expensive MinHash pass only
-    // shingles what survives — the screen-cheap-before-expensive
-    // ordering every curation stack uses. Clusters keep only the
-    // lowest-id representative; the losers get the SAME ledger
+    // IMAGE near-dup gate (r16, signal-honest): keys on the corpus's
+    // REAL asset column — each image-bearing row's bytes hash through
+    // the codec (real dHash for decodable mimes, deterministic stub
+    // otherwise) and same-cover documents collapse to one
+    // representative. The gate runs BEFORE the text near-dup on
+    // purpose: a perceptual-hash screen is the CHEAP pass (one batch
+    // decode + banded hash grouping, no shingle/LSH machinery), so it
+    // removes same-cover documents first and the expensive MinHash
+    // pass only shingles what survives — the screen-cheap-before-
+    // expensive ordering every curation stack uses. Clusters keep only
+    // the lowest-id representative; the losers get the SAME ledger
     // treatment as the text near-dup, so "why is image X gone" answers
-    // from one conserved ledger. OPT-OUT (r15): under the stub-codec
-    // convention the signal is a text-PREFIX hash — far weaker than the
-    // MinHash body comparison — so corpora without genuine image assets
-    // but with boilerplate openings (templated headers) would lose
-    // distinct documents to it; pass `imageDedup = false` to skip the
-    // stage entirely (afterImageDedup then equals afterExact and the
-    // ledger carries no image_near_dup rows).
-    val afterImageDedup = if (!imageDedup) afterExact else {
-      val assets = graft.multimodal.Multimodal.assetsFrom(
-        spark, stage.withColumn("__thumb", substring(col("text"), 1, 64)),
-        "doc_id", "__thumb", "image/fake")
+    // from one conserved ledger. A corpus WITHOUT the asset column has
+    // no image signal and skips the stage entirely (afterImageDedup
+    // then equals afterExact and the ledger carries no image_near_dup
+    // rows); rows with a NULL asset pass the gate untouched. The
+    // asset bytes live in their OWN frame joined back by doc_id —
+    // the funnel's checkpointed stages never carry the payload.
+    val afterImageDedup = if (!hasAssets) afterExact else {
+      val assetRows = docs.filter(col("doc_id") % 97 =!= 0)
+        .filter(col(assetCol).isNotNull)
+        .select(col("doc_id"), col(assetCol), (if (docs.columns
+            .contains(assetMimeCol)) col(assetMimeCol)
+          else lit("application/octet-stream")).as("__mime"))
+        .join(stage.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val assets = graft.multimodal.Multimodal.assetsFromCols(
+        spark, assetRows, "doc_id", assetCol, "__mime")
       val iclusters = graft.operators.SimHash.nearDupClusters(
         graft.multimodal.Multimodal.perceptualHashes(assets), maxDist = 3)
       val iLoserPairs = iclusters

@@ -15,9 +15,32 @@ class TrainPipelineSpec extends AnyFunSuite {
 
   def freshDir() = java.nio.file.Files.createTempDirectory("train-pipe").toString
 
+  /** The MIXED-MODALITY corpus (r16): sf0.001 documents plus a real
+    * binary asset column carrying an image signal INDEPENDENT of the
+    * text — every 25th document shares one of three covers (the
+    * same-cover clusters the image gate exists to collapse), everyone
+    * else carries a unique asset. Keying the gate on these bytes
+    * (instead of the r15 fabricated text prefix) keeps the two
+    * near-dup gates doing DIFFERENT work: the image screen drops
+    * same-cover documents, the MinHash pass still catches body-level
+    * near-dups whose covers differ. */
+  lazy val mixedSfDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("asset_bytes",
+        when(col("doc_id") % 25 === 0,
+          concat(lit("cover-"), (col("doc_id") % 3).cast("string")))
+          .otherwise(concat(lit("uniq-"), col("doc_id").cast("string")))
+          .cast("binary"))
+      .withColumn("asset_mime", lit("image/fake"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   lazy val shardDir1: String = freshDir()
   lazy val report: TrainPipeline.Report =
-    TrainPipeline.run(spark, sfDir, shardDir1, shards = 4, seed = 17)
+    TrainPipeline.run(spark, mixedSfDir, shardDir1, shards = 4, seed = 17)
 
   test("attrition is monotone and every stage survives rows") {
     val r = report
@@ -38,14 +61,13 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(r.totalSec > 0)
   }
 
-  test("imageDedup = false skips the prefix-hash gate: no image drops, ledger carries no image_near_dup rows (r15)") {
-    // the stub-codec thumbnail is a text-prefix signal — corpora
-    // without genuine image assets must be able to opt out without
-    // losing prefix-similar distinct documents
+  test("text-only corpus under DEFAULTS: no asset column → image gate off, zero image drops, no image_near_dup ledger rows (r16)") {
+    // signal honesty: the corpus carries no image signal, so the gate
+    // must not invent one — prefix-similar distinct documents survive
     val out = freshDir()
     val ledgerPath = freshDir() + "/ledger"
     val r = TrainPipeline.run(spark, sfDir, out, shards = 4, seed = 17,
-      ledgerOut = Some(ledgerPath), imageDedup = false)
+      ledgerOut = Some(ledgerPath))
     assert(r.afterImageDedup == r.afterExact, r.toString)
     val stages = spark.read.parquet(ledgerPath)
       .select(org.apache.spark.sql.functions.col("stage"))
@@ -53,6 +75,39 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(!stages.contains("image_near_dup"), stages.toString)
     // the text near-dup pass still does its own work
     assert(r.afterNearDup < r.afterImageDedup, r.toString)
+  }
+
+  test("mixed-modality corpus reproduces the image-gated funnel; NULL assets pass the gate untouched (r16)") {
+    import org.apache.spark.sql.functions._
+    // the same corpus with every THIRD asset withheld (NULL): those
+    // documents must never enter the gate — only image-BEARING rows
+    // can lose to it — and the funnel still does real image work
+    val dir = freshDir()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("asset_bytes",
+        when(col("doc_id") % 3 === 0, lit(null).cast("binary"))
+          .when(col("doc_id") % 25 === 0,
+            concat(lit("cover-"), (col("doc_id") % 3).cast("string"))
+              .cast("binary"))
+          .otherwise(concat(lit("uniq-"), col("doc_id").cast("string"))
+            .cast("binary")))
+      .withColumn("asset_mime", lit("image/fake"))
+      .write.parquet(s"$dir/documents.parquet")
+    val ledgerPath = freshDir() + "/ledger"
+    val r = TrainPipeline.run(spark, dir, freshDir(), shards = 4,
+      seed = 17, ledgerOut = Some(ledgerPath))
+    // the full-asset mixed run (the suite's `report`) drops image
+    // documents; withholding assets can only SHRINK the image drops
+    val fullDrops = report.afterExact - report.afterImageDedup
+    val partialDrops = r.afterExact - r.afterImageDedup
+    assert(fullDrops > 0, report.toString)
+    assert(partialDrops > 0 && partialDrops <= fullDrops,
+      s"partial=$partialDrops full=$fullDrops")
+    // and no asset-less (doc_id % 3 == 0) document appears as an
+    // image_near_dup loser
+    val badLoser = spark.read.parquet(ledgerPath)
+      .filter(col("stage") === "image_near_dup" && col("doc_id") % 3 === 0)
+    assert(badLoser.count() == 0)
   }
 
   test("segment dedup shrinks segments but never drops documents") {
@@ -89,7 +144,7 @@ class TrainPipelineSpec extends AnyFunSuite {
 
   test("deterministic: a re-run reproduces the report and the shard placement") {
     val dir2 = freshDir()
-    val again = TrainPipeline.run(spark, sfDir, dir2, shards = 4, seed = 17)
+    val again = TrainPipeline.run(spark, mixedSfDir, dir2, shards = 4, seed = 17)
     assert(again.copy(totalSec = 0) == report.copy(totalSec = 0))
     // shard files carry pos 0..n-1 in order
     val rows = spark.read.parquet(s"$dir2/shard=1").select("pos").collect()
@@ -121,7 +176,7 @@ class TrainPipelineSpec extends AnyFunSuite {
   test("drop ledger: every dropped doc exactly once, stage counts match the funnel, near-dup losers name their kept rep") {
     import org.apache.spark.sql.functions._
     val ledgerDir = freshDir()
-    val r = TrainPipeline.run(spark, sfDir, freshDir(), shards = 4,
+    val r = TrainPipeline.run(spark, mixedSfDir, freshDir(), shards = 4,
       seed = 17, ledgerOut = Some(ledgerDir))
     val ledger = spark.read.parquet(ledgerDir)
     // ledgered report == the ledger-free run (the ledger observes,
@@ -151,7 +206,7 @@ class TrainPipelineSpec extends AnyFunSuite {
       col("detail").isNotNull).count() == 0)
     // deterministic: a re-run reproduces the ledger bit-for-bit
     val ledgerDir2 = freshDir()
-    TrainPipeline.run(spark, sfDir, freshDir(), shards = 4, seed = 17,
+    TrainPipeline.run(spark, mixedSfDir, freshDir(), shards = 4, seed = 17,
       ledgerOut = Some(ledgerDir2))
     val a = ledger.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     val b = spark.read.parquet(ledgerDir2).collect()
