@@ -90,6 +90,39 @@ import java.nio.charset.StandardCharsets
   *    whose every row was legitimately deleted returns an empty frame
   *    instead of refusing — "never committed" still raises.
   */
+/** Optional wall-clock attribution for the upsert layout's per-batch
+  * path (round 16 — the overhead-attribution IvmScale section): when
+  * enabled, [[BucketStore]] accumulates driver-observed nanos per
+  * category — `manifest` (pointer-file reads/writes, marker I/O,
+  * committed-id listings), `validate` (the per-side CDC refusal probe),
+  * `buckets` (the delta's touched-bucket collect), `write` (parquet
+  * data jobs, which also materialize the fold compute they carry).
+  * Off by default and free when off; measurement-only, never consulted
+  * by the store logic. */
+object StoreTimers {
+  @volatile var enabled: Boolean = false
+  private val acc =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  private[streaming] def timed[T](cat: String)(f: => T): T =
+    if (!enabled) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally acc.computeIfAbsent(cat,
+        _ => new java.util.concurrent.atomic.AtomicLong)
+        .addAndGet(System.nanoTime() - t0)
+    }
+
+  def reset(): Unit = acc.clear()
+
+  /** Accumulated seconds per category since the last [[reset]]. */
+  def seconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.map { case (k, v) => k -> v.get / 1e9 }.toMap
+  }
+}
+
 object BucketStore {
 
   /** Default bound on a family manifest's distinct pointed batch
@@ -113,7 +146,7 @@ object BucketStore {
     new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Batch ids of `family` that carry the commit marker. */
-  def committedIn(spark: SparkSession, dir: String, family: String): Set[Long] = {
+  def committedIn(spark: SparkSession, dir: String, family: String): Set[Long] = StoreTimers.timed("manifest") {
     val root = familyRoot(dir, family)
     val fs = fsOf(spark, dir)
     if (!fs.exists(root)) Set.empty
@@ -131,7 +164,7 @@ object BucketStore {
   // ---- manifests ---------------------------------------------------
 
   private def writeManifest(fs: FileSystem, path: HPath,
-      entries: Map[Int, Long]): Unit = {
+      entries: Map[Int, Long]): Unit = StoreTimers.timed("manifest") {
     // deterministic bytes (sorted) so a redelivered batch overwrites
     // identical content
     val body = entries.toSeq.sorted
@@ -140,7 +173,7 @@ object BucketStore {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  private def readManifestFile(fs: FileSystem, path: HPath): Map[Int, Long] = {
+  private def readManifestFile(fs: FileSystem, path: HPath): Map[Int, Long] = StoreTimers.timed("manifest") {
     if (!fs.exists(path)) return Map.empty
     val in = fs.open(path)
     val body = try {
@@ -240,8 +273,10 @@ object BucketStore {
   /** The batch-bounded distinct bucket list of `df` under `keys` — the
     * audited-collect discipline (≤ `storeBuckets` ints). */
   def bucketsOf(df: DataFrame, keys: Seq[String], storeBuckets: Int): Seq[Int] =
-    df.select(bucketize(keys, storeBuckets).as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    StoreTimers.timed("buckets") {
+      df.select(bucketize(keys, storeBuckets).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
 
   // NOT underscore-prefixed: Spark's file index treats _-prefixed
   // paths as hidden metadata and would ignore the stub's files
@@ -280,18 +315,20 @@ object BucketStore {
           bucketCol, rows)), touched ++ carried.keys)
       else (rows, touched)
     val dataPath = new HPath(bd, sub)
-    if (allTouched.nonEmpty)
+    if (allTouched.nonEmpty) StoreTimers.timed("write") {
       allRows.repartition(col(bucketCol))
         .write.mode("overwrite").partitionBy(bucketCol)
         .parquet(dataPath.toString)
+    }
     // buckets actually PRESENT after the write (a touched bucket whose
     // rows all died leaves no partition dir — it drops off the
     // manifest, which is exactly "empty")
-    val present: Set[Int] =
+    val present: Set[Int] = StoreTimers.timed("manifest") {
       if (!fs.exists(dataPath)) Set.empty
       else fs.listStatus(dataPath).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol="))
         .map(_.getPath.getName.stripPrefix(s"$bucketCol=").toInt).toSet
+    }
     val entries = (prev -- allTouched) ++ present.iterator.map(_ -> batchId)
     writeManifest(fs, new HPath(bd, manifestKind), entries)
   }
@@ -315,7 +352,7 @@ object BucketStore {
 
   /** Write the family's commit marker — the LAST step of its batch. */
   def commit(spark: SparkSession, dir: String, family: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit = StoreTimers.timed("manifest") {
     val fs = fsOf(spark, dir)
     fs.create(new HPath(batchDir(dir, family, batchId), "_SUCCESS"), true)
       .close()
@@ -480,9 +517,12 @@ object BucketStore {
       .unionByName(ins.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
         .select(lit("inserts the same key twice").as("__viol")))
-      .distinct().collect().map(_.getString(0))
-    require(viols.isEmpty,
-      s"change batch $batchId ($side side) ${viols.mkString("; and ")}")
+      .distinct()
+    val violMsgs = StoreTimers.timed("validate") {
+      viols.collect().map(_.getString(0))
+    }
+    require(violMsgs.isEmpty,
+      s"change batch $batchId ($side side) ${violMsgs.mkString("; and ")}")
 
     Prepared(family,
       afterDel.unionByName(ins)

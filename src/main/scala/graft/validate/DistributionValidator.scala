@@ -135,6 +135,47 @@ object DistributionValidator {
       s"percentiles must lie in [0, 1], got $ps")
     val s = quantiles(source, columns, ps, "source_value", bucketLocate, equiDepth)
     val t = quantiles(target, columns, ps, "target_value", bucketLocate, equiDepth)
+    compare(s, t, pctThreshold)
+  }
+
+  /** [[validate]] with the TARGET side's quantile profile read from a
+    * MAINTAINED view instead of scanning the target table (round 16 —
+    * the incremental-validation wiring): `targetProfile` is
+    * (column_name, p, value), the
+    * [[graft.streaming.StreamingIvmQuantile.readPercentiles]] output
+    * over a stacked (column_name, value) CDC stream — the same
+    * explicit PERCENTILE_CONT interpolation this validator computes,
+    * bit-for-bit, so pass/fail semantics cannot drift between the
+    * scanning and maintained paths. The audit's per-run cost becomes
+    * candidate-bucket-bounded reads of the maintained store, and the
+    * store itself folds delta-proportionally per CDC batch — the
+    * re-aggregate-everything-per-run shape of the reference's audit
+    * gate (validation_dag.py:178-216) replaced by view maintenance.
+    * IncrementalValidationSpec pins maintained ≡ full-scan on a CDC
+    * sequence. */
+  def validateProfiled(
+      source: DataFrame,
+      targetProfile: DataFrame,
+      columns: Seq[String],
+      ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9),
+      pctThreshold: Double = 0.0,
+      bucketLocate: Option[Boolean] = None,
+      equiDepth: Boolean = false): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    val s = quantiles(source, columns, ps, "source_value", bucketLocate, equiDepth)
+    val t = targetProfile
+      .filter(col("column_name").isin(columns: _*) && col("p").isin(ps: _*))
+      .select(col("column_name"), col("p"),
+        col("value").cast("double").as("target_value"))
+    compare(s, t, pctThreshold)
+  }
+
+  /** The shared result tail: [[ColumnValidator]]'s exact threshold
+    * expression order and zero-source conventions. */
+  private def compare(s: DataFrame, t: DataFrame,
+      pctThreshold: Double): DataFrame = {
     val sv = col("source_value")
     val tv = col("target_value")
     val pct = when(sv === 0.0 && tv === 0.0, lit(0.0))
