@@ -105,6 +105,50 @@ object IvmQuantile {
       .groupBy((groupCols :+ "__qb").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[foldCounts]] for a NET-WEIGHTED delta stream — the composed-
+    * chain contract (round 16): delta rows carry `wCol` (signed
+    * NONZERO net multiplicities, the
+    * [[IvmJoin.deltaJoinWeighted]] output shape); each bucket's count
+    * absorbs Σ w. Same pure invertibility — the quantile family's fold
+    * never had a re-aggregation path, so generalizing to weights is
+    * the ivm1 merge with a different unit. Zero/NULL weights and
+    * negative merged counts refuse loudly in-plan. */
+  def foldCountsWeighted(
+      stored: Option[DataFrame],
+      netDelta: DataFrame,
+      groupCols: Seq[String],
+      wCol: String,
+      valueCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val keys = groupCols :+ "__qb"
+    Seq("__qb", "cnt", "__dc").foreach(c =>
+      require(!netDelta.columns.contains(c),
+        s"delta already contains reserved column '$c'"))
+    val w = when(col(wCol).isNull || col(wCol) === 0,
+      raise_error(lit(s"zero/NULL multiplicity in '$wCol' — refusing " +
+        "to fold a malformed weighted delta into the view")))
+      .otherwise(col(wCol))
+    val deltaAgg = netDelta
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__qb", bucketIdOf(col(valueCol), lo, hi, buckets))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(w).as("__dc")).filter(col("__dc") =!= 0)
+    val storedDf = stored.getOrElse(
+      deltaAgg.filter(lit(false))
+        .select(g :+ col("__qb") :+ lit(0L).as("cnt"): _*))
+    storedDf.join(deltaAgg, keys, "full_outer")
+      .select(g :+ col("__qb") :+
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as("cnt"): _*)
+      .withColumn("cnt",
+        when(col("cnt") < 0,
+          raise_error(lit("delta deletes values the view never absorbed " +
+            "(a bucket count went negative)")))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+  }
+
   /** Exact PERCENTILE_CONT at `ps` per group, from the maintained
     * counts plus the surviving rows (groupCols…, valueCol) — the rows
     * are consulted ONLY inside the candidate buckets the counts name
@@ -152,6 +196,65 @@ object IvmQuantile {
       .agg(
         max(when(col("__rn") === col("__lo"), col(valueCol))).as("__vlo"),
         max(when(col("__rn") === col("__hi"), col(valueCol))).as("__vhi"),
+        max(col("__idx") - floor(col("__idx")).cast("double")).as("__frac"))
+      .select((groupCols :+ "p").map(col) :+
+        (col("__vlo").cast("double") +
+          col("__frac") * (col("__vhi") - col("__vlo")).cast("double"))
+          .as("value"): _*)
+  }
+
+  /** [[percentileCont]] over a MULTISET rows store (round 16 — the
+    * composed-chain read face): `multisetAfter` holds one row per
+    * surviving DISTINCT (group, value) pair with its derivation
+    * multiplicity in `multCol` (the maintained final-join multiset of
+    * [[graft.streaming.StreamingIvmComposeN]]), and `counts` the
+    * weighted bucket counts ([[foldCountsWeighted]]). A row spans
+    * multiplicity-many consecutive ranks, so the candidate-bucket rank
+    * completes through a cumulative-weight window instead of
+    * row_number: row r covers ranks (cum-before + 1)..(cum-incl), and
+    * the order statistic at rank k is the unique row whose span
+    * contains k. Same candidate pruning, same broadcast guard, same
+    * interpolation — bit-identical to expanding every multiplicity
+    * into occurrence rows and running [[percentileCont]]. */
+  def percentileContWeighted(
+      counts: DataFrame,
+      multisetAfter: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      multCol: String,
+      ps: Seq[Double],
+      lo: Double, hi: Double, buckets: Int,
+      maxCandidates: Long = ScalableRank.MaxBroadcastCells): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0, 1], got $ps")
+    val cand = candidates(counts, groupCols, ps)
+      .withColumn("__qcand_n", count(lit(1)).over(Window.partitionBy()))
+      .filter(when(col("__qcand_n") > maxCandidates,
+        raise_error(concat(
+          lit("candidate frame holds "), col("__qcand_n"),
+          lit(s" rows - over the $maxCandidates-row broadcast bound; " +
+            "a view with that many groups should quantile through the " +
+            "keyed window form, not a maintained bucket view"))))
+        .otherwise(lit(true)))
+      .drop("__qcand_n")
+    val localW = Window
+      .partitionBy((groupCols :+ "__qb" :+ "p").map(col): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    multisetAfter
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__qb", bucketIdOf(col(valueCol), lo, hi, buckets))
+      .join(broadcast(cand), groupCols :+ "__qb")
+      .withColumn("__rhi", col("__cum") + sum(col(multCol)).over(localW))
+      .withColumn("__rlo", col("__rhi") - col(multCol) + 1)
+      .filter((col("__rlo") <= col("__lo") && col("__lo") <= col("__rhi")) ||
+        (col("__rlo") <= col("__hi") && col("__hi") <= col("__rhi")))
+      .groupBy((groupCols :+ "p").map(col): _*)
+      .agg(
+        max(when(col("__rlo") <= col("__lo") && col("__lo") <= col("__rhi"),
+          col(valueCol))).as("__vlo"),
+        max(when(col("__rlo") <= col("__hi") && col("__hi") <= col("__rhi"),
+          col(valueCol))).as("__vhi"),
         max(col("__idx") - floor(col("__idx")).cast("double")).as("__frac"))
       .select((groupCols :+ "p").map(col) :+
         (col("__vlo").cast("double") +

@@ -963,6 +963,82 @@ object GovernanceQueries {
         net, Seq("prio"), "__w", "bal")
       counts1.select(col("prio"), col("n_distinct"))
         .orderBy(col("prio"))
+    }),
+    "ivm12_composed_quantile" -> ((s, dir) => {
+      // COMPOSED QUANTILE IVM (round 16) — exact PERCENTILE_CONT of
+      // order value per priority maintained over the ivm8
+      // many-to-many chain, closing the LAST family member over
+      // chains: the per-(group, value-bucket) counts fold WEIGHTED
+      // net deltas (IvmQuantile.foldCountsWeighted — purely
+      // invertible, the quantile family never re-aggregates), and the
+      // read completes the candidate-bucket rank over the maintained
+      // final MULTISET with cumulative weights — a (value,
+      // multiplicity) row spans multiplicity-many consecutive ranks
+      // (IvmQuantile.percentileContWeighted), bit-identical to
+      // expanding every derivation. Same CDC batch family as ivm8:
+      // supplier moves, customer deletes, order re-prioritization.
+      // Oracle = the explicit qt2 interpolation formula over the
+      // modified three-way join, bit-for-bit. Deployment shape:
+      // StreamingIvmComposeN.applyBatchQuantile (counts+final
+      // BucketStore families, value-bucket pruned reads).
+      import graft.operators.{IvmJoin, IvmQuantile}
+      val (qlo, qhi, qb) = (0.0, 1000000.0, 64)
+      val sup = T(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+        col("s_nationkey").as("nk"))
+      val cus = T(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("price"))
+      val smoved = pmod(col("sk"), lit(31)) === 0
+      val cdropped = pmod(col("ck"), lit(89)) === 0
+      val omoved = pmod(col("ok"), lit(101)) === 0
+      val dS = sup.filter(smoved)
+        .select(col("sk"), col("nk"), lit(-1L).as("__w"))
+        .unionByName(sup.filter(smoved)
+          .select(col("sk"), pmod(col("nk") + 1, lit(25)).as("nk"),
+            lit(1L).as("__w")))
+      val dC = cus.filter(cdropped)
+        .select(col("ck"), col("nk"), lit(-1L).as("__w"))
+      val dO = ord.filter(omoved)
+        .select(col("ok"), col("ck"), col("prio"), col("price"),
+          lit(-1L).as("__w"))
+        .unionByName(ord.filter(omoved)
+          .select(col("ok"), col("ck"),
+            concat(lit("moved-"), col("prio")).as("prio"), col("price"),
+            lit(1L).as("__w")))
+      def asSet(df: DataFrame) = df.withColumn("__mult", lit(1L))
+      // stage 1 projected to (ck) — multiplicity = the customer's
+      // nation's supplier fan (what each order's value is weighted by)
+      val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
+        Seq("nk"), "__w", "__mult", Seq("ck"))
+      val dlo = d1.groupBy(col("ck"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val lo1 = sup.join(cus, Seq("nk"))
+        .groupBy(col("ck")).agg(count(lit(1)).as("__mult"))
+      val d2 = IvmJoin.deltaJoinWeighted(dlo, dO, lo1, asSet(ord),
+        Seq("ck"), "__w", "__mult", Seq("prio", "price"))
+      val net = d2.groupBy(col("prio"), col("price"))
+        .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+      val joined = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
+      val counts0 = IvmQuantile.countsOf(joined, Seq("prio"), "price",
+        qlo, qhi, qb)
+      val counts1 = IvmQuantile.foldCountsWeighted(Some(counts0), net,
+        Seq("prio"), "__w", "price", qlo, qhi, qb)
+      // the POST-delta final multiset — the maintained `final`
+      // family's stand-in
+      val sup2 = sup.select(col("sk"),
+        when(smoved, pmod(col("nk") + 1, lit(25)))
+          .otherwise(col("nk")).as("nk"))
+      val cus2 = cus.filter(!cdropped)
+      val ord2 = ord.select(col("ok"), col("ck"),
+        when(omoved, concat(lit("moved-"), col("prio")))
+          .otherwise(col("prio")).as("prio"), col("price"))
+      val after = sup2.join(cus2, Seq("nk")).join(ord2, Seq("ck"))
+        .groupBy(col("prio"), col("price")).agg(count(lit(1)).as("__mult"))
+      IvmQuantile.percentileContWeighted(counts1, after, Seq("prio"),
+          "price", "__mult", Seq(0.5, 0.9), qlo, qhi, qb)
+        .orderBy(col("prio"), col("p"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1068,6 +1144,40 @@ object GovernanceQueries {
         |SELECT prio, CAST(COUNT(DISTINCT bal) AS BIGINT) AS n_distinct
         |FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ivm12_composed_quantile" ->
+      """WITH s2 AS (
+        | SELECT CAST(CASE WHEN s_suppkey % 31 = 0
+        |       THEN (s_nationkey + 1) % 25
+        |       ELSE s_nationkey END AS INTEGER) AS nk
+        | FROM supplier),
+        |c2 AS (
+        | SELECT c_custkey AS ck, CAST(c_nationkey AS INTEGER) AS nk
+        | FROM customer WHERE c_custkey % 89 <> 0),
+        |o2 AS (
+        | SELECT o_custkey AS ck,
+        |  CASE WHEN o_orderkey % 101 = 0
+        |       THEN 'moved-' || o_orderpriority
+        |       ELSE o_orderpriority END AS prio,
+        |  o_totalprice AS price
+        | FROM orders),
+        |t AS (SELECT prio, price
+        | FROM s2 JOIN c2 USING (nk) JOIN o2 USING (ck)),
+        |r AS (SELECT prio, price,
+        |  row_number() OVER (PARTITION BY prio ORDER BY price) AS rn,
+        |  COUNT(*) OVER (PARTITION BY prio) AS n FROM t),
+        |p AS (SELECT unnest([0.5, 0.9]) AS p),
+        |x AS (SELECT prio, p.p AS p, price, rn, n,
+        |  CAST(n - 1 AS DOUBLE) * p.p AS idx,
+        |  CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 1 AS lo,
+        |  least(CAST(floor(CAST(n - 1 AS DOUBLE) * p.p) AS BIGINT) + 2, n) AS hi
+        | FROM r, p),
+        |g AS (SELECT prio, p,
+        |  MAX(CASE WHEN rn = lo THEN price END) AS vlo,
+        |  MAX(CASE WHEN rn = hi THEN price END) AS vhi,
+        |  MAX(idx - floor(idx)) AS frac
+        | FROM x WHERE rn = lo OR rn = hi GROUP BY prio, p)
+        |SELECT prio, p, CAST(vlo AS DOUBLE) + frac * CAST(vhi - vlo AS DOUBLE) AS value
+        |FROM g ORDER BY prio, p""".stripMargin,
     "del1_forget_audit" ->
       """WITH fk AS (
         | SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

@@ -556,10 +556,26 @@ object BucketStore {
   def prepareMultisetUpsert(
       netDelta: DataFrame, payloadCols: Seq[String], wCol: String,
       bucketKeys: Seq[String], dir: String, family: String,
-      prevId: Option[Long], storeBuckets: Int): (DataFrame, Seq[Int]) = {
+      prevId: Option[Long], storeBuckets: Int): (DataFrame, Seq[Int]) =
+    prepareMultisetUpsertExpr(netDelta, payloadCols, wCol,
+      bucketize(bucketKeys, storeBuckets), dir, family, prevId)
+
+  /** [[prepareMultisetUpsert]] with an ARBITRARY order-/domain-
+    * meaningful bucket expression (e.g. the quantile face's VALUE
+    * bucket, whose ids are the read path's pruning key) instead of a
+    * key-set hash — the [[prepareCdcUpsertExpr]] counterpart for
+    * multiset families. The expression must be a pure function of the
+    * payload columns. */
+  def prepareMultisetUpsertExpr(
+      netDelta: DataFrame, payloadCols: Seq[String], wCol: String,
+      bucketExpr: Column, dir: String, family: String,
+      prevId: Option[Long]): (DataFrame, Seq[Int]) = {
     val spark = netDelta.sparkSession
     val p = payloadCols.map(col)
-    val touched = bucketsOf(netDelta, bucketKeys, storeBuckets)
+    val touched = StoreTimers.timed("buckets") {
+      netDelta.select(bucketExpr.cast("int").as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     val template = netDelta.filter(lit(false))
       .select(p :+ lit(0L).as("__mult"): _*)
     val prevSlice = readBuckets(spark, dir, family, prevId, touched, template)
@@ -580,7 +596,6 @@ object BucketStore {
             lit(") — the delta deletes join rows the store never absorbed"))))
           .otherwise(col("__mult")))
       .filter(col("__mult") > 0)
-    (merged.withColumn("__g_bucket", bucketize(bucketKeys, storeBuckets)),
-      touched)
+    (merged.withColumn("__g_bucket", bucketExpr.cast("int")), touched)
   }
 }

@@ -472,6 +472,135 @@ object StreamingIvmComposeN {
       .drop("__g_bucket")
   }
 
+  private val QuantileFamilies = Seq("counts", "final")
+
+  /** Fold ONE static tagged change batch into a maintained EXACT-
+    * QUANTILE view over the composed chain (round 16 — the fifth and
+    * last family member closed over chains): per-(group, value-bucket)
+    * WEIGHTED counts ([[graft.operators.IvmQuantile.foldCountsWeighted]]
+    * — purely invertible, the quantile family never had a re-agg path)
+    * plus the final joined multiset bucketed by VALUE bucket (`final`
+    * family via [[BucketStore.prepareMultisetUpsertExpr]]), so
+    * [[readPercentilesView]] prunes its row reads to the candidate
+    * buckets' files exactly like [[StreamingIvmQuantile]] — but the
+    * "rows" are (distinct value, derivation multiplicity) pairs and
+    * the rank completes through cumulative weights. The (lo, hi,
+    * buckets) domain is declared at view creation and must be passed
+    * identically to every fold and read. Returns the live (group,
+    * value-bucket) count over the touched slice (-1 for an empty
+    * batch). */
+  def applyBatchQuantile(
+      batch: DataFrame, batchId: Long,
+      sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String, lo: Double, hi: Double, buckets: Int,
+      storeBuckets: Int = StreamingIvmMinMax.StoreBuckets,
+      fullCount: Boolean = false): Long = {
+    val spark = batch.sparkSession
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(d: DataFrame): DataFrame = { val c = d.cache(); pinned += c; c }
+    try {
+      val finalCols = (groupCols :+ valueCol).distinct
+      val chain = chainDelta(batch, batchId, sideCol, opCol, bases,
+        stageKeys, finalCols, QuantileFamilies, dir, storeBuckets, pin)
+        .getOrElse(return -1L)
+      val prevId = chain.prevId
+      val deltaCur = pin(chain.delta)
+
+      import graft.operators.IvmQuantile
+      val countsTemplate = batch.filter(lit(false))
+        .select(groupCols.map(col) :+ lit(0L).as("__qb") :+
+          lit(0L).as("cnt"): _*)
+      val touchedCounts = BucketStore.bucketsOf(
+        deltaCur.select(groupCols.map(col): _*), groupCols, storeBuckets)
+      val prevCounts = BucketStore.readBuckets(spark, dir, "counts", prevId,
+          touchedCounts, countsTemplate)
+        .select((groupCols :+ "__qb" :+ "cnt").map(col): _*)
+      val counts1 = IvmQuantile.foldCountsWeighted(Some(prevCounts),
+        deltaCur, groupCols, "__w", valueCol, lo, hi, buckets)
+
+      // the final multiset, VALUE-bucketed: the candidate reads' prune
+      // key (a delta row determines its own value bucket)
+      val (finalRows, touchedFinal) = BucketStore.prepareMultisetUpsertExpr(
+        deltaCur.filter(col(valueCol).isNotNull), finalCols, "__w",
+        IvmQuantile.bucketIdOf(col(valueCol), lo, hi, buckets),
+        dir, "final", prevId)
+
+      chain.prepared.foreach(p =>
+        BucketStore.writePrepared(spark, dir, batchId, prevId, p))
+      chain.interUpserts.foreach { case (family, rows, touchedI) =>
+        BucketStore.upsert(spark, dir, family, batchId, prevId, rows, touchedI)
+      }
+      BucketStore.upsert(spark, dir, "counts", batchId, prevId,
+        counts1.withColumn("__g_bucket",
+          BucketStore.bucketize(groupCols, storeBuckets)),
+        touchedCounts)
+      BucketStore.upsert(spark, dir, "final", batchId, prevId, finalRows,
+        touchedFinal)
+      val fams = families(bases, QuantileFamilies)
+      fams.foreach(f => BucketStore.commit(spark, dir, f, batchId))
+      val keep = prevId.toSeq :+ batchId
+      fams.foreach(f => BucketStore.gc(spark, dir, f, keep))
+      if (fullCount)
+        BucketStore.readAll(spark, dir, "counts", Some(batchId),
+          countsTemplate).count()
+      else // just-written touched buckets only — delta-proportional
+        BucketStore.readBuckets(spark, dir, "counts", Some(batchId),
+          touchedCounts, countsTemplate).count()
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  /** Wire the QUANTILE per-batch fold onto a STREAMING tagged change
+    * frame; `onBatch` observes (batchId, liveBucketCount). Call
+    * `.start()`. */
+  def applyStreamQuantile(
+      changes: DataFrame, sideCol: String, opCol: String,
+      bases: Seq[BaseSpec], stageKeys: Seq[Seq[String]],
+      groupCols: Seq[String], valueCol: String,
+      dir: String, lo: Double, hi: Double, buckets: Int,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataStreamWriter[Row] = {
+    require(changes.isStreaming, "applyStreamQuantile expects a streaming " +
+      "DataFrame (use applyBatchQuantile for static deltas)")
+    changes.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      onBatch(id, applyBatchQuantile(b.toDF(), id, sideCol, opCol, bases,
+        stageKeys, groupCols, valueCol, dir, lo, hi, buckets))
+    }
+  }
+
+  /** Exact PERCENTILE_CONT at `ps` per group over the maintained
+    * composed view, as of the latest committed batch — multiset rows
+    * read PRUNED to the candidate value buckets' files. (lo, hi,
+    * buckets) must be the view's creation-time values. */
+  def readPercentilesView(
+      spark: SparkSession, dir: String, bases: Seq[BaseSpec],
+      groupCols: Seq[String], valueCol: String, ps: Seq[Double],
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    import graft.operators.IvmQuantile
+    val snaps = committed(spark, dir, bases, QuantileFamilies)
+    require(snaps.nonEmpty, s"no committed composed quantile view under $dir")
+    val counts = BucketStore.readAllNonEmpty(spark, dir, "counts", snaps.last)
+      .drop("__g_bucket")
+    val candQb = IvmQuantile.candidates(counts, groupCols, ps)
+      .select(col("__qb")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq // ≤ buckets ids — bounded
+    val finalManifest = BucketStore.readManifest(spark, dir, "final",
+      Some(snaps.last))
+    val unresolved = candQb.filterNot(finalManifest.contains)
+    require(unresolved.isEmpty,
+      s"candidate value buckets ${unresolved.sorted.mkString(",")} resolve " +
+        "to no stored rows — (lo, hi, buckets) must be the view's " +
+        "creation-time values (a mismatch re-buckets history)")
+    val template = counts.filter(lit(false))
+      .select(groupCols.map(col) :+ col("cnt").cast("double").as(valueCol) :+
+        lit(0L).as("__mult"): _*)
+    val rows = BucketStore.readBuckets(spark, dir, "final", Some(snaps.last),
+        candQb, template)
+      .select((groupCols :+ valueCol).map(col) :+ col("__mult"): _*)
+    IvmQuantile.percentileContWeighted(counts, rows, groupCols, valueCol,
+      "__mult", ps, lo, hi, buckets)
+  }
+
   private val DistinctFamilies = Seq("wdict", "agg")
 
   /** Fold ONE static tagged change batch into a maintained
