@@ -1067,15 +1067,17 @@ object IvmScale {
              || 100× store, $bigB buckets | ${mb(bBig)}%.2f MB | ${r1(100.0 * bBig / seedBig)}%% of store | $tBig%.2f |
              |
              |Bytes ratio across the two decades: ${r1(bBig.toDouble / b1)}× for 100×
-             |the store — the law holds (a ratio meaningfully above
-             |~1.3× would have named a hidden store-sized term in the
-             |write path; the residual growth is footer/manifest
-             |fixed cost per touched bucket, which the sizing rule
-             |bounds at one bucket's worth per delta key). Wall grows
-             |with the per-fold JOB count (more touched buckets → more
-             |files listed/written at fixed parallelism), attributed in
-             |the round-16 attribution table below, not with store
-             |bytes.
+             |the store. The committed round-16 capture attributes this
+             |per family (du over the batch directories): the growth is
+             |(a) the ≤storeBuckets-line pointer manifests — linear in
+             |bucket COUNT, five orders of magnitude below the store —
+             |plus (b) the intermediate family's touched slices, which
+             |grow with the affected keys' JOIN FAN because the
+             |generator holds cDims fixed while facts scale (a CDC
+             |delete of a fat key rewrites that key's surviving slice
+             |on any bucketed layout — fan-proportional delta work).
+             |Nothing grows with unrelated store bytes; wall tracks the
+             |per-fold job count, not data.
              |
              |Reproduce: `SPARK_GRAFT_IVM_SECTIONS=r16w sbt "runMain
              |graft.IvmScale /tmp/graft_ivm_scale"`.
