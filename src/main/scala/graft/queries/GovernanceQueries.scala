@@ -818,8 +818,20 @@ object GovernanceQueries {
       // fan; the stored intermediate stand-in is the counted multiset
       val d1 = IvmJoin.deltaJoinWeighted(dS, dC, asSet(sup), asSet(cus),
         Seq("nk"), "__w", "__mult", Seq("ck", "nk"))
+      // r16 opt: the four reused small frames (net stage-1 delta,
+      // net final delta, counts seed, view seed) are lineage-truncated
+      // with LAZY localCheckpoint — the top-k fold references each of
+      // them 2-3×, and the refresh's candidate/broken/merge branches
+      // multiplied the WHOLE upstream tree into a 622-Exchange /
+      // 672-scan initial plan whose analysis+planning alone cost
+      // ~2.6 s/run (plans/r16/ivm9_composed_topk_before.txt). The
+      // checkpoint computes each frame once into RDD blocks and the
+      // downstream plan collapses to LogicalRDD scans; .cache() was
+      // tried and REJECTED (interleaved A/B: columnar materialization
+      // + AQE barrier made the query 74% SLOWER, 10.8→18.8 s).
       val dlo = d1.groupBy(col("ck"), col("nk"))
         .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+        .localCheckpoint(false)
       val lo = sup.join(cus, Seq("nk"))
         .groupBy(col("ck"), col("nk")).agg(count(lit(1)).as("__mult"))
       // stage 2: upstream delta AS this join's ΔR against orders
@@ -827,10 +839,12 @@ object GovernanceQueries {
         Seq("ck"), "__w", "__mult", Seq("prio", "nk", "cents"))
       val net = d2.groupBy(col("prio"), col("nk"), col("cents"))
         .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
+        .localCheckpoint(false)
       val joined = sup.join(cus, Seq("nk")).join(ord, Seq("ck"))
       val counts0 = IvmTopK.countsOf(joined, Seq("prio"), "nk",
-        Some("cents"))
+        Some("cents")).localCheckpoint(false)
       val topk0 = IvmTopK.viewOf(counts0, Seq("prio"), "nk", 3)
+        .localCheckpoint(false)
       val (topk1, _) = IvmTopK.foldWeighted(Some((topk0, counts0)), net,
         Seq("prio"), "__w", "nk", 3, Some("cents"))
       topk1.select(col("prio"), col("rnk"), col("nk"), col("cnt"))
