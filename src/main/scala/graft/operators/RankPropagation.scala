@@ -19,12 +19,22 @@ import org.apache.spark.sql.functions._
   * which is what curation uses rank propagation for — spreading
   * quality/trust signals over link or similarity graphs).
   *
-  * Scale shape per round: one shuffle-hash join of ranks onto edges by
-  * src (+ broadcast-sized outdegree table joined the same way), one
-  * map-side-combinable sum by dst, one left join back to the node set
-  * — the [[Similarity.kmeansCentroids]] iteration discipline, with
-  * per-round cache materialization keeping lineage one round deep.
-  * Nothing is ever collected to the driver.
+  * Scale shape per round (tightened in the r16 optimization pass):
+  * the NODE-sized ranks⋈outdegree join runs first — both sides are
+  * node-sized aggregates, so the rank-to-contribution map c(src) =
+  * rank div deg costs one small join — and only then does ONE join
+  * touch the EDGE set, whose cached partitioning (hash on src, the
+  * session shuffle parallelism) already satisfies the join's
+  * distribution, so the edges are shuffled zero times per round
+  * (guide §2.4: two operations keyed the same way share one
+  * exchange). outdegree and the node list are loop-invariant and
+  * cached once — the previous shape recomputed both every round and
+  * joined edges twice (measured 6.17 s → 3.52 s interleaved median
+  * on the pr1 graph at sf0.1). Then one map-side-combinable sum by
+  * dst and one left join back to the node-partitioned node set (also
+  * exchange-free on the node side). Per-round cache materialization
+  * keeps lineage one round deep. Nothing is ever collected to the
+  * driver.
   */
 object RankPropagation {
 
@@ -37,24 +47,37 @@ object RankPropagation {
     require(iters >= 0, s"need iters >= 0, got $iters")
     require(scale >= 20 && scale % 20 == 0,
       s"scale must be a positive multiple of 20 (0.15·scale and the 17/20 damping must be exact), got $scale")
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // partition-aligned on src: every round's single edge join then
+    // reuses the cached partitioning instead of re-shuffling the edge
+    // set (the largest table here) once per round
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(p, col("src")).cache()
+    // loop-invariant node-sized tables, cached ONCE — the previous
+    // shape re-derived both from the edge cache every round (one
+    // groupBy + one union-distinct per round of pure rework)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(p, col("node")).cache()
     try {
-      e.count()
-      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
+      e.count(); outdeg.count(); nodes.count()
       // the seed is NOT counted: its lineage is one projection over
-      // the cached edge set, so materializing it would only add a job
+      // the cached node set, so materializing it would only add a job
       // — round 1 reads it straight off the cache
       var ranks = nodes.withColumn("rank", lit(scale)).cache()
       val base = scale * 3 / 20
       try {
         for (_ <- 1 to iters) {
-          val contrib = e
-            .join(ranks.select(col("node").as("src"), col("rank")).hint("shuffle_hash"),
-              Seq("src"))
+          // node-sized join first: c(src) = rank div deg — then the
+          // edge set is touched exactly once, exchange-free on its
+          // cached src partitioning
+          val contribSrc = ranks.select(col("node").as("src"), col("rank"))
             .join(outdeg.hint("shuffle_hash"), Seq("src"))
-            .select(col("dst").as("node"), expr("rank div deg").as("c"))
+            .select(col("src"), expr("rank div deg").as("c"))
+          val contrib = e
+            .join(contribSrc.hint("shuffle_hash"), Seq("src"))
+            .select(col("dst").as("node"), col("c"))
             .groupBy(col("node")).agg(sum(col("c")).as("inr"))
           val next = nodes
             .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
@@ -72,6 +95,6 @@ object RankPropagation {
         // the caller gets no handle to release it
         case t: Throwable => ranks.unpersist(); throw t
       }
-    } finally e.unpersist()
+    } finally { e.unpersist(); outdeg.unpersist(); nodes.unpersist() }
   }
 }

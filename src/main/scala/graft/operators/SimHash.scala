@@ -175,10 +175,12 @@ object SimHash {
       repPairs(reps, maxDist, maxBucketWidth)
         .select(col("id_a").as("src"), col("id_b").as("dst")),
       maxIter)
+    // hint-free labeling joins (r16): see MinHashLSH.nearDupClusters —
+    // AQE broadcasts the small sides, members never shuffles
     val multi = members.filter(col("id") =!= col("rep"))
       .select(col("rep")).distinct().withColumn("has_copies", lit(1))
     members
-      .join(multi.hint("shuffle_hash"), Seq("rep"), "left")
+      .join(multi, Seq("rep"), "left")
       .join(repComps.select(col("id").as("rep"), col("comp")), Seq("rep"), "left")
       .filter(col("has_copies").isNotNull || col("comp").isNotNull)
       .select(col("id"), coalesce(col("comp"), col("rep")).as("comp"))
