@@ -3,42 +3,42 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway measurement harness for the optimization round: builds
-  * VARIANTS of one operator in a single session and times them
-  * INTERLEAVED (A,B,A,B,…), so host-level contention swings hit every
-  * variant equally and the relative ordering is trustworthy even on a
-  * noisy box. Not referenced by any pipeline or spec.
-  */
+/** Throwaway measurement harness for the optimization round. */
 object Scratch {
-  import graft.core.Exact.{dec, sumd}
-  import graft.core.Tables
+  import graft.operators.{MinHashLSH, TextOps}
 
-  def a10Old(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"),
-        grouping_id().cast("int").as("gid"))
-      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
-
-  def a10New(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("__n"), sum(dec(col("l_extendedprice"))).as("__s"))
-    base.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("__n")).as("n"), sum(col("__s")).cast("double").as("sum_price"),
-        grouping_id().cast("int").as("gid"))
-      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  /** signaturesFrom variant: hash per OCCURRENCE (one md5 + KM derive
+    * inline), no vocab distinct / repartition / join — zero extra
+    * exchanges before the signature groupBy. */
+  def sigsDirect(g: DataFrame, k: Int): DataFrame = {
+    val mod = 1L << 60
+    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
+      .withColumn("hp", TextOps.hexHash60Pair(col("gram")))
+      .select(col("id") +: (0 until k).map(i =>
+        ((element_at(col("hp"), 1) +
+          lit(i.toLong) * shiftright(element_at(col("hp"), 2), 5)) % mod).as(s"h$i")): _*)
+    ex.groupBy(col("id"))
+      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    def docs() = graft.queries.DedupQueries.corpusDocsPublic(spark, dir)
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def banded(sigs: DataFrame) = MinHashLSH.bandKeys(sigs, 8, 4)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "old  " -> (() => a10Old(spark, dir)),
-      "new  " -> (() => a10New(spark, dir)))
+      "old  " -> (() => {
+        val g = TextOps.shingleTable(docs(), "doc_id", "text", 3)
+        banded(MinHashLSH.signaturesFrom(g, 32))
+      }),
+      "new  " -> (() => {
+        val g = TextOps.shingleTable(docs(), "doc_id", "text", 3)
+        banded(sigsDirect(g, 32))
+      }))
     variants.foreach { case (_, f) => run(f()); spark.catalog.clearCache() }
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to 4).foreach { _ =>

@@ -79,34 +79,39 @@ object MinHashLSH {
     * (portable to DuckDB BIGINT, which raises on overflow: mirror is
     * `(h1 + i * (h2 // 32)) % 1152921504606846976`).
     *
-    * Join shape matters here. The hashed vocabulary is (a) explicitly
-    * repartitioned to the session shuffle parallelism BEFORE the hash
-    * projection — the distinct gram list is tiny in bytes, so AQE
-    * would otherwise coalesce its shuffle to one partition and the
-    * md5+derive projection would run on one core — and (b) joined
-    * back with a shuffle-hash hint: left to its own devices AQE
-    * broadcast-joins by building the EXPLODED CORPUS side (it looks
-    * small by bytes), a driver-side serial build that dwarfs the real
-    * work (measured 5×). The SHJ keeps both sides shuffled on gram,
-    * which is also the only shape that survives a vocabulary too large
-    * to broadcast — the 100 TB case. */
+    * Plan shape (r16 optimization pass): ONE digest + k derivations
+    * per gram OCCURRENCE, straight into the map-side-combinable
+    * signature aggregate — zero joins, zero exchanges before the
+    * per-doc groupBy. Rounds ≤15 deduplicated grams into a hashed
+    * vocabulary first (distinct → repartition → shuffle-hash join
+    * back), which paid THREE corpus-scale exchanges to save
+    * (occurrences − distinct) md5 calls; that trade dates from the
+    * k-md5s-per-gram era. With the single-digest KM family a repeated
+    * gram costs one extra md5 + k multiply-adds — pure ALU inside
+    * whole-stage codegen — while the exchanges it saved are the
+    * expensive part at every scale (guide §2.4: remove shuffles
+    * outright). Interleaved A/B at sf0.1 (shingle→sign→band, k=32):
+    * median 2.62 s → 1.30 s, and the old shape's contended samples
+    * were 2× worse again — three fewer shuffle barriers is also why
+    * the new shape degrades more gracefully. At 100 TB the argument
+    * only strengthens: the per-occurrence form is embarrassingly
+    * parallel with NO vocabulary-sized state anywhere, where the old
+    * form shuffled the exploded corpus once more than necessary and
+    * needed the SHJ hint to stop AQE broadcast-building the exploded
+    * corpus side. */
   def signaturesFrom(
       g: DataFrame, k: Int = 32,
       hashPair: Column => Column = TextOps.hexHash60Pair): DataFrame = {
     require(k >= 1 && k <= 224,
       s"minhash k must be in [1, 224] (KM derivation stays inside signed 64-bit), got $k")
-    val p = g.sparkSession.sessionState.conf.numShufflePartitions
     val mod = 1L << 60
-    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
-    val vocab = ex.select(col("gram")).distinct()
-      .repartition(p, col("gram"))
-      .select(col("gram"), hashPair(col("gram")).as("hp"))
+    g.select(col("id"), explode(col("grams")).as("gram"))
+      .withColumn("hp", hashPair(col("gram")))
       // hp inlines into every h_i after projection collapse; codegen
       // subexpression elimination evaluates the digest once per row
-      .select(col("gram") +: (0 until k).map(i =>
+      .select(col("id") +: (0 until k).map(i =>
         ((element_at(col("hp"), 1) +
           lit(i.toLong) * shiftright(element_at(col("hp"), 2), 5)) % mod).as(s"h$i")): _*)
-    ex.join(vocab.hint("shuffle_hash"), "gram")
       .groupBy(col("id"))
       .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))

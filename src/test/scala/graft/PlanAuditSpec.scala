@@ -75,12 +75,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("minhash signatures: vocab join is shuffle-hash, not a broadcast of the corpus") {
+  test("minhash signatures: no vocabulary join — per-occurrence hash straight into the signature aggregate") {
     val g = graft.operators.TextOps.shingleTable(
       graft.core.Tables(spark, dir, "documents"), "doc_id", "text")
     val p = graft.operators.MinHashLSH.signaturesFrom(g, 8)
       .queryExecution.explainString(FormattedMode)
-    assert(p.contains("ShuffledHashJoin"), p)
+    // r16: one digest + k derivations per gram occurrence, zero joins
+    // and only the per-doc aggregate's own exchange — the old
+    // vocab-dedup shape paid three corpus-scale exchanges to save md5
+    // calls that the single-digest KM family made cheap
+    assert(!p.contains("Join"), p)
+    // exactly two: the shingle table's rebalance + the aggregate's own
+    // (the details section numbers each physical node exactly once)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
   }
 
   test("tf1: corpus-wide df join is shuffle-hash; scalar N broadcast") {
