@@ -1,25 +1,48 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway measurement harness for the optimization round. */
 object Scratch {
-  import graft.operators.{MinHashLSH, TextOps}
+  import graft.operators.{MinHashLSH, TextOps, PairExpansion}
 
-  /** signaturesFrom variant: hash per OCCURRENCE (one md5 + KM derive
-    * inline), no vocab distinct / repartition / join — zero extra
-    * exchanges before the signature groupBy. */
-  def sigsDirect(g: DataFrame, k: Int): DataFrame = {
-    val mod = 1L << 60
-    val ex = g.select(col("id"), explode(col("grams")).as("gram"))
-      .withColumn("hp", TextOps.hexHash60Pair(col("gram")))
-      .select(col("id") +: (0 until k).map(i =>
-        ((element_at(col("hp"), 1) +
-          lit(i.toLong) * shiftright(element_at(col("hp"), 2), 5)) % mod).as(s"h$i")): _*)
-    ex.groupBy(col("id"))
-      .agg(min(col("h0")).as("h0"), (1 until k).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  def d4(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val threshold = 0.5
+    val g0 = TextOps.shingleTable(docs, "doc_id", "text", 3).cache()
+    val groups = MinHashLSH.contentGroups(g0).cache()
+    val g = g0.join(groups.filter(col("id") === col("rep")).select(col("id")),
+        Seq("id"), "left_semi")
+      .withColumn("sz", size(col("grams")))
+      .cache()
+    val ex0 = g.select(col("id"), col("sz"), explode(col("grams")).as("gram"))
+    val ex = if (hashed) ex0.select(col("id"), col("sz"),
+      TextOps.hexHash60(col("gram")).as("gram")) else ex0
+    val dfreq = ex.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "gram")
+      .groupBy(col("id"))
+      .agg(first(col("sz")).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("gram")))).as("dfg"))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("id"), col("sz"),
+        explode(expr("transform(slice(dfg, 1, plen), x -> x.gram)")).as("gram"))
+      .cache()
+    val a = prefix.select(col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b")) <=
+        least(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ga = g.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    val repPairs = cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard", TextOps.jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    PairExpansion.expand(groups, repPairs, "jaccard", lit(1.0))
   }
 
   def main(args: Array[String]): Unit = {
@@ -29,16 +52,9 @@ object Scratch {
     def docs() = graft.queries.DedupQueries.corpusDocsPublic(spark, dir)
     def run(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def banded(sigs: DataFrame) = MinHashLSH.bandKeys(sigs, 8, 4)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "old  " -> (() => {
-        val g = TextOps.shingleTable(docs(), "doc_id", "text", 3)
-        banded(MinHashLSH.signaturesFrom(g, 32))
-      }),
-      "new  " -> (() => {
-        val g = TextOps.shingleTable(docs(), "doc_id", "text", 3)
-        banded(sigsDirect(g, 32))
-      }))
+      "old  " -> (() => d4(docs(), hashed = false).orderBy(col("id_a"), col("id_b"))),
+      "new  " -> (() => d4(docs(), hashed = true).orderBy(col("id_a"), col("id_b"))))
     variants.foreach { case (_, f) => run(f()); spark.catalog.clearCache() }
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to 4).foreach { _ =>
