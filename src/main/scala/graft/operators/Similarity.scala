@@ -118,16 +118,22 @@ object Similarity {
     * [[ivfTopKWith]] — same assignment/probe machinery, better lists
     * (recall floor pinned by IvfKmeansQualitySpec).
     *
-    * Scale design: the centroid table is tiny (√n rows) and broadcast,
-    * so assignment is a map-only n×C projection — no shuffle until the
-    * per-id argmax, which reduces n×C rows back to n with map-side
-    * partial aggregation (max_by of a (cos, -centroid) struct). */
+    * Scale design (r17): the centroid table is tiny (√n rows) and
+    * collected once at plan-build time; assignment is then a map-only
+    * codegen'd argmax per corpus row — ZERO shuffles (the pre-r17
+    * shape shuffled the whole corpus through a groupBy(id, v, n)
+    * argmax carrying the full vectors). */
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidMod: Int, centroidRem: Int): DataFrame = {
     val c = prepVectors(corpus, idCol, vecCol)
-    val cents = c.filter(col("id") % centroidMod === centroidRem)
-      .select(col("id").as("cent_id"), col("v").as("cent_v"), col("n").as("cent_n"))
+    // centroid collect reads the un-rebalanced projection: same rows,
+    // same per-row norms, one shuffle less in the plan-build job (r17)
+    val cents = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id") % centroidMod === centroidRem)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"),
+        sqrt(norm2(col("v"))).as("cent_n"))
     assignToCentroids(c, cents)
   }
 
@@ -138,17 +144,61 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v")))
       .withColumn("n", sqrt(norm2(col("v"))))
 
+  /** Collect an arbitrary (cent_id, cent_v, cent_n) quantizer table to
+    * the driver for the map-side assignment (r17): C ≈ √n rows — the
+    * same order of driver memory as the broadcast hash relation the
+    * old crossJoin(broadcast) shape built anyway. Returns the sorted
+    * set plus the id column's type (the assignment casts its output
+    * back, so `list_id` keeps joining/naming exactly as before). */
+  private def collectCentroids(
+      cents: DataFrame): (graft.plans.CentroidSet, org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    val idType = cents.schema("cent_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"centroid ids must be integral (they tie-break the argmax " +
+        s"numerically), got ${idType.simpleString}")
+    val rows = cents.select(col("cent_id").cast("long"),
+      col("cent_v").cast("array<double>"), col("cent_n").cast("double")).collect()
+    val triples = rows.toSeq.map { r =>
+      val cv =
+        if (r.isNullAt(1)) None
+        else {
+          val s = r.getSeq[Any](1)
+          if (s.contains(null)) None // null element → cosine always null
+          else Some(s.map(_.asInstanceOf[Double]).toArray)
+        }
+      val cn = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      (r.getLong(0), cv, cn)
+    }
+    (graft.plans.CentroidSet(triples), idType)
+  }
+
   /** Nearest-centroid argmax against an arbitrary (cent_id, cent_v,
-    * cent_n) table: broadcast the centroids, map-only n×C cosine
-    * projection, reduce back to n rows with a map-side-combinable
-    * max_by of (cos, -centroid). */
-  private def assignToCentroids(c: DataFrame, cents: DataFrame): DataFrame =
-    c.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        dot(col("v"), col("cent_v")) / (col("n") * col("cent_n")))
-      .groupBy(col("id"), col("v"), col("n"))
-      .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"))).as("best"))
-      .select(col("id"), col("v"), col("n"), (-col("best.neg_cent")).as("list_id"))
+    * cent_n) table — ONE codegen'd projection per corpus row, no
+    * exchange (r17; was crossJoin(broadcast) + a corpus-sized
+    * groupBy(id, v, n) argmax shuffle carrying the full vectors). The
+    * centroid table is collected once at plan-build time — see
+    * [[graft.plans.CentroidSet]] for the exact value/ordering contract
+    * and the one documented divergence (exact-duplicate (id, v, n)
+    * rows are no longer collapsed; all callers feed unique ids). */
+  private def assignToCentroids(c: DataFrame, cents: DataFrame): DataFrame = {
+    val (set, idType) = collectCentroids(cents)
+    assignToCollected(c, set, idType)
+  }
+
+  /** The map-side face of [[assignToCentroids]] when the centroid set
+    * is already collected (the kmeans loop holds it round to round). A
+    * null vector/norm coalesces to the lowest centroid id — exactly
+    * what max(struct(null_cos, -cent_id)) produced; an empty centroid
+    * set yields the empty frame the old crossJoin produced. */
+  private def assignToCollected(
+      c: DataFrame, set: graft.plans.CentroidSet,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    if (set.isEmpty)
+      c.filter(lit(false)).withColumn("list_id", lit(null).cast(idType))
+    else c.withColumn("list_id",
+      coalesce(graft.plans.NearestCentroid(col("v"), col("n"), set),
+        lit(set.minId)).cast(idType))
 
   /** SemDeDup-style semantic deduplication (public technique: Abbas et
     * al. 2023, arXiv:2303.09540 — cluster embeddings, drop
@@ -216,10 +266,15 @@ object Similarity {
     * new centroid. Returns a (cent_id, cent_v, cent_n) table for
     * [[ivfTopKWith]].
     *
-    * Scale shape per round: one broadcast-join assignment (map-only)
-    * and one posexplode + (list, pos) mean aggregation — both map-side
-    * combinable, no window, no driver collect. Each round's centroid
-    * table is cached and materialized so the iterative lineage stays
+    * Scale shape per round (r17): a map-side codegen'd argmax against
+    * the collected centroid table (no exchange — see
+    * [[graft.plans.CentroidSet]]) and ONE aggregate-sized
+    * groupBy(list_id) carrying dim exact-decimal sums, map-side
+    * combined. The per-round driver collect is the C ≈ √n-row
+    * quantizer itself (tens of MB at 10⁹ vectors) — the same table
+    * the old shape built into a broadcast relation each round, and it
+    * doubles as the materialization the old count() performed. Each
+    * round's centroid table is cached so the iterative lineage stays
     * one round deep (same discipline as connected components). Lists
     * that lose all members simply drop out (k shrinks), which is the
     * standard Lloyd behavior on empty clusters — and so do lists whose
@@ -242,39 +297,57 @@ object Similarity {
       .filter(col("cent_n") > 0) // an all-zero seed vector would NaN-capture
       .cache()
     try {
-      cents.count()
+      // the collect doubles as the materialization the old per-round
+      // count() provided AND hands each round its map-side argmax
+      // table (r17): a Lloyd round is now ONE exchange — the
+      // aggregate-sized groupBy(list_id) below — where it used to be
+      // three (the corpus-sized argmax groupBy carrying full vectors,
+      // the posexplode'd (list, pos) mean, and the per-list re-collect)
+      var (set, idType) = collectCentroids(cents)
       (1 to iters).foreach { _ =>
-        // per-dimension mean via exact decimal sum: a double SUM's value
-        // depends on partition merge order, so a plain avg() would make
-        // centroids (and every downstream assignment) differ run-to-run
-        // on a cluster and never hash-match the single-threaded oracle.
-        // decimal(38,18) holds any realistic component magnitude exactly
-        // through corpus-sized sums; the final cast+divide is one
-        // deterministic IEEE op on both engines. Oracle mirror:
-        // CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
-        val newCents = assignToCentroids(c, cents)
-          .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("list_id"), col("pos"))
-          .agg((sum(graft.core.Exact.dec(col("x"), 38, 18)).cast("double") /
-            count(col("x"))).as("m"))
-          .groupBy(col("list_id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("cent_v"))
-          .select(col("list_id").as("cent_id"), col("cent_v"),
-            sqrt(norm2(col("cent_v"))).as("cent_n"))
-          // a list whose members average to the zero vector must drop
-          // out like an empty list: a zero-norm centroid's 0/0 cosine
-          // is NaN, which sorts above every real double and would
-          // silently capture ALL vectors (and all probes) next round
-          .filter(col("cent_n") > 0)
-          .cache()
-        // materialize; keeps lineage one round deep. A failed round
-        // must release ITS OWN cache entry, not just the previous one
-        try newCents.count()
-        catch { case e: Throwable => newCents.unpersist(); throw e }
-        cents.unpersist()
-        cents = newCents
+        // an empty quantizer stays empty through every round (the old
+        // crossJoin against no centroids produced no assignments)
+        if (!set.isEmpty) {
+          // per-dimension mean via exact decimal sum: a double SUM's
+          // value depends on partition merge order, so a plain avg()
+          // would make centroids (and every downstream assignment)
+          // differ run-to-run on a cluster and never hash-match the
+          // single-threaded oracle. decimal(38,18) holds any realistic
+          // component magnitude exactly through corpus-sized sums; the
+          // final cast+divide is one deterministic IEEE op on both
+          // engines. Oracle mirror:
+          // CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+          // The vector width is static (the embedding contract every
+          // caller and both oracle mirrors already hard-code), so the
+          // means are dim parallel aggregates over v[i] instead of a
+          // posexplode — same per-dim sum/count, no n×dim row blow-up.
+          val dim = set.dim.get
+          val aggs = (0 until dim).flatMap(i => Seq(
+            sum(graft.core.Exact.dec(col("v").getItem(i), 38, 18)).as(s"__s$i"),
+            count(col("v").getItem(i)).as(s"__c$i")))
+          val newCents = assignToCollected(c, set, idType)
+            .groupBy(col("list_id"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("list_id").as("cent_id"),
+              array((0 until dim).map(i =>
+                col(s"__s$i").cast("double") / col(s"__c$i")): _*).as("cent_v"))
+            .withColumn("cent_n", sqrt(norm2(col("cent_v"))))
+            // a list whose members average to the zero vector must drop
+            // out like an empty list: a zero-norm centroid's 0/0 cosine
+            // is NaN, which sorts above every real double and would
+            // silently capture ALL vectors (and all probes) next round
+            .filter(col("cent_n") > 0)
+            .cache()
+          // materialize + collect for the next round; a failed round
+          // must release ITS OWN cache entry, not just the previous one
+          val collected =
+            try collectCentroids(newCents)
+            catch { case e: Throwable => newCents.unpersist(); throw e }
+          cents.unpersist()
+          cents = newCents
+          set = collected._1
+          idType = collected._2
+        }
       }
       cents
     } catch {

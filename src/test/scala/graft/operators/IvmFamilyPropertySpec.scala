@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * is the coverage the hand-picked shapes can't give: arbitrary
   * interleavings of duplicate inserts, partial deletes, group
   * emptyings, and re-insertions. */
+@org.scalatest.tags.Slow
 class IvmFamilyPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "ivm-props")
   import spark.implicits._

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * survive giant partitions; parity with the partition-sized-sort form
   * is the correctness bar.
   */
+@org.scalatest.tags.Slow
 class ScalableRankSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "rank-parity")
   import ScalableRank._

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Deterministic shuffle-sharding: reproducible placement, dense
   * positions, balanced shards, ordered shard files. */
+@org.scalatest.tags.Slow
 class ShuffleShardSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "shuffle-shard-test")
   import spark.implicits._

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ≥ 1, deterministic re-runs bit-for-bit (report AND shard files),
   * ordered shard positions, and batch assignment consistency — all on
   * the sf0.001 corpus. */
+@org.scalatest.tags.Slow
 class TrainPipelineSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "train-pipeline")
   val sfDir = "/root/testdata/sf0.001"

@@ -22,6 +22,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *    an EMPTY frame (schema spoken by the first write's stub), not a
   *    refusal — only never-written families raise.
   */
+@org.scalatest.tags.Slow
 class BucketStoreHardeningSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "bucket-hardening")
   import spark.implicits._

@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * last wrote them, and GC never deletes a directory a live manifest
   * still references (the view parity across StreamingIvmComposeSpec's
   * batches already proves the linked reads are correct). */
+@org.scalatest.tags.Slow
 class BucketStoreUpsertSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "bucket-upsert")
   import spark.implicits._

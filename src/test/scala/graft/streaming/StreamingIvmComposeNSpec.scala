@@ -15,6 +15,7 @@ import StreamingIvmComposeN.BaseSpec
   * equals the recomputed prefix join's projected multiset, redelivery
   * is idempotent, a 4-way chain restarts from checkpoint, and CDC
   * violations fail loudly before anything commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmComposeNSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivmN")
   import spark.implicits._

@@ -16,6 +16,7 @@ import graft.core.Exact.dec
   * tracks the recomputed L⋈O, redelivery is idempotent, restart
   * recovers from the snapshot quintuple, and CDC violations fail
   * loudly before anything commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmComposeSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm7")
   import spark.implicits._

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * last row goes, fully-deleted groups disappearing — redelivery is
   * idempotent, restart recovers from the snapshot triple, and
   * malformed deltas fail loudly before anything commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmDistinctSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm3")
   import spark.implicits._

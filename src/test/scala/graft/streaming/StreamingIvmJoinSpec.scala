@@ -13,6 +13,7 @@ import graft.core.Exact.dec
   * term) — redelivery is idempotent, restart recovers from the
   * snapshot triple, and per-side CDC violations fail loudly before
   * anything commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmJoinSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm4")
   import spark.implicits._

@@ -13,6 +13,7 @@ import graft.core.Exact.dec
   * re-agg path) — fully-deleted groups disappear, redelivery is
   * idempotent, restart recovers from the snapshot pair, and malformed
   * deltas fail loudly before anything commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmMinMaxSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm2")
   import spark.implicits._

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * across checkpoint stop/restart; the fold is a pure counts merge
   * (no store read), and malformed deltas fail loudly before anything
   * commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmQuantileSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm5")
   import spark.implicits._

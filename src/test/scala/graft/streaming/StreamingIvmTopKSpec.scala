@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * across checkpoint stop/restart; untouched group buckets are carried
   * over unread, and malformed deltas fail loudly before anything
   * commits. */
+@org.scalatest.tags.Slow
 class StreamingIvmTopKSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-ivm6")
   import spark.implicits._

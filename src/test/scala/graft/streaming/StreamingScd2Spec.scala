@@ -9,6 +9,7 @@ import graft.operators.Upsert
 /** Streaming SCD2: a change stream maintained via per-micro-batch
   * scd2Apply equals the batch rebuild of the full log row-for-row, and
   * batch redelivery (restart semantics) is idempotent. */
+@org.scalatest.tags.Slow
 class StreamingScd2Spec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.core.GraftSession.local("4", "stream-scd2")
 
